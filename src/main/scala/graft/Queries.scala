@@ -1,0 +1,453 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+/** One catalog entry: the Spark plan and (when SQL-expressible) the DuckDB
+  * oracle that must hash-match it. Column names/aliases are kept identical on
+  * both sides — the driver sorts columns by name before hashing.
+  */
+final case class GraftQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+/** The query catalog — SURVEY.md §2's inventory, one entry per line item. */
+object Queries {
+
+  // events.ts is BIGINT nanoseconds (see Tables.events). Matching epoch
+  // helpers for literals:
+  private def nanos(isoDay: String): Long =
+    java.time.LocalDate.parse(isoDay).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli * 1000000L
+
+  private val HourNs = 3600L * 1000000000L
+  private val SessionGapNs = 6 * HourNs // ~11h mean inter-event gap per user
+
+  // ---------------------------------------------------------------------------
+  // Group A — relational / query-layer surface (SURVEY §2 items 1–10)
+  // ---------------------------------------------------------------------------
+
+  /** §2.1 Filtered scan + multi-key aggregation (TPC-H Q1 shape).
+    * Scale: map-side partial aggregation; filter + 5-column pruning reach the
+    * parquet scan.
+    */
+  private def qAggPricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where("l_shipdate <= TIMESTAMP_NTZ'1998-09-02 00:00:00'")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("n_items"))
+
+  private val oAggPricing = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus"""
+
+  /** §2.2 Broadcast dimension join chain (identity ⋈ refdata).
+    * Scale: nation/region are tiny dims — explicit broadcast keeps the big
+    * side shuffle-free.
+    */
+  private def qJoinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum("c_acctbal"), 2).as("acctbal_sum"))
+
+  private val oJoinBroadcast = """
+    SELECT r_name, n_name, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS acctbal_sum
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name"""
+
+  /** §2.3 Large shuffle join + aggregation (fact ⋈ fact).
+    * Scale: equi-join shuffles both sides on l_orderkey/o_orderkey; AQE can
+    * rebalance skewed keys. count(DISTINCT) is planned as a partial expand.
+    */
+  private def qJoinShuffle(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_orderkey").as("n_orders"),
+           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+
+  private val oJoinShuffle = """
+    SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority"""
+
+  /** §2.4 Top-N per group (fgae QueryForRecent: Order+Limit per key). */
+  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+    TimeSeries.topNPerKey(joined,
+        Seq(col("c_mktsegment")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+  }
+
+  private val oTopkPerGroup = """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM customer JOIN orders ON c_custkey = o_custkey) t
+    WHERE rk <= 3"""
+
+  /** §2.5 Time-range + tag filter (fgae ByTimeRange/ByTags).
+    * Scale: both predicates push to the parquet scan (PushedFilters).
+    */
+  private def qRangeFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .where(col("ts") >= nanos("2024-01-10") && col("ts") < nanos("2024-01-20"))
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000").as("ts_us"))
+
+  private val oRangeFilter = """
+    SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+      AND event_type IN ('click', 'purchase')"""
+
+  /** §2.6 Timeslot bucketing (flight.go Timeslots index): hourly rollup. */
+  private def qTimeBucket(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(expr("(ts div 3600000000000) * 3600").as("bucket_s"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("value_sum"))
+
+  private val oTimeBucket = """
+    SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2"""
+
+  /** §2.7 Recent-N per key (fgae QueryForRecentIcaoId). */
+  private def qRecentN(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.topNPerKey(Tables.events(s, dir),
+        Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc), 5)
+      .select("user_id", "event_id", "event_type", "value", "rk")
+
+  private val oRecentN = """
+    SELECT user_id, event_id, event_type, value, rk FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events) t
+    WHERE rk <= 5"""
+
+  /** §2.8 Per-key summarization — flightdb CondensedFlight (condensed.go:55):
+    * compact per-series summary (span, tag list, totals).
+    */
+  private def qCondense(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("min(ts) div 1000").as("first_us"),
+        expr("max(ts) div 1000").as("last_us"),
+        array_join(array_sort(collect_set("event_type")), ",").as("tags"),
+        round(sum("value"), 2).as("value_sum"))
+
+  private val oCondense = """
+    SELECT user_id, count(*) AS n_events,
+           epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS tags,
+           round(sum(value), 2) AS value_sum
+    FROM events GROUP BY user_id"""
+
+  /** §2.9 Anti-join filtering (report.go NotTags preprocessing): series with
+    * clicks but no error in the final week. Scale: left_anti shuffles on the
+    * key only.
+    */
+  private def qAntiTags(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+    val errored = ev.where(col("event_type") === "error" && col("ts") >= nanos("2024-01-24"))
+      .select("user_id").distinct()
+    clicks.join(errored, Seq("user_id"), "left_anti")
+  }
+
+  private val oAntiTags = """
+    SELECT user_id, count(*) AS n_clicks
+    FROM events e
+    WHERE event_type = 'click'
+      AND user_id NOT IN (SELECT user_id FROM events
+                          WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-24')
+    GROUP BY user_id"""
+
+  /** §2.10 Pivot rollup (report metadata tables): wide per-key counts. */
+  private def qPivotTypes(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"))
+
+  private val oPivotTypes = """
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup
+    FROM events GROUP BY user_id"""
+
+  // ---------------------------------------------------------------------------
+  // Group B — track/time-series operators (SURVEY §2 items 11–20)
+  // ---------------------------------------------------------------------------
+
+  /** §2.11 Sessionization with max-gap (track gluing, track.go:25). */
+  private def qSessionGap(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.sessionize(Tables.events(s, dir), "user_id", "ts", "event_id", SessionGapNs)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("min(ts) div 1000").as("start_us"),
+        expr("max(ts) div 1000").as("end_us"))
+
+  private val oSessionGap = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 21600000000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events,
+           epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+    FROM sessions GROUP BY user_id, session_id"""
+
+  /** §2.12 Derived kinematics via lag (Track.PostProcess, track.go:195). */
+  private def qKinematics(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.kinematics(Tables.events(s, dir), "user_id", "ts", "event_id", "value")
+      .where(col("dt_us").isNotNull)
+      .select(col("event_id"), col("user_id"), col("dt_us"),
+        round(col("dvalue"), 4).as("dvalue"),
+        round(col("rate"), 6).as("rate"))
+
+  private val oKinematics = """
+    SELECT event_id, user_id, dt_us, round(dvalue, 4) AS dvalue,
+           round(dvalue / (dt_us / 1000000.0), 6) AS rate
+    FROM (
+      SELECT event_id, user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER w) AS dt_us,
+             value - lag(value) OVER w AS dvalue
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+    WHERE dt_us IS NOT NULL"""
+
+  /** §2.13 Cumulative along-path distance (DistanceTravelledKM, track.go:216).
+    * Also covers §2.28 FlownDist.
+    */
+  private def qCumdist(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.cumulativeDistance(Tables.events(s, dir), "user_id", "ts", "event_id", "value")
+      .select(col("event_id"), col("user_id"), round(col("cum_dist"), 2).as("cum_dist"))
+
+  private val oCumdist = """
+    SELECT event_id, user_id,
+           round(sum(CASE WHEN pv IS NULL THEN 0.0 ELSE abs(value - pv) END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 2) AS cum_dist
+    FROM (
+      SELECT event_id, user_id, ts, value, lag(value) OVER w AS pv
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t"""
+
+  /** §2.14 Time-based resampling (Track.SampleEvery, track.go:604): first
+    * event per (user, 6h bucket).
+    */
+  private def qSampleEvery(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.sampleEvery(Tables.events(s, dir), "user_id", "ts", "event_id", 6 * HourNs)
+      .select(col("user_id"), expr("(ts div 21600000000000) * 21600").as("bucket_s"),
+        col("event_id"), col("value"))
+
+  private val oSampleEvery = """
+    SELECT user_id, (epoch_ns(ts) // 21600000000000) * 21600 AS bucket_s,
+           event_id, value FROM (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 21600000000000
+                                ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1"""
+
+  /** §2.15 Windowed smoothing (WindowedAverageAt, track.go:530): trailing
+    * 5-row moving average.
+    */
+  private def qWindowedAvg(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.trailingAvg(Tables.events(s, dir), "user_id", "ts", "event_id",
+        "value", 5, "smooth")
+      .select(col("event_id"), col("user_id"), round(col("smooth"), 4).as("smooth"))
+
+  private val oWindowedAvg = """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS smooth
+    FROM events"""
+
+  /** §2.16 As-of lookup (METAR Lookup / ComputeIndicatedAltitudes): each
+    * purchase gets the most recent preceding click value of the same user.
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.asOfLast(Tables.events(s, dir), "user_id", "ts", "event_id",
+        col("event_type") === "click", col("value"), "last_click_value")
+      .where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value", "last_click_value")
+
+  private val oAsofJoin = """
+    SELECT event_id, user_id, value, last_click_value FROM (
+      SELECT event_id, user_id, event_type, value,
+             last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+      FROM events) t
+    WHERE event_type = 'purchase'"""
+
+  /** §2.17 Interval-overlap join (Track.Compare, track.go:322): pairs of
+    * sessions from different users overlapping in time. The Spark plan bins
+    * sessions into 6h buckets for an equi-join; the oracle states the naive
+    * theta-join — results must agree.
+    */
+  private def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sessions = TimeSeries
+      .sessionize(Tables.events(s, dir), "user_id", "ts", "event_id", SessionGapNs)
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+      .where(col("user_id") < 30) // bound pair count; semantics identical to oracle
+    val a = sessions.toDF("a_user", "a_session", "start", "end")
+    val b = sessions.toDF("b_user", "b_session", "start", "end")
+    TimeSeries.overlapJoin(a, b, "start", "end", 6 * HourNs,
+        col("a_user") < col("b_user"))
+      .select("a_user", "a_session", "b_user", "b_session").distinct()
+      .groupBy("a_user", "b_user").agg(count(lit(1)).as("n_overlaps"))
+  }
+
+  private val oIntervalOverlap = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 21600000000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+      FROM numbered GROUP BY user_id, session_id)
+    SELECT a.user_id AS a_user, b.user_id AS b_user, count(*) AS n_overlaps
+    FROM sessions a JOIN sessions b
+      ON a.user_id < b.user_id
+     AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+    GROUP BY a.user_id, b.user_id"""
+
+  /** §2.18 Run-length detection (LevelFlightReporter): maximal runs of >= 3
+    * consecutive events with |Δvalue| < 2.
+    */
+  private def qLevelFlight(s: SparkSession, dir: String): DataFrame = {
+    val withLag = Tables.events(s, dir)
+      .withColumn("_pv", lag(col("value"), 1)
+        .over(Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+    TimeSeries.runLengths(withLag, "user_id", "ts", "event_id",
+        col("_pv").isNotNull && abs(col("value") - col("_pv")) < 2.0, 3L)
+      .select("user_id", "run_start", "run_len")
+  }
+
+  private val oLevelFlight = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(value) OVER w IS NOT NULL
+                   AND abs(value - lag(value) OVER w) < 2.0 THEN 1 ELSE 0 END AS f
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    grouped AS (
+      SELECT user_id, event_id, f,
+             sum(1 - f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged)
+    SELECT user_id, min(event_id) AS run_start, count(*) AS run_len
+    FROM grouped WHERE f = 1
+    GROUP BY user_id, grp
+    HAVING count(*) >= 3"""
+
+  /** §2.19 Sanity filtering (AsSanityFilteredTrack, track.go:809): count
+    * implied-rate outliers per series.
+    */
+  private def qSanityFilter(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.kinematics(Tables.events(s, dir), "user_id", "ts", "event_id", "value")
+      .where(col("dt_us").isNotNull &&
+        abs(col("rate")) > lit(0.01)) // implied |Δvalue|/s beyond plausible
+      .groupBy("user_id").agg(count(lit(1)).as("n_outliers"))
+
+  private val oSanityFilter = """
+    SELECT user_id, count(*) AS n_outliers FROM (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER w) AS dt_us,
+             value - lag(value) OVER w AS dvalue
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+    WHERE dt_us IS NOT NULL
+      AND abs(dvalue / (dt_us / 1000000.0)) > 0.01
+    GROUP BY user_id"""
+
+  // ---------------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------------
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q_agg_pricing", qAggPricing, Some(oAggPricing), headline = true),
+    GraftQuery("q_join_broadcast", qJoinBroadcast, Some(oJoinBroadcast)),
+    GraftQuery("q_join_shuffle", qJoinShuffle, Some(oJoinShuffle), headline = true),
+    GraftQuery("q_topk_per_group", qTopkPerGroup, Some(oTopkPerGroup)),
+    GraftQuery("q_range_filter", qRangeFilter, Some(oRangeFilter)),
+    GraftQuery("q_time_bucket", qTimeBucket, Some(oTimeBucket)),
+    GraftQuery("q_recent_n", qRecentN, Some(oRecentN)),
+    GraftQuery("q_condense", qCondense, Some(oCondense)),
+    GraftQuery("q_anti_tags", qAntiTags, Some(oAntiTags)),
+    GraftQuery("q_pivot_types", qPivotTypes, Some(oPivotTypes)),
+    GraftQuery("q_session_gap", qSessionGap, Some(oSessionGap), headline = true),
+    GraftQuery("q_kinematics", qKinematics, Some(oKinematics)),
+    GraftQuery("q_cumdist", qCumdist, Some(oCumdist)),
+    GraftQuery("q_sample_every", qSampleEvery, Some(oSampleEvery)),
+    GraftQuery("q_windowed_avg", qWindowedAvg, Some(oWindowedAvg)),
+    GraftQuery("q_asof_join", qAsofJoin, Some(oAsofJoin), headline = true),
+    GraftQuery("q_interval_overlap", qIntervalOverlap, Some(oIntervalOverlap), headline = true),
+    GraftQuery("q_level_flight", qLevelFlight, Some(oLevelFlight)),
+    GraftQuery("q_sanity_filter", qSanityFilter, Some(oSanityFilter))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+}

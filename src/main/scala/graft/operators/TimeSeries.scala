@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Track/time-series operators, re-expressed as declarative Spark plans.
+  *
+  * The reference (skypies/flightdb) walks one track at a time in Go
+  * (track.go: PostProcess, SampleEvery, TrimToTimes, WindowedAverageAt;
+  * addtrackfragment.go: fragment gluing). Here each operator is a single
+  * window/aggregation pass partitioned by the series key, so on a cluster the
+  * work shuffles once by key and scales linearly — no per-series driver loops.
+  *
+  * All operators take explicit key/time column names so they work over any
+  * long-format table (here: `events(user_id, ts, ...)` with ts in ns).
+  */
+object TimeSeries {
+
+  /** Total order within a series: (time, tieBreaker). A deterministic total
+    * order is load-bearing for every window op below (and for the DuckDB
+    * oracle hash-compare).
+    */
+  private def ord(time: String, tie: String): Seq[Column] = Seq(col(time), col(tie))
+
+  /** Sessionization with a max-gap rule — the Spark form of flightdb's track
+    * gluing (track.go:25 kExtensionMaxGap = 10 min; PlausibleExtension).
+    * A new session starts when the gap to the previous point exceeds
+    * `maxGapNanos`. One shuffle (by key), two window passes, no state loops.
+    *
+    * Adds columns: `session_id` (1-based per key), keeps all input columns.
+    */
+  def sessionize(df: DataFrame, key: String, time: String, tie: String,
+                 maxGapNanos: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord(time, tie): _*)
+    df.withColumn("_prev_t", lag(col(time), 1).over(w))
+      .withColumn("_new", when(col("_prev_t").isNull ||
+        col(time) - col("_prev_t") > maxGapNanos, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev_t", "_new")
+  }
+
+  /** Per-point derived kinematics via lag — flightdb Track.PostProcess
+    * (track.go:195): inter-point duration, value delta, and rate of change.
+    * `dt_us` BIGINT micros; `rate` = dvalue / seconds.
+    */
+  def kinematics(df: DataFrame, key: String, time: String, tie: String,
+                 value: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord(time, tie): _*)
+    df.withColumn("_pt", lag(col(time), 1).over(w))
+      .withColumn("_pv", lag(col(value), 1).over(w))
+      // truncate each side to micros BEFORE subtracting (matches epoch_us
+      // semantics; floor(a/k)-floor(b/k) != floor((a-b)/k) in general)
+      .withColumn("dt_us", expr(s"($time div 1000) - (_pt div 1000)"))
+      .withColumn("dvalue", col(value) - col("_pv"))
+      .withColumn("rate", col("dvalue") / (col("dt_us") / lit(1000000.0)))
+      .drop("_pt", "_pv")
+  }
+
+  /** Cumulative travelled "distance" along a series — flightdb
+    * DistanceTravelledKM (track.go:216): running sum of |Δvalue| in time order.
+    */
+  def cumulativeDistance(df: DataFrame, key: String, time: String, tie: String,
+                         value: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord(time, tie): _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_pv", lag(col(value), 1).over(w))
+      .withColumn("_step", when(col("_pv").isNull, 0.0).otherwise(abs(col(value) - col("_pv"))))
+      .withColumn("cum_dist", sum(col("_step")).over(cum))
+      .drop("_pv", "_step")
+  }
+
+  /** Keep the first point of each fixed time bucket — flightdb
+    * Track.SampleEvery (track.go:604), but expressed so it needs no sequential
+    * scan: bucket by `floor(t / step)`, keep min-ordered row per bucket.
+    */
+  def sampleEvery(df: DataFrame, key: String, time: String, tie: String,
+                  stepNanos: Long): DataFrame = {
+    val bucket = floor(col(time) / stepNanos).cast("long")
+    val w = Window.partitionBy(col(key), bucket).orderBy(ord(time, tie): _*)
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Trailing moving average over the last `nRows` rows (inclusive) —
+    * flightdb Track.WindowedAverageAt (track.go:530) in its scalable,
+    * rows-window form.
+    */
+  def trailingAvg(df: DataFrame, key: String, time: String, tie: String,
+                  value: String, nRows: Int, out: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord(time, tie): _*)
+      .rowsBetween(-(nRows - 1), Window.currentRow)
+    df.withColumn(out, avg(col(value)).over(w))
+  }
+
+  /** As-of lookup inside one stream: for every row, the most recent preceding
+    * value of rows matching `sourcePred` — the Spark form of flightdb's METAR
+    * Lookup (metar/metar.go; flight.go:276 ComputeIndicatedAltitudes).
+    *
+    * This is the scalable as-of pattern: no per-row subquery or point lookup —
+    * one shuffle by key, one ordered window pass with last(ignoreNulls).
+    * To as-of join two tables at 100 TB: union them with a side marker and
+    * apply this same window (linear, skew-safe with AQE).
+    */
+  def asOfLast(df: DataFrame, key: String, time: String, tie: String,
+               sourcePred: Column, sourceValue: Column, out: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord(time, tie): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, last(when(sourcePred, sourceValue), ignoreNulls = true).over(w))
+  }
+
+  /** Maximal runs where `flagCol` holds — flightdb LevelFlightReporter
+    * (analysis/levelflight.go) as gaps-and-islands: run ids via a conditional
+    * cumulative sum, then one aggregation per (key, run).
+    * Returns one row per run: key, run start tie-id, run length.
+    */
+  def runLengths(df: DataFrame, key: String, time: String, tie: String,
+                 flag: Column, minLen: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord(time, tie): _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_f", when(flag, 1L).otherwise(0L))
+      .withColumn("_grp", sum(lit(1L) - col("_f")).over(cum))
+      .where(col("_f") === 1L)
+      .groupBy(col(key), col("_grp"))
+      .agg(count(lit(1)).as("run_len"), min(col(tie)).as("run_start"))
+      .where(col("run_len") >= minLen)
+      .drop("_grp")
+  }
+
+  /** Top/most-recent N rows per key (fgae QueryForRecent: Order + Limit),
+    * as a rank window — the distributed form of a per-key LIMIT.
+    */
+  def topNPerKey(df: DataFrame, key: Seq[Column], order: Seq[Column], n: Int,
+                 rankName: String = "rk"): DataFrame = {
+    val w = Window.partitionBy(key: _*).orderBy(order: _*)
+    df.withColumn(rankName, row_number().over(w)).where(col(rankName) <= n)
+  }
+
+  /** Interval-overlap join between two interval sets sharing a time axis —
+    * flightdb Track.Compare / OverlapsWith (track.go:322).
+    *
+    * Naive form is a quadratic theta-join; here each interval is exploded to
+    * the fixed time buckets it touches, the join is EQUI on bucket (plus
+    * cheap predicates), and duplicates from multi-bucket overlaps are removed
+    * with a distinct on the pair key. Bucket width should be >= typical
+    * interval length so the blow-up factor stays ~2.
+    */
+  def overlapJoin(a: DataFrame, b: DataFrame, startCol: String, endCol: String,
+                  bucketNanos: Long, joinPred: Column): DataFrame = {
+    def explodeBuckets(df: DataFrame, side: String): DataFrame =
+      df.withColumn(s"_bkt", explode(sequence(
+        floor(col(startCol) / bucketNanos).cast("long"),
+        floor(col(endCol) / bucketNanos).cast("long"))))
+        .withColumnRenamed(startCol, s"${side}_start")
+        .withColumnRenamed(endCol, s"${side}_end")
+    val ea = explodeBuckets(a, "a")
+    val eb = explodeBuckets(b, "b").withColumnRenamed("_bkt", "_bktb")
+    ea.join(eb, ea("_bkt") === eb("_bktb") &&
+        col("a_start") <= col("b_end") && col("b_start") <= col("a_end") && joinPred)
+      .drop("_bkt", "_bktb")
+  }
+}
