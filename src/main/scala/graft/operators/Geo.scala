@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spatial restrictors, re-expressed as codegen-friendly column predicates.
+  *
+  * flightdb filters flights through geo.Restrictor implementations
+  * (georestrictorset.go: SquareBoxRestriction, PolygonRestriction,
+  * VerticalPlaneRestriction, combined with All/Any logic) by walking each
+  * track in Go. Here every restrictor is a pure `Column` predicate, so
+  * Catalyst pushes what it can into the scan and the rest stays inside
+  * whole-stage codegen — no UDFs, no per-row callbacks.
+  */
+object Geo {
+
+  /** Axis-aligned box with optional exclusion — SquareBoxRestriction
+    * (georestrictorset.go:122). Altitude-band analog: add a range predicate
+    * on the band column with `&&`.
+    */
+  def inBox(x: Column, y: Column, xMin: Double, xMax: Double,
+            yMin: Double, yMax: Double): Column =
+    x >= xMin && x <= xMax && y >= yMin && y <= yMax
+
+  /** Convex-polygon containment via half-plane tests — PolygonRestriction
+    * (georestrictorset.go:141). Vertices must be in counter-clockwise order;
+    * the point is inside iff it is on the left of every directed edge
+    * (cross product >= 0). Pure arithmetic → identical results in any engine
+    * and fully codegen'd in Spark.
+    */
+  def inConvexPolygon(x: Column, y: Column, vertices: Seq[(Double, Double)]): Column =
+    vertices.indices.map { i =>
+      val (x1, y1) = vertices(i)
+      val (x2, y2) = vertices((i + 1) % vertices.length)
+      (lit(x2 - x1) * (y - y1) - lit(y2 - y1) * (x - x1)) >= 0.0
+    }.reduce(_ && _)
+
+  /** Squared distance to a reference point (ClosestTo, track.go:849).
+    * Kept squared: monotone for argmin, avoids sqrt precision concerns in
+    * cross-engine comparison.
+    */
+  def distSq(x: Column, y: Column, refX: Double, refY: Double): Column = {
+    val dx = x - refX
+    val dy = y - refY
+    dx * dx + dy * dy
+  }
+
+  /** Per-key closest approach to a reference point —
+    * ClosestApproachReporter (analysis/closestapproach.go). One shuffle by
+    * key, one window pass; ties broken by `tie` for determinism.
+    */
+  def closestTo(df: DataFrame, key: String, tie: String,
+                d2: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(d2.asc, col(tie).asc)
+    df.withColumn("_d2", d2)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+      .withColumnRenamed("_d2", "dist_sq")
+  }
+
+  /** Consecutive-point crossings of the vertical plane x = c —
+    * VerticalPlaneRestriction (georestrictorset.go:131): a crossing is a
+    * strict sign change of (x - c) between adjacent points in time order.
+    */
+  def lineCrossings(df: DataFrame, key: String, time: String, tie: String,
+                    x: Column, c: Double): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(time), col(tie))
+    df.withColumn("_x", x)
+      .withColumn("_px", lag(col("_x"), 1).over(w))
+      .where(col("_px").isNotNull && (col("_x") - c) * (col("_px") - c) < 0.0)
+  }
+
+  /** Waypoint matching — Track.MatchWaypoints (flightpath.go:26): points
+    * within a snap box of any named waypoint; first hit per (key, waypoint).
+    * The waypoint dim is tiny → broadcast; the probe side never shuffles for
+    * the join itself.
+    */
+  def waypointMatch(df: DataFrame, key: String, time: String,
+                    x: Column, y: Column,
+                    waypoints: DataFrame /* name, wx, wy, snap */): DataFrame =
+    df.withColumn("_x", x).withColumn("_y", y)
+      .join(broadcast(waypoints),
+        abs(col("_x") - col("wx")) <= col("snap") &&
+        abs(col("_y") - col("wy")) <= col("snap"))
+      .groupBy(col(key), col("name"))
+      .agg(expr(s"min($time) div 1000").as("first_us"))
+}
