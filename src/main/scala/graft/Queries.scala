@@ -443,7 +443,7 @@ object Queries {
     GraftQuery("q_interval_overlap", qIntervalOverlap, Some(oIntervalOverlap), headline = true),
     GraftQuery("q_level_flight", qLevelFlight, Some(oLevelFlight)),
     GraftQuery("q_sanity_filter", qSanityFilter, Some(oSanityFilter))
-  ) ++ QueriesGeo.all
+  ) ++ QueriesGeo.all ++ QueriesText.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

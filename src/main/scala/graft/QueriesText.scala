@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, Text}
+
+/** Group F — LLM-data-pipeline operators (SURVEY §2 items 35, 38–49):
+  * dedup tiers, similarity search, text analysis, multimodal metadata.
+  */
+object QueriesText {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+
+  // ---------------------------------------------------------------------------
+  // Dedup tiers (items 35/38–42)
+  // ---------------------------------------------------------------------------
+
+  /** §2.35/38 Exact dedup on a normalization key (first 8 words) —
+    * hash-groupBy, the cheapest dedup tier; one shuffle on the norm key.
+    */
+  private def qDocDedupExact(s: SparkSession, dir: String): DataFrame =
+    Text.exactDupGroups(docs(s, dir), "doc_id",
+        concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+      .select(col("keeper"), col("n_dups"),
+        array_join(col("members"), ",").as("members"))
+
+  private val oDocDedupExact = """
+    SELECT min(doc_id) AS keeper, count(*) AS n_dups,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+    FROM (SELECT doc_id,
+            array_to_string(string_split(text, ' ')[1:8], ' ') AS norm
+          FROM documents) t
+    GROUP BY norm HAVING count(*) > 1"""
+
+  /** §2.40 Exact pairwise word-bigram Jaccard >= 0.8 via inverted-index
+    * join (scale path) — results identical to the oracle's naive quadratic
+    * cross-join because every pair with J > 0 shares a shingle.
+    */
+  private def qDocNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Text.jaccardPairs(
+        docs(s, dir).withColumn("sh", Text.shingles(col("text"), 2)),
+        "doc_id", col("sh"), 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  private val oDocNgramJaccard = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([words[i] || ' ' || words[i+1]
+                            for i in range(1, len(words))]) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.bg, b.bg)) * 1.0 /
+                 (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.bg, b.bg)) * 1.0 /
+          (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.8"""
+
+  /** §2.39 MinHash(16) + LSH(4 bands × 4 rows) candidates, then exact
+    * Jaccard >= 0.8 verification on candidates only. murmur3-based → not
+    * reproducible in SQL → rows-only driver check; the spec suite compares
+    * against exact Jaccard.
+    */
+  private def qDocMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val withSh = docs(s, dir).withColumn("sh", Text.shingles(col("text"), 2))
+    val sigs = Text.minhashSignature(withSh, col("sh"), 16)
+      .select(col("doc_id"), col("sh"), col("sig"))
+    val banded = Text.lshBands(sigs, 4, 4).select("doc_id", "band", "band_hash")
+    val cand = banded.toDF("doc_a", "band", "band_hash")
+      .join(banded.toDF("doc_b", "band", "band_hash"), Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** §2.41 SimHash fingerprints + bucket keys (murmur3 → rows-only). */
+  private def qDocSimhash(s: SparkSession, dir: String): DataFrame =
+    Text.simhash(docs(s, dir), split(col("text"), " "))
+      .select("doc_id", "simhash", "bucket")
+
+  /** §2.48 Winnowing fingerprints (k=8 chars, window=4) — rows-only. */
+  private def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
+    Text.winnowFingerprints(docs(s, dir), col("text"), 8, 4)
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        array_min(col("fps")).as("min_fp"))
+
+  /** §2.42 Embedding cosine near-dup pairs (threshold on the rounded value
+    * so both engines apply the cut to identical numbers).
+    */
+  private def qEmbedDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDupPairs(embs(s, dir), "vec_id", "embedding", 0.4, 3)
+
+  private val oEmbedDup = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 3) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 3) >= 0.4"""
+
+  // ---------------------------------------------------------------------------
+  // Similarity search (items 43–44)
+  // ---------------------------------------------------------------------------
+
+  /** §2.43 Brute-force cosine top-5 for query set vec_id < 10. */
+  private def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.knnBrute(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 5, 3)
+  }
+
+  private val oKnnBrute = """
+    SELECT q_id, n_id, rk, round(c, 3) AS cos FROM (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(n.embedding AS DOUBLE[])) AS c,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(n.embedding AS DOUBLE[])) DESC,
+               n.vec_id) AS rk
+      FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id < 10) t
+    WHERE rk <= 5"""
+
+  /** §2.44 LSH-bucketed ANN (6 hyperplanes): exact ranking inside the
+    * query's bucket only — the 100 TB path. Deterministic planes but
+    * murmur-free; still rows-only (bucketing isn't ANSI SQL), recall
+    * measured in the spec suite.
+    */
+  private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.knnLsh(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+      5, 6, 64, 3)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Text analysis (items 45–47) + multimodal (item 49)
+  // ---------------------------------------------------------------------------
+
+  /** §2.45 Language ID by marker tokens; compared against the label col. */
+  private def qTextLang(s: SparkSession, dir: String): DataFrame = {
+    val markers = Map("en" -> Seq("the", "a"), "es" -> Seq("el", "la"))
+    docs(s, dir)
+      .withColumn("detected", Text.detectLanguage(split(col("text"), " "), markers))
+      .withColumn("is_match", (col("detected") === col("lang")).cast("int"))
+      .select("doc_id", "lang", "detected", "is_match")
+  }
+
+  private val oTextLang = """
+    SELECT doc_id, lang,
+           CASE WHEN score_es > 0 AND score_es >= score_en THEN 'es'
+                WHEN score_en > 0 THEN 'en'
+                ELSE 'und' END AS detected,
+           CAST(CASE WHEN score_es > 0 AND score_es >= score_en THEN 'es'
+                     WHEN score_en > 0 THEN 'en'
+                     ELSE 'und' END = lang AS INT) AS is_match
+    FROM (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS score_en,
+             len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la'))) AS score_es
+      FROM documents) t"""
+
+  /** §2.46 Quality metrics + low-quality flag. */
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    Text.qualityMetrics(docs(s, dir), col("text"), Seq("the", "a"))
+      .select(col("doc_id"), col("n_chars_actual"), col("n_words"),
+        round(col("mean_word_len"), 4).as("mean_word_len"),
+        round(col("stopword_ratio"), 4).as("stopword_ratio"),
+        (col("stopword_ratio") > 0.3 || col("n_words") < 10)
+          .cast("int").as("low_quality"))
+
+  private val oTextQuality = """
+    SELECT doc_id, length(text) AS n_chars_actual,
+           len(string_split(text, ' ')) AS n_words,
+           round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                 / len(string_split(text, ' ')), 4) AS mean_word_len,
+           round(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) * 1.0
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           CAST((len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) * 1.0
+                 / len(string_split(text, ' ')) > 0.3)
+                OR (len(string_split(text, ' ')) < 10) AS INT) AS low_quality
+    FROM documents"""
+
+  /** §2.47 Token counting: whitespace tokens + BPE-ish regex tokens. */
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_re_tokens"))
+
+  private val oTokenCount = """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens
+    FROM documents"""
+
+  /** §2.49 Multimodal metadata over an opaque binary column: content
+    * length + SHA-256, the typed-metadata pattern for image/audio blobs.
+    * (Decode plumbing lives in operators.Multimodal; spec-tested.)
+    */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("blob", col("text").cast("binary"))
+      .select(col("doc_id"),
+        octet_length(col("blob")).as("byte_len"),
+        sha2(col("blob"), 256).as("sha"))
+
+  private val oMultimodalMeta = """
+    SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
+           sha256(text) AS sha
+    FROM documents"""
+
+  // ---------------------------------------------------------------------------
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q_doc_dedup_exact", qDocDedupExact, Some(oDocDedupExact)),
+    GraftQuery("q_doc_ngram_jaccard", qDocNgramJaccard, Some(oDocNgramJaccard), headline = true),
+    GraftQuery("q_doc_minhash_lsh", qDocMinhashLsh, None, headline = true),
+    GraftQuery("q_doc_simhash", qDocSimhash, None),
+    GraftQuery("q_doc_fingerprint", qDocFingerprint, None),
+    GraftQuery("q_embed_dup", qEmbedDup, Some(oEmbedDup)),
+    GraftQuery("q_knn_brute", qKnnBrute, Some(oKnnBrute), headline = true),
+    GraftQuery("q_knn_lsh", qKnnLsh, None),
+    GraftQuery("q_text_lang", qTextLang, Some(oTextLang)),
+    GraftQuery("q_text_quality", qTextQuality, Some(oTextQuality)),
+    GraftQuery("q_token_count", qTokenCount, Some(oTokenCount)),
+    GraftQuery("q_multimodal_meta", qMultimodalMeta, Some(oMultimodalMeta))
+  )
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine as the exact baseline,
+  * random-hyperplane LSH as the 100 TB scale path.
+  *
+  * Vectors are `array<float>` columns; all arithmetic is done in double via
+  * codegen'd higher-order functions (`zip_with` + `aggregate`) — no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two array columns, accumulated in double, sequential
+    * order (matches a straightforward loop in any engine).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** All pairs with cosine >= threshold — embedding near-dup detection.
+    * Quadratic by construction (the exactness baseline); norms are
+    * precomputed once per side so the join does one dot product per pair.
+    * For corpus-scale dedup use `lshBuckets` to generate candidates first.
+    */
+  def cosineDupPairs(df: DataFrame, id: String, vec: String,
+                     threshold: Double, roundTo: Int): DataFrame = {
+    val withNorm = df.select(col(id), col(vec)).withColumn("_norm", l2norm(col(vec)))
+    val a = withNorm.toDF("id_a", "vec_a", "norm_a")
+    val b = withNorm.toDF("id_b", "vec_b", "norm_b")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")), roundTo))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Exact top-k neighbors for a (small, broadcast) query set against the
+    * full corpus: one pass over the corpus per plan, rank window per query.
+    */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+               k: Int, roundTo: Int): DataFrame = {
+    val c = corpus.select(col(id).as("n_id"), col(vec).as("n_vec"))
+      .withColumn("n_norm", l2norm(col("n_vec")))
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
+      .withColumn("q_norm", l2norm(col("q_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("_cos", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("rk"), round(col("_cos"), roundTo).as("cos"))
+  }
+
+  /** Deterministic random-hyperplane LSH signature (Charikar): `nPlanes`
+    * pseudo-random hyperplanes derived from sin() of (plane, dim) — fully
+    * reproducible across runs and engines, no RNG state. Returns the input
+    * plus an integer `bucket` (the sign pattern).
+    *
+    * Scale path: near-dup candidates and ANN probes join on `bucket`, so
+    * the shuffle key is the bucket — bucket sizes, not corpus size, bound
+    * the pairwise work. Recall is tuned by `nPlanes` (fewer planes → bigger
+    * buckets → higher recall, more work).
+    */
+  def hyperplaneBucket(df: DataFrame, vec: String, nPlanes: Int, dim: Int): DataFrame = {
+    val planes: Seq[Seq[Double]] =
+      (0 until nPlanes).map(p => (0 until dim).map(d => math.sin(1.0 + p * 131 + d * 7)))
+    val bucket = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(col(vec), array(planes(p).map(lit): _*),
+          (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    df.withColumn("bucket", bucket)
+  }
+
+  /** ANN via LSH buckets: exact ranking within the query's bucket only.
+    * Same output shape as knnBrute; recall measured in the spec suite.
+    */
+  def knnLsh(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+             k: Int, nPlanes: Int, dim: Int, roundTo: Int): DataFrame = {
+    val c = hyperplaneBucket(corpus, vec, nPlanes, dim)
+      .select(col(id).as("n_id"), col(vec).as("n_vec"), col("bucket"))
+      .withColumn("n_norm", l2norm(col("n_vec")))
+    val q = hyperplaneBucket(queries, vec, nPlanes, dim)
+      .select(col(id).as("q_id"), col(vec).as("q_vec"), col("bucket"))
+      .withColumn("q_norm", l2norm(col("q_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
+    q.join(c, Seq("bucket")).where(col("q_id") =!= col("n_id"))
+      .withColumn("_cos", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("rk"), round(col("_cos"), roundTo).as("cos"))
+  }
+}
