@@ -129,15 +129,15 @@ object QueriesText {
       WHERE q.vec_id < 10) t
     WHERE rk <= 5"""
 
-  /** §2.44 LSH-bucketed ANN (6 hyperplanes): exact ranking inside the
-    * query's bucket only — the 100 TB path. Deterministic planes but
-    * murmur-free; still rows-only (bucketing isn't ANSI SQL), recall
-    * measured in the spec suite.
+  /** §2.44 LSH-bucketed ANN (4 hyperplanes x 8 tables): exact ranking
+    * inside the union of the query's buckets — the 100 TB path. Rows-only
+    * (bucketing isn't ANSI SQL); recall vs brute force measured in the
+    * spec suite.
     */
   private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.knnLsh(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
-      5, 6, 64, 3)
+      5, 4, 8, 64, 3)
   }
 
   // ---------------------------------------------------------------------------

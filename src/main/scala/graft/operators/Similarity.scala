@@ -66,9 +66,11 @@ object Similarity {
     * the pairwise work. Recall is tuned by `nPlanes` (fewer planes → bigger
     * buckets → higher recall, more work).
     */
-  def hyperplaneBucket(df: DataFrame, vec: String, nPlanes: Int, dim: Int): DataFrame = {
+  def hyperplaneBucket(df: DataFrame, vec: String, nPlanes: Int, dim: Int,
+                       table: Int = 0): DataFrame = {
     val planes: Seq[Seq[Double]] =
-      (0 until nPlanes).map(p => (0 until dim).map(d => math.sin(1.0 + p * 131 + d * 7)))
+      (0 until nPlanes).map(p =>
+        (0 until dim).map(d => math.sin(1.0 + (table * 17 + p) * 131 + d * 7)))
     val bucket = (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(col(vec), array(planes(p).map(lit): _*),
@@ -76,23 +78,35 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    df.withColumn("bucket", bucket)
+    df.withColumn("bucket", bucket + lit(table.toLong << 32))
   }
 
-  /** ANN via LSH buckets: exact ranking within the query's bucket only.
-    * Same output shape as knnBrute; recall measured in the spec suite.
+  /** Bucket keys across `nTables` independent hash tables — the standard
+    * multi-table LSH construction: a pair is a candidate if it collides in
+    * ANY table, so recall is 1-(1-p^k)^L while per-bucket work stays bounded.
+    * Emits one row per (row, table) with a table-disambiguated bucket key.
+    */
+  def multiTableBuckets(df: DataFrame, vec: String, nPlanes: Int, nTables: Int,
+                        dim: Int): DataFrame =
+    (0 until nTables).map(t => hyperplaneBucket(df, vec, nPlanes, dim, t))
+      .reduce(_ unionByName _)
+
+  /** ANN via multi-table LSH: exact cosine ranking within the union of the
+    * query's buckets. Same output shape as knnBrute; recall measured in the
+    * spec suite. Shuffle key is the bucket — corpus size never joins itself.
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-             k: Int, nPlanes: Int, dim: Int, roundTo: Int): DataFrame = {
-    val c = hyperplaneBucket(corpus, vec, nPlanes, dim)
+             k: Int, nPlanes: Int, nTables: Int, dim: Int, roundTo: Int): DataFrame = {
+    val c = multiTableBuckets(corpus, vec, nPlanes, nTables, dim)
       .select(col(id).as("n_id"), col(vec).as("n_vec"), col("bucket"))
-      .withColumn("n_norm", l2norm(col("n_vec")))
-    val q = hyperplaneBucket(queries, vec, nPlanes, dim)
+    val q = multiTableBuckets(queries, vec, nPlanes, nTables, dim)
       .select(col(id).as("q_id"), col(vec).as("q_vec"), col("bucket"))
-      .withColumn("q_norm", l2norm(col("q_vec")))
+    val cand = q.join(c, Seq("bucket")).where(col("q_id") =!= col("n_id"))
+      .select("q_id", "q_vec", "n_id", "n_vec")
+      .dropDuplicates("q_id", "n_id") // collided in >= 1 table
     val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
-    q.join(c, Seq("bucket")).where(col("q_id") =!= col("n_id"))
-      .withColumn("_cos", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+    cand
+      .withColumn("_cos", cosine(col("q_vec"), col("n_vec")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("rk"), round(col("_cos"), roundTo).as("cos"))

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch sources/sinks — the flightdb ingest + export surface re-expressed
+  * for a lake layout (bigquery.go's analytic export; foia.go's CSV import).
+  */
+object Sinks {
+
+  /** Date-partitioned parquet export (bigquery.go analog). Partitioning by
+    * day keeps scans partition-prunable; at 100 TB add a second bucket
+    * column on the series key for co-located per-key reads.
+    */
+  def writePartitionedByDay(df: DataFrame, tsNanosCol: String, path: String): Unit =
+    df.withColumn("day", to_date(timestamp_micros(expr(s"$tsNanosCol div 1000"))))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("day")
+      .parquet(path)
+
+  /** Schema'd CSV ingest (app/backend/foia.go analog): explicit schema — no
+    * inference pass over 100 TB — permissive mode with a corrupt-record
+    * column, so bad rows are quarantined, not dropped.
+    */
+  val trackpointCsvSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("_corrupt", StringType)))
+
+  def readTrackpointCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(trackpointCsvSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+}

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Geo, Similarity, Text, TimeSeries}
+
+/** Operator-level semantics on hand-built inputs (independent of the DuckDB
+  * oracle path — these pin the behavior the oracle can't see, e.g. the
+  * hash-based signature operators).
+  */
+class TimeSeriesOpSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val ns = 1000000000L
+
+  test("sessionize splits on gaps > maxGap only") {
+    val df = Seq(
+      (1L, 0L * ns, 1L), (1L, 10L * ns, 2L), (1L, 1000L * ns, 3L),
+      (2L, 0L * ns, 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = TimeSeries.sessionize(df, "user_id", "ts", "event_id", 100L * ns)
+      .select("user_id", "event_id", "session_id").as[(Long, Long, Long)]
+      .collect().sortBy(_._2)
+    assert(out.toSeq == Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
+  }
+
+  test("asOfLast picks most recent preceding source row") {
+    val df = Seq(
+      (1L, 1L * ns, 1L, "src", 10.0), (1L, 2L * ns, 2L, "x", 0.0),
+      (1L, 3L * ns, 3L, "src", 20.0), (1L, 4L * ns, 4L, "x", 0.0)
+    ).toDF("user_id", "ts", "event_id", "kind", "value")
+    val out = TimeSeries.asOfLast(df, "user_id", "ts", "event_id",
+        col("kind") === "src", col("value"), "asof")
+      .select("event_id", "asof").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 10.0, 2L -> 10.0, 3L -> 20.0, 4L -> 20.0))
+  }
+
+  test("overlapJoin finds exactly the overlapping interval pairs") {
+    val a = Seq((1L, 0L, 10L * ns), (2L, 20L * ns, 30L * ns))
+      .toDF("a_id", "start", "end")
+    val b = Seq((10L, 5L * ns, 6L * ns), (20L, 11L * ns, 19L * ns))
+      .toDF("b_id", "start", "end")
+    val pairs = TimeSeries.overlapJoin(a, b, "start", "end", 7L * ns, lit(true))
+      .select("a_id", "b_id").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L)))
+  }
+
+  test("runLengths finds maximal runs") {
+    val df = Seq(
+      (1L, 1L * ns, 1L, true), (1L, 2L * ns, 2L, true), (1L, 3L * ns, 3L, true),
+      (1L, 4L * ns, 4L, false), (1L, 5L * ns, 5L, true)
+    ).toDF("user_id", "ts", "event_id", "flag")
+    val runs = TimeSeries.runLengths(df, "user_id", "ts", "event_id", col("flag"), 2L)
+      .select("run_start", "run_len").as[(Long, Long)].collect().toSeq
+    assert(runs == Seq((1L, 3L)))
+  }
+}
+
+class GeoOpSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("convex polygon containment (CCW square)") {
+    val square = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    val df = Seq((1L, 5.0, 5.0), (2L, 15.0, 5.0), (3L, 0.0, 0.0), (4L, -0.1, 5.0))
+      .toDF("id", "x", "y")
+    val inside = df.where(Geo.inConvexPolygon(col("x"), col("y"), square))
+      .select("id").as[Long].collect().toSet
+    assert(inside == Set(1L, 3L)) // boundary counts as inside (>= 0)
+  }
+
+  test("lineCrossings detects sign changes only") {
+    val ns = 1000000000L
+    val df = Seq((1L, 1L * ns, 1L, 30.0), (1L, 2L * ns, 2L, 50.0),
+      (1L, 3L * ns, 3L, 55.0), (1L, 4L * ns, 4L, 35.0))
+      .toDF("user_id", "ts", "event_id", "v")
+    val hits = Geo.lineCrossings(df, "user_id", "ts", "event_id", col("v"), 40.0)
+      .select("event_id").as[Long].collect().toSet
+    assert(hits == Set(2L, 4L))
+  }
+}
+
+class TextOpSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("shingles builds distinct word n-grams") {
+    val df = Seq("a b c a b").toDF("text")
+    val sh = df.select(Text.shingles(col("text"), 2).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh.toSet == Set("a b", "b c", "c a"))
+  }
+
+  test("minhash similarity approximates jaccard on near-dup vs distinct docs") {
+    val docs = Tables.documents(spark, sfDir).withColumn("sh", Text.shingles(col("text"), 2))
+    val exact = Text.jaccardPairs(docs, "doc_id", col("sh"), 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // LSH candidates at 16 hashes / 4 bands must recover >= 80% of J>=0.8 pairs
+    val sigs = Text.minhashSignature(docs, col("sh"), 16)
+    val banded = Text.lshBands(sigs.select("doc_id", "sig"), 4, 4)
+      .select("doc_id", "band", "band_hash")
+    val cands = banded.toDF("doc_a", "band", "band_hash")
+      .join(banded.toDF("doc_b", "band", "band_hash"), Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+    if (exact.nonEmpty) {
+      val recall = exact.count(cands.contains).toDouble / exact.size
+      assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} true pairs")
+    }
+  }
+
+  test("winnowing fingerprints are shift-robust: shared window minima survive edits") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog end"),
+      (2L, "PREFIX the quick brown fox jumps over the lazy dog end")).toDF("id", "t")
+    val fps = Text.winnowFingerprints(df, col("t"), 8, 4)
+      .select("id", "fps").as[(Long, Seq[Long])].collect().toMap
+    val common = fps(1L).toSet.intersect(fps(2L).toSet)
+    assert(common.nonEmpty, "edited doc shares no fingerprints with original")
+  }
+
+  test("detectLanguage picks max-scoring language") {
+    val markers = Map("en" -> Seq("the"), "es" -> Seq("el"))
+    val df = Seq("el gato the", "x y z", "the the el").toDF("text")
+    val out = df.select(Text.detectLanguage(split(col("text"), " "), markers))
+      .as[String].collect().toSeq
+    assert(out == Seq("es", "und", "en")) // tie (1,1) → lexicographically later lang wins? no: (1,'es') > (1,'en')
+  }
+}
+
+class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val c = df.select(Similarity.cosine(col("v"), col("v"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("LSH ANN achieves reasonable recall@5 vs brute force") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.knnLsh(e, q, "vec_id", "embedding", 5, 4, 8, 64, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    // 4 planes x 8 tables: P(candidate) = 1-(1-p^4)^8, p = 1 - angle/pi;
+    // near neighbors collide in >= 1 table with high probability.
+    assert(recall >= 0.3, s"LSH recall@5 = $recall")
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.Multimodal
+
+  test("decodeFeatures preserves ids, emits fixed-shape features") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3, 4), "application/octet-stream"),
+      Multimodal.MediaRow(2L, Array[Byte](9, 9), "application/octet-stream"))
+      .toDS()
+    val out = Multimodal.decodeFeatures(media, 2).collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(1L, 2L))
+    assert(out.forall(_.feature.length == 8))
+    assert(out.map(_.byte_len).toSeq == Seq(4, 2))
+    assert(math.abs(out.head.feature.sum - 1.0f) < 1e-5)
+  }
+
+  test("sampleFrames chunks deterministically") {
+    val media = Seq(Multimodal.MediaRow(7L, (0 until 100).map(_.toByte).toArray, "video/fake")).toDS()
+    val frames = Multimodal.sampleFrames(media, 10, 2)
+      .select("frame_no").as[Int].collect().sorted
+    assert(frames.toSeq == Seq(0, 2, 4, 6, 8))
+  }
+}

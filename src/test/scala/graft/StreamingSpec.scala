@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.SessionStream
+import graft.streaming.SessionStream.{ClosedSession, Point}
+
+/** Streaming track assembly: fragments glued into sessions across
+  * micro-batches, sessions emitted when the gap rule closes them.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  test("stream sessionization glues fragments across batches and closes on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val ns = 1000000000L
+    val input = MemoryStream[Point]
+    val sessions = SessionStream.sessionize(input.toDS(), maxGapNs = 100L * ns)
+
+    val query = sessions.writeStream
+      .format("memory").queryName("closed_sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    try {
+      // batch 1: two points close together (one open session)
+      input.addData(Point(1L, 10L * ns, 1.0), Point(1L, 20L * ns, 2.0))
+      query.processAllAvailable()
+      assert(spark.table("closed_sessions").count() == 0)
+
+      // batch 2: a point far in the future → closes the first session
+      input.addData(Point(1L, 500L * ns, 5.0))
+      query.processAllAvailable()
+      val closed = spark.table("closed_sessions").as[ClosedSession].collect()
+      assert(closed.length == 1)
+      assert(closed.head == ClosedSession(1L, 10L * ns / 1000, 20L * ns / 1000, 2L, 3.0))
+    } finally query.stop()
+  }
+}
