@@ -64,8 +64,11 @@ object QueriesText {
     */
   private def qDocMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val withSh = docs(s, dir).withColumn("sh", Text.shingles(col("text"), 2))
+    // shared by banding + both sides of the verification join — persist so
+    // shingling + 16 minhash permutations run once
     val sigs = Text.minhashSignature(withSh, col("sh"), 16)
       .select(col("doc_id"), col("sh"), col("sig"))
+      .persist()
     val banded = Text.lshBands(sigs, 4, 4).select("doc_id", "band", "band_hash")
     val cand = banded.toDF("doc_a", "band", "band_hash")
       .join(banded.toDF("doc_b", "band", "band_hash"), Seq("band", "band_hash"))

@@ -30,37 +30,73 @@ object Text {
         array_sort(collect_list(col(id))).as("members"))
       .where(col("n_dups") > 1)
 
-  /** Exact pairwise n-gram Jaccard over a document set, via an inverted
-    * index: explode (doc, shingle), self-join on shingle, count common
-    * shingles per pair, then J = common / (|A| + |B| - common).
+  /** Exact pairwise n-gram Jaccard >= `minJaccard` via prefix-filtered
+    * inverted index (AllPairs/PPJoin, Bayardo et al. WWW'07) — EXACT results
+    * at corpus scale without the quadratic cross-join:
     *
-    * Unlike the naive quadratic cross-join this shuffles on the shingle key
-    * and only materializes pairs that share at least one shingle — which is
-    * every pair with J > 0, so results are EXACT. Posting lists of
-    * ultra-common shingles dominate cost; `maxDocFreq` drops them the way a
-    * search engine drops stopwords, which can only lose pairs whose Jaccard
-    * is below any useful threshold when the remaining shingles still overlap.
-    * Keep it >= corpus size for exactness (default: no cap).
+    * 1. Rank the vocabulary by ascending document frequency (rarest first).
+    * 2. Index each doc only by its prefix: the first
+    *    |A| - ceil(t * |A|) + 1 shingles in that global order. If
+    *    J(A,B) >= t then |A∩B| >= t * max(|A|,|B|), so the prefixes of both
+    *    docs must share a shingle — no true pair is lost.
+    * 3. Candidate pairs (prefix-join on the rare shingles, plus the
+    *    |A| >= t * |B| size filter) are verified with an exact
+    *    intersect/union count over the full rank arrays.
+    *
+    * The shuffle key is the shingle rank; prefixes hold the RAREST shingles
+    * so posting lists — and the pair blowup — stay small even when the
+    * corpus shares a dense common vocabulary. The vocab ranking window runs
+    * over the distinct-shingle aggregate (Heaps'-law small vs the corpus);
+    * at extreme vocab sizes swap it for a zipWithIndex rank.
     */
   def jaccardPairs(df: DataFrame, id: String, shingleCol: Column,
-                   minJaccard: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
+                   minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = minJaccard
     val sh = df.select(col(id).as("doc"), explode(shingleCol).as("sh"))
-    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val filtered =
-      if (maxDocFreq == Long.MaxValue) sh
-      else {
-        val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq)
-        sh.join(rare.select("sh"), "sh")
-      }
-    val a = filtered.toDF("doc_a", "sh")
-    val b = filtered.toDF("doc_b", "sh")
-    a.join(b, Seq("sh")).where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-      .join(counts.toDF("doc_a", "n_a"), "doc_a")
-      .join(counts.toDF("doc_b", "n_b"), "doc_b")
+    val ranked = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("df"), col("sh"))))
+      .select("sh", "rank")
+    // One compact row per doc (sorted rank array); reused by the prefix
+    // index and both sides of the verification join — persist so the
+    // shingle explosion + ranking runs once, not four times.
+    val docRanks = sh.join(ranked, "sh")
+      .groupBy("doc")
+      .agg(array_sort(collect_list("rank")).as("ranks"), count(lit(1)).as("n_sh"))
+      .withColumn("prefix_len",
+        (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int"))
+      .persist()
+    val prefix = docRanks
+      .select(col("doc"), col("n_sh"),
+        posexplode(slice(col("ranks"), lit(1), col("prefix_len"))))
+      .withColumnRenamed("col", "rank").withColumnRenamed("pos", "ppos")
+    // Candidate pairs via the prefix index, with a positional filter (PPJoin
+    // family): every common shingle of (A,B) sits at or after the first
+    // matched prefix position in each doc's rank order (a lower-ranked
+    // common shingle would itself be a prefix match), so
+    // common <= min(|A| - i0, |B| - j0). Prune pairs whose bound can't
+    // reach the required overlap ceil(t/(1+t) * (|A|+|B|)).
+    val needed = ceil(lit(t / (1.0 + t)) * (col("n_a") + col("n_b")))
+    val cand = prefix.toDF("doc_a", "n_a", "ppos_a", "rank")
+      .join(prefix.toDF("doc_b", "n_b", "ppos_b", "rank"), Seq("rank"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("n_a") >= col("n_b") * t && col("n_b") >= col("n_a") * t)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("n_a") - col("ppos_a")).as("rest_a"), // n - i0, i0 = first match
+        max(col("n_b") - col("ppos_b")).as("rest_b"),
+        first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .where(least(col("rest_a"), col("rest_b")) >= needed)
+      .select("doc_a", "doc_b")
+    cand
+      .join(docRanks.select(col("doc").as("doc_a"), col("ranks").as("r_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(docRanks.select(col("doc").as("doc_b"), col("ranks").as("r_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("r_a"), col("r_b"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
-      .where(col("jaccard") >= minJaccard)
+      .where(col("jaccard") >= t)
+      .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
   }
 
   /** MinHash signatures: k permutations of murmur3 shingle hashes via

@@ -136,6 +136,32 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("native dot expression is bit-identical to the HOF form") {
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val pairs = e.toDF("id_a", "vec_a", "l_a")
+      .crossJoin(e.toDF("id_b", "vec_b", "l_b"))
+    val diffs = pairs.select(
+        (Similarity.dot(col("vec_a"), col("vec_b")) -
+         Similarity.dotHof(col("vec_a"), col("vec_b"))).as("d"))
+      .where(col("d") =!= 0.0).count()
+    assert(diffs == 0)
+  }
+
+  test("prefix-filtered jaccardPairs matches naive quadratic at sf0.001") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("sh", Text.shingles(col("text"), 2))
+    val fast = Text.jaccardPairs(docs, "doc_id", col("sh"), 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val d = docs.select(col("doc_id"), col("sh"))
+    val naive = d.toDF("doc_a", "sh_a").crossJoin(d.toDF("doc_b", "sh_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("j", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("j") >= 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(fast == naive, s"prefix filter lost/added pairs: ${fast.diff(naive)} / ${naive.diff(fast)}")
+  }
+
   test("LSH ANN achieves reasonable recall@5 vs brute force") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.where(col("vec_id") < 10)
