@@ -305,6 +305,59 @@ object QueriesGeo {
       SELECT o_custkey, count(*) AS n_orders, max(o_orderpriority) AS best_priority
       FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey"""
 
+  /** §2.25b Flown-procedure classification (flightpath.go
+    * DetermineFlownProcedure / condensed.go Procedure): the ordered waypoint
+    * sequence per series, classified against known procedure patterns.
+    */
+  private def qProcedure(s: SparkSession, dir: String): DataFrame = {
+    val wpDf = s.createDataFrame(waypoints).toDF("name", "wx", "wy", "snap")
+    val firstHits = Geo.waypointMatch(ev(s, dir), "user_id", "ts",
+      xCol, yCol.cast("double"), wpDf)
+    firstHits
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("first_us"), col("name")))),
+          x => x.getField("name")), "-").as("path"))
+      .withColumn("procedure",
+        when(col("path").startsWith("ALPHA-BRAVO"), "SERFR_LIKE")
+          .when(col("path").contains("CHARLIE"), "BRIXX_LIKE")
+          .otherwise("OTHER"))
+  }
+
+  private val oProcedure = {
+    val vals = waypoints.map { case (n, x, y, sn) => s"('$n', $x, $y, $sn)" }.mkString(", ")
+    s"""
+    SELECT user_id, path,
+           CASE WHEN path LIKE 'ALPHA-BRAVO%' THEN 'SERFR_LIKE'
+                WHEN path LIKE '%CHARLIE%' THEN 'BRIXX_LIKE'
+                ELSE 'OTHER' END AS procedure
+    FROM (
+      SELECT user_id, string_agg(name, '-' ORDER BY first_us, name) AS path
+      FROM (
+        SELECT user_id, name, epoch_us(min(ts)) AS first_us
+        FROM events CROSS JOIN (VALUES $vals) AS w(name, wx, wy, snap)
+        WHERE abs(value - wx) <= snap AND abs(CAST($ySql AS DOUBLE) - wy) <= snap
+        GROUP BY user_id, name) h
+      GROUP BY user_id) t"""
+  }
+
+  /** §2.31b METAR day-grid (metar/dayreport.go: one row per UTC day with
+    * 24 hourly slots): day x hour matrix of hourly mean value.
+    */
+  private def qMetarDaygrid(s: SparkSession, dir: String): DataFrame = {
+    val day = expr("(ts div 86400000000000) * 86400").as("day_s")
+    val hour = expr("(ts div 3600000000000) % 24").as("hour")
+    ev(s, dir)
+      .groupBy(day, hour)
+      .agg(round(avg("value"), 4).as("mean_value"), count(lit(1)).as("n"))
+  }
+
+  private val oMetarDaygrid = """
+    SELECT (epoch_ns(ts) // 86400000000000) * 86400 AS day_s,
+           (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+           round(avg(value), 4) AS mean_value, count(*) AS n
+    FROM events GROUP BY 1, 2"""
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[GraftQuery] = Seq(
@@ -313,6 +366,8 @@ object QueriesGeo {
     GraftQuery("q_closest_approach", qClosestApproach, Some(oClosestApproach)),
     GraftQuery("q_line_crossing", qLineCrossing, Some(oLineCrossing)),
     GraftQuery("q_waypoint_match", qWaypointMatch, Some(oWaypointMatch), headline = true),
+    GraftQuery("q_procedure", qProcedure, Some(oProcedure)),
+    GraftQuery("q_metar_daygrid", qMetarDaygrid, Some(oMetarDaygrid)),
     GraftQuery("q_georestrictor_set", qGeorestrictorSet, Some(oGeorestrictorSet)),
     GraftQuery("q_alt_bands", qAltBands, Some(oAltBands)),
     GraftQuery("q_trains", qTrains, Some(oTrains)),
