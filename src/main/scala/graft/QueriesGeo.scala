@@ -235,10 +235,7 @@ object QueriesGeo {
         .otherwise(col("user_id").cast("string"))))
     ev(s, dir)
       .withColumn("callsign", cs)
-      .withColumn("class",
-        when(col("callsign").rlike("^[A-Z]{3}N[0-9]+$"), "registration")
-          .when(col("callsign").rlike("^[A-Z]{3}[0-9]+$"), "icao_flight")
-          .otherwise("other"))
+      .withColumn("class", graft.functions.Identity.callsignClass(col("callsign")))
       .groupBy("class").agg(count(lit(1)).as("n"),
         countDistinct("callsign").as("n_distinct"))
   }
@@ -263,9 +260,9 @@ object QueriesGeo {
   private def qIdspecParse(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .withColumn("idspec",
-        concat(col("event_type"), lit("@"), expr("ts div 1000000000")))
-      .withColumn("ident", split(col("idspec"), "@").getItem(0))
-      .withColumn("epoch_s", split(col("idspec"), "@").getItem(1).cast("long"))
+        graft.functions.Identity.idspec(col("event_type"), expr("ts div 1000000000")))
+      .withColumn("ident", graft.functions.Identity.idspecIdent(col("idspec")))
+      .withColumn("epoch_s", graft.functions.Identity.idspecEpoch(col("idspec")))
       .where(col("epoch_s") % 60 === 0)
       .select("event_id", "idspec", "ident", "epoch_s")
 
@@ -304,6 +301,97 @@ object QueriesGeo {
     FROM customer LEFT JOIN (
       SELECT o_custkey, count(*) AS n_orders, max(o_orderpriority) AS best_priority
       FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey"""
+
+  /** §2.26b Restrictor intersection SPANS (intersectabletrack.go:168
+    * SatisfiesRestrictor → TrackIntersection{Start,End,I,J}): not just
+    * whether a series satisfies a restrictor but the contiguous entry→exit
+    * segments inside it — gaps-and-islands over the inside flag, one
+    * aggregation per (user, island). Entry/exit points, duration and point
+    * count per span (trackintersection.go RowHTML fields).
+    */
+  private def qGeoIntersections(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inside = Geo.inBox(xCol, yCol.cast("double"), 20.0, 60.0, 10.0, 50.0)
+    ev(s, dir)
+      .withColumn("_in", when(inside, 1L).otherwise(0L))
+      .withColumn("_grp", sum(lit(1L) - col("_in")).over(cum))
+      .where(col("_in") === 1L)
+      .groupBy("user_id", "_grp")
+      .agg(
+        min("event_id").as("entry_event"), max("event_id").as("exit_event"),
+        count(lit(1)).as("n_points"),
+        expr("(max(ts) div 1000) - (min(ts) div 1000)").as("duration_us"),
+        round(min_by(col("value"), col("event_id")), 2).as("entry_value"),
+        round(max_by(col("value"), col("event_id")), 2).as("exit_value"))
+      .where(col("n_points") >= 2)
+      .drop("_grp")
+  }
+
+  private val oGeoIntersections = s"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value >= 20.0 AND value <= 60.0
+                   AND $ySql >= 10 AND $ySql <= 50 THEN 1 ELSE 0 END AS f
+      FROM events),
+    grouped AS (
+      SELECT user_id, ts, event_id, value, f,
+             sum(1 - f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged)
+    SELECT user_id, min(event_id) AS entry_event, max(event_id) AS exit_event,
+           count(*) AS n_points,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           round(min_by(value, event_id), 2) AS entry_value,
+           round(max_by(value, event_id), 2) AS exit_value
+    FROM grouped WHERE f = 1
+    GROUP BY user_id, grp
+    HAVING count(*) >= 2"""
+
+  /** §2.27b Class-B envelope violations (analysis/classb.go
+    * ClassBForTrack): a floor value per distance band from the reference
+    * point; a point violates when below the floor inside its band; report
+    * each series' DEEPEST violation (max below_by), like the reference's
+    * `deepest` accumulator.
+    */
+  private val classBEnvelope = Seq( // (dist_lo, dist_hi, floor)
+    (10.0, 25.0, 15.0), (25.0, 40.0, 30.0), (40.0, 60.0, 45.0))
+
+  private def qClassb(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val env = s.createDataFrame(classBEnvelope).toDF("d_lo", "d_hi", "floor")
+    val dist = sqrt(Geo.distSq(xCol, yCol.cast("double"), 50.0, 50.0))
+    val w = Window.partitionBy("user_id").orderBy(col("below_by").desc, col("event_id"))
+    ev(s, dir)
+      .withColumn("dist", dist)
+      .join(broadcast(env), col("dist") >= col("d_lo") && col("dist") < col("d_hi"))
+      .where(col("value") < col("floor"))
+      .withColumn("below_by", round(col("floor") - col("value"), 2))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("user_id"), col("event_id"), round(col("dist"), 4).as("dist"),
+        col("floor"), col("below_by"))
+  }
+
+  private val oClassb = {
+    val vals = classBEnvelope.map { case (a, b, f) => s"($a, $b, $f)" }.mkString(", ")
+    s"""
+    SELECT user_id, event_id, round(dist, 4) AS dist, "floor", below_by FROM (
+      SELECT user_id, event_id, dist, "floor",
+             round("floor" - value, 2) AS below_by,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY round("floor" - value, 2) DESC, event_id) AS rn
+      FROM (
+        SELECT user_id, event_id, value,
+               sqrt((value - 50.0) * (value - 50.0)
+                    + (CAST($ySql AS DOUBLE) - 50.0) * (CAST($ySql AS DOUBLE) - 50.0)) AS dist
+        FROM events) e
+      JOIN (VALUES $vals) AS env(d_lo, d_hi, "floor")
+        ON dist >= d_lo AND dist < d_hi
+      WHERE value < "floor") t
+    WHERE rn = 1"""
+  }
 
   /** §2.25b Flown-procedure classification (flightpath.go
     * DetermineFlownProcedure / condensed.go Procedure): the ordered waypoint
@@ -369,6 +457,8 @@ object QueriesGeo {
     GraftQuery("q_procedure", qProcedure, Some(oProcedure)),
     GraftQuery("q_metar_daygrid", qMetarDaygrid, Some(oMetarDaygrid)),
     GraftQuery("q_georestrictor_set", qGeorestrictorSet, Some(oGeorestrictorSet)),
+    GraftQuery("q_geo_intersections", qGeoIntersections, Some(oGeoIntersections), headline = true),
+    GraftQuery("q_classb", qClassb, Some(oClassb)),
     GraftQuery("q_alt_bands", qAltBands, Some(oAltBands)),
     GraftQuery("q_trains", qTrains, Some(oTrains)),
     GraftQuery("q_approach_signature", qApproachSignature, Some(oApproachSignature)),
