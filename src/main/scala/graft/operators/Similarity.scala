@@ -78,30 +78,32 @@ object Similarity {
     * the pairwise work. Recall is tuned by `nPlanes` (fewer planes → bigger
     * buckets → higher recall, more work).
     */
+  /** Sign-pattern bucket key for one hash table: `nPlanes` deterministic
+    * pseudo-random hyperplanes (sin of (table, plane, dim) — reproducible,
+    * no RNG state), projections via the native dot expression.
+    */
+  private def tableBucket(vec: Column, nPlanes: Int, dim: Int, table: Int): Column =
+    (0 until nPlanes).map { p =>
+      val plane = array((0 until dim).map(d =>
+        lit(math.sin(1.0 + (table * 17 + p) * 131 + d * 7).toFloat)): _*)
+      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b)) + lit(table.toLong << 32)
+
   def hyperplaneBucket(df: DataFrame, vec: String, nPlanes: Int, dim: Int,
-                       table: Int = 0): DataFrame = {
-    val planes: Seq[Seq[Double]] =
-      (0 until nPlanes).map(p =>
-        (0 until dim).map(d => math.sin(1.0 + (table * 17 + p) * 131 + d * 7)))
-    val bucket = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(col(vec), array(planes(p).map(lit): _*),
-          (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    df.withColumn("bucket", bucket + lit(table.toLong << 32))
-  }
+                       table: Int = 0): DataFrame =
+    df.withColumn("bucket", tableBucket(col(vec), nPlanes, dim, table))
 
   /** Bucket keys across `nTables` independent hash tables — the standard
     * multi-table LSH construction: a pair is a candidate if it collides in
-    * ANY table, so recall is 1-(1-p^k)^L while per-bucket work stays bounded.
-    * Emits one row per (row, table) with a table-disambiguated bucket key.
+    * ANY table, so recall is 1-(1-p^k)^L while per-bucket work stays
+    * bounded. ONE pass over the corpus computes all nTables x nPlanes
+    * projections, then explodes to one row per (row, table) with a
+    * table-disambiguated bucket key.
     */
   def multiTableBuckets(df: DataFrame, vec: String, nPlanes: Int, nTables: Int,
                         dim: Int): DataFrame =
-    (0 until nTables).map(t => hyperplaneBucket(df, vec, nPlanes, dim, t))
-      .reduce(_ unionByName _)
+    df.withColumn("bucket", explode(array(
+      (0 until nTables).map(t => tableBucket(col(vec), nPlanes, dim, t)): _*)))
 
   /** ANN via multi-table LSH: exact cosine ranking within the union of the
     * query's buckets. Same output shape as knnBrute; recall measured in the

@@ -176,6 +176,31 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+class SkewOpSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.Skew
+
+  test("salted join result is identical to the plain join") {
+    val large = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val small = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_u"))
+    val plain = large.join(small, Seq("user_id"))
+      .select("event_id", "n_u").as[(Long, Long)].collect().toSet
+    val salted = Skew.saltedEquiJoin(large, small, "user_id", col("event_id"), 8)
+      .select("event_id", "n_u").as[(Long, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("two-phase sum equals direct sum") {
+    val ev = Tables.events(spark, sfDir)
+    val direct = ev.groupBy("user_id").agg(sum("value").as("s"))
+      .select("user_id", "s").as[(Long, Double)].collect().toMap
+    val twoPhase = Skew.twoPhaseSum(ev, "user_id", col("value"), col("event_id"), 8, "s")
+      .select("user_id", "s").as[(Long, Double)].collect().toMap
+    for ((k, v) <- direct) assert(math.abs(twoPhase(k) - v) < 1e-6)
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
   import graft.operators.Multimodal
