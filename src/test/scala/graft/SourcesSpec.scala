@@ -41,6 +41,39 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+class StoreSpec extends AnyFunSuite with SparkFixture {
+  import graft.sources.Store
+
+  test("store round-trips and serves the fquery surface with partition pruning") {
+    val path = Files.createTempDirectory("graft_store").toString
+    val ev = Tables.events(spark, sfDir)
+    val store = Store(spark, path)
+    store.persist(ev)
+
+    assert(store.all().count() == ev.count())
+
+    val s = java.time.Instant.parse("2024-01-10T00:00:00Z").getEpochSecond * 1000000000L
+    val e = java.time.Instant.parse("2024-01-12T00:00:00Z").getEpochSecond * 1000000000L
+    val ranged = store.byTimeRange(s, e)
+    val expected = ev.where(col("ts") >= s && col("ts") < e).count()
+    assert(ranged.count() == expected)
+    assert(ranged.queryExecution.executedPlan.toString.contains("PartitionFilters: ["),
+      "time-range lookup must prune day partitions")
+
+    val someUser = ev.select("user_id").head().getLong(0)
+    assert(store.byKey(someUser).count() ==
+      ev.where(col("user_id") === someUser).count())
+
+    val spec = s"$someUser@${s / 1000000000L}"
+    val bySpec = store.byIdSpec(spec, durSec = 2 * 86400)
+    assert(bySpec.count() ==
+      ev.where(col("user_id") === someUser && col("ts") >= s && col("ts") < e).count())
+
+    assert(store.recent(3).groupBy("user_id").count()
+      .agg(max("count")).head().getLong(0) <= 3)
+  }
+}
+
 /** Watermarked streaming aggregation — the readStream → window → writeStream
   * shape for continuous timeslot rollups (fgae's cron'd summaries).
   */
