@@ -109,6 +109,54 @@ object QueriesText {
     WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 3) >= 0.4"""
 
+  /** §2.38b End-to-end dedup pipeline: drop non-keeper members of exact-dup
+    * groups (first-8-words key), then the higher id of every near-dup pair
+    * (exact bigram Jaccard >= 0.8). Two left_anti joins — the composed
+    * "training-set cleaning" shape; survivors counted per source.
+    */
+  private def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exactDrop = Text.exactDupGroups(d, "doc_id",
+        concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+      .select(explode(col("members")).as("doc_id"), col("keeper"))
+      .where(col("doc_id") =!= col("keeper"))
+      .select("doc_id")
+    val nearDrop = Text.jaccardPairs(
+        d.withColumn("sh", Text.shingles(col("text"), 2)), "doc_id", col("sh"), 0.8)
+      .select(col("doc_b").as("doc_id"))
+    d.join(exactDrop, Seq("doc_id"), "left_anti")
+      .join(nearDrop.distinct(), Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+  }
+
+  private val oDedupPipeline = """
+    WITH norm AS (
+      SELECT doc_id, source, n_chars,
+             array_to_string(string_split(text, ' ')[1:8], ' ') AS norm
+      FROM documents),
+    exact_drop AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS keeper,
+               count(*) OVER (PARTITION BY norm) AS n
+        FROM norm) t
+      WHERE n > 1 AND doc_id <> keeper),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([words[i] || ' ' || words[i+1]
+                            for i in range(1, len(words))]) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+    near_drop AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.bg, b.bg)) * 1.0 /
+            (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.8)
+    SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
+      AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+    GROUP BY source"""
+
   // ---------------------------------------------------------------------------
   // Similarity search (items 43–44)
   // ---------------------------------------------------------------------------
@@ -218,10 +266,45 @@ object QueriesText {
            sha256(text) AS sha
     FROM documents"""
 
+  /** §2.49b Multimodal decode plumbing in the catalog: documents as opaque
+    * blobs → batched (stub) decode → feature summary per mime. Typed
+    * Dataset + mapPartitions path; rows-only (stub decode isn't SQL).
+    */
+  private def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val media = docs(s, dir)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("blob"),
+        lit("application/octet-stream").as("mime"))
+      .as[Multimodal.MediaRow]
+    Multimodal.decodeFeatures(media, 8).toDF()
+      .groupBy("mime", "width", "height")
+      .agg(count(lit(1)).as("n_media"),
+        round(avg("byte_len"), 2).as("avg_bytes"))
+  }
+
+  /** §2.49c Frame-sampling plumbing: every 2nd 64-byte chunk as a frame
+    * row; frames counted per doc. Rows-only.
+    */
+  private def qMmFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val media = docs(s, dir)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("blob"),
+        lit("video/fake").as("mime"))
+      .as[Multimodal.MediaRow]
+    Multimodal.sampleFrames(media, 64, 2)
+      .groupBy("id").agg(count(lit(1)).as("n_frames"),
+        sum(octet_length(col("frame_bytes"))).as("frame_bytes_total"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q_doc_dedup_exact", qDocDedupExact, Some(oDocDedupExact)),
+    GraftQuery("q_dedup_pipeline", qDedupPipeline, Some(oDedupPipeline), headline = true),
+    GraftQuery("q_mm_features", qMmFeatures, None),
+    GraftQuery("q_mm_frames", qMmFrames, None),
     GraftQuery("q_doc_ngram_jaccard", qDocNgramJaccard, Some(oDocNgramJaccard), headline = true),
     GraftQuery("q_doc_minhash_lsh", qDocMinhashLsh, None, headline = true),
     GraftQuery("q_doc_simhash", qDocSimhash, None),
