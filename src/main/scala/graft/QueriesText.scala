@@ -191,6 +191,15 @@ object QueriesText {
       5, 4, 8, 64, 3)
   }
 
+  /** §2.44b IVF ANN (k-means coarse quantizer, 16 cells, probe 3):
+    * rows-only; recall vs brute measured in the spec suite.
+    */
+  private def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.knnIvf(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+      5, 16, 3, 3)
+  }
+
   // ---------------------------------------------------------------------------
   // Text analysis (items 45–47) + multimodal (item 49)
   // ---------------------------------------------------------------------------
@@ -312,6 +321,7 @@ object QueriesText {
     GraftQuery("q_embed_dup", qEmbedDup, Some(oEmbedDup)),
     GraftQuery("q_knn_brute", qKnnBrute, Some(oKnnBrute), headline = true),
     GraftQuery("q_knn_lsh", qKnnLsh, None),
+    GraftQuery("q_knn_ivf", qKnnIvf, None),
     GraftQuery("q_text_lang", qTextLang, Some(oTextLang)),
     GraftQuery("q_text_quality", qTextQuality, Some(oTextQuality)),
     GraftQuery("q_token_count", qTokenCount, Some(oTokenCount)),

@@ -105,6 +105,52 @@ object Similarity {
     df.withColumn("bucket", explode(array(
       (0 until nTables).map(t => tableBucket(col(vec), nPlanes, dim, t)): _*)))
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer (deterministic
+    * seed) partitions the corpus into cells; queries probe their `nProbe`
+    * nearest cells and rank exactly inside them. The classic
+    * coarse-quantizer trade: one small model broadcast everywhere, shuffle
+    * keyed on cell id, per-cell work bounded by cell size. Recall vs brute
+    * force is measured in the spec suite.
+    */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+             k: Int, nCells: Int, nProbe: Int, roundTo: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val spark = corpus.sparkSession
+    val train = corpus.select(array_to_vector(col(vec)).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
+    val centers: Seq[(Int, Seq[Float])] =
+      model.clusterCenters.toSeq.zipWithIndex.map { case (c: Vector, i) =>
+        (i, c.toArray.toSeq.map(_.toFloat))
+      }
+    val centerDf = spark.createDataFrame(centers).toDF("cell", "center")
+
+    // assign every corpus vector to its nearest cell (argmin center dist);
+    // centers are tiny → broadcast, rank window picks the closest
+    def assign(df: DataFrame, idAs: String, vecAs: String, probes: Int): DataFrame = {
+      val w = Window.partitionBy(idAs).orderBy(col("_d").asc, col("cell").asc)
+      df.select(col(id).as(idAs), col(vec).as(vecAs))
+        .join(broadcast(centerDf))
+        .withColumn("_d",
+          dot(col(vecAs), col(vecAs)) - lit(2.0) * dot(col(vecAs), col("center"))
+            + dot(col("center"), col("center")))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= probes)
+        .drop("_d", "_rn", "center")
+    }
+
+    val c = assign(corpus, "n_id", "n_vec", 1)
+    val q = assign(queries, "q_id", "q_vec", nProbe)
+    val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
+    q.join(c, Seq("cell")).where(col("q_id") =!= col("n_id"))
+      .withColumn("_cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("rk"), round(col("_cos"), roundTo).as("cos"))
+  }
+
   /** ANN via multi-table LSH: exact cosine ranking within the union of the
     * query's buckets. Same output shape as knnBrute; recall measured in the
     * spec suite. Shuffle key is the bucket — corpus size never joins itself.

@@ -174,6 +174,19 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     // near neighbors collide in >= 1 table with high probability.
     assert(recall >= 0.3, s"LSH recall@5 = $recall")
   }
+
+  test("IVF ANN achieves reasonable recall@5 vs brute force") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvf(e, q, "vec_id", "embedding", 5, 8, 3, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    // probing 3 of 8 cells covers ~40% of the corpus, biased toward the
+    // query's neighborhood — true neighbors concentrate there.
+    assert(recall >= 0.3, s"IVF recall@5 = $recall")
+  }
 }
 
 class SkewOpSpec extends AnyFunSuite with SparkFixture {
