@@ -36,6 +36,25 @@ object Geo {
       (lit(x2 - x1) * (y - y1) - lit(y2 - y1) * (x - x1)) >= 0.0
     }.reduce(_ && _)
 
+  /** Great-circle distance in KM (haversine) — geo.Latlong.Dist as used
+    * throughout track.go (DistKM, PostProcess groundspeed derivation).
+    * Pure sin/cos/atan2 built-ins → whole-stage codegen.
+    */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val earthRadiusKm = 6371.0088
+    val dLat = radians(lat2 - lat1) / 2.0
+    val dLon = radians(lon2 - lon1) / 2.0
+    val a = sin(dLat) * sin(dLat) +
+      cos(radians(lat1)) * cos(radians(lat2)) * sin(dLon) * sin(dLon)
+    lit(2.0 * earthRadiusKm) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+  }
+
+  /** Unit conversions from trackpoint.go: 1 knot = 1 NM/hour = 1.852 km/h
+    * (RepositionByTime / PostProcess FOIA groundspeed derivation).
+    */
+  def kmPerHourToKnots(kmh: Column): Column = kmh / 1.852
+  def knotsToMetersPerSec(knots: Column): Column = knots * (1852.0 / 3600.0)
+
   /** Squared distance to a reference point (ClosestTo, track.go:849).
     * Kept squared: monotone for argmin, avoids sqrt precision concerns in
     * cross-engine comparison.

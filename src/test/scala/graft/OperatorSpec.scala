@@ -70,6 +70,15 @@ class GeoOpSpec extends AnyFunSuite with SparkFixture {
     assert(inside == Set(1L, 3L)) // boundary counts as inside (>= 0)
   }
 
+  test("haversine matches known city distance (SFO->LAX ~543 km)") {
+    val df = Seq((37.6213, -122.3790, 33.9416, -118.4085)).toDF("a", "b", "c", "d")
+    val km = df.select(Geo.haversineKm(col("a"), col("b"), col("c"), col("d")))
+      .as[Double].head()
+    assert(math.abs(km - 543.0) < 5.0, s"got $km")
+    val knots = df.select(Geo.kmPerHourToKnots(lit(1.852))).as[Double].head()
+    assert(math.abs(knots - 1.0) < 1e-12)
+  }
+
   test("lineCrossings detects sign changes only") {
     val ns = 1000000000L
     val df = Seq((1L, 1L * ns, 1L, 30.0), (1L, 2L * ns, 2L, 50.0),
