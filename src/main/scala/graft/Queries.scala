@@ -419,6 +419,28 @@ object Queries {
       AND abs(dvalue / (dt_us / 1000000.0)) > 0.01
     GROUP BY user_id"""
 
+  /** §2.10b Multi-level rollup through the SQL surface (report metadata
+    * rollups at every grouping level): GROUP BY ROLLUP via `spark.sql` over
+    * a temp view — the catalog's SQL-API entry point. NULL marker rows from
+    * ROLLUP are coalesced to 'ALL' so the hash-compare is null-free.
+    */
+  private def qRollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_events")
+    s.sql("""
+      SELECT coalesce(event_type, 'ALL') AS event_type,
+             coalesce(CAST(user_id % 10 AS STRING), 'ALL') AS cohort,
+             count(*) AS n, round(sum(value), 2) AS value_sum
+      FROM graft_events
+      GROUP BY ROLLUP(event_type, user_id % 10)""")
+  }
+
+  private val oRollup = """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS cohort,
+           count(*) AS n, round(sum(value), 2) AS value_sum
+    FROM events
+    GROUP BY ROLLUP(event_type, user_id % 10)"""
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -434,6 +456,7 @@ object Queries {
     GraftQuery("q_condense", qCondense, Some(oCondense)),
     GraftQuery("q_anti_tags", qAntiTags, Some(oAntiTags)),
     GraftQuery("q_pivot_types", qPivotTypes, Some(oPivotTypes)),
+    GraftQuery("q_rollup", qRollup, Some(oRollup)),
     GraftQuery("q_session_gap", qSessionGap, Some(oSessionGap), headline = true),
     GraftQuery("q_kinematics", qKinematics, Some(oKinematics)),
     GraftQuery("q_cumdist", qCumdist, Some(oCumdist)),

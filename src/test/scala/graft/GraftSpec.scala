@@ -48,6 +48,16 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("typed model: condense matches the untyped catalog query") {
+    import spark.implicits._
+    val typed = graft.model.Model.condense(
+        graft.model.Model.trackPoints(spark, sfDir))
+      .collect().map(c => c.user_id -> c.n_points).toMap
+    val untyped = Queries.queries("q_condense")(spark, sfDir)
+      .select("user_id", "n_events").as[(Long, Long)].collect().toMap
+    assert(typed == untyped)
+  }
+
   test("graft_dot is callable from SQL via SparkSessionExtensions") {
     val v = spark.sql(
       "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
