@@ -138,6 +138,57 @@ object QueriesGeo {
     GROUP BY user_id"""
   }
 
+  /** §2.5b Time-of-day restriction (report/options.go TimeOfDay;
+    * report.go:153): only points whose hour-of-day falls in [7, 19),
+    * counted per user per hour.
+    */
+  private def qTimeOfDay(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("hour", expr("(ts div 3600000000000) % 24"))
+      .where(col("hour") >= 7 && col("hour") < 19)
+      .groupBy("user_id", "hour")
+      .agg(count(lit(1)).as("n_events"))
+
+  private val oTimeOfDay = """
+    SELECT user_id, (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+           count(*) AS n_events
+    FROM events
+    WHERE (epoch_ns(ts) // 3600000000000) % 24 BETWEEN 7 AND 18
+    GROUP BY 1, 2"""
+
+  /** §2.7b Recent-after-waypoint (fquery.go:89 QueryForRecentWaypoint):
+    * for users that crossed waypoint BRAVO, their 3 most recent events at
+    * or after the first crossing — waypoint join composed with the
+    * recent-N window.
+    */
+  private def qRecentWaypoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val crossings = ev(s, dir)
+      .where(abs(xCol - 50.0) <= 5.0 && abs(yCol.cast("double") - 50.0) <= 5.0)
+      .groupBy("user_id").agg(min("ts").as("first_cross"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    ev(s, dir)
+      .join(crossings, "user_id")
+      .where(col("ts") >= col("first_cross"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select("user_id", "event_id", "event_type", "rk")
+  }
+
+  private val oRecentWaypoint = s"""
+    WITH crossings AS (
+      SELECT user_id, min(ts) AS first_cross
+      FROM events
+      WHERE abs(value - 50.0) <= 5.0 AND abs(CAST($ySql AS DOUBLE) - 50.0) <= 5.0
+      GROUP BY user_id)
+    SELECT user_id, event_id, event_type, rk FROM (
+      SELECT e.user_id, e.event_id, e.event_type,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rk
+      FROM events e JOIN crossings c
+        ON e.user_id = c.user_id AND e.ts >= c.first_cross) t
+    WHERE rk <= 3"""
+
   // ---------------------------------------------------------------------------
   // Analysis reports (SURVEY §2 items 27–31)
   // ---------------------------------------------------------------------------
@@ -450,6 +501,8 @@ object QueriesGeo {
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q_geo_box", qGeoBox, Some(oGeoBox)),
+    GraftQuery("q_time_of_day", qTimeOfDay, Some(oTimeOfDay)),
+    GraftQuery("q_recent_waypoint", qRecentWaypoint, Some(oRecentWaypoint)),
     GraftQuery("q_geo_polygon", qGeoPolygon, Some(oGeoPolygon), headline = true),
     GraftQuery("q_closest_approach", qClosestApproach, Some(oClosestApproach)),
     GraftQuery("q_line_crossing", qLineCrossing, Some(oLineCrossing)),
