@@ -138,6 +138,53 @@ object QueriesGeo {
     GROUP BY user_id"""
   }
 
+  /** §2.16b Historical airspace snapshot (fgae/airspace.go:47
+    * LookupHistoricalAirspace + snapshot.go + trackpoint.go:199
+    * InterpolateTo): every series' linearly interpolated state at instant T
+    * from its bracketing points, keeping series whose bracket spans <= 1
+    * day. Two rank windows (last point <= T, first point > T) + one join —
+    * the scalable point-in-time reconstruction, no per-key lookups.
+    */
+  private def qAirspaceSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tNs = 1705320000L * 1000000000L // 2024-01-15 12:00:00 UTC
+    val e = ev(s, dir)
+    val wb = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val wa = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val before = e.where(col("ts") <= tNs)
+      .withColumn("_rn", row_number().over(wb)).where(col("_rn") === 1)
+      .select(col("user_id"), col("ts").as("t1"), col("value").as("v1"))
+    val after = e.where(col("ts") > tNs)
+      .withColumn("_rn", row_number().over(wa)).where(col("_rn") === 1)
+      .select(col("user_id"), col("ts").as("t2"), col("value").as("v2"))
+    before.join(after, "user_id")
+      .where(col("t2") - col("t1") <= 86400000000000L)
+      .withColumn("ratio",
+        (lit(tNs) - col("t1")).cast("double") / (col("t2") - col("t1")).cast("double"))
+      .select(col("user_id"),
+        round(col("v1") + (col("v2") - col("v1")) * col("ratio"), 4).as("value_at_t"),
+        expr("t1 div 1000").as("t1_us"), expr("t2 div 1000").as("t2_us"))
+  }
+
+  private val oAirspaceSnapshot = """
+    WITH before AS (
+      SELECT user_id, ts AS t1, value AS v1 FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-15 12:00:00') t WHERE rn = 1),
+    after AS (
+      SELECT user_id, ts AS t2, value AS v2 FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts > TIMESTAMP '2024-01-15 12:00:00') t WHERE rn = 1)
+    SELECT b.user_id,
+           round(v1 + (v2 - v1) *
+             ((1705320000000000000 - epoch_ns(t1)) * 1.0
+              / (epoch_ns(t2) - epoch_ns(t1))), 4) AS value_at_t,
+           epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us
+    FROM before b JOIN after a ON b.user_id = a.user_id
+    WHERE epoch_ns(t2) - epoch_ns(t1) <= 86400000000000"""
+
   /** §2.5b Time-of-day restriction (report/options.go TimeOfDay;
     * report.go:153): only points whose hour-of-day falls in [7, 19),
     * counted per user per hour.
@@ -502,6 +549,7 @@ object QueriesGeo {
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q_geo_box", qGeoBox, Some(oGeoBox)),
     GraftQuery("q_time_of_day", qTimeOfDay, Some(oTimeOfDay)),
+    GraftQuery("q_airspace_snapshot", qAirspaceSnapshot, Some(oAirspaceSnapshot), headline = true),
     GraftQuery("q_recent_waypoint", qRecentWaypoint, Some(oRecentWaypoint)),
     GraftQuery("q_geo_polygon", qGeoPolygon, Some(oGeoPolygon), headline = true),
     GraftQuery("q_closest_approach", qClosestApproach, Some(oClosestApproach)),
