@@ -55,6 +55,20 @@ object Geo {
   def kmPerHourToKnots(kmh: Column): Column = kmh / 1.852
   def knotsToMetersPerSec(knots: Column): Column = knots * (1852.0 / 3600.0)
 
+  /** Signed smallest angle from h1 to h2 in (-180, 180] — geo.HeadingDelta
+    * as used by Track.AsContiguousBoxes (track.go:676): headings are
+    * circular, so 350°→10° is +20, not -340.
+    */
+  def headingDelta(h1: Column, h2: Column): Column =
+    pmod(h2 - h1 + 540.0, lit(360.0)) - 180.0
+
+  /** Circular-aware linear interpolation between headings —
+    * geo.InterpolateHeading (trackpoint.go:208 InterpolateTo): walk the
+    * SHORT way around the compass, normalized to [0, 360).
+    */
+  def interpolateHeading(h1: Column, h2: Column, ratio: Column): Column =
+    pmod(h1 + headingDelta(h1, h2) * ratio, lit(360.0))
+
   /** Squared distance to a reference point (ClosestTo, track.go:849).
     * Kept squared: monotone for argmin, avoids sqrt precision concerns in
     * cross-engine comparison.

@@ -70,6 +70,17 @@ class GeoOpSpec extends AnyFunSuite with SparkFixture {
     assert(inside == Set(1L, 3L)) // boundary counts as inside (>= 0)
   }
 
+  test("heading math is circular (350->10 is +20, interpolation crosses north)") {
+    val df = Seq((350.0, 10.0)).toDF("h1", "h2")
+    val d = df.select(Geo.headingDelta(col("h1"), col("h2"))).as[Double].head()
+    assert(math.abs(d - 20.0) < 1e-9)
+    val mid = df.select(Geo.interpolateHeading(col("h1"), col("h2"), lit(0.5)))
+      .as[Double].head()
+    assert(math.abs(mid - 0.0) < 1e-9 || math.abs(mid - 360.0) < 1e-9)
+    val back = df.select(Geo.headingDelta(col("h2"), col("h1"))).as[Double].head()
+    assert(math.abs(back + 20.0) < 1e-9)
+  }
+
   test("haversine matches known city distance (SFO->LAX ~543 km)") {
     val df = Seq((37.6213, -122.3790, 33.9416, -118.4085)).toDF("a", "b", "c", "d")
     val km = df.select(Geo.haversineKm(col("a"), col("b"), col("c"), col("d")))
