@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Geo, Text, TimeSeries}
+
+/** Randomized-invariant checks on generated inputs (seeded → reproducible) —
+  * sweeps the example-based specs can't cover.
+  */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val ns = 1000000000L
+  private val rnd = new scala.util.Random(42)
+
+  test("sessionize: session count per key = gaps over maxGap + 1") {
+    for (_ <- 1 to 8) {
+      val gaps = List.fill(12)(1L + rnd.nextInt(200))
+      val times = gaps.scanLeft(0L)((acc, g) => acc + g * ns).tail
+      val rows = times.zipWithIndex.map { case (t, i) => (1L, t, i.toLong) }
+      val df = rows.toDF("user_id", "ts", "event_id")
+      val maxGap = 100L * ns
+      val nSessions = TimeSeries.sessionize(df, "user_id", "ts", "event_id", maxGap)
+        .agg(max("session_id")).head().getLong(0)
+      val expected = 1 + gaps.tail.count(_ * ns > maxGap)
+      assert(nSessions == expected, s"gaps=$gaps")
+    }
+  }
+
+  test("headingDelta: bounded by 180 and consistent modulo 360") {
+    val pairs = Seq.fill(40)((rnd.nextDouble() * 360.0, rnd.nextDouble() * 360.0))
+    val out = pairs.toDF("h1", "h2")
+      .select(col("h1"), col("h2"), Geo.headingDelta(col("h1"), col("h2")).as("d"))
+      .as[(Double, Double, Double)].collect()
+    for ((h1, h2, d) <- out) {
+      assert(d > -180.0 - 1e-9 && d <= 180.0 + 1e-9, s"delta $d out of range")
+      val diff = math.abs(((h1 + d - h2) % 360.0 + 360.0) % 360.0)
+      assert(diff < 1e-6 || math.abs(diff - 360.0) < 1e-6, s"$h1+$d != $h2 (mod 360)")
+    }
+  }
+
+  test("jaccardPairs equals naive quadratic on random word docs") {
+    val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    for (round <- 1 to 4) {
+      val texts = List.fill(8)(List.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .withColumn("sh", Text.shingles(col("text"), 2))
+      val t = 0.5
+      val fast = Text.jaccardPairs(docs, "doc_id", col("sh"), t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val d = docs.select(col("doc_id"), col("sh"))
+      val naive = d.toDF("doc_a", "sh_a").crossJoin(d.toDF("doc_b", "sh_b"))
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("j",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .where(col("j") >= t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(fast == naive, s"round $round: ${fast.diff(naive)} / ${naive.diff(fast)}")
+    }
+  }
+
+  test("overlapJoin matches naive theta-join on random intervals") {
+    for (_ <- 1 to 4) {
+      def ivs() = List.fill(10) {
+        val s = rnd.nextInt(500).toLong
+        (s * ns, (s + rnd.nextInt(80)) * ns)
+      }
+      val as = ivs(); val bs = ivs()
+      val a = as.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("a_id", "start", "end")
+      val b = bs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("b_id", "start", "end")
+      val bucketed = TimeSeries.overlapJoin(a, b, "start", "end", 60L * ns, lit(true))
+        .select("a_id", "b_id").distinct().as[(Long, Long)].collect().toSet
+      val naive = (for {
+        ((s1, e1), i) <- as.zipWithIndex
+        ((s2, e2), j) <- bs.zipWithIndex
+        if s1 <= e2 && s2 <= e1
+      } yield (i.toLong, j.toLong)).toSet
+      assert(bucketed == naive)
+    }
+  }
+}
