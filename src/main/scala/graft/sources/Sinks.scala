@@ -36,4 +36,25 @@ object Sinks {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .csv(path)
+
+  /** FAA FOIA track-dump ingest (faadata/row.go): header-named CSV whose
+    * layout varies by dump, ALTITUDEx100ft scaled to feet, and the split
+    * TRACK_POINT_DATE_UTC ("yyyyMMdd") + TRACK_POINT_TIME_UTC ("HH:mm:ss")
+    * fused into one timestamp (`ts` in epoch nanos to match the engine's
+    * time axis). Header-driven (`header=true`) so extra columns like
+    * USER_CLASS pass through untouched — the reference's map-of-header
+    * approach, relationally.
+    */
+  def readFoiaCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .csv(path)
+      .withColumn("altitude_ft",
+        col("ALTITUDEx100ft").cast(DoubleType) * 100.0)
+      .withColumn("ts",
+        unix_timestamp(
+          concat(col("TRACK_POINT_DATE_UTC"), lit(" "), col("TRACK_POINT_TIME_UTC")),
+          "yyyyMMdd HH:mm:ss").cast("long") * 1000000000L)
+      .withColumn("lat", col("LATITUDE").cast(DoubleType))
+      .withColumn("lon", col("LONGITUDE").cast(DoubleType))
 }

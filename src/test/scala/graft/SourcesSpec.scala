@@ -41,6 +41,28 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+class FoiaSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("FOIA CSV ingest fuses date+time and scales altitude") {
+    val dir = Files.createTempDirectory("graft_foia").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/dump.csv"),
+      "AIRCRAFT_ID,FLIGHT_INDEX,LATITUDE,LONGITUDE,ALTITUDEx100ft," +
+        "TRACK_POINT_DATE_UTC,TRACK_POINT_TIME_UTC\n" +
+        "VOI902,2015020103105708,37.69849,-122.21049,1,20150201,07:24:04\n" +
+        "VOI902,2015020103105708,37.70002,-122.20881,3,20150201,07:24:09\n")
+    val df = graft.sources.Sinks.readFoiaCsv(spark, dir)
+    val rows = df.select("AIRCRAFT_ID", "altitude_ft", "ts", "lat")
+      .as[(String, Double, Long, Double)].collect().sortBy(_._3)
+    assert(rows.length == 2)
+    assert(rows.head._1 == "VOI902")
+    assert(rows.head._2 == 100.0 && rows(1)._2 == 300.0)
+    // 2015-02-01T07:24:04Z in nanos
+    assert(rows.head._3 == 1422775444L * 1000000000L)
+    assert(rows(1)._3 - rows.head._3 == 5L * 1000000000L)
+  }
+}
+
 class StoreSpec extends AnyFunSuite with SparkFixture {
   import graft.sources.Store
 
