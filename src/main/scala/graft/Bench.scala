@@ -29,9 +29,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // warm once (plan/codegen/JIT), then best-of-two timed runs — the
+    // steady-state figure, robust to one-off GC pauses
     val results = names.map { name =>
       val warm = runOnce(name)
-      val timed = if (warm < 0) -1.0 else runOnce(name)
+      val timed = if (warm < 0) -1.0 else math.min(runOnce(name), runOnce(name))
       name -> timed
     }
 

@@ -89,6 +89,21 @@ object QueriesText {
     Text.simhash(docs(s, dir), split(col("text"), " "))
       .select("doc_id", "simhash", "bucket")
 
+  /** §2.41b SimHash near-dup pairs: block on the bucket key (top bits),
+    * verify with Hamming distance <= 6 via xor + bit_count — the complete
+    * simhash dedup tier. Rows-only (murmur3).
+    */
+  private def qDocSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = Text.simhash(docs(s, dir), split(col("text"), " "))
+      .select(col("doc_id"), col("simhash"), shiftright(col("simhash"), 20).as("blk"))
+    sh.toDF("doc_a", "sim_a", "blk")
+      .join(sh.toDF("doc_b", "sim_b", "blk"), Seq("blk"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(expr("sim_a ^ sim_b")))
+      .where(col("hamming") <= 6)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** §2.48 Winnowing fingerprints (k=8 chars, window=4) — rows-only. */
   private def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
     Text.winnowFingerprints(docs(s, dir), col("text"), 8, 4)
@@ -317,6 +332,7 @@ object QueriesText {
     GraftQuery("q_doc_ngram_jaccard", qDocNgramJaccard, Some(oDocNgramJaccard), headline = true),
     GraftQuery("q_doc_minhash_lsh", qDocMinhashLsh, None, headline = true),
     GraftQuery("q_doc_simhash", qDocSimhash, None),
+    GraftQuery("q_doc_simhash_pairs", qDocSimhashPairs, None),
     GraftQuery("q_doc_fingerprint", qDocFingerprint, None),
     GraftQuery("q_embed_dup", qEmbedDup, Some(oEmbedDup)),
     GraftQuery("q_knn_brute", qKnnBrute, Some(oKnnBrute), headline = true),
