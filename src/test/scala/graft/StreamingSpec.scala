@@ -39,4 +39,38 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(closed.head == ClosedSession(1L, 10L * ns / 1000, 20L * ns / 1000, 2L, 3.0))
     } finally query.stop()
   }
+
+  test("streaming dedup before sessionization drops replayed messages (consolidator fifoset)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    val ns = 1000000000L
+    // (msg_id, userId, tsNs, value): msg_id is the at-least-once delivery key
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val deduped = input.toDS()
+      .toDF("msg_id", "userId", "tsNs", "value")
+      .withColumn("event_time", timestamp_micros((col("tsNs") / 1000L).cast("long")))
+      .withWatermark("event_time", "10 seconds")
+      .dropDuplicatesWithinWatermark("msg_id")
+      .select("userId", "tsNs", "value").as[Point]
+    val sessions = SessionStream.sessionize(deduped, maxGapNs = 100L * ns)
+
+    val query = sessions.writeStream
+      .format("memory").queryName("dedup_sessions")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      // duplicate delivery of msg 1 within the watermark window
+      input.addData((1L, 7L, 10L * ns, 1.0), (1L, 7L, 10L * ns, 1.0), (2L, 7L, 12L * ns, 2.0))
+      query.processAllAvailable()
+      input.addData((3L, 7L, 500L * ns, 9.0)) // closes the session
+      query.processAllAvailable()
+      val closed = spark.table("dedup_sessions").as[ClosedSession].collect()
+      assert(closed.length == 1)
+      // duplicate dropped: 2 points, not 3
+      assert(closed.head.n_events == 2L && closed.head.value_sum == 3.0)
+    } finally query.stop()
+  }
 }
