@@ -419,6 +419,37 @@ object Queries {
       AND abs(dvalue / (dt_us / 1000000.0)) > 0.01
     GROUP BY user_id"""
 
+  /** §2.16c Two-table as-of join (metar.Archive.Lookup against a separate
+    * archive table): each event looks up the most recent "alert" — a
+    * (user, day) whose daily mean value exceeded 55 — at or before its
+    * timestamp. The archive is derived from events (day-start timestamped),
+    * the join is the scalable union-window as-of; the oracle uses DuckDB's
+    * native ASOF JOIN.
+    */
+  private def qAsofTable(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val alerts = ev
+      .groupBy(col("user_id"), expr("(ts div 86400000000000) * 86400000000000").as("ats"))
+      .agg(round(avg("value"), 4).as("alert_mean"))
+      .where(col("alert_mean") > 55.0)
+    TimeSeries.asOfJoinTables(ev, alerts, "user_id", "ts", "ats",
+        Seq("alert_mean", "ats"))
+      .where(col("asof_alert_mean").isNotNull)
+      .select(col("event_id"), col("user_id"), col("asof_alert_mean").as("alert_mean"),
+        expr("asof_ats div 1000000000").as("alert_day_s"))
+  }
+
+  private val oAsofTable = """
+    WITH alerts AS (
+      SELECT user_id,
+             (epoch_ns(ts) // 86400000000000) * 86400000000000 AS ats,
+             round(avg(value), 4) AS alert_mean
+      FROM events GROUP BY 1, 2
+      HAVING round(avg(value), 4) > 55.0)
+    SELECT e.event_id, e.user_id, a.alert_mean, a.ats // 1000000000 AS alert_day_s
+    FROM events e ASOF JOIN alerts a
+      ON e.user_id = a.user_id AND epoch_ns(e.ts) >= a.ats"""
+
   /** §2.10b Multi-level rollup through the SQL surface (report metadata
     * rollups at every grouping level): GROUP BY ROLLUP via `spark.sql` over
     * a temp view — the catalog's SQL-API entry point. NULL marker rows from
@@ -463,6 +494,7 @@ object Queries {
     GraftQuery("q_sample_every", qSampleEvery, Some(oSampleEvery)),
     GraftQuery("q_windowed_avg", qWindowedAvg, Some(oWindowedAvg)),
     GraftQuery("q_asof_join", qAsofJoin, Some(oAsofJoin), headline = true),
+    GraftQuery("q_asof_table", qAsofTable, Some(oAsofTable), headline = true),
     GraftQuery("q_interval_overlap", qIntervalOverlap, Some(oIntervalOverlap), headline = true),
     GraftQuery("q_level_flight", qLevelFlight, Some(oLevelFlight)),
     GraftQuery("q_sanity_filter", qSanityFilter, Some(oSanityFilter))

@@ -109,6 +109,40 @@ object TimeSeries {
     df.withColumn(out, last(when(sourcePred, sourceValue), ignoreNulls = true).over(w))
   }
 
+  /** Two-table as-of join — the general form of metar.Archive.Lookup
+    * (metar/metar.go): for every left row, the latest right row with the
+    * same key and rightTime <= leftTime.
+    *
+    * Scalable union-window formulation: tag both sides, union, ONE shuffle
+    * by key, one ordered window pass carrying the right side's payload
+    * forward with last(ignoreNulls), then keep left rows. No per-row
+    * lookups, no range join, skew handled by AQE — linear in
+    * |left| + |right| at any scale. Right rows sort before left rows at
+    * equal timestamps so a right row is visible to a left row at the same
+    * instant (lookup semantics: "report at or before t").
+    *
+    * `payload` columns must exist on the right side; left rows get them as
+    * `asof_<name>` (null when no prior right row exists).
+    */
+  def asOfJoinTables(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("_t", col(leftTime)).withColumn("_side", lit(1))
+    val lAligned = payload.foldLeft(l)((df, p) => df.withColumn(s"_p_$p", lit(null)))
+    val r0 = right.select((col(key) +: col(rightTime).as("_t") +:
+      payload.map(p => col(p).as(s"_p_$p"))): _*)
+      .withColumn("_side", lit(0))
+    val rAligned = left.columns.foldLeft(r0)((df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
+    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned)((df, p) =>
+      df.withColumn(s"asof_$p", last(col(s"_p_$p"), ignoreNulls = true).over(w)))
+    filled.where(col("_side") === 1)
+      .drop("_t" +: "_side" +: payload.map(p => s"_p_$p"): _*)
+  }
+
   /** Maximal runs where `flagCol` holds — flightdb LevelFlightReporter
     * (analysis/levelflight.go) as gaps-and-islands: run ids via a conditional
     * cumulative sum, then one aggregation per (key, run).

@@ -37,6 +37,20 @@ class TimeSeriesOpSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map(1L -> 10.0, 2L -> 10.0, 3L -> 20.0, 4L -> 20.0))
   }
 
+  test("asOfJoinTables: latest right row at or before left time, per key") {
+    val left = Seq((1L, 10L * ns, 100L), (1L, 20L * ns, 101L), (1L, 5L * ns, 102L),
+      (2L, 10L * ns, 103L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, 10L * ns, 1.5), (1L, 15L * ns, 2.5), (3L, 1L * ns, 9.9))
+      .toDF("user_id", "rts", "level")
+    val out = TimeSeries.asOfJoinTables(left, right, "user_id", "ts", "rts", Seq("level"))
+      .select("event_id", "asof_level").as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(
+      100L -> Some(1.5), // right row at exactly t is visible
+      101L -> Some(2.5), // latest of the two prior rows
+      102L -> None,      // before any right row
+      103L -> None))     // key with no right rows at all
+  }
+
   test("overlapJoin finds exactly the overlapping interval pairs") {
     val a = Seq((1L, 0L, 10L * ns), (2L, 20L * ns, 30L * ns))
       .toDF("a_id", "start", "end")
