@@ -324,33 +324,48 @@ object QueriesGeo {
   // Identity / parsing (SURVEY §2 items 32–34)
   // ---------------------------------------------------------------------------
 
-  /** §2.32 Callsign classification (callsign.go): regex classes over
-    * synthesized callsign strings (deterministic from data): registration
-    * (N-prefix), ICAO flight number (3 letters + digits), bare number.
+  /** §2.32 Callsign classification + normalization (callsign.go, mirroring
+    * callsign_test.go semantics): synthesized callsigns exercise zero
+    * padding (lpad 4), letter suffixes (every 5th user), N-registrations
+    * (every 3rd user) and junk.
     */
   private def qCallsignParse(s: SparkSession, dir: String): DataFrame = {
-    val cs = upper(concat(
-      substring(col("event_type"), 1, 3),
-      when(col("user_id") % 3 === 0, concat(lit("N"), col("user_id").cast("string")))
-        .otherwise(col("user_id").cast("string"))))
+    val cs = when(col("user_id") % 3 === 0,
+        concat(lit("N"), col("user_id").cast("string"), lit("QA")))
+      .when(col("user_id") % 7 === 0, lit("-.-."))
+      .otherwise(concat(
+        upper(substring(col("event_type"), 1, 3)),
+        lpad(col("user_id").cast("string"), 4, "0"),
+        when(col("user_id") % 5 === 0, lit("R")).otherwise(lit(""))))
     ev(s, dir)
       .withColumn("callsign", cs)
       .withColumn("class", graft.functions.Identity.callsignClass(col("callsign")))
+      .withColumn("norm", graft.functions.Identity.normalizeCallsign(col("callsign")))
       .groupBy("class").agg(count(lit(1)).as("n"),
-        countDistinct("callsign").as("n_distinct"))
+        countDistinct("callsign").as("n_raw"),
+        countDistinct("norm").as("n_norm"))
   }
 
   private val oCallsignParse = """
-    SELECT class, count(*) AS n, count(DISTINCT callsign) AS n_distinct
+    SELECT class, count(*) AS n, count(DISTINCT callsign) AS n_raw,
+           count(DISTINCT norm) AS n_norm
     FROM (
-      SELECT CASE
-               WHEN regexp_matches(callsign, '^[A-Z]{3}N[0-9]+$') THEN 'registration'
-               WHEN regexp_matches(callsign, '^[A-Z]{3}[0-9]+$') THEN 'icao_flight'
-               ELSE 'other' END AS class, callsign
+      SELECT callsign,
+             CASE WHEN regexp_matches(callsign, '^N[0-9][0-9A-Z]*$') THEN 'registration'
+                  WHEN regexp_matches(callsign, '^[A-Z]{3}[0-9]+[A-Z]?$') THEN 'icao_flight'
+                  WHEN regexp_matches(callsign, '^[0-9]+$') THEN 'bare_number'
+                  ELSE 'junk' END AS class,
+             CASE WHEN regexp_matches(callsign, '^[A-Z]{3}[0-9]+[A-Z]?$')
+                  THEN regexp_extract(callsign, '^([A-Z]{3})', 1) ||
+                       CAST(CAST(regexp_extract(callsign, '([0-9]+)', 1) AS BIGINT) AS VARCHAR)
+                  ELSE callsign END AS norm
       FROM (
-        SELECT upper(substr(event_type, 1, 3) ||
-                     CASE WHEN user_id % 3 = 0 THEN 'N' || CAST(user_id AS VARCHAR)
-                          ELSE CAST(user_id AS VARCHAR) END) AS callsign
+        SELECT CASE WHEN user_id % 3 = 0 THEN 'N' || CAST(user_id AS VARCHAR) || 'QA'
+                    WHEN user_id % 7 = 0 THEN '-.-.'
+                    ELSE upper(substr(event_type, 1, 3)) ||
+                         lpad(CAST(user_id AS VARCHAR), 4, '0') ||
+                         CASE WHEN user_id % 5 = 0 THEN 'R' ELSE '' END
+               END AS callsign
         FROM events) t1) t2
     GROUP BY class"""
 

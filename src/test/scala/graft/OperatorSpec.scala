@@ -223,6 +223,28 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+class IdentitySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.functions.Identity
+
+  test("callsign classes + normalization mirror the reference test table (callsign_test.go)") {
+    // (raw, expected normalized, expected class) — from callsign_test.go
+    val cases = Seq(
+      ("-.-.-.-.", "-.-.-.-.", "junk"),
+      ("N761QA", "N761QA", "registration"),
+      ("UAL100", "UAL100", "icao_flight"),
+      ("987", "987", "bare_number"),
+      ("VRD010", "VRD10", "icao_flight"), // zero padding stripped
+      ("SKW750R", "SKW750", "icao_flight")) // suffix stripped
+    val out = cases.map(_._1).toDF("cs")
+      .select(col("cs"), Identity.callsignClass(col("cs")).as("cls"),
+        Identity.normalizeCallsign(col("cs")).as("norm"))
+      .as[(String, String, String)].collect().map(r => r._1 -> (r._3, r._2)).toMap
+    for ((raw, norm, cls) <- cases)
+      assert(out(raw) == (norm, cls), s"callsign $raw")
+  }
+}
+
 class SkewOpSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
   import graft.operators.Skew
