@@ -94,8 +94,11 @@ object QueriesText {
     * simhash dedup tier. Rows-only (murmur3).
     */
   private def qDocSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // both join sides share the signature table — persist so the 32-bit
+    // sign aggregation runs once
     val sh = Text.simhash(docs(s, dir), split(col("text"), " "))
       .select(col("doc_id"), col("simhash"), shiftright(col("simhash"), 20).as("blk"))
+      .persist()
     sh.toDF("doc_a", "sim_a", "blk")
       .join(sh.toDF("doc_b", "sim_b", "blk"), Seq("blk"))
       .where(col("doc_a") < col("doc_b"))

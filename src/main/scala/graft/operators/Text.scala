@@ -130,14 +130,18 @@ object Text {
     * block-join candidate generation.
     */
   def simhash(df: DataFrame, tokens: Column): DataFrame = {
+    // murmur3 once per token; the 32 per-bit sign sums then work over the
+    // precomputed hash array (one hash per token, not 32)
     val bits = (0 until 32).map { b =>
       // +1 where bit b of the token hash is set, -1 otherwise; sum over tokens
-      when(aggregate(tokens, lit(0L),
-        (acc, t) => acc + when(shiftright(hash(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+      when(aggregate(col("_th"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)
       ) > 0, lit(1L << b)).otherwise(lit(0L))
     }
-    df.withColumn("simhash", bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)))
+    df.withColumn("_th", transform(tokens, t => hash(t)))
+      .withColumn("simhash", bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)))
       .withColumn("bucket", shiftright(col("simhash"), 16))
+      .drop("_th")
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
