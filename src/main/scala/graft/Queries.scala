@@ -428,14 +428,19 @@ object Queries {
     */
   private def qAsofTable(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
+    // Alert = day whose mean value exceeds 55, expressed as sum > 55*n so
+    // every compared quantity is exact at 2 decimals (values are cent-
+    // grained; a rounded AVERAGE can land on a .00005 halfway and round
+    // differently across engines — a sum of cents cannot).
     val alerts = ev
       .groupBy(col("user_id"), expr("(ts div 86400000000000) * 86400000000000").as("ats"))
-      .agg(round(avg("value"), 4).as("alert_mean"))
-      .where(col("alert_mean") > 55.0)
+      .agg(round(sum("value"), 2).as("alert_sum"), count(lit(1)).as("alert_n"))
+      .where(col("alert_sum") > lit(55.0) * col("alert_n"))
     TimeSeries.asOfJoinTables(ev, alerts, "user_id", "ts", "ats",
-        Seq("alert_mean", "ats"))
-      .where(col("asof_alert_mean").isNotNull)
-      .select(col("event_id"), col("user_id"), col("asof_alert_mean").as("alert_mean"),
+        Seq("alert_sum", "alert_n", "ats"))
+      .where(col("asof_alert_sum").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("asof_alert_sum").as("alert_sum"), col("asof_alert_n").as("alert_n"),
         expr("asof_ats div 1000000000").as("alert_day_s"))
   }
 
@@ -443,10 +448,11 @@ object Queries {
     WITH alerts AS (
       SELECT user_id,
              (epoch_ns(ts) // 86400000000000) * 86400000000000 AS ats,
-             round(avg(value), 4) AS alert_mean
+             round(sum(value), 2) AS alert_sum, count(*) AS alert_n
       FROM events GROUP BY 1, 2
-      HAVING round(avg(value), 4) > 55.0)
-    SELECT e.event_id, e.user_id, a.alert_mean, a.ats // 1000000000 AS alert_day_s
+      HAVING round(sum(value), 2) > 55.0 * count(*))
+    SELECT e.event_id, e.user_id, a.alert_sum, a.alert_n,
+           a.ats // 1000000000 AS alert_day_s
     FROM events e ASOF JOIN alerts a
       ON e.user_id = a.user_id AND epoch_ns(e.ts) >= a.ats"""
 
