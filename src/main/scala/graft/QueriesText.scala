@@ -169,7 +169,7 @@ object QueriesText {
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE len(list_intersect(a.bg, b.bg)) * 1.0 /
             (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.8)
-    SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+    SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
     FROM documents
     WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
       AND doc_id NOT IN (SELECT doc_id FROM near_drop)
@@ -186,7 +186,7 @@ object QueriesText {
   }
 
   private val oKnnBrute = """
-    SELECT q_id, n_id, rk, round(c, 3) AS cos FROM (
+    SELECT q_id, n_id, rk, round(c, 3) + 0 AS cos FROM (
       SELECT q.vec_id AS q_id, n.vec_id AS n_id,
              list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                     CAST(n.embedding AS DOUBLE[])) AS c,

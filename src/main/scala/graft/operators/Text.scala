@@ -11,12 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Distinct word n-gram shingles of a text column. */
+  /** Distinct word n-gram shingles of a text column. Texts with fewer than
+    * `n` words yield an empty array (unguarded, `sequence(0, size-n)` would
+    * produce a descending sequence and `slice(_, 0, n)` errors — SQL array
+    * indices are 1-based).
+    */
   def shingles(text: Column, n: Int): Column = {
     val words = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), size(words) - n),
-      i => array_join(slice(words, i + 1, lit(n)), " ")))
+    when(size(words) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact-duplicate grouping on a normalization of the text
@@ -51,11 +57,18 @@ object Text {
     */
   def jaccardPairs(df: DataFrame, id: String, shingleCol: Column,
                    minJaccard: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = minJaccard
     val sh = df.select(col(id).as("doc"), explode(shingleCol).as("sh"))
+    // Global rarest-first vocabulary rank. The prefix-filter theorem holds
+    // for ANY shared total order, and intersection counts only need rank
+    // UNIQUENESS — contiguity is irrelevant. So instead of a row_number()
+    // over an unpartitioned window (single-partition sort = a wall at corpus
+    // scale), use a range-partitioned sort + monotonically_increasing_id:
+    // ids are monotone across the sorted partitions (partition index is the
+    // high bits), unique, and the sort stays fully distributed.
     val ranked = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .withColumn("rank", row_number().over(Window.orderBy(col("df"), col("sh"))))
+      .sort(col("df"), col("sh"))
+      .withColumn("rank", monotonically_increasing_id())
       .select("sh", "rank")
     // One compact row per doc (sorted rank array); reused by the prefix
     // index and both sides of the verification join — persist so the

@@ -123,24 +123,32 @@ object TimeSeries {
     *
     * `payload` columns must exist on the right side; left rows get them as
     * `asof_<name>` (null when no prior right row exists).
+    *
+    * When the right side can hold several rows at the same (key, rightTime),
+    * pass `rightTie` (a right-side column) so "which payload wins" is a
+    * deterministic total order, not partition luck.
     */
   def asOfJoinTables(left: DataFrame, right: DataFrame, key: String,
                      leftTime: String, rightTime: String,
-                     payload: Seq[String]): DataFrame = {
+                     payload: Seq[String], rightTie: Option[String] = None): DataFrame = {
     val l = left.withColumn("_t", col(leftTime)).withColumn("_side", lit(1))
+      .withColumn("_tie", lit(null).cast("long"))
     val lAligned = payload.foldLeft(l)((df, p) => df.withColumn(s"_p_$p", lit(null)))
     val r0 = right.select((col(key) +: col(rightTime).as("_t") +:
       payload.map(p => col(p).as(s"_p_$p"))): _*)
       .withColumn("_side", lit(0))
+      .withColumn("_tie", rightTie.map(c => right(c).cast("long")).getOrElse(lit(0L)))
     val rAligned = left.columns.foldLeft(r0)((df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
     val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
-    val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
+    // right rows (_side=0) sort before left rows at equal t; among equal
+    // right rows the tiebreaker decides which payload last() carries forward
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.foldLeft(unioned)((df, p) =>
       df.withColumn(s"asof_$p", last(col(s"_p_$p"), ignoreNulls = true).over(w)))
     filled.where(col("_side") === 1)
-      .drop("_t" +: "_side" +: payload.map(p => s"_p_$p"): _*)
+      .drop("_t" +: "_side" +: "_tie" +: payload.map(p => s"_p_$p"): _*)
   }
 
   /** Maximal runs where `flagCol` holds — flightdb LevelFlightReporter

@@ -26,15 +26,43 @@ object SessionStream {
                            n_events: Long, value_sum: Double)
 
   /** Glue points into gap-bounded sessions; emits a session once a point
-    * arrives more than `maxGapNs` after its end (processing-time-free,
-    * deterministic given arrival order per key — matching the reference's
-    * fragment-gluing which also trusts per-airframe arrival).
+    * arrives more than `maxGapNs` after its end (deterministic given arrival
+    * order per key — matching the reference's fragment-gluing which also
+    * trusts per-airframe arrival).
+    *
+    * Keys that go quiet are flushed by an EVENT-time timeout: once the
+    * stream's watermark passes a session's end + gap, the final open session
+    * is emitted and its state removed — so state size tracks ACTIVE keys,
+    * not total key cardinality over the stream's lifetime, and the flush
+    * rule is the same event-time gap rule the batch operator applies.
+    * (Processing-time timeouts would also bound state, but they make the
+    * engine schedule batches forever — `processAllAvailable` never settles —
+    * and tie semantics to wall-clock.)
     */
   def sessionize(points: Dataset[Point], maxGapNs: Long): Dataset[ClosedSession] = {
     import points.sparkSession.implicits._
+    val maxGapMs = math.max(maxGapNs / 1000000L, 1L)
+    val streaming = points.isStreaming
+    // An upstream stage (e.g. dropDuplicatesWithinWatermark dedup) may have
+    // defined the watermark already — redefining it downstream is an
+    // analysis error, and any advancing watermark drives our timeouts fine.
+    // Contract for such callers: keep the watermarked column in the input
+    // Dataset (event-time timeout needs it in scope).
+    val hasWatermark = points.queryExecution.logical.find {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }.isDefined
+
+    def close(s: OpenSession): ClosedSession =
+      ClosedSession(s.userId, s.startNs / 1000, s.endNs / 1000, s.nPoints, s.valueSum)
 
     def update(userId: Long, rows: Iterator[Point],
                state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close).toSeq
+        state.remove()
+        return out.iterator
+      }
       val sorted = rows.toSeq.sortBy(p => (p.tsNs, p.value))
       var open = state.getOption
       val closed = Seq.newBuilder[ClosedSession]
@@ -44,19 +72,32 @@ object SessionStream {
             open = Some(s.copy(endNs = math.max(s.endNs, p.tsNs),
               nPoints = s.nPoints + 1, valueSum = s.valueSum + p.value))
           case Some(s) =>
-            closed += ClosedSession(s.userId, s.startNs / 1000, s.endNs / 1000,
-              s.nPoints, s.valueSum)
+            closed += close(s)
             open = Some(OpenSession(userId, p.tsNs, p.tsNs, 1L, p.value))
           case None =>
             open = Some(OpenSession(userId, p.tsNs, p.tsNs, 1L, p.value))
         }
       }
-      open.foreach(state.update)
+      open.foreach { s =>
+        state.update(s)
+        // flush when event time passes the gap rule (timeout timestamps must
+        // stay ahead of the current watermark); batch runs have no timeouts
+        if (streaming) state.setTimeoutTimestamp(
+          math.max(s.endNs / 1000000L + maxGapMs, state.getCurrentWatermarkMs() + 1L))
+      }
       closed.result().iterator
     }
 
-    points.groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+    val src =
+      if (!streaming || hasWatermark) points
+      else points
+        .withColumn("event_time", timestamp_micros((col("tsNs") / 1000L).cast("long")))
+        .withWatermark("event_time", s"$maxGapMs milliseconds")
+        .as[Point]
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(update)
   }
 
   /** Batch entry point used by specs: run the same logic over a bounded

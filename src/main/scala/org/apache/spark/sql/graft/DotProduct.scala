@@ -11,9 +11,15 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * This replaces `aggregate(zip_with(a, b, ...))` in the similarity hot path:
   * the higher-order-function form allocates an intermediate array and boxes a
   * lambda call per element, while this generates a tight primitive loop
-  * inside whole-stage codegen. Semantics are bit-identical to the HOF form
-  * (each float widened to double, sequential sum), so DuckDB oracles are
-  * unaffected.
+  * inside whole-stage codegen.
+  *
+  * PRECONDITION: both arrays non-null, equal length, no null elements — the
+  * embedding tables guarantee all three. Under that precondition semantics
+  * are bit-identical to the HOF form (each float widened to double,
+  * sequential sum), so DuckDB oracles are unaffected. Outside it they
+  * diverge deliberately: mismatched lengths truncate to the shorter side and
+  * null elements read as 0.0, where the HOF form would propagate null —
+  * don't rely on this expression for nullable/ragged vector columns.
   */
 case class DotProductFloat(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

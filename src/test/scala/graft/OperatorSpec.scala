@@ -125,6 +125,16 @@ class TextOpSpec extends AnyFunSuite with SparkFixture {
     assert(sh.toSet == Set("a b", "b c", "c a"))
   }
 
+  test("shingles of short/empty docs are empty, not an error") {
+    val df = Seq("", "solo", "two words").toDF("text")
+    val sh = df.select(Text.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    assert(sh == Seq(Seq.empty, Seq.empty, Seq.empty))
+    val sh2 = df.select(Text.shingles(col("text"), 2).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    assert(sh2 == Seq(Seq.empty, Seq.empty, Seq("two words")))
+  }
+
   test("minhash similarity approximates jaccard on near-dup vs distinct docs") {
     val docs = Tables.documents(spark, sfDir).withColumn("sh", Text.shingles(col("text"), 2))
     val exact = Text.jaccardPairs(docs, "doc_id", col("sh"), 0.8)

@@ -37,6 +37,17 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       val closed = spark.table("closed_sessions").as[ClosedSession].collect()
       assert(closed.length == 1)
       assert(closed.head == ClosedSession(1L, 10L * ns / 1000, 20L * ns / 1000, 2L, 3.0))
+
+      // batches 3-4: a DIFFERENT key far ahead advances the watermark past
+      // key 1's end+gap → the quiet key's open session is flushed by the
+      // event-time timeout and its state freed (the unbounded-state fix)
+      input.addData(Point(2L, 2000L * ns, 7.0))
+      query.processAllAvailable()
+      input.addData(Point(2L, 2010L * ns, 8.0))
+      query.processAllAvailable()
+      val flushed = spark.table("closed_sessions").as[ClosedSession].collect()
+      assert(flushed.contains(ClosedSession(1L, 500L * ns / 1000, 500L * ns / 1000, 1L, 5.0)),
+        s"idle key 1 not flushed; closed so far: ${flushed.mkString(", ")}")
     } finally query.stop()
   }
 
@@ -54,7 +65,9 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .withColumn("event_time", timestamp_micros((col("tsNs") / 1000L).cast("long")))
       .withWatermark("event_time", "10 seconds")
       .dropDuplicatesWithinWatermark("msg_id")
-      .select("userId", "tsNs", "value").as[Point]
+      // keep the watermarked column: sessionize's event-time timeout needs a
+      // watermark in scope, and a downstream stage may not redefine one
+      .select("userId", "tsNs", "value", "event_time").as[Point]
     val sessions = SessionStream.sessionize(deduped, maxGapNs = 100L * ns)
 
     val query = sessions.writeStream
