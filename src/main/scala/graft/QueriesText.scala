@@ -142,8 +142,9 @@ object QueriesText {
     val nearDrop = Text.jaccardPairs(
         d.withColumn("sh", Text.shingles(col("text"), 2)), "doc_id", col("sh"), 0.8)
       .select(col("doc_b").as("doc_id"))
-    d.join(exactDrop, Seq("doc_id"), "left_anti")
-      .join(nearDrop.distinct(), Seq("doc_id"), "left_anti")
+    // one combined drop list → a single anti-join pass over documents
+    // instead of two (the drop list is tiny relative to the corpus)
+    d.join(exactDrop.union(nearDrop).distinct(), Seq("doc_id"), "left_anti")
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
   }

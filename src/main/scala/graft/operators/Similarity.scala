@@ -43,9 +43,14 @@ object Similarity {
   def cosineDupPairs(df: DataFrame, id: String, vec: String,
                      threshold: Double, roundTo: Int): DataFrame = {
     val withNorm = df.select(col(id), col(vec)).withColumn("_norm", l2norm(col(vec)))
-    val a = withNorm.toDF("id_a", "vec_a", "norm_a")
+    // The self nested-loop join streams ONE side; an embedding table small
+    // enough to broadcast often arrives as a single parquet split, which
+    // would serialize the O(n²) dot products onto one task. Spread the
+    // streamed side across the cluster first (linear shuffle, quadratic win).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val a = withNorm.toDF("id_a", "vec_a", "norm_a").repartition(par)
     val b = withNorm.toDF("id_b", "vec_b", "norm_b")
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cos", round(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")), roundTo))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
@@ -56,8 +61,11 @@ object Similarity {
     */
   def knnBrute(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
                k: Int, roundTo: Int): DataFrame = {
+    // spread the streamed (corpus) side — see cosineDupPairs
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(id).as("n_id"), col(vec).as("n_vec"))
       .withColumn("n_norm", l2norm(col("n_vec")))
+      .repartition(par)
     val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
       .withColumn("q_norm", l2norm(col("q_vec")))
     val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
@@ -114,18 +122,40 @@ object Similarity {
     */
   def knnIvf(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
              k: Int, nCells: Int, nProbe: Int, roundTo: Int): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
     val spark = corpus.sparkSession
-    val train = corpus.select(array_to_vector(col(vec)).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
-    val centers: Seq[(Int, Seq[Float])] =
-      model.clusterCenters.toSeq.zipWithIndex.map { case (c: Vector, i) =>
-        (i, c.toArray.toSeq.map(_.toFloat))
+    // Coarse quantizer: Lloyd's iterations over a BOUNDED deterministic
+    // sample, on the driver. At corpus scale the quantizer is always trained
+    // on a sample (training on 100 TB would dwarf the search); keeping the
+    // tiny nCells x dim model driver-side also avoids one distributed job
+    // per k-means iteration. The sample cap bounds driver memory (~1 MB).
+    val sampleN = math.max(nCells * 64, 4096)
+    val pts: Array[Array[Double]] = corpus.select(col(vec)).limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val dim = pts.head.length
+    var centers = Array.tabulate(nCells)(i => pts((i.toLong * pts.length / nCells).toInt).clone())
+    for (_ <- 0 until 10) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      for (p <- pts) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nCells) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
       }
-    val centerDf = spark.createDataFrame(centers).toDF("cell", "center")
+      centers = Array.tabulate(nCells)(c =>
+        if (counts(c) == 0) centers(c) // keep an empty cell's center stable
+        else sums(c).map(_ / counts(c)))
+    }
+    val centerDf = spark.createDataFrame(
+      centers.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq.map(_.toFloat)) })
+      .toDF("cell", "center")
 
     // assign every corpus vector to its nearest cell (argmin center dist);
     // centers are tiny → broadcast, rank window picks the closest
