@@ -14,6 +14,38 @@ object QueriesText {
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
   // ---------------------------------------------------------------------------
+  // DuckDB fragments mirroring graft.operators.Text's cross-engine hashes.
+  // Same arithmetic, same element order → bit-identical BIGINT results, so
+  // the signature queries below are hash-compared, not just row-counted.
+  // ---------------------------------------------------------------------------
+
+  /** DuckDB polynomial string hash of expression `s` (= Text.polyHash). */
+  private def duckPolyHash(s: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(list_filter(string_split($s, ''), c -> c <> ''),
+       |                   c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+
+  /** DuckDB band key of signature slice [lo..hi] seeded with `band`
+    * (= Text.lshBands' fold).
+    */
+  private def duckBandHash(sig: String, band: Int, rows: Int): String = {
+    val lo = band * rows + 1
+    val hi = band * rows + rows
+    s"""list_reduce(list_prepend(CAST($band AS BIGINT), $sig[$lo:$hi]),
+       |  (acc, v) -> (acc * 131 + v) % 9007199254740881)""".stripMargin
+  }
+
+  /** DuckDB simhash over a BIGINT hash list column `th` (= Text.simhash):
+    * bit b set when more tokens have bit b set than clear.
+    */
+  private def duckSimhash(th: String, nBits: Int): String =
+    (0 until nBits).map { b =>
+      s"(CASE WHEN 2 * len(list_filter($th, x -> ((x >> $b) & 1) = 1)) > len($th) THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", "\n         + ", ")")
+
+  // ---------------------------------------------------------------------------
   // Dedup tiers (items 35/38–42)
   // ---------------------------------------------------------------------------
 
@@ -58,15 +90,17 @@ object QueriesText {
           (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.8"""
 
   /** §2.39 MinHash(16) + LSH(4 bands × 4 rows) candidates, then exact
-    * Jaccard >= 0.8 verification on candidates only. murmur3-based → not
-    * reproducible in SQL → rows-only driver check; the spec suite compares
-    * against exact Jaccard.
+    * Jaccard >= 0.8 verification on candidates only. Shingles are hashed
+    * with the cross-engine polynomial hash so the DuckDB oracle recomputes
+    * the identical signatures, bands and final pairs — full hash-check of
+    * the whole LSH pipeline (the spec suite additionally measures recall
+    * against exact Jaccard).
     */
   private def qDocMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val withSh = docs(s, dir).withColumn("sh", Text.shingles(col("text"), 2))
     // shared by banding + both sides of the verification join — persist so
     // shingling + 16 minhash permutations run once
-    val sigs = Text.minhashSignature(withSh, col("sh"), 16)
+    val sigs = Text.minhashSignature(withSh, col("sh"), 16, Text.polyHash)
       .select(col("doc_id"), col("sh"), col("sig"))
       .persist()
     val banded = Text.lshBands(sigs, 4, 4).select("doc_id", "band", "band_hash")
@@ -84,19 +118,60 @@ object QueriesText {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** §2.41 SimHash fingerprints + bucket keys (murmur3 → rows-only). */
+  private val oDocMinhashLsh = {
+    val perms = Text.minhashPermConsts(16).map { case (a, b) =>
+      s"list_min(list_transform(th, h -> (h * $a + $b) % 2147483647))"
+    }.mkString("[\n        ", ",\n        ", "]")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, ${duckBandHash("sig", b, 4)} AS band_hash FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([words[i] || ' ' || words[i+1]
+                            for i in range(1, len(words))]) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+    hs AS (
+      SELECT doc_id, bg, list_transform(bg, s -> ${duckPolyHash("s")}) AS th
+      FROM sh),
+    sig AS (
+      SELECT doc_id, $perms AS sig FROM hs),
+    banded AS (
+      $bandSelects),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(x.bg, y.bg)) * 1.0 /
+             (len(x.bg) + len(y.bg) - len(list_intersect(x.bg, y.bg))) AS jac
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b) t
+    WHERE jac >= 0.8"""
+  }
+
+  /** §2.41 SimHash fingerprints + bucket keys — 30-bit cross-engine
+    * polynomial token hash, fully oracle-checked.
+    */
   private def qDocSimhash(s: SparkSession, dir: String): DataFrame =
-    Text.simhash(docs(s, dir), split(col("text"), " "))
+    Text.simhash(docs(s, dir), split(col("text"), " "), 30, Text.polyHash)
       .select("doc_id", "simhash", "bucket")
+
+  private val oDocSimhash = s"""
+    WITH th AS (
+      SELECT doc_id, list_transform(string_split(text, ' '), w -> ${duckPolyHash("w")}) AS th
+      FROM documents)
+    SELECT doc_id, simhash, simhash >> 16 AS bucket FROM (
+      SELECT doc_id, ${duckSimhash("th", 30)} AS simhash FROM th) t"""
 
   /** §2.41b SimHash near-dup pairs: block on the bucket key (top bits),
     * verify with Hamming distance <= 6 via xor + bit_count — the complete
-    * simhash dedup tier. Rows-only (murmur3).
+    * simhash dedup tier, oracle-checked end to end.
     */
   private def qDocSimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // both join sides share the signature table — persist so the 32-bit
+    // both join sides share the signature table — persist so the 30-bit
     // sign aggregation runs once
-    val sh = Text.simhash(docs(s, dir), split(col("text"), " "))
+    val sh = Text.simhash(docs(s, dir), split(col("text"), " "), 30, Text.polyHash)
       .select(col("doc_id"), col("simhash"), shiftright(col("simhash"), 20).as("blk"))
       .persist()
     sh.toDF("doc_a", "sim_a", "blk")
@@ -107,11 +182,44 @@ object QueriesText {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** §2.48 Winnowing fingerprints (k=8 chars, window=4) — rows-only. */
+  private val oDocSimhashPairs = s"""
+    WITH th AS (
+      SELECT doc_id, list_transform(string_split(text, ' '), w -> ${duckPolyHash("w")}) AS th
+      FROM documents),
+    sh AS (
+      SELECT doc_id, ${duckSimhash("th", 30)} AS simhash FROM th)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b
+      ON (a.simhash >> 20) = (b.simhash >> 20) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
+
+  /** §2.48 Winnowing fingerprints (k=8 chars, window=4) — cross-engine
+    * polynomial k-gram hash, oracle-checked.
+    */
   private def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
-    Text.winnowFingerprints(docs(s, dir), col("text"), 8, 4)
+    Text.winnowFingerprints(docs(s, dir), col("text"), 8, 4, crossEngine = true)
       .select(col("doc_id"), size(col("fps")).as("n_fps"),
         array_min(col("fps")).as("min_fp"))
+
+  private val oDocFingerprint = """
+    WITH codes AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                            c -> CAST(ascii(c) AS BIGINT)) AS cs
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             [list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i+1:i+8]),
+                          (acc, c) -> (acc * 31 + c) % 1000000007)
+              for i in range(0, greatest(len(cs) - 8, 0) + 1)] AS hs
+      FROM codes),
+    f AS (
+      SELECT doc_id,
+             list_distinct([list_min(hs[i+1:i+4])
+                            for i in range(0, greatest(len(hs) - 4, 0) + 1)]) AS fps
+      FROM h)
+    SELECT doc_id, CAST(len(fps) AS INT) AS n_fps, list_min(fps) AS min_fp FROM f"""
 
   /** §2.42 Embedding cosine near-dup pairs (threshold on the rounded value
     * so both engines apply the cut to identical numbers).
@@ -334,10 +442,10 @@ object QueriesText {
     GraftQuery("q_mm_features", qMmFeatures, None),
     GraftQuery("q_mm_frames", qMmFrames, None),
     GraftQuery("q_doc_ngram_jaccard", qDocNgramJaccard, Some(oDocNgramJaccard), headline = true),
-    GraftQuery("q_doc_minhash_lsh", qDocMinhashLsh, None, headline = true),
-    GraftQuery("q_doc_simhash", qDocSimhash, None),
-    GraftQuery("q_doc_simhash_pairs", qDocSimhashPairs, None),
-    GraftQuery("q_doc_fingerprint", qDocFingerprint, None),
+    GraftQuery("q_doc_minhash_lsh", qDocMinhashLsh, Some(oDocMinhashLsh), headline = true),
+    GraftQuery("q_doc_simhash", qDocSimhash, Some(oDocSimhash)),
+    GraftQuery("q_doc_simhash_pairs", qDocSimhashPairs, Some(oDocSimhashPairs)),
+    GraftQuery("q_doc_fingerprint", qDocFingerprint, Some(oDocFingerprint)),
     GraftQuery("q_embed_dup", qEmbedDup, Some(oEmbedDup)),
     GraftQuery("q_knn_brute", qKnnBrute, Some(oKnnBrute), headline = true),
     GraftQuery("q_knn_lsh", qKnnLsh, None),

@@ -11,6 +11,37 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Modulus for the cross-engine polynomial string hash (fits 64-bit
+    * arithmetic: acc < 1e9+7, acc*31 + 255 < 2^35).
+    */
+  val PolyP = 1000000007L
+
+  /** Modulus for combining signature slices into band keys
+    * (acc < 9e15 → acc*131 + 2^31 < 2^63).
+    */
+  val BandP = 9007199254740881L
+
+  /** Character codes of a string as array<long>; empty strings are dropped
+    * on BOTH engines (Spark's split keeps a trailing "", DuckDB's
+    * string_split('','') yields [''] — filtering makes them agree).
+    */
+  private def charCodes(s: Column): Column =
+    transform(filter(split(s, ""), ch => ch =!= ""), ch => ascii(ch).cast("long"))
+
+  /** Cross-engine deterministic string hash: fold
+    * `(acc * 31 + charCode) mod 1e9+7` over the characters. Exactly
+    * reproducible in DuckDB via
+    * `list_reduce(list_prepend(0, codes), (acc,c) -> (acc*31+c) % 1000000007)`
+    * — unlike murmur3 `hash()`, so signature queries hashed this way can be
+    * oracle-checked. Murmur3 stays the default for pure-Spark scale paths
+    * (native expression, no per-char loop).
+    */
+  def polyHash(s: Column): Column =
+    aggregate(charCodes(s), lit(0L), (acc, c) => pmod(acc * 31 + c, lit(PolyP)))
+
+  /** Murmur3 token hash as long — the fast default for Spark-only paths. */
+  def murmurHash(s: Column): Column = hash(s).cast("long")
+
   /** Distinct word n-gram shingles of a text column. Texts with fewer than
     * `n` words yield an empty array (unguarded, `sequence(0, size-n)` would
     * produce a descending sequence and `slice(_, 0, n)` errors — SQL array
@@ -112,46 +143,82 @@ object Text {
       .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
   }
 
-  /** MinHash signatures: k permutations of murmur3 shingle hashes via
+  /** MinHash signatures: k permutations of shingle hashes via
     * (a_i * h + b_i) mod p — the classic Broder construction. Returns the
-    * input plus `sig` (array of k minima). Spark-side only (murmur3 isn't
-    * reproducible in ANSI SQL); correctness is spec-tested against exact
-    * Jaccard.
+    * input plus `sig` (array of k minima). `tokenHash` picks the shingle
+    * hash: murmur3 (default, fast) or `polyHash` (cross-engine, lets a
+    * DuckDB oracle recompute identical signatures).
     */
-  def minhashSignature(df: DataFrame, shingleCol: Column, k: Int): DataFrame = {
-    val p = 2147483647L // 2^31 - 1, Mersenne prime
-    val sigs = (0 until k).map { i =>
-      val a = 1L + 2L * i // odd multipliers
-      val b = 7L + 31L * i
-      array_min(transform(shingleCol,
-        s => pmod(hash(s).cast("long") * a + b, lit(p))))
+  /** Modulus of the minhash permutation family: 2^31 - 1, Mersenne prime. */
+  val MinhashP = 2147483647L
+
+  /** Deterministic (a_i, b_i) constants for the minhash permutations
+    * p_i(h) = (a_i*h + b_i) mod MinhashP, from a seeded xorshift64.
+    * LARGE multipliers are load-bearing: with small a (1,3,5..) the linear
+    * map preserves locality of the base hash, and locality-clustered inputs
+    * (polynomial hashes of shingles sharing prefixes) then correlate the
+    * per-permutation minima across documents — LSH candidate precision
+    * collapses (observed: 204k candidates for 246 true pairs at sf0.1).
+    * Large random a,b form the standard universal family: pairwise-uniform
+    * for any input distribution. Exposed so DuckDB oracles embed the SAME
+    * constants. No overflow: a,h < 2^31 → a*h < 2^62.
+    */
+  def minhashPermConsts(k: Int): Seq[(Long, Long)] = {
+    var x = 88172645463325252L
+    def next(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
+    (0 until k).map { _ =>
+      val a = java.lang.Math.floorMod(next(), MinhashP - 1) + 1
+      val b = java.lang.Math.floorMod(next(), MinhashP)
+      (a, b)
     }
-    df.withColumn("sig", array(sigs: _*))
+  }
+
+  def minhashSignature(df: DataFrame, shingleCol: Column, k: Int,
+                       tokenHash: Column => Column = murmurHash): DataFrame = {
+    // hash each shingle ONCE into an array, then run the k permutations
+    // over the precomputed hashes — k * |shingles| cheap arithmetic ops
+    // instead of k full hash passes (matters for the per-char polyHash).
+    // CollapseProject leaves the non-cheap transform() alias alone, so the
+    // hash pass is not re-inlined into the k uses.
+    val sigs = minhashPermConsts(k).map { case (a, b) =>
+      array_min(transform(col("_mh_th"), h => pmod(h * a + b, lit(MinhashP))))
+    }
+    df.withColumn("_mh_th", transform(shingleCol, tokenHash))
+      .withColumn("sig", array(sigs: _*))
+      .drop("_mh_th")
   }
 
   /** LSH banding of a minhash signature: (band index, band hash) keys.
     * Near-dup candidates = pairs sharing any band bucket; shuffle is on the
     * (band, hash) key so bucket sizes — not corpus size — bound the join.
+    * The band key is a polynomial fold of the band's slice (seeded with the
+    * band index) — engine-independent, so oracles can reproduce it, and a
+    * fold over `rows` values costs nothing next to the signature itself.
     */
   def lshBands(df: DataFrame, bands: Int, rows: Int): DataFrame =
     df.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("band_hash", hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
+      .withColumn("band_hash",
+        aggregate(slice(col("sig"), col("band") * rows + 1, lit(rows)),
+          col("band").cast("long"),
+          (acc, v) => pmod(acc * 131 + v, lit(BandP))))
 
-  /** SimHash: sign-aggregated bit fingerprint of murmur3 word hashes
-    * (Charikar). Texts within small Hamming distance are near-dups.
-    * 32-bit variant; returned with a bucket key (top 16 bits) for
-    * block-join candidate generation.
+  /** SimHash: sign-aggregated bit fingerprint of token hashes (Charikar).
+    * Texts within small Hamming distance are near-dups. Returned with a
+    * bucket key (top bits above bit 16) for block-join candidate
+    * generation. `nBits` must not exceed the hash's value range (32 for
+    * murmur3's low word; 30 for `polyHash`, whose values are < 1e9+7).
     */
-  def simhash(df: DataFrame, tokens: Column): DataFrame = {
-    // murmur3 once per token; the 32 per-bit sign sums then work over the
-    // precomputed hash array (one hash per token, not 32)
-    val bits = (0 until 32).map { b =>
+  def simhash(df: DataFrame, tokens: Column, nBits: Int = 32,
+              tokenHash: Column => Column = murmurHash): DataFrame = {
+    // hash once per token; the per-bit sign sums then work over the
+    // precomputed hash array (one hash per token, not nBits)
+    val bits = (0 until nBits).map { b =>
       // +1 where bit b of the token hash is set, -1 otherwise; sum over tokens
       when(aggregate(col("_th"), lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)
       ) > 0, lit(1L << b)).otherwise(lit(0L))
     }
-    df.withColumn("_th", transform(tokens, t => hash(t)))
+    df.withColumn("_th", transform(tokens, t => tokenHash(t)))
       .withColumn("simhash", bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)))
       .withColumn("bucket", shiftright(col("simhash"), 16))
       .drop("_th")
@@ -159,16 +226,26 @@ object Text {
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     * k-gram hashes, sliding window of w, keep each window's minimum.
-    * Returns distinct fingerprints per doc as `fps`.
+    * Returns distinct fingerprints per doc as `fps`. With
+    * `crossEngine = true` the k-gram hash is the polynomial fold over char
+    * codes (DuckDB-reproducible → oracle-checkable); default is murmur3.
     */
-  def winnowFingerprints(df: DataFrame, text: Column, k: Int, w: Int): DataFrame = {
-    val hashes = expr(s"transform(sequence(0, greatest(length(_t) - $k, 0)), i -> abs(hash(substr(_t, i + 1, $k))))")
+  def winnowFingerprints(df: DataFrame, text: Column, k: Int, w: Int,
+                         crossEngine: Boolean = false): DataFrame = {
+    val hashes =
+      if (crossEngine)
+        transform(sequence(lit(0), greatest(size(col("_c")) - k, lit(0))),
+          i => aggregate(slice(col("_c"), i + 1, lit(k)), lit(0L),
+            (acc, c) => pmod(acc * 31 + c, lit(PolyP))))
+      else
+        expr(s"transform(sequence(0, greatest(length(_t) - $k, 0)), i -> abs(hash(substr(_t, i + 1, $k))))")
     val windows = expr(
       s"array_distinct(transform(sequence(0, greatest(size(_h) - $w, 0)), i -> array_min(slice(_h, i + 1, $w))))")
     df.withColumn("_t", text)
+      .withColumn("_c", if (crossEngine) charCodes(col("_t")) else lit(null))
       .withColumn("_h", hashes)
       .withColumn("fps", windows)
-      .drop("_t", "_h")
+      .drop("_t", "_c", "_h")
   }
 
   /** Language ID by marker-token counting — the n-gram/stopword heuristic

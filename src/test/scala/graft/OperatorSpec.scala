@@ -125,6 +125,13 @@ class TextOpSpec extends AnyFunSuite with SparkFixture {
     assert(sh.toSet == Set("a b", "b c", "c a"))
   }
 
+  test("polyHash matches the DuckDB fold arithmetic (pinned values)") {
+    // ((0*31+97)*31+98)*31+99 = 96354; empty string folds to the 0 init
+    val df = Seq("abc", "", "a").toDF("t")
+    val out = df.select(Text.polyHash(col("t"))).as[Long].collect().toSeq
+    assert(out == Seq(96354L, 0L, 97L))
+  }
+
   test("shingles of short/empty docs are empty, not an error") {
     val df = Seq("", "solo", "two words").toDF("text")
     val sh = df.select(Text.shingles(col("text"), 3).as("sh"))
