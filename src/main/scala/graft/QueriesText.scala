@@ -11,6 +11,8 @@ import graft.operators.{Similarity, Text}
 object QueriesText {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  // heavy per-char/per-bit queries read the spread variant (see Tables)
+  private def docsW(s: SparkSession, dir: String): DataFrame = Tables.documentsSpread(s, dir)
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
   // ---------------------------------------------------------------------------
@@ -71,9 +73,10 @@ object QueriesText {
     * cross-join because every pair with J > 0 shares a shingle.
     */
   private def qDocNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Text.jaccardPairs(
-        docs(s, dir).withColumn("sh", Text.shingles(col("text"), 2)),
-        "doc_id", col("sh"), 0.8)
+    // the shingle EXPRESSION is passed lazily so jaccardPairs evaluates it
+    // after its internal repartition — a precomputed withColumn would pin
+    // the whole interpreted shingling onto the single scan split
+    Text.jaccardPairs(docs(s, dir), "doc_id", Text.shingles(col("text"), 2), 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
 
   private val oDocNgramJaccard = """
@@ -97,7 +100,7 @@ object QueriesText {
     * against exact Jaccard).
     */
   private def qDocMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val withSh = docs(s, dir).withColumn("sh", Text.shingles(col("text"), 2))
+    val withSh = docsW(s, dir).withColumn("sh", Text.shingles(col("text"), 2))
     // shared by banding + both sides of the verification join — persist so
     // shingling + 16 minhash permutations run once
     val sigs = Text.minhashSignature(withSh, col("sh"), 16, Text.polyHash)
@@ -154,7 +157,7 @@ object QueriesText {
     * polynomial token hash, fully oracle-checked.
     */
   private def qDocSimhash(s: SparkSession, dir: String): DataFrame =
-    Text.simhash(docs(s, dir), split(col("text"), " "), 30, Text.polyHash)
+    Text.simhash(docsW(s, dir), split(col("text"), " "), 30, Text.polyHash)
       .select("doc_id", "simhash", "bucket")
 
   private val oDocSimhash = s"""
@@ -171,7 +174,7 @@ object QueriesText {
   private def qDocSimhashPairs(s: SparkSession, dir: String): DataFrame = {
     // both join sides share the signature table — persist so the 30-bit
     // sign aggregation runs once
-    val sh = Text.simhash(docs(s, dir), split(col("text"), " "), 30, Text.polyHash)
+    val sh = Text.simhash(docsW(s, dir), split(col("text"), " "), 30, Text.polyHash)
       .select(col("doc_id"), col("simhash"), shiftright(col("simhash"), 20).as("blk"))
       .persist()
     sh.toDF("doc_a", "sim_a", "blk")
@@ -198,7 +201,7 @@ object QueriesText {
     * polynomial k-gram hash, oracle-checked.
     */
   private def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
-    Text.winnowFingerprints(docs(s, dir), col("text"), 8, 4, crossEngine = true)
+    Text.winnowFingerprints(docsW(s, dir), col("text"), 8, 4, crossEngine = true)
       .select(col("doc_id"), size(col("fps")).as("n_fps"),
         array_min(col("fps")).as("min_fp"))
 
@@ -247,8 +250,7 @@ object QueriesText {
       .select(explode(col("members")).as("doc_id"), col("keeper"))
       .where(col("doc_id") =!= col("keeper"))
       .select("doc_id")
-    val nearDrop = Text.jaccardPairs(
-        d.withColumn("sh", Text.shingles(col("text"), 2)), "doc_id", col("sh"), 0.8)
+    val nearDrop = Text.jaccardPairs(d, "doc_id", Text.shingles(col("text"), 2), 0.8)
       .select(col("doc_b").as("doc_id"))
     // one combined drop list → a single anti-join pass over documents
     // instead of two (the drop list is tiny relative to the corpus)

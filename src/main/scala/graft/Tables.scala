@@ -30,6 +30,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** documents spread across all cores BEFORE heavy per-row work (per-char
+    * hash folds, shingling, per-bit sign sums — interpreted HOF chains, the
+    * priciest per-row code in the engine). A small parquet arrives as one
+    * split, which would serialize all of that onto a single task; one linear
+    * shuffle of the raw text is negligible next to the downstream per-char
+    * work at any scale, and on a real multi-split table the exchange simply
+    * rebalances skewed splits.
+    */
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+
   /** events with `ts` as BIGINT nanoseconds since epoch (column name kept). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     configure(spark)

@@ -40,6 +40,13 @@ object Similarity {
     * precomputed once per side so the join does one dot product per pair.
     * For corpus-scale dedup use `lshBuckets` to generate candidates first.
     */
+  /** Rows under which the build side of the self-join is broadcast; above
+    * it we fall back to a repartitioned cartesian (degrades gracefully past
+    * the 8 GB broadcast/driver limit instead of failing outright).
+    * ~1M rows x (64 floats + id + norm) ≈ 300 MB, comfortably under limits.
+    */
+  val BroadcastRowCap = 1000000L
+
   def cosineDupPairs(df: DataFrame, id: String, vec: String,
                      threshold: Double, roundTo: Int): DataFrame = {
     val withNorm = df.select(col(id), col(vec)).withColumn("_norm", l2norm(col(vec)))
@@ -47,10 +54,14 @@ object Similarity {
     // enough to broadcast often arrives as a single parquet split, which
     // would serialize the O(n²) dot products onto one task. Spread the
     // streamed side across the cluster first (linear shuffle, quadratic win).
+    // Broadcast the build side only while it fits (count is metadata-only on
+    // parquet); past the cap an explicit broadcast would abort the query, so
+    // degrade to a repartitioned cartesian instead.
     val par = df.sparkSession.sparkContext.defaultParallelism
     val a = withNorm.toDF("id_a", "vec_a", "norm_a").repartition(par)
-    val b = withNorm.toDF("id_b", "vec_b", "norm_b")
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    val b0 = withNorm.toDF("id_b", "vec_b", "norm_b")
+    val b = if (df.count() <= BroadcastRowCap) broadcast(b0) else b0
+    a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", round(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")), roundTo))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
@@ -129,8 +140,18 @@ object Similarity {
     // tiny nCells x dim model driver-side also avoids one distributed job
     // per k-means iteration. The sample cap bounds driver memory (~1 MB).
     val sampleN = math.max(nCells * 64, 4096)
-    val pts: Array[Array[Double]] = corpus.select(col(vec)).limit(sampleN)
+    // Seeded RANDOM sample, not limit(): a head-of-table prefix correlates
+    // with whatever the parquet is sorted/clustered by, which can train the
+    // quantizer on one region of the space and collapse recall. The count is
+    // metadata-only on parquet; sample(fraction, seed) is deterministic for
+    // a fixed input, and the 1.2 slack keeps the expected draw >= sampleN.
+    val corpusN = corpus.count()
+    require(corpusN > 0, "knnIvf: empty corpus")
+    val frac = math.min(1.0, sampleN * 1.2 / corpusN)
+    val pts: Array[Array[Double]] = corpus.select(col(vec))
+      .sample(withReplacement = false, frac, seed = 42).limit(sampleN)
       .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(pts.nonEmpty, "knnIvf: sample returned no vectors")
     val dim = pts.head.length
     var centers = Array.tabulate(nCells)(i => pts((i.toLong * pts.length / nCells).toInt).clone())
     for (_ <- 0 until 10) {

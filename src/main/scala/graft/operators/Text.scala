@@ -35,6 +35,13 @@ object Text {
     * — unlike murmur3 `hash()`, so signature queries hashed this way can be
     * oracle-checked. Murmur3 stays the default for pure-Spark scale paths
     * (native expression, no per-char loop).
+    *
+    * CONTRACT: ASCII input only. Spark's `split(s, "")` yields UTF-16 code
+    * units (surrogate pairs split in two) while DuckDB's `string_split`
+    * yields code points, and the engines' `ascii()` differ beyond 0x7F —
+    * so on non-ASCII text the two folds diverge. For a multilingual corpus
+    * hash explicit bytes on both engines (`encode(s,'utf-8')` / `encode()`)
+    * instead of character codes.
     */
   def polyHash(s: Column): Column =
     aggregate(charCodes(s), lit(0L), (acc, c) => pmod(acc * 31 + c, lit(PolyP)))
@@ -67,9 +74,115 @@ object Text {
         array_sort(collect_list(col(id))).as("members"))
       .where(col("n_dups") > 1)
 
+  /** Exact pairwise n-gram Jaccard >= `minJaccard` via the partition-based
+    * set-similarity join (PTJ, Deng et al., "A partition-based method for
+    * exact set similarity joins", VLDB'15) — EXACT results at corpus scale
+    * without the quadratic cross-join and without an inverted index:
+    *
+    * 1. Partition the shingle UNIVERSE into `p` parts by `hash(sh) mod p`.
+    *    A doc's segment for part i = its (sorted) shingles hashing to i.
+    * 2. If J(A,B) >= t then |A Δ B| <= (1-t)/(1+t) * (|A|+|B|) < p, so the
+    *    differing shingles touch < p parts — some part's segments are
+    *    IDENTICAL. Candidates = pairs agreeing exactly on >= 1 segment
+    *    (folded to a 64-bit key; hash collisions only ADD candidates).
+    * 3. Candidates (plus the |A| >= t*|B| length filter) are verified with
+    *    an exact string-array intersect over the full shingle sets.
+    *
+    * vs the prefix-filter family (see `jaccardPairsPrefix`): prefix pruning
+    * needs RARE tokens to be discriminative and collapses on dense/templated
+    * corpora where every token's document frequency is high (measured here:
+    * 931-shingle vocab, median df 285 → 1.5M prefix candidates vs 145k
+    * partition candidates for 256 true pairs). Segment agreement keys stay
+    * selective regardless of token frequencies, need no global vocabulary
+    * ranking (no df-count shuffle, no range sort), and the shuffle key is
+    * (part, segment-hash) so bucket sizes — not corpus size — bound the
+    * pairwise work. At 100 TB the one skew risk is the both-empty segment
+    * bucket (docs much shorter than lmax); partition by length class first
+    * so p tracks each class's own lmax and segments are non-empty w.h.p.
+    */
+  def jaccardPairs(df: DataFrame, id: String, shingleCol: Column,
+                   minJaccard: Double): DataFrame = {
+    val t = minJaccard
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // Spread the input BEFORE evaluating the shingle expression (a
+    // single-split scan would shingle every doc on one core); persist the
+    // per-doc sets — they feed segment generation AND both verify sides.
+    // FLAT exploded (doc, shingle, hash64) rows — everything downstream is
+    // codegen'd relational ops over these. No array<string> columns survive
+    // past this point: columnar-caching / deserializing array payloads
+    // measured 10x the cost of the actual join work, so sets are
+    // represented as rows and set intersection as a counting join.
+    // localCheckpoint (row-format materialization) rather than persist():
+    // the shingle expression is by far the priciest per-row code here and
+    // FOUR consumers need sh (lmax, segments, both verify sides), but the
+    // columnar SQL cache measured slower to re-read than recomputing, while
+    // checkpointed rows scan at full speed. Eager: one job, run here.
+    val sh = df.repartition(par)
+      .select(col(id).as("doc"), explode(array_distinct(shingleCol)).as("sh"))
+      .withColumn("_h", hash(col("sh")).cast("long"))
+      .localCheckpoint()
+    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    // p parts: |A Δ B| <= (1-t)/(1+t)*(|A|+|B|) <= (1-t)/(1+t)*2*lmax < p
+    val lmax = counts.agg(max("n_sh")).head.getAs[Any](0) match {
+      case null => 1L
+      case v: Long => v
+      case v: Int => v.toLong
+    }
+    val p = (math.floor((1 - t) / (1 + t) * 2 * lmax) + 1).toInt.max(1)
+    // Segment key = part-seeded polynomial fold over the SORTED murmur
+    // hashes (canonical order ⇒ equal sets get equal keys); an absent
+    // (doc, part) row means an empty segment, whose key is the bare seed —
+    // restored by the left join against the doc × parts frame.
+    val segsNonEmpty = sh
+      .withColumn("part", pmod(col("_h"), lit(p)).cast("int"))
+      .groupBy("doc", "part")
+      .agg(aggregate(sort_array(collect_list(col("_h"))), col("part").cast("long"),
+        (acc, h) => pmod(acc * 131 + h, lit(BandP))).as("seg"))
+    val segs = counts.select(col("doc"), col("n_sh"),
+        explode(sequence(lit(0), lit(p - 1))).as("part"))
+      // round-robin spread: the tiny upstream exchanges get AQE-coalesced
+      // to ~1 partition and every join below is a broadcast (adds no
+      // exchange), so without this the self-join + match-count aggregation
+      // would run serially
+      .repartition(par)
+      .join(segsNonEmpty, Seq("doc", "part"), "left")
+      .withColumn("seg", coalesce(col("seg"), col("part").cast("long")))
+      .select("doc", "n_sh", "part", "seg")
+    // A qualifying pair agrees on >= p - D(|A|,|B|) segments, not just one:
+    // its <= D differing shingles can touch at most D parts. Counting the
+    // matching parts per pair and applying that bound keeps candidate
+    // verification proportional to the TRUE pair count (measured here:
+    // 145k one-segment candidates -> ~300 surviving the match-count bound
+    // for 256 true pairs).
+    val cand = segs.toDF("doc_a", "n_a", "part", "seg")
+      .join(segs.toDF("doc_b", "n_b", "part", "seg"), Seq("part", "seg"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("n_a") >= col("n_b") * t && col("n_b") >= col("n_a") * t)
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("_nmatch"))
+      .where(col("_nmatch") >=
+        lit(p) - floor(lit((1 - t) / (1 + t)) * (col("n_a") + col("n_b"))))
+      .select("doc_a", "doc_b", "n_a", "n_b")
+    // Counting verification: |A ∩ B| = rows surviving the two equi-joins
+    // through the exploded table (exact string equality on the shingle, so
+    // hash collisions cannot inflate the count). Requires t > 0: pairs with
+    // zero overlap produce no rows, which can never reach the threshold.
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .where(col("jaccard") >= t)
+      .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
+  }
+
   /** Exact pairwise n-gram Jaccard >= `minJaccard` via prefix-filtered
-    * inverted index (AllPairs/PPJoin, Bayardo et al. WWW'07) — EXACT results
-    * at corpus scale without the quadratic cross-join:
+    * inverted index (AllPairs/PPJoin, Bayardo et al. WWW'07) — the classic
+    * alternative to `jaccardPairs`, kept because its pruning wins when the
+    * vocabulary is heavy-tailed (natural text: rare tokens make prefixes
+    * selective) while the partition method wins on dense vocabularies:
     *
     * 1. Rank the vocabulary by ascending document frequency (rarest first).
     * 2. Index each doc only by its prefix: the first
@@ -86,10 +199,18 @@ object Text {
     * over the distinct-shingle aggregate (Heaps'-law small vs the corpus);
     * at extreme vocab sizes swap it for a zipWithIndex rank.
     */
-  def jaccardPairs(df: DataFrame, id: String, shingleCol: Column,
-                   minJaccard: Double): DataFrame = {
+  def jaccardPairsPrefix(df: DataFrame, id: String, shingleCol: Column,
+                         minJaccard: Double): DataFrame = {
     val t = minJaccard
-    val sh = df.select(col(id).as("doc"), explode(shingleCol).as("sh"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // Spread the input BEFORE shingling (a single-split scan would compute
+    // every shingle on one core), and persist the exploded shingle set: it
+    // feeds the vocab ranking (whose range-sort adds a boundary-sampling
+    // pass) AND the doc-ranks join — without the cache the shingling runs
+    // 3x per action.
+    val sh = df.repartition(par)
+      .select(col(id).as("doc"), explode(shingleCol).as("sh"))
+      .persist()
     // Global rarest-first vocabulary rank. The prefix-filter theorem holds
     // for ANY shared total order, and intersection counts only need rank
     // UNIQUENESS — contiguity is irrelevant. So instead of a row_number()

@@ -134,10 +134,13 @@ object TimeSeries {
     val l = left.withColumn("_t", col(leftTime)).withColumn("_side", lit(1))
       .withColumn("_tie", lit(null).cast("long"))
     val lAligned = payload.foldLeft(l)((df, p) => df.withColumn(s"_p_$p", lit(null)))
-    val r0 = right.select((col(key) +: col(rightTime).as("_t") +:
-      payload.map(p => col(p).as(s"_p_$p"))): _*)
+    // _tie is computed BEFORE the narrowing select so rightTie may be any
+    // right-side column, not just key/rightTime/payload
+    val r0 = right
+      .withColumn("_tie", rightTie.map(c => col(c).cast("long")).getOrElse(lit(0L)))
+      .select((col(key) +: col(rightTime).as("_t") +: col("_tie") +:
+        payload.map(p => col(p).as(s"_p_$p"))): _*)
       .withColumn("_side", lit(0))
-      .withColumn("_tie", rightTie.map(c => right(c).cast("long")).getOrElse(lit(0L)))
     val rAligned = left.columns.foldLeft(r0)((df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
     val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))

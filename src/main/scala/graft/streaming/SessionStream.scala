@@ -30,6 +30,16 @@ object SessionStream {
     * order per key — matching the reference's fragment-gluing which also
     * trusts per-airframe arrival).
     *
+    * CAVEAT (cross-key lateness): the watermark is GLOBAL, so a fast key
+    * advancing event time bounds how late a slow key's points may arrive —
+    * anything older than (max observed event time - watermark delay) is
+    * dropped by the engine before it reaches this operator. The delay is set
+    * to 2x the gap (one gap of slack beyond the flush rule) so per-key
+    * in-order streams whose keys drift by less than a gap match batch
+    * results exactly; keys lagging the global front by more than 2x gap can
+    * lose points that the batch operator would keep. The ms-truncated
+    * timeout may also flush up to ~1 ms before the exact ns gap boundary.
+    *
     * Keys that go quiet are flushed by an EVENT-time timeout: once the
     * stream's watermark passes a session's end + gap, the final open session
     * is emitted and its state removed — so state size tracks ACTIVE keys,
@@ -92,7 +102,9 @@ object SessionStream {
       if (!streaming || hasWatermark) points
       else points
         .withColumn("event_time", timestamp_micros((col("tsNs") / 1000L).cast("long")))
-        .withWatermark("event_time", s"$maxGapMs milliseconds")
+        // 2x gap: one gap for the flush rule, one gap of cross-key slack
+        // (see caveat above)
+        .withWatermark("event_time", s"${2 * maxGapMs} milliseconds")
         .as[Point]
     val timeoutConf =
       if (streaming) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()

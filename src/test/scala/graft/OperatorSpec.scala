@@ -51,6 +51,17 @@ class TimeSeriesOpSpec extends AnyFunSuite with SparkFixture {
       103L -> None))     // key with no right rows at all
   }
 
+  test("asOfJoinTables rightTie: highest tie wins among equal (key, time); tie col outside payload") {
+    val left = Seq((1L, 10L * ns, 100L)).toDF("user_id", "ts", "event_id")
+    // two right rows at the SAME (key, rts); seq is neither key/time/payload
+    val right = Seq((1L, 10L * ns, 1.5, 1L), (1L, 10L * ns, 2.5, 2L))
+      .toDF("user_id", "rts", "level", "seq")
+    val out = TimeSeries.asOfJoinTables(left, right, "user_id", "ts", "rts",
+        Seq("level"), rightTie = Some("seq"))
+      .select("event_id", "asof_level").as[(Long, Double)].collect().toMap
+    assert(out == Map(100L -> 2.5)) // seq=2 sorts last → its payload carries
+  }
+
   test("overlapJoin finds exactly the overlapping interval pairs") {
     val a = Seq((1L, 0L, 10L * ns), (2L, 20L * ns, 30L * ns))
       .toDF("a_id", "start", "end")
@@ -198,10 +209,12 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     assert(diffs == 0)
   }
 
-  test("prefix-filtered jaccardPairs matches naive quadratic at sf0.001") {
+  test("partition-based AND prefix-filtered jaccardPairs match naive quadratic at sf0.001") {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("sh", Text.shingles(col("text"), 2))
     val fast = Text.jaccardPairs(docs, "doc_id", col("sh"), 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val prefix = Text.jaccardPairsPrefix(docs, "doc_id", col("sh"), 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val d = docs.select(col("doc_id"), col("sh"))
     val naive = d.toDF("doc_a", "sh_a").crossJoin(d.toDF("doc_b", "sh_b"))
@@ -210,7 +223,8 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
         size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("j") >= 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(fast == naive, s"prefix filter lost/added pairs: ${fast.diff(naive)} / ${naive.diff(fast)}")
+    assert(fast == naive, s"partition join lost/added pairs: ${fast.diff(naive)} / ${naive.diff(fast)}")
+    assert(prefix == naive, s"prefix filter lost/added pairs: ${prefix.diff(naive)} / ${naive.diff(fast)}")
   }
 
   test("LSH ANN achieves reasonable recall@5 vs brute force") {
