@@ -105,7 +105,9 @@ object QueriesText {
     // shingling + 16 minhash permutations run once
     val sigs = Text.minhashSignature(withSh, col("sh"), 16, Text.polyHash)
       .select(col("doc_id"), col("sh"), col("sig"))
-      .persist()
+      .localCheckpoint() // row-format materialization: cheaper to re-read
+      // than the columnar array cache, and per-run deterministic (no
+      // cross-run CacheManager dependence)
     val banded = Text.lshBands(sigs, 4, 4).select("doc_id", "band", "band_hash")
     val cand = banded.toDF("doc_a", "band", "band_hash")
       .join(banded.toDF("doc_b", "band", "band_hash"), Seq("band", "band_hash"))
@@ -176,7 +178,7 @@ object QueriesText {
     // sign aggregation runs once
     val sh = Text.simhash(docsW(s, dir), split(col("text"), " "), 30, Text.polyHash)
       .select(col("doc_id"), col("simhash"), shiftright(col("simhash"), 20).as("blk"))
-      .persist()
+      .localCheckpoint() // see qDocMinhashLsh
     sh.toDF("doc_a", "sim_a", "blk")
       .join(sh.toDF("doc_b", "sim_b", "blk"), Seq("blk"))
       .where(col("doc_a") < col("doc_b"))

@@ -44,6 +44,15 @@ object Text {
     * instead of character codes.
     */
   def polyHash(s: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.PolyHashExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(s)))
+
+  /** Built-ins-only polyHash (per-char HOF fold) — kept for cross-checking
+    * the native expression; the spec suite asserts bit-equality on the
+    * corpus. ~50x slower than `polyHash` (lambda interpretation per char).
+    */
+  def polyHashHof(s: Column): Column =
     aggregate(charCodes(s), lit(0L), (acc, c) => pmod(acc * 31 + c, lit(PolyP)))
 
   /** Murmur3 token hash as long — the fast default for Spark-only paths. */
@@ -295,12 +304,23 @@ object Text {
   }
 
   def minhashSignature(df: DataFrame, shingleCol: Column, k: Int,
-                       tokenHash: Column => Column = murmurHash): DataFrame = {
-    // hash each shingle ONCE into an array, then run the k permutations
-    // over the precomputed hashes — k * |shingles| cheap arithmetic ops
-    // instead of k full hash passes (matters for the per-char polyHash).
-    // CollapseProject leaves the non-cheap transform() alias alone, so the
-    // hash pass is not re-inlined into the k uses.
+                       tokenHash: Column => Column = murmurHash): DataFrame =
+    // hash each shingle ONCE into an array, then one native pass computes
+    // all k permutation minima (the HOF form interpreted a lambda per
+    // (shingle x permutation); kept as minhashSignatureHof for the spec
+    // suite's bit-equality check)
+    df.withColumn("_mh_th", transform(shingleCol, tokenHash))
+      .withColumn("sig", org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.graft.MinhashSigExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("_mh_th")),
+          minhashPermConsts(k), MinhashP)))
+      .drop("_mh_th")
+
+  /** Built-ins-only minhash signature — cross-check twin of
+    * `minhashSignature`.
+    */
+  def minhashSignatureHof(df: DataFrame, shingleCol: Column, k: Int,
+                          tokenHash: Column => Column = murmurHash): DataFrame = {
     val sigs = minhashPermConsts(k).map { case (a, b) =>
       array_min(transform(col("_mh_th"), h => pmod(h * a + b, lit(MinhashP))))
     }
@@ -330,9 +350,20 @@ object Text {
     * murmur3's low word; 30 for `polyHash`, whose values are < 1e9+7).
     */
   def simhash(df: DataFrame, tokens: Column, nBits: Int = 32,
-              tokenHash: Column => Column = murmurHash): DataFrame = {
-    // hash once per token; the per-bit sign sums then work over the
-    // precomputed hash array (one hash per token, not nBits)
+              tokenHash: Column => Column = murmurHash): DataFrame =
+    // hash once per token, then one native pass does all nBits sign sums
+    // (the HOF form interpreted a lambda per (token x bit); kept as
+    // simhashHof for the spec suite's bit-equality check)
+    df.withColumn("_th", transform(tokens, t => tokenHash(t)))
+      .withColumn("simhash", org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.graft.SimhashExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("_th")), nBits)))
+      .withColumn("bucket", shiftright(col("simhash"), 16))
+      .drop("_th")
+
+  /** Built-ins-only simhash — cross-check twin of `simhash`. */
+  def simhashHof(df: DataFrame, tokens: Column, nBits: Int = 32,
+                 tokenHash: Column => Column = murmurHash): DataFrame = {
     val bits = (0 until nBits).map { b =>
       // +1 where bit b of the token hash is set, -1 otherwise; sum over tokens
       when(aggregate(col("_th"), lit(0L),

@@ -1,0 +1,164 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+
+/** Native Catalyst expressions for the sketch hot paths: the higher-order
+  * `aggregate`/`transform` forms in graft.operators.Text interpret a lambda
+  * per (token x bit) / (token x permutation), which measured tens of CPU-
+  * seconds per corpus pass; these run the same arithmetic as tight loops
+  * inside whole-stage codegen. Semantics are bit-identical to the HOF forms
+  * on non-null, non-empty inputs — asserted by the spec suite — so DuckDB
+  * oracles are unaffected.
+  */
+
+/** SimHash of a token-hash array (Charikar sign aggregation): bit b of the
+  * result is set iff more tokens have bit b set than clear. Duplicate tokens
+  * count every occurrence, matching the HOF form. Elements must be non-null.
+  */
+case class SimhashExpr(child: Expression, nBits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val counts = new Array[Long](nBits)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < nBits) {
+        counts(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < nBits) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val counts = ctx.freshName("counts")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $hs.numElements();
+         |long[] $counts = new long[$nBits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $hs.getLong($i);
+         |  for (int $b = 0; $b < $nBits; $b++) {
+         |    $counts[$b] += ((($h >> $b) & 1L) == 1L) ? 1L : -1L;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < $nBits; $b++) {
+         |  if ($counts[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}
+
+object SimhashExpr {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[SimhashExpr].getName, "graft_simhash")
+}
+
+/** MinHash signature of a token-hash array: element i of the result is
+  * min over tokens of (a_i * h + b_i) mod p — the classic Broder
+  * permutation family. Matches the HOF form exactly, including the
+  * empty-input case (all-null signature elements). Token hashes must be
+  * non-null and < p (polyHash/murmur-low-bits both satisfy this).
+  */
+case class MinhashSigExpr(child: Expression, abs: Seq[(Long, Long)], p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  // abs is a Seq (not Array) so case-class equality — and with it plan
+  // canonicalization / cache matching — compares contents, not references
+
+  override def nullIntolerant: Boolean = true
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_sig"
+
+  @transient private lazy val as: Array[Long] = abs.map(_._1).toArray
+  @transient private lazy val bs: Array[Long] = abs.map(_._2).toArray
+  private def k = abs.length
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](k)(null))
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val aRef = ctx.addReferenceObj("mhAs", as, "long[]")
+      val bRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $hs.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$k]);
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $hs.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $v = ($aRef[$j] * $h + $bRef[$j]) % ${p}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
+object MinhashSigExpr {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[MinhashSigExpr].getName, "graft_minhash_sig")
+}

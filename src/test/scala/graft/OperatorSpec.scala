@@ -143,6 +143,37 @@ class TextOpSpec extends AnyFunSuite with SparkFixture {
     assert(out == Seq(96354L, 0L, 97L))
   }
 
+  test("native simhash + minhash signatures are bit-identical to HOF forms on the corpus") {
+    val d = Tables.documents(spark, sfDir)
+    val simDiff = Text.simhash(d, split(col("text"), " "), 30, Text.polyHash)
+        .select(col("doc_id"), col("simhash"))
+      .join(Text.simhashHof(d, split(col("text"), " "), 30, Text.polyHash)
+        .select(col("doc_id"), col("simhash").as("simhash_hof")), "doc_id")
+      .where(col("simhash") =!= col("simhash_hof")).count()
+    assert(simDiff == 0)
+    val withSh = d.withColumn("sh", Text.shingles(col("text"), 2))
+    val mhDiff = Text.minhashSignature(withSh, col("sh"), 16, Text.polyHash)
+        .select(col("doc_id"), col("sig"))
+      .join(Text.minhashSignatureHof(withSh, col("sh"), 16, Text.polyHash)
+        .select(col("doc_id"), col("sig").as("sig_hof")), "doc_id")
+      .where(col("sig") =!= col("sig_hof")).count()
+    assert(mhDiff == 0)
+    // empty-token edge: both forms give an all-null signature
+    val empty = Seq((1L, Seq.empty[String])).toDF("doc_id", "sh")
+    val sigE = Text.minhashSignature(empty, col("sh"), 4, Text.polyHash)
+      .select("sig").as[Seq[Option[Long]]].head()
+    assert(sigE == Seq(None, None, None, None))
+  }
+
+  test("native polyHash is bit-identical to the HOF fold on corpus text + tokens") {
+    val d = Tables.documents(spark, sfDir)
+    val diffs = d.select(explode(split(col("text"), " ")).as("w"))
+      .union(d.select(col("text").as("w")))
+      .where(Text.polyHash(col("w")) =!= Text.polyHashHof(col("w")))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("shingles of short/empty docs are empty, not an error") {
     val df = Seq("", "solo", "two words").toDF("text")
     val sh = df.select(Text.shingles(col("text"), 3).as("sh"))
