@@ -105,9 +105,24 @@ object Text {
     * selective regardless of token frequencies, need no global vocabulary
     * ranking (no df-count shuffle, no range sort), and the shuffle key is
     * (part, segment-hash) so bucket sizes — not corpus size — bound the
-    * pairwise work. At 100 TB the one skew risk is the both-empty segment
-    * bucket (docs much shorter than lmax); partition by length class first
-    * so p tracks each class's own lmax and segments are non-empty w.h.p.
+    * pairwise work.
+    *
+    * EMPTY segments (docs shorter than lmax leave most parts empty) are the
+    * one quadratic hazard: every short doc agrees with every other on each
+    * both-empty part, so joining them pairs the short tail N² (measured: 10x
+    * corpus replication sent the join 33s → 76s purely on both-empty
+    * buckets). They are therefore handled ANALYTICALLY, never joined: a pair
+    * has at most min(ep_a, ep_b) = p - max(np_a, np_b) both-empty
+    * agreements (np = doc's non-empty part count), so "agreements >= p - D"
+    * tightens to NON-EMPTY agreements >= max(np_a, np_b) - D — the join
+    * runs over non-empty segments only. A qualifying pair can evade that
+    * join entirely only when both docs' np <= D (its <= D diff shingles
+    * must cover every non-empty part of each doc); those docs — np no
+    * larger than D's per-doc ceiling floor(n*(1-t)/t), i.e. shingles
+    * concentrated into few parts — form a fallback set F joined exactly
+    * (pairwise max(np) <= D filter + verification). F is empty unless
+    * hashing concentrates a doc's shingles ~t/(1-t)-fold, so the fallback
+    * is a correctness net, not a work path.
     */
   def jaccardPairs(df: DataFrame, id: String, shingleCol: Column,
                    minJaccard: Double): DataFrame = {
@@ -139,39 +154,56 @@ object Text {
     }
     val p = (math.floor((1 - t) / (1 + t) * 2 * lmax) + 1).toInt.max(1)
     // Segment key = part-seeded polynomial fold over the SORTED murmur
-    // hashes (canonical order ⇒ equal sets get equal keys); an absent
-    // (doc, part) row means an empty segment, whose key is the bare seed —
-    // restored by the left join against the doc × parts frame.
+    // hashes (canonical order ⇒ equal sets get equal keys). Only NON-EMPTY
+    // segments are materialized and joined — empty-segment agreements are
+    // accounted for by the np-based bound below, never enumerated.
     val segsNonEmpty = sh
       .withColumn("part", pmod(col("_h"), lit(p)).cast("int"))
       .groupBy("doc", "part")
       .agg(aggregate(sort_array(collect_list(col("_h"))), col("part").cast("long"),
         (acc, h) => pmod(acc * 131 + h, lit(BandP))).as("seg"))
-    val segs = counts.select(col("doc"), col("n_sh"),
-        explode(sequence(lit(0), lit(p - 1))).as("part"))
+    val npDf = segsNonEmpty.groupBy("doc").agg(count(lit(1)).as("np"))
+    val docMeta = counts.join(npDf, Seq("doc")) // (doc, n_sh, np)
+    val segs = segsNonEmpty.join(docMeta, Seq("doc"))
       // round-robin spread: the tiny upstream exchanges get AQE-coalesced
       // to ~1 partition and every join below is a broadcast (adds no
       // exchange), so without this the self-join + match-count aggregation
       // would run serially
       .repartition(par)
-      .join(segsNonEmpty, Seq("doc", "part"), "left")
-      .withColumn("seg", coalesce(col("seg"), col("part").cast("long")))
-      .select("doc", "n_sh", "part", "seg")
-    // A qualifying pair agrees on >= p - D(|A|,|B|) segments, not just one:
-    // its <= D differing shingles can touch at most D parts. Counting the
-    // matching parts per pair and applying that bound keeps candidate
-    // verification proportional to the TRUE pair count (measured here:
-    // 145k one-segment candidates -> ~300 surviving the match-count bound
-    // for 256 true pairs).
-    val cand = segs.toDF("doc_a", "n_a", "part", "seg")
-      .join(segs.toDF("doc_b", "n_b", "part", "seg"), Seq("part", "seg"))
+      .select("doc", "n_sh", "np", "part", "seg")
+    // A qualifying pair agrees on >= p - D(|A|,|B|) segments total; at most
+    // p - max(np_a, np_b) of those can be both-empty, so it agrees on
+    // >= max(np_a, np_b) - D NON-EMPTY segments. Counting matching parts
+    // per pair and applying that bound keeps candidate verification
+    // proportional to the TRUE pair count (measured here: 145k one-segment
+    // candidates -> ~300 surviving the match-count bound for 256 true
+    // pairs).
+    val dBound = floor(lit((1 - t) / (1 + t)) * (col("n_a") + col("n_b")))
+    val candMain = segs.toDF("doc_a", "n_a", "np_a", "part", "seg")
+      .join(segs.toDF("doc_b", "n_b", "np_b", "part", "seg"), Seq("part", "seg"))
       .where(col("doc_a") < col("doc_b") &&
         col("n_a") >= col("n_b") * t && col("n_b") >= col("n_a") * t)
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .groupBy("doc_a", "doc_b", "n_a", "n_b", "np_a", "np_b")
       .agg(count(lit(1)).as("_nmatch"))
-      .where(col("_nmatch") >=
-        lit(p) - floor(lit((1 - t) / (1 + t)) * (col("n_a") + col("n_b"))))
+      .where(col("_nmatch") >= greatest(col("np_a"), col("np_b")) - dBound)
       .select("doc_a", "doc_b", "n_a", "n_b")
+    // Fallback net: a qualifying pair with ZERO non-empty agreements needs
+    // both np_a <= D and np_b <= D; since D <= floor(n*(1-t)/t) for every
+    // admissible partner of a doc of size n, only docs with np under that
+    // per-doc ceiling can participate. Pair them exactly (tiny or empty set
+    // — requires ~t/(1-t)-fold hash concentration of a doc's shingles).
+    val fDocs = docMeta
+      .where(col("np") <= floor(col("n_sh") * lit((1 - t) / t)))
+    val candFb = fDocs.select(col("doc").as("doc_a"), col("n_sh").as("n_a"),
+        col("np").as("np_a"))
+      .join(fDocs.select(col("doc").as("doc_b"), col("n_sh").as("n_b"),
+        col("np").as("np_b")),
+        col("doc_a") < col("doc_b") &&
+          col("n_a") >= col("n_b") * t && col("n_b") >= col("n_a") * t &&
+          greatest(col("np_a"), col("np_b")) <= floor(
+            lit((1 - t) / (1 + t)) * (col("n_a") + col("n_b"))))
+      .select("doc_a", "doc_b", "n_a", "n_b")
+    val cand = candMain.union(candFb).distinct()
     // Counting verification: |A ∩ B| = rows surviving the two equi-joins
     // through the exploded table (exact string equality on the shingle, so
     // hash collisions cannot inflate the count). Requires t > 0: pairs with

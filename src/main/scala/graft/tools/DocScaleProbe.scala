@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Documents/embeddings scale probe: replicates the sf0.1 corpus `factor`x
+  * with REP-DISJOINT vocabulary (every word gets a _rep suffix) so each
+  * replica keeps its internal near-dup structure but replicas share no
+  * shingles — true-pair output grows linearly, vocabulary grows by factor,
+  * and the dedup operators' scaling behavior (bucket sizes, empty-segment
+  * skew, LSH band balance) is exercised honestly. Embeddings replicate with
+  * shifted ids (same vectors: ANN throughput scales with corpus size).
+  * Usage: `sbt "runMain graft.tools.DocScaleProbe [factor]"`.
+  */
+object DocScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = java.nio.file.Files.createTempDirectory("graft_docscale").toString
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+    val nDocs = docs.count()
+    docs.crossJoin(spark.range(factor).toDF("rep"))
+      .repartition(cpus.toInt * 2)
+      .select(
+        (col("doc_id") * factor + col("rep")).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit("_"), col("rep"))), " ").as("text"),
+        col("lang"), col("source"),
+        col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    embs.crossJoin(spark.range(factor).toDF("rep"))
+      .repartition(cpus.toInt)
+      .select((col("vec_id") * factor + col("rep")).as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val n = spark.read.parquet(s"$out/documents.parquet").count()
+    println(s"[docscale] replicated documents: $n rows (${factor}x), at $out")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[docscale] $name%-22s $sec%8.2f s   ${n / sec / 1e3}%8.1f K docs/s   ($rows output rows)")
+    }
+
+    val q = graft.Queries.queries
+    time("q_doc_dedup_exact") { q("q_doc_dedup_exact")(spark, out).count() }
+    time("q_doc_ngram_jaccard") { q("q_doc_ngram_jaccard")(spark, out).count() }
+    time("q_doc_minhash_lsh") { q("q_doc_minhash_lsh")(spark, out).count() }
+    time("q_doc_simhash_pairs") { q("q_doc_simhash_pairs")(spark, out).count() }
+    time("q_doc_fingerprint") { q("q_doc_fingerprint")(spark, out).count() }
+    time("q_token_count") { q("q_token_count")(spark, out).count() }
+    time("q_knn_lsh") { q("q_knn_lsh")(spark, out).count() }
+    time("q_knn_ivf") { q("q_knn_ivf")(spark, out).count() }
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    spark.stop()
+  }
+}
