@@ -460,6 +460,26 @@ object Queries {
     FROM events e ASOF JOIN alerts a
       ON e.user_id = a.user_id AND epoch_ns(e.ts) >= a.ats"""
 
+  /** §2.16d The SAME as-of lookup through the custom Catalyst operator
+    * (AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec streaming merge): one
+    * co-partitioned exchange per side, no union materialization, no window
+    * buffer. Oracle identical to q_asof_table — DuckDB's native ASOF JOIN
+    * must hash-match the custom physical operator's output exactly.
+    */
+  private def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val alerts = ev
+      .groupBy(col("user_id"), expr("(ts div 86400000000000) * 86400000000000").as("ats"))
+      .agg(round(sum("value"), 2).as("alert_sum"), count(lit(1)).as("alert_n"))
+      .where(col("alert_sum") > lit(55.0) * col("alert_n"))
+    org.apache.spark.sql.graft.AsOfJoin.join(ev, alerts, "user_id", "ts", "ats",
+        Seq("alert_sum", "alert_n", "ats"))
+      .where(col("asof_alert_sum").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("asof_alert_sum").as("alert_sum"), col("asof_alert_n").as("alert_n"),
+        expr("asof_ats div 1000000000").as("alert_day_s"))
+  }
+
   /** §2.10b Multi-level rollup through the SQL surface (report metadata
     * rollups at every grouping level): GROUP BY ROLLUP via `spark.sql` over
     * a temp view — the catalog's SQL-API entry point. NULL marker rows from
@@ -505,6 +525,7 @@ object Queries {
     GraftQuery("q_windowed_avg", qWindowedAvg, Some(oWindowedAvg)),
     GraftQuery("q_asof_join", qAsofJoin, Some(oAsofJoin), headline = true),
     GraftQuery("q_asof_table", qAsofTable, Some(oAsofTable), headline = true),
+    GraftQuery("q_asof_native", qAsofNative, Some(oAsofTable), headline = true),
     GraftQuery("q_interval_overlap", qIntervalOverlap, Some(oIntervalOverlap), headline = true),
     GraftQuery("q_level_flight", qLevelFlight, Some(oLevelFlight)),
     GraftQuery("q_sanity_filter", qSanityFilter, Some(oSanityFilter))

@@ -62,6 +62,44 @@ class TimeSeriesOpSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map(100L -> 2.5)) // seq=2 sorts last → its payload carries
   }
 
+  test("native as-of join (custom plan) matches the pinned asOfJoinTables semantics") {
+    val left = Seq((1L, 10L * ns, 100L), (1L, 20L * ns, 101L), (1L, 5L * ns, 102L),
+      (2L, 10L * ns, 103L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, 10L * ns, 1.5), (1L, 15L * ns, 2.5), (3L, 1L * ns, 9.9))
+      .toDF("user_id", "rts", "level")
+    val out = org.apache.spark.sql.graft.AsOfJoin.join(
+        left, right, "user_id", "ts", "rts", Seq("level"))
+      .select("event_id", "asof_level").as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(
+      100L -> Some(1.5), 101L -> Some(2.5), 102L -> None, 103L -> None))
+    // tie: highest rightTie wins among equal (key, time)
+    val right2 = Seq((1L, 10L * ns, 1.5, 1L), (1L, 10L * ns, 2.5, 2L))
+      .toDF("user_id", "rts", "level", "seq")
+    val out2 = org.apache.spark.sql.graft.AsOfJoin.join(
+        Seq((1L, 10L * ns, 100L)).toDF("user_id", "ts", "event_id"),
+        right2, "user_id", "ts", "rts", Seq("level"), rightTie = Some("seq"))
+      .select("event_id", "asof_level").as[(Long, Double)].collect().toMap
+    assert(out2 == Map(100L -> 2.5))
+  }
+
+  test("native as-of join equals the union-window form on events (shared-scan lineage)") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts", "value")
+    // right side DERIVED FROM THE SAME SCAN — exercises the self-join
+    // attribute dedup in the builder
+    val marks = ev.groupBy(col("user_id"),
+        expr("(ts div 600000000000) * 600000000000").as("mts"))
+      .agg(round(sum("value"), 2).as("msum"), count(lit(1)).as("mn"))
+    val native = org.apache.spark.sql.graft.AsOfJoin.join(
+        ev, marks, "user_id", "ts", "mts", Seq("msum", "mn", "mts"))
+      .select("event_id", "asof_msum", "asof_mn", "asof_mts")
+      .as[(Long, Option[Double], Option[Long], Option[Long])].collect().toSet
+    val window = TimeSeries.asOfJoinTables(ev, marks, "user_id", "ts", "mts",
+        Seq("msum", "mn", "mts"))
+      .select("event_id", "asof_msum", "asof_mn", "asof_mts")
+      .as[(Long, Option[Double], Option[Long], Option[Long])].collect().toSet
+    assert(native.nonEmpty && native == window)
+  }
+
   test("overlapJoin finds exactly the overlapping interval pairs") {
     val a = Seq((1L, 0L, 10L * ns), (2L, 20L * ns, 30L * ns))
       .toDF("a_id", "start", "end")
