@@ -113,6 +113,55 @@ object QueriesGeo {
     GROUP BY user_id, name"""
   }
 
+  /** §2.30c Straight-line displacement histogram
+    * (analysis/straightlinedisplacement.go): for every series that passes
+    * waypoint ALPHA and then BRAVO, clip its points to the [first-ALPHA,
+    * first-BRAVO] passage window, measure each point's lateral displacement
+    * from the ALPHA→BRAVO reference line, and histogram the displacements
+    * (bucket width 2.5, 20 buckets — the reference's 0..1000 m / 20-bucket
+    * histogram.Histogram). The waypoint-passage span table is tiny →
+    * broadcast; the per-point work is pure codegen'd arithmetic.
+    */
+  private def qStraightline(s: SparkSession, dir: String): DataFrame = {
+    val wpDf = s.createDataFrame(waypoints).toDF("name", "wx", "wy", "snap")
+    val hits = Geo.waypointMatch(ev(s, dir), "user_id", "ts", xCol,
+      yCol.cast("double"), wpDf)
+    val span = hits.where(col("name") === "ALPHA")
+      .select(col("user_id"), col("first_us").as("t_a"))
+      .join(hits.where(col("name") === "BRAVO")
+        .select(col("user_id"), col("first_us").as("t_b")), "user_id")
+      .where(col("t_a") < col("t_b"))
+    val disp = Geo.lineDisplacement(xCol, yCol.cast("double"), 25.0, 25.0, 50.0, 50.0)
+    ev(s, dir).join(broadcast(span), "user_id")
+      .where(expr("ts div 1000") >= col("t_a") && expr("ts div 1000") <= col("t_b"))
+      .withColumn("bucket", floor(disp / 2.5).cast("long"))
+      .where(col("bucket") < 20)
+      .groupBy("user_id", "bucket")
+      .agg(count(lit(1)).as("n_points"))
+  }
+
+  private val oStraightline = {
+    val vals = waypoints.map { case (n, x, y, sn) => s"('$n', $x, $y, $sn)" }.mkString(", ")
+    val len = math.sqrt((50.0 - 25.0) * (50.0 - 25.0) + (50.0 - 25.0) * (50.0 - 25.0))
+    val disp = s"abs(25.0 * (CAST($ySql AS DOUBLE) - 25.0) - 25.0 * (value - 25.0)) / $len"
+    s"""
+    WITH hits AS (
+      SELECT user_id, name, epoch_us(min(ts)) AS first_us
+      FROM events CROSS JOIN (VALUES $vals) AS w(name, wx, wy, snap)
+      WHERE abs(value - wx) <= snap AND abs(CAST($ySql AS DOUBLE) - wy) <= snap
+      GROUP BY user_id, name),
+    span AS (
+      SELECT a.user_id, a.first_us AS t_a, b.first_us AS t_b
+      FROM hits a JOIN hits b ON a.user_id = b.user_id
+      WHERE a.name = 'ALPHA' AND b.name = 'BRAVO' AND a.first_us < b.first_us)
+    SELECT e.user_id, CAST(floor(($disp) / 2.5) AS BIGINT) AS bucket,
+           count(*) AS n_points
+    FROM events e JOIN span s ON e.user_id = s.user_id
+    WHERE epoch_us(e.ts) >= s.t_a AND epoch_us(e.ts) <= s.t_b
+      AND CAST(floor(($disp) / 2.5) AS BIGINT) < 20
+    GROUP BY 1, 2"""
+  }
+
   /** §2.26 Restrictor-set combination (All/Any/Not logic,
     * georestrictorset.go:17): (box-A OR polygon-B) AND NOT box-C.
     */
@@ -572,6 +621,7 @@ object QueriesGeo {
     GraftQuery("q_closest_approach", qClosestApproach, Some(oClosestApproach)),
     GraftQuery("q_line_crossing", qLineCrossing, Some(oLineCrossing)),
     GraftQuery("q_waypoint_match", qWaypointMatch, Some(oWaypointMatch), headline = true),
+    GraftQuery("q_straightline", qStraightline, Some(oStraightline)),
     GraftQuery("q_procedure", qProcedure, Some(oProcedure)),
     GraftQuery("q_metar_daygrid", qMetarDaygrid, Some(oMetarDaygrid)),
     GraftQuery("q_georestrictor_set", qGeorestrictorSet, Some(oGeorestrictorSet)),

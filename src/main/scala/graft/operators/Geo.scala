@@ -118,4 +118,18 @@ object Geo {
         abs(col("_y") - col("wy")) <= col("snap"))
       .groupBy(col(key), col("name"))
       .agg(expr(s"min($time) div 1000").as("first_us"))
+
+  /** Perpendicular ("lateral") displacement of (x, y) from the infinite line
+    * through (x1, y1)-(x2, y2) — the geometry of
+    * StraightLineDisplacementReporter's line.ClosestDistance
+    * (analysis/straightlinedisplacement.go:50): |cross product| / |line|.
+    * Pure arithmetic, whole-stage codegen'd, engine-identical (the line
+    * length is folded to one double literal so an oracle can embed the same
+    * constant).
+    */
+  def lineDisplacement(x: Column, y: Column, x1: Double, y1: Double,
+                       x2: Double, y2: Double): Column = {
+    val len = math.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+    abs(lit(x2 - x1) * (y - y1) - lit(y2 - y1) * (x - x1)) / len
+  }
 }
