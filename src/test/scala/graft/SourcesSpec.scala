@@ -63,6 +63,36 @@ class FoiaSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+class JsonFeedSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def flight(cs: String, lat: Double, lon: Double): String =
+    s"""{"source":"TH","timestamp":"2020-04-16T04:01:14Z",
+        "flightIdentification":{"computerId":123,"aircraftIdentification":"$cs"},
+        "enRoute":{"position":{"positionTime":"2020-04-16T04:01:14Z",
+          "position":{"location":{"pos":"$lat $lon"}},
+          "altitude":{"content":11000.0},
+          "actualSpeed":{"surveillance":{"content":440.0}}}}}"""
+      .replaceAll("\n\\s*", "")
+
+  test("JSON feed parses multi-message, single-message, and drops garbage") {
+    val multi = s"""{"ns5:MessageCollection":{"message":[
+        {"flight":${flight("SWA1988", 41.5, -122.5)}},
+        {"flight":${flight("UAL12", 37.6, -122.4)}}]}}""".replaceAll("\n\\s*", "")
+    val single =
+      s"""{"ns5:MessageCollection":{"message":{"flight":${flight("AAL3", 40.0, -100.0)}}}}"""
+    val raw = Seq(multi, single, "not json at all", """{"unrelated": 1}""")
+      .toDF("payload")
+    val out = graft.sources.JsonFeed.parseFlights(raw, "payload")
+      .select("callsign", "computer_id", "lat", "lon", "alt", "speed")
+      .as[(String, Int, Double, Double, Double, Double)].collect().toSet
+    assert(out == Set(
+      ("SWA1988", 123, 41.5, -122.5, 11000.0, 440.0),
+      ("UAL12", 123, 37.6, -122.4, 11000.0, 440.0),
+      ("AAL3", 123, 40.0, -100.0, 11000.0, 440.0)))
+  }
+}
+
 class StoreSpec extends AnyFunSuite with SparkFixture {
   import graft.sources.Store
 
