@@ -360,6 +360,19 @@ class SkewOpSpec extends AnyFunSuite with SparkFixture {
     assert(salted == plain)
   }
 
+  test("bloom-prefiltered anti-join is identical to the plain anti-join") {
+    val ev = Tables.events(spark, sfDir)
+    val drops = ev.where(col("event_type") === "error").select("user_id").distinct()
+    val plain = ev.join(drops, Seq("user_id"), "left_anti")
+      .select("event_id").as[Long].collect().toSet
+    val bloomed = Skew.bloomAntiJoin(ev, drops, "user_id", 1000L)
+      .select("event_id").as[Long].collect().toSet
+    assert(bloomed == plain)
+    // empty drop list: everything survives
+    val none = Skew.bloomAntiJoin(ev, drops.where(lit(false)), "user_id", 10L)
+    assert(none.count() == ev.count())
+  }
+
   test("two-phase sum equals direct sum") {
     val ev = Tables.events(spark, sfDir)
     val direct = ev.groupBy("user_id").agg(sum("value").as("s"))
