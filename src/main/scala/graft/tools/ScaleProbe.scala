@@ -49,6 +49,8 @@ object ScaleProbe {
     time("q_time_bucket") { q("q_time_bucket")(spark, out).count() }
     time("q_session_gap") { q("q_session_gap")(spark, out).count() }
     time("q_asof_join") { q("q_asof_join")(spark, out).count() }
+    time("q_asof_table") { q("q_asof_table")(spark, out).count() }
+    time("q_asof_native") { q("q_asof_native")(spark, out).count() }
     time("q_kinematics") { q("q_kinematics")(spark, out).count() }
     time("q_geo_polygon") { q("q_geo_polygon")(spark, out).count() }
     time("q_condense") { q("q_condense")(spark, out).count() }
