@@ -57,4 +57,20 @@ object Sinks {
           "yyyyMMdd HH:mm:ss").cast("long") * 1000000000L)
       .withColumn("lat", col("LATITUDE").cast(DoubleType))
       .withColumn("lon", col("LONGITUDE").cast(DoubleType))
+
+  /** Bucketed catalog sink: hash-bucket by the series key (and sort within
+    * buckets) so REPEATED joins/aggregations on that key are exchange-free —
+    * the scan itself reports HashPartitioning(key, nBuckets) and the planner
+    * drops the shuffle on both sides of a same-bucketing join
+    * (spec-asserted: zero Exchange nodes in the joined plan). At 100 TB this
+    * is the difference between shuffling the fact table once per query and
+    * never: pay one shuffle at write time, amortize it over every read.
+    * Pair with `writePartitionedByDay`-style date partitions for pruning +
+    * co-location together.
+    */
+  def writeBucketed(df: DataFrame, key: String, nBuckets: Int,
+                    table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(table)
 }

@@ -63,6 +63,34 @@ class FoiaSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("same-key bucketed tables join with ZERO exchanges") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val agg = ev.groupBy("user_id").agg(count(lit(1)).as("n_u"))
+    graft.sources.Sinks.writeBucketed(ev, "user_id", 4, "graft_ev_bkt")
+    graft.sources.Sinks.writeBucketed(agg, "user_id", 4, "graft_agg_bkt")
+    // disable broadcast so the co-location (not a broadcast) kills the
+    // shuffle; BroadcastExchange would hide the point being tested
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_ev_bkt").join(spark.table("graft_agg_bkt"), "user_id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+      val expected = ev.join(agg, "user_id").select("event_id", "n_u")
+        .as[(Long, Long)].collect().toSet
+      val got = j.select("event_id", "n_u").as[(Long, Long)].collect().toSet
+      assert(got == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.sql("DROP TABLE IF EXISTS graft_ev_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_agg_bkt")
+    }
+  }
+}
+
 class JsonFeedSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
