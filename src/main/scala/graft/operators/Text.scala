@@ -63,7 +63,17 @@ object Text {
     * produce a descending sequence and `slice(_, 0, n)` errors — SQL array
     * indices are 1-based).
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    // native one-pass form (byte-span shingles, first-occurrence distinct);
+    // shinglesHof is the built-ins twin the spec suite asserts bit-equality
+    // against — the HOF chain interpreted a lambda per shingle, ~30 CPU-s
+    // per sf0.1 corpus pass
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.WordShinglesExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(text), n))
+
+  /** Built-ins-only shingles — cross-check twin of `shingles`. */
+  def shinglesHof(text: Column, n: Int): Column = {
     val words = split(text, " ")
     when(size(words) >= n,
       array_distinct(transform(
@@ -71,6 +81,16 @@ object Text {
         i => array_join(slice(words, i + 1, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Native `fold((acc * 131 + v) pmod BandP)` over an array<long> — the
+    * segment/band key combiner (see PolyFoldExpr for the HOF-equality
+    * contract).
+    */
+  private[graft] def polyFold(arr: Column, seed: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.PolyFoldExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(arr),
+        org.apache.spark.sql.graft.ColumnShim.expression(seed), 131L, BandP))
 
   /** Exact-duplicate grouping on a normalization of the text
     * (fifoset.go dedupe analog; exact dedup = hash-groupBy, the cheapest
@@ -160,8 +180,8 @@ object Text {
     val segsNonEmpty = sh
       .withColumn("part", pmod(col("_h"), lit(p)).cast("int"))
       .groupBy("doc", "part")
-      .agg(aggregate(sort_array(collect_list(col("_h"))), col("part").cast("long"),
-        (acc, h) => pmod(acc * 131 + h, lit(BandP))).as("seg"))
+      .agg(polyFold(sort_array(collect_list(col("_h"))),
+        col("part").cast("long")).as("seg"))
     val npDf = segsNonEmpty.groupBy("doc").agg(count(lit(1)).as("np"))
     val docMeta = counts.join(npDf, Seq("doc")) // (doc, n_sh, np)
     val segs = segsNonEmpty.join(docMeta, Seq("doc"))
@@ -371,9 +391,8 @@ object Text {
   def lshBands(df: DataFrame, bands: Int, rows: Int): DataFrame =
     df.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_hash",
-        aggregate(slice(col("sig"), col("band") * rows + 1, lit(rows)),
-          col("band").cast("long"),
-          (acc, v) => pmod(acc * 131 + v, lit(BandP))))
+        polyFold(slice(col("sig"), col("band") * rows + 1, lit(rows)),
+          col("band").cast("long")))
 
   /** SimHash: sign-aggregated bit fingerprint of token hashes (Charikar).
     * Texts within small Hamming distance are near-dups. Returned with a

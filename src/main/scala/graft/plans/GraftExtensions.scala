@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.graft.{DotProductFloat, MinhashSigExpr, PolyHashExpr, SimhashExpr}
+import org.apache.spark.sql.graft.{DotProductFloat, MinhashSigExpr, PolyFoldExpr, PolyHashExpr, SimhashExpr, WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * in the SQL function registry so `spark.sql("... graft_dot(a, b) ...")`
@@ -39,6 +39,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimhashExpr.info,
       (children: Seq[Expression]) =>
         SimhashExpr(children(0), intArg(children(1), "graft_simhash", 2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      WordShinglesExpr.info,
+      (children: Seq[Expression]) =>
+        WordShinglesExpr(children(0), intArg(children(1), "graft_shingles", 2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_polyfold"),
+      PolyFoldExpr.info,
+      (children: Seq[Expression]) =>
+        PolyFoldExpr(children(0), children(1), 131L, graft.operators.Text.BandP)))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       MinhashSigExpr.info,

@@ -203,6 +203,45 @@ class TextOpSpec extends AnyFunSuite with SparkFixture {
     assert(sigE == Seq(None, None, None, None))
   }
 
+  test("native shingles are bit-identical to the HOF form on corpus + edge cases") {
+    val d = Tables.documents(spark, sfDir)
+    for (n <- Seq(2, 3)) {
+      val diffs = d
+        .where(Text.shingles(col("text"), n) =!= Text.shinglesHof(col("text"), n))
+        .count()
+      assert(diffs == 0, s"n=$n")
+    }
+    // edges: empty, single word, repeated spaces, trailing space, dup shingles
+    val edge = Seq("", "one", "a  b", "a b ", "x y x y x y", "  ").toDF("text")
+    for (n <- Seq(1, 2, 3)) {
+      val diffs = edge
+        .where(Text.shingles(col("text"), n) =!= Text.shinglesHof(col("text"), n))
+        .count()
+      assert(diffs == 0, s"edge n=$n: " + edge
+        .select(Text.shingles(col("text"), n), Text.shinglesHof(col("text"), n))
+        .collect().mkString("; "))
+    }
+  }
+
+  test("native polyFold is bit-identical to the HOF aggregate, including null elements") {
+    val rows = Seq(
+      (1L, Seq(5L, -3L, 2147483647L), 7L),
+      (2L, Seq.empty[Long], 3L),
+      (3L, Seq(Long.MaxValue / 200, -2147483648L), 0L)
+    ).toDF("id", "arr", "seed")
+    val hof = aggregate(col("arr"), col("seed"),
+      (acc, v) => pmod(acc * 131 + v, lit(Text.BandP)))
+    val diffs = rows.where(Text.polyFold(col("arr"), col("seed")) =!= hof).count()
+    assert(diffs == 0)
+    // null element → null result, matching the HOF's null propagation
+    val nullArr = spark.sql("SELECT array(4L, CAST(null AS BIGINT)) AS arr, 2L AS seed")
+    val out = nullArr.select(Text.polyFold(col("arr"), col("seed")).as("f"),
+      aggregate(col("arr"), col("seed"),
+        (acc, v) => pmod(acc * 131 + v, lit(Text.BandP))).as("h"))
+      .head()
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
   test("native polyHash is bit-identical to the HOF fold on corpus text + tokens") {
     val d = Tables.documents(spark, sfDir)
     val diffs = d.select(explode(split(col("text"), " ")).as("w"))
