@@ -311,15 +311,17 @@ object QueriesText {
       WHERE q.vec_id < 10) t
     WHERE rk <= 5"""
 
-  /** §2.44 LSH-bucketed ANN (4 hyperplanes x 8 tables): exact ranking
-    * inside the union of the query's buckets — the 100 TB path. Rows-only
-    * (bucketing isn't ANSI SQL); recall vs brute force measured in the
-    * spec suite.
+  /** §2.44 LSH-bucketed ANN (auto-scaled hyperplanes x 8 tables): exact
+    * ranking inside the union of the query's buckets — the 100 TB path.
+    * Plane count scales with log2(corpus) so bucket sizes (and per-query
+    * work) stay bounded as the corpus grows. Rows-only (bucketing isn't
+    * ANSI SQL); recall vs brute force measured in the spec suite.
     */
   private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
+    val planes = Similarity.autoPlanes(e.count()) // count is parquet metadata
     Similarity.knnLsh(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
-      5, 4, 8, 64, 3)
+      5, planes, 8, 64, 3)
   }
 
   /** §2.44b IVF ANN (k-means coarse quantizer, 16 cells, probe 3):

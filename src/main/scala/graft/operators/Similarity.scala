@@ -124,6 +124,19 @@ object Similarity {
     df.withColumn("bucket", explode(array(
       (0 until nTables).map(t => tableBucket(col(vec), nPlanes, dim, t)): _*)))
 
+  /** Plane count for a target mean bucket size: ceil(log2(N / target)),
+    * floored at `minPlanes`. With FIXED planes, bucket population — and the
+    * exact-ranking work per query — grows LINEARLY with the corpus (4
+    * planes over 50k vectors ≈ 3k candidates per table per query: half of
+    * brute force across 8 tables). Scaling planes logarithmically keeps
+    * per-query candidate work roughly constant; the recall cost of sharper
+    * buckets is the standard LSH trade, compensated by the multi-table
+    * union (recall 1-(1-p^k)^L) and measured in the spec suite.
+    */
+  def autoPlanes(corpusN: Long, targetBucket: Long = 256L, minPlanes: Int = 4): Int =
+    math.max(minPlanes, math.ceil(
+      math.log(math.max(1.0, corpusN.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer (deterministic
     * seed) partitions the corpus into cells; queries probe their `nProbe`
     * nearest cells and rank exactly inside them. The classic
