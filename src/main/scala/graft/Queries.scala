@@ -480,6 +480,39 @@ object Queries {
         expr("asof_ats div 1000000000").as("alert_day_s"))
   }
 
+  /** §2.8b Preferred-source track selection (flight.go:173 PreferredTrack:
+    * first source in a priority list the flight actually has — ADSB > MLAT
+    * > FOIA in the reference; click > view > signup here). Per key: rank
+    * the sources present, keep only the best-ranked source's points, and
+    * summarize them. One aggregation for the per-key best rank, one
+    * equi-join back — no per-flight loops.
+    */
+  private def qPreferredSource(s: SparkSession, dir: String): DataFrame = {
+    val pri = when(col("event_type") === "click", 1)
+      .when(col("event_type") === "view", 2)
+      .when(col("event_type") === "signup", 3)
+    val e = Tables.events(s, dir).withColumn("_pri", pri).where(col("_pri").isNotNull)
+    val best = e.groupBy("user_id").agg(min("_pri").as("_pri"))
+    e.join(best, Seq("user_id", "_pri"))
+      .groupBy(col("user_id"), col("event_type").as("source"))
+      .agg(count(lit(1)).as("n_points"),
+        expr("min(ts) div 1000").as("first_us"),
+        expr("max(ts) div 1000").as("last_us"))
+      .select("user_id", "source", "n_points", "first_us", "last_us")
+  }
+
+  private val oPreferredSource = """
+    WITH pri AS (
+      SELECT user_id, ts, event_type,
+             CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                             WHEN 'signup' THEN 3 END AS p
+      FROM events WHERE event_type IN ('click', 'view', 'signup')),
+    best AS (SELECT user_id, min(p) AS p FROM pri GROUP BY 1)
+    SELECT e.user_id, e.event_type AS source, count(*) AS n_points,
+           epoch_us(min(e.ts)) AS first_us, epoch_us(max(e.ts)) AS last_us
+    FROM pri e JOIN best b ON e.user_id = b.user_id AND e.p = b.p
+    GROUP BY 1, 2"""
+
   /** §2.10b Multi-level rollup through the SQL surface (report metadata
     * rollups at every grouping level): GROUP BY ROLLUP via `spark.sql` over
     * a temp view — the catalog's SQL-API entry point. NULL marker rows from
@@ -515,6 +548,7 @@ object Queries {
     GraftQuery("q_time_bucket", qTimeBucket, Some(oTimeBucket)),
     GraftQuery("q_recent_n", qRecentN, Some(oRecentN)),
     GraftQuery("q_condense", qCondense, Some(oCondense)),
+    GraftQuery("q_preferred_source", qPreferredSource, Some(oPreferredSource)),
     GraftQuery("q_anti_tags", qAntiTags, Some(oAntiTags)),
     GraftQuery("q_pivot_types", qPivotTypes, Some(oPivotTypes)),
     GraftQuery("q_rollup", qRollup, Some(oRollup)),
