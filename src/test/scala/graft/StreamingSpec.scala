@@ -86,4 +86,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(closed.head.n_events == 2L && closed.head.value_sum == 3.0)
     } finally query.stop()
   }
+
+  test("full ingest shape: dedup -> static-dim enrich -> sessionize in one streaming query") {
+    // mirrors addtrackfragment.go: dedupe replayed fragments, identify
+    // against airframe refdata (stream-static broadcast join — the static
+    // side never re-shuffles the stream), then glue into tracks
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    val ns = 1000000000L
+    val airframes = Seq((7L, "B738"), (8L, "A320")).toDF("userId", "icao_type")
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val enriched = input.toDS()
+      .toDF("msg_id", "userId", "tsNs", "value")
+      .withColumn("event_time", timestamp_micros((col("tsNs") / 1000L).cast("long")))
+      .withWatermark("event_time", "10 seconds")
+      .dropDuplicatesWithinWatermark("msg_id")
+      .join(broadcast(airframes), Seq("userId")) // stream-static enrich
+      .where(col("icao_type") === "B738")        // identified subset only
+      .select("userId", "tsNs", "value", "event_time").as[Point]
+    val sessions = SessionStream.sessionize(enriched, maxGapNs = 100L * ns)
+
+    val query = sessions.writeStream
+      .format("memory").queryName("enriched_sessions")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (1L, 7L, 10L * ns, 1.0), (1L, 7L, 10L * ns, 1.0), // dup delivery
+        (2L, 7L, 12L * ns, 2.0),
+        (3L, 9L, 11L * ns, 5.0)) // unknown airframe -> dropped by enrich
+      query.processAllAvailable()
+      input.addData((4L, 7L, 500L * ns, 9.0)) // closes key 7's session
+      query.processAllAvailable()
+      val closed = spark.table("enriched_sessions").as[ClosedSession].collect()
+      assert(closed.length == 1)
+      assert(closed.head.user_id == 7L)
+      assert(closed.head.n_events == 2L && closed.head.value_sum == 3.0)
+    } finally query.stop()
+  }
 }
