@@ -192,21 +192,29 @@ object Similarity {
       .toDF("cell", "center")
 
     // assign every corpus vector to its nearest cell (argmin center dist);
-    // centers are tiny → broadcast, rank window picks the closest
-    def assign(df: DataFrame, idAs: String, vecAs: String, probes: Int): DataFrame = {
-      val w = Window.partitionBy(idAs).orderBy(col("_d").asc, col("cell").asc)
+    // centers are tiny → broadcast. The nProbe=1 corpus side uses min_by
+    // (hash aggregate with map-side partials — no sort of the nCells x N
+    // exploded rows); the tiny query side ranks its nProbe cells with a
+    // window. Ties broken by cell id on both paths (struct min orders by
+    // (_d, cell), matching the window's (_d asc, cell asc)).
+    def withDist(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(col(id).as(idAs), col(vec).as(vecAs))
         .join(broadcast(centerDf))
         .withColumn("_d",
           dot(col(vecAs), col(vecAs)) - lit(2.0) * dot(col(vecAs), col("center"))
             + dot(col("center"), col("center")))
+
+    val c = withDist(corpus, "n_id", "n_vec")
+      .groupBy("n_id")
+      .agg(first("n_vec").as("n_vec"),
+        min(struct(col("_d"), col("cell"))).getField("cell").as("cell"))
+    val q = {
+      val w = Window.partitionBy("q_id").orderBy(col("_d").asc, col("cell").asc)
+      withDist(queries, "q_id", "q_vec")
         .withColumn("_rn", row_number().over(w))
-        .where(col("_rn") <= probes)
+        .where(col("_rn") <= nProbe)
         .drop("_d", "_rn", "center")
     }
-
-    val c = assign(corpus, "n_id", "n_vec", 1)
-    val q = assign(queries, "q_id", "q_vec", nProbe)
     val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
     q.join(c, Seq("cell")).where(col("q_id") =!= col("n_id"))
       .withColumn("_cos", cosine(col("q_vec"), col("n_vec")))
