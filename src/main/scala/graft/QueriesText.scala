@@ -232,6 +232,15 @@ object QueriesText {
   private def qEmbedDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineDupPairs(embs(s, dir), "vec_id", "embedding", 0.4, 3)
 
+  /** §2.42b LSH-bucketed embedding near-dup — the 100 TB path (bucket-keyed
+    * shuffle instead of the quadratic baseline). Rows-only: the output is a
+    * verified high-recall subset of q_embed_dup's exact pairs (recall
+    * measured in the spec suite; bucketing isn't ANSI SQL).
+    */
+  private def qEmbedDupLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDupPairsLsh(embs(s, dir), "vec_id", "embedding", 0.4, 3,
+      3, 12, 64)
+
   private val oEmbedDup = """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -453,6 +462,7 @@ object QueriesText {
     GraftQuery("q_doc_simhash_pairs", qDocSimhashPairs, Some(oDocSimhashPairs)),
     GraftQuery("q_doc_fingerprint", qDocFingerprint, Some(oDocFingerprint)),
     GraftQuery("q_embed_dup", qEmbedDup, Some(oEmbedDup)),
+    GraftQuery("q_embed_dup_lsh", qEmbedDupLsh, None),
     GraftQuery("q_knn_brute", qKnnBrute, Some(oKnnBrute), headline = true),
     GraftQuery("q_knn_lsh", qKnnLsh, None),
     GraftQuery("q_knn_ivf", qKnnIvf, None),

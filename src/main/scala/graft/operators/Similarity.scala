@@ -67,6 +67,29 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** LSH-bucketed embedding near-dup — the corpus-scale path next to the
+    * exact-quadratic `cosineDupPairs`: candidates are pairs colliding in
+    * ANY of `nTables` hyperplane tables (shuffle keyed on the bucket, so
+    * bucket sizes — not corpus size — bound the pairwise work), then exact
+    * cosine verification applies the threshold. Output is a high-recall
+    * SUBSET of the exact operator's pairs (recall measured in the spec
+    * suite; 1-(1-p^planes)^tables per pair).
+    */
+  def cosineDupPairsLsh(df: DataFrame, id: String, vec: String,
+                        threshold: Double, roundTo: Int,
+                        nPlanes: Int, nTables: Int, dim: Int): DataFrame = {
+    val withNorm = df.select(col(id), col(vec)).withColumn("_norm", l2norm(col(vec)))
+    val b = multiTableBuckets(withNorm, vec, nPlanes, nTables, dim)
+    val a1 = b.toDF("id_a", "vec_a", "norm_a", "bucket")
+    val a2 = b.toDF("id_b", "vec_b", "norm_b", "bucket")
+    a1.join(a2, Seq("bucket")).where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b") // collided in >= 1 table
+      .withColumn("cos",
+        round(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")), roundTo))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Exact top-k neighbors for a (small, broadcast) query set against the
     * full corpus: one pass over the corpus per plan, rank window per query.
     */
@@ -98,13 +121,17 @@ object Similarity {
     * buckets → higher recall, more work).
     */
   /** Sign-pattern bucket key for one hash table: `nPlanes` deterministic
-    * pseudo-random hyperplanes (sin of (table, plane, dim) — reproducible,
-    * no RNG state), projections via the native dot expression.
+    * random hyperplanes (seeded Gaussian components per (table, plane) —
+    * reproducible across runs, and PROPERLY uniform directions: an earlier
+    * sin-of-linear-index scheme produced phase-shifted copies of one wave,
+    * i.e. highly correlated planes, which collapsed pair recall to ~0.4
+    * where independent planes give ~0.9). Projections use the native dot
+    * expression; plane literals constant-fold into the plan.
     */
   private def tableBucket(vec: Column, nPlanes: Int, dim: Int, table: Int): Column =
     (0 until nPlanes).map { p =>
-      val plane = array((0 until dim).map(d =>
-        lit(math.sin(1.0 + (table * 17 + p) * 131 + d * 7).toFloat)): _*)
+      val rng = new scala.util.Random(table.toLong * 104729L + p.toLong * 7919L + 17L)
+      val plane = array((0 until dim).map(_ => lit(rng.nextGaussian().toFloat)): _*)
       when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b)) + lit(table.toLong << 32)
 

@@ -335,6 +335,18 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     assert(prefix == naive, s"prefix filter lost/added pairs: ${prefix.diff(naive)} / ${naive.diff(fast)}")
   }
 
+  test("LSH near-dup pairs: subset of exact with reasonable recall") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = Similarity.cosineDupPairs(e, "vec_id", "embedding", 0.4, 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineDupPairsLsh(e, "vec_id", "embedding", 0.4, 3, 3, 12, 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH pairs must be exact-verified")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("LSH ANN achieves reasonable recall@5 vs brute force") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.where(col("vec_id") < 10)
