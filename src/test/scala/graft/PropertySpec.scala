@@ -40,6 +40,29 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("native as-of join equals union-window form on random data (ties, gaps, missing keys)") {
+    for (round <- 1 to 6) {
+      // coarse time grid + few keys → plenty of exact-tie and no-match cases
+      val left = List.fill(30)((rnd.nextInt(4).toLong, rnd.nextInt(20).toLong * ns,
+        rnd.nextLong().abs)).toDF("k", "t", "lid")
+      // seq is UNIQUE so the (rt, seq) tiebreak is a total order — equal
+      // (k, rt, seq) with different payloads would be partition-luck in
+      // both implementations and the comparison would be meaningless
+      val right = List.tabulate(20)(i => (rnd.nextInt(5).toLong,
+          rnd.nextInt(20).toLong * ns, rnd.nextInt(100).toDouble, i.toLong))
+        .toDF("k", "rt", "payload", "seq")
+      val native = org.apache.spark.sql.graft.AsOfJoin.join(
+          left, right, "k", "t", "rt", Seq("payload"), rightTie = Some("seq"))
+        .select("lid", "asof_payload")
+        .as[(Long, Option[Double])].collect().toMap
+      val window = TimeSeries.asOfJoinTables(left, right, "k", "t", "rt",
+          Seq("payload"), rightTie = Some("seq"))
+        .select("lid", "asof_payload")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(native == window, s"round=$round")
+    }
+  }
+
   test("jaccardPairs equals naive quadratic on random word docs") {
     val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
     for (round <- 1 to 4) {
