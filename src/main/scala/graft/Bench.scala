@@ -21,7 +21,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args restrict to the named queries (local iteration only;
+    // the driver invokes with no args → full run)
+    val names = (if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains)
+                 else SparkEntry.queries.keys.toSeq).sorted
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }

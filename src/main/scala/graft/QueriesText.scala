@@ -233,13 +233,57 @@ object QueriesText {
     Similarity.cosineDupPairs(embs(s, dir), "vec_id", "embedding", 0.4, 3)
 
   /** §2.42b LSH-bucketed embedding near-dup — the 100 TB path (bucket-keyed
-    * shuffle instead of the quadratic baseline). Rows-only: the output is a
-    * verified high-recall subset of q_embed_dup's exact pairs (recall
-    * measured in the spec suite; bucketing isn't ANSI SQL).
+    * shuffle instead of the quadratic baseline). Output is a verified
+    * high-recall subset of q_embed_dup's exact pairs (recall measured in
+    * the spec suite), and — because the hyperplanes are integer-valued
+    * constants (`Similarity.lshPlaneConsts`) — the DuckDB oracle recomputes
+    * the identical buckets, candidates and pairs, so the whole LSH pipeline
+    * is hash-checked like q_doc_minhash_lsh.
+    *
+    * targetBucket=32 (vs the kNN default 256): pair-dedup work per table is
+    * Σ bucket² ≈ n·bucket, so buckets an order smaller keep the candidate
+    * set ~n·L·bucket/2 — sub-quadratic as n grows (planes scale with log n).
     */
-  private def qEmbedDupLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineDupPairsLsh(embs(s, dir), "vec_id", "embedding", 0.4, 3,
-      3, 12, 64)
+  private def qEmbedDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val n = e.count() // parquet metadata count
+    Similarity.cosineDupPairsLsh(e, "vec_id", "embedding", 0.4, 3,
+      Similarity.autoPlanes(n, targetBucket = 32), 12, 64, corpusN = n)
+  }
+
+  /** Oracle for q_embed_dup_lsh: rebuilds the hyperplane buckets from the
+    * SAME integer plane constants (embedded as literals, like the minhash
+    * perms in oDocMinhashLsh), with the dot product as a sequential double
+    * fold — bit-identical to `DotProductFloat`'s accumulation — then the
+    * same collide-in-any-table candidate join + exact-cosine verification.
+    * Plane count is pinned to the verify corpus size (500 vectors at
+    * sf0.01/sf0.001 → autoPlanes(500, 32) = 4); at other scales the Spark
+    * side auto-scales and the oracle doesn't apply.
+    */
+  private val oEmbedDupLsh: String = {
+    val nPlanes = Similarity.autoPlanes(500L, targetBucket = 32)
+    val nTables = 12
+    val rows = for { t <- 0 until nTables; p <- 0 until nPlanes } yield
+      s"($t, ${1L << p}, ${Similarity.lshPlaneConsts(t, p, 64).mkString("[", ", ", "]")})"
+    s"""
+    WITH pl(tbl, pbit, comps) AS (VALUES
+      ${rows.mkString(",\n      ")}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+      SELECT e.vec_id, pl.tbl,
+             sum(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [e.v[i] * pl.comps[i] for i in range(1, 65)]),
+                   (acc, x) -> acc + x) >= 0 THEN pl.pbit ELSE 0 END) AS bkt
+      FROM e CROSS JOIN pl
+      GROUP BY e.vec_id, pl.tbl),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM b x JOIN b y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(x.v, y.v), 3) AS cos
+    FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
+    WHERE round(list_cosine_similarity(x.v, y.v), 3) >= 0.4"""
+  }
 
   private val oEmbedDup = """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -462,7 +506,7 @@ object QueriesText {
     GraftQuery("q_doc_simhash_pairs", qDocSimhashPairs, Some(oDocSimhashPairs)),
     GraftQuery("q_doc_fingerprint", qDocFingerprint, Some(oDocFingerprint)),
     GraftQuery("q_embed_dup", qEmbedDup, Some(oEmbedDup)),
-    GraftQuery("q_embed_dup_lsh", qEmbedDupLsh, None),
+    GraftQuery("q_embed_dup_lsh", qEmbedDupLsh, Some(oEmbedDupLsh)),
     GraftQuery("q_knn_brute", qKnnBrute, Some(oKnnBrute), headline = true),
     GraftQuery("q_knn_lsh", qKnnLsh, None),
     GraftQuery("q_knn_ivf", qKnnIvf, None),

@@ -74,19 +74,64 @@ object Similarity {
     * cosine verification applies the threshold. Output is a high-recall
     * SUBSET of the exact operator's pairs (recall measured in the spec
     * suite; 1-(1-p^planes)^tables per pair).
+    *
+    * Recall trade, stated honestly: with planes scaling as log2(n/bucket),
+    * per-pair recall 1-(1-p^k)^L DECAYS with corpus size at fixed L when p
+    * (per-plane collision prob, 1 - angle/pi) is close to the random-pair
+    * 0.5 — e.g. threshold 0.4 pairs (p≈0.65) drop from 0.92 recall at 500
+    * vectors to ~0.13 at 20k. The operator's sweet spot is the actual dedup
+    * use case — high thresholds (cos >= 0.9, p >= 0.85) where p^k shrinks
+    * slowly and 12 tables hold recall >= 0.9 well past 10^6 vectors. For
+    * exhaustive low-threshold pair mining use `cosineDupPairs` (exact) or
+    * grow `nTables` with the corpus (work scales linearly in tables).
+    *
+    * Two scale rules learned the hard way (r3 shipped the opposite and the
+    * "scale path" ran 130x slower than the quadratic it replaces):
+    *  - The candidate join carries ONLY (id, bucket) — never the vectors.
+    *    Collision rows are ~16 bytes; a wide row (two 64-float vectors) in
+    *    the bucket shuffle multiplied the shuffle bytes ~30x.
+    *  - Plane count must grow with the corpus (`autoPlanes`): fixed planes
+    *    mean bucket population n/2^k grows linearly and the in-bucket
+    *    self-join is Θ(n²) with a worse constant than brute force.
+    *
+    * Vectors re-attach to candidates by id: broadcast joins while the
+    * corpus fits (`BroadcastRowCap`), with cosine verified per collision
+    * row and pair-dedup applied to the tiny post-threshold set. Past the
+    * cap, candidates dedup on ids FIRST (narrow shuffle) and the vector
+    * attach is a shuffle join keyed on id.
     */
   def cosineDupPairsLsh(df: DataFrame, id: String, vec: String,
                         threshold: Double, roundTo: Int,
-                        nPlanes: Int, nTables: Int, dim: Int): DataFrame = {
+                        nPlanes: Int, nTables: Int, dim: Int,
+                        corpusN: Long = -1L): DataFrame = {
+    // No pre-repartition: the linear sketch pass parallelizes across input
+    // splits on its own, and the quadratic (pairwise) work runs AFTER the
+    // bucket-keyed shuffle, which spreads it regardless of scan layout —
+    // unlike cosineDupPairs, whose nested-loop join never shuffles.
+    val buckets = multiTableBuckets(
+        df.select(col(id).as("_id"), col(vec).as("_v")), "_v", nPlanes, nTables, dim)
+      .select(col("_id"), col("bucket")) // vectors pruned from the shuffle
+    val collisions = buckets.toDF("id_a", "bucket")
+      .join(buckets.toDF("id_b", "bucket"), Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
     val withNorm = df.select(col(id), col(vec)).withColumn("_norm", l2norm(col(vec)))
-    val b = multiTableBuckets(withNorm, vec, nPlanes, nTables, dim)
-    val a1 = b.toDF("id_a", "vec_a", "norm_a", "bucket")
-    val a2 = b.toDF("id_b", "vec_b", "norm_b", "bucket")
-    a1.join(a2, Seq("bucket")).where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b") // collided in >= 1 table
+    // caller usually knows the count (it sized the planes); only fall back
+    // to a count job (metadata-only on parquet) when it didn't pass one
+    val small = (if (corpusN >= 0) corpusN else df.count()) <= BroadcastRowCap
+    val vecA = withNorm.toDF("id_a", "vec_a", "norm_a")
+    val vecB = withNorm.toDF("id_b", "vec_b", "norm_b")
+    // broadcast path: verify per collision row (map-side attach), dedup the
+    // few survivors; shuffle path: dedup the narrow id pairs first so the
+    // vector join processes each candidate once
+    val cand = if (small) collisions else collisions.dropDuplicates("id_a", "id_b")
+    val verified = cand
+      .join(if (small) broadcast(vecA) else vecA, Seq("id_a"))
+      .join(if (small) broadcast(vecB) else vecB, Seq("id_b"))
       .withColumn("cos",
         round(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")), roundTo))
       .where(col("cos") >= threshold)
+    (if (small) verified.dropDuplicates("id_a", "id_b") else verified)
       .select("id_a", "id_b", "cos")
   }
 
@@ -120,20 +165,38 @@ object Similarity {
     * the pairwise work. Recall is tuned by `nPlanes` (fewer planes → bigger
     * buckets → higher recall, more work).
     */
-  /** Sign-pattern bucket key for one hash table: `nPlanes` deterministic
-    * random hyperplanes (seeded Gaussian components per (table, plane) —
-    * reproducible across runs, and PROPERLY uniform directions: an earlier
-    * sin-of-linear-index scheme produced phase-shifted copies of one wave,
-    * i.e. highly correlated planes, which collapsed pair recall to ~0.4
-    * where independent planes give ~0.9). Projections use the native dot
-    * expression; plane literals constant-fold into the plan.
+  /** Integer components of hyperplane (table, plane): uniform in
+    * [-1000, 1000] from a seeded java.util.Random per plane. Independent
+    * seeds per plane matter (an earlier sin-of-linear-index scheme produced
+    * phase-shifted copies of one wave — correlated planes collapsed pair
+    * recall to ~0.4 where independent planes give ~0.9); uniform-cube
+    * directions are as good as Gaussian for sign-LSH at dim 64 (recall
+    * measured in the spec suite). INTEGER components are load-bearing for
+    * the oracle: they are exactly representable as FLOAT (Spark literal)
+    * and DOUBLE (SQL literal), so a DuckDB oracle embedding these constants
+    * reproduces every projection — and therefore every bucket and candidate
+    * pair — bit-identically (the sequential-double dot contract of
+    * `DotProductFloat`). Exposed so oracle SQL generators embed the SAME
+    * values, like `Text.minhashPermConsts`.
     */
-  private def tableBucket(vec: Column, nPlanes: Int, dim: Int, table: Int): Column =
+  def lshPlaneConsts(table: Int, plane: Int, dim: Int): Array[Int] = {
+    val rng = new scala.util.Random(table.toLong * 104729L + plane.toLong * 7919L + 29L)
+    Array.fill(dim)(rng.nextInt(2001) - 1000)
+  }
+
+  /** Sign-pattern bucket key for one hash table: `nPlanes` deterministic
+    * hyperplanes (`lshPlaneConsts`). Projections use the native dot
+    * expression; plane literals constant-fold into the plan. `nPlanes` must
+    * stay below 32 so the per-plane bits never collide with the
+    * `table << 32` tag that disambiguates tables in `multiTableBuckets`.
+    */
+  private def tableBucket(vec: Column, nPlanes: Int, dim: Int, table: Int): Column = {
+    require(nPlanes >= 1 && nPlanes < 32, s"nPlanes must be in [1, 31], got $nPlanes")
     (0 until nPlanes).map { p =>
-      val rng = new scala.util.Random(table.toLong * 104729L + p.toLong * 7919L + 17L)
-      val plane = array((0 until dim).map(_ => lit(rng.nextGaussian().toFloat)): _*)
+      val plane = array(lshPlaneConsts(table, p, dim).map(c => lit(c.toFloat)).toSeq: _*)
       when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b)) + lit(table.toLong << 32)
+  }
 
   def hyperplaneBucket(df: DataFrame, vec: String, nPlanes: Int, dim: Int,
                        table: Int = 0): DataFrame =
@@ -142,12 +205,30 @@ object Similarity {
   /** Bucket keys across `nTables` independent hash tables — the standard
     * multi-table LSH construction: a pair is a candidate if it collides in
     * ANY table, so recall is 1-(1-p^k)^L while per-bucket work stays
-    * bounded. ONE pass over the corpus computes all nTables x nPlanes
-    * projections, then explodes to one row per (row, table) with a
-    * table-disambiguated bucket key.
+    * bounded. ONE native expression computes all nTables x nPlanes
+    * projections per row (tight codegen loop over a reference-object plane
+    * matrix — the Column form below bloated the plan to thousands of
+    * literal nodes and re-optimization dominated the sketch), then explodes
+    * to one row per (row, table) with a table-disambiguated bucket key.
     */
   def multiTableBuckets(df: DataFrame, vec: String, nPlanes: Int, nTables: Int,
-                        dim: Int): DataFrame =
+                        dim: Int): DataFrame = {
+    val planes: Seq[Float] = for {
+      t <- 0 until nTables; p <- 0 until nPlanes
+      c <- lshPlaneConsts(t, p, dim)
+    } yield c.toFloat
+    df.withColumn("bucket", explode(
+      org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.graft.LshBucketsExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(col(vec)),
+          planes, nPlanes, nTables, dim))))
+  }
+
+  /** Built-ins-only multi-table buckets — cross-check twin of
+    * `multiTableBuckets`; the spec suite asserts bit-equality.
+    */
+  def multiTableBucketsHof(df: DataFrame, vec: String, nPlanes: Int, nTables: Int,
+                           dim: Int): DataFrame =
     df.withColumn("bucket", explode(array(
       (0 until nTables).map(t => tableBucket(col(vec), nPlanes, dim, t)): _*)))
 
@@ -161,8 +242,10 @@ object Similarity {
     * union (recall 1-(1-p^k)^L) and measured in the spec suite.
     */
   def autoPlanes(corpusN: Long, targetBucket: Long = 256L, minPlanes: Int = 4): Int =
-    math.max(minPlanes, math.ceil(
-      math.log(math.max(1.0, corpusN.toDouble / targetBucket)) / math.log(2.0)).toInt)
+    // upper clamp 31: bits above 31 would collide with the `table << 32`
+    // tag in tableBucket (31 planes already means 2^31 buckets — ample)
+    math.min(31, math.max(minPlanes, math.ceil(
+      math.log(math.max(1.0, corpusN.toDouble / targetBucket)) / math.log(2.0)).toInt))
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer (deterministic
     * seed) partitions the corpus into cells; queries probe their `nProbe`

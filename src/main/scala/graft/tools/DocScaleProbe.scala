@@ -38,10 +38,18 @@ object DocScaleProbe {
         col("lang"), col("source"),
         col("n_chars"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // Embeddings replicate with a per-replica coordinate ROTATION (circular
+    // shift by rep): a permutation preserves norms and within-replica inner
+    // products exactly — each replica keeps the corpus's near-dup pair
+    // structure, so true pairs grow linearly — while cross-replica cosines
+    // decorrelate (shifted axes ≈ random direction), so the dup-pair output
+    // doesn't blow up quadratically the way identical copies would.
     val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
     embs.crossJoin(spark.range(factor).toDF("rep"))
       .repartition(cpus.toInt)
-      .select((col("vec_id") * factor + col("rep")).as("vec_id"), col("embedding"))
+      .select((col("vec_id") * factor + col("rep")).as("vec_id"),
+        expr("transform(sequence(0, 63), i -> embedding[int((i + rep) % 64)])")
+          .cast("array<float>").as("embedding"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val n = spark.read.parquet(s"$out/documents.parquet").count()
@@ -63,6 +71,10 @@ object DocScaleProbe {
     time("q_token_count") { q("q_token_count")(spark, out).count() }
     time("q_knn_lsh") { q("q_knn_lsh")(spark, out).count() }
     time("q_knn_ivf") { q("q_knn_ivf")(spark, out).count() }
+    // dup-pair crossover: the exact quadratic vs the LSH scale path on the
+    // SAME replicated corpus (LSH should win past ~10k vectors)
+    time("q_embed_dup") { q("q_embed_dup")(spark, out).count() }
+    time("q_embed_dup_lsh") { q("q_embed_dup_lsh")(spark, out).count() }
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     spark.stop()

@@ -85,10 +85,12 @@ object SimhashExpr {
 }
 
 /** MinHash signature of a token-hash array: element i of the result is
-  * min over tokens of (a_i * h + b_i) mod p — the classic Broder
-  * permutation family. Matches the HOF form exactly, including the
-  * empty-input case (all-null signature elements). Token hashes must be
-  * non-null and < p (polyHash/murmur-low-bits both satisfy this).
+  * min over tokens of (a_i * h + b_i) floorMod p — the classic Broder
+  * permutation family. Matches the HOF form (which uses pmod) exactly for
+  * ANY token hash sign — including the default murmur hash, whose low word
+  * is negative for ~half of inputs — and the empty-input case (all-null
+  * signature elements). Token hashes must be non-null and |a*h+b| must not
+  * overflow: polyHash < 1e9+7 and murmur-int both keep a*h < 2^62.
   */
 case class MinhashSigExpr(child: Expression, abs: Seq[(Long, Long)], p: Long)
     extends UnaryExpression with ExpectsInputTypes {
@@ -116,7 +118,10 @@ case class MinhashSigExpr(child: Expression, abs: Seq[(Long, Long)], p: Long)
       val h = hs.getLong(i)
       var j = 0
       while (j < k) {
-        val v = (as(j) * h + bs(j)) % p
+        // floorMod, not %: the HOF twin uses pmod, and the default murmur
+        // token hash is a signed int (~half negative) — Java's signed %
+        // would silently diverge from the documented bit-equality contract
+        val v = java.lang.Math.floorMod(as(j) * h + bs(j), p)
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -145,7 +150,7 @@ case class MinhashSigExpr(child: Expression, abs: Seq[(Long, Long)], p: Long)
          |  for (int $i = 0; $i < $n; $i++) {
          |    long $h = $hs.getLong($i);
          |    for (int $j = 0; $j < $k; $j++) {
-         |      long $v = ($aRef[$j] * $h + $bRef[$j]) % ${p}L;
+         |      long $v = java.lang.Math.floorMod($aRef[$j] * $h + $bRef[$j], ${p}L);
          |      if ($v < $mins[$j]) $mins[$j] = $v;
          |    }
          |  }
@@ -161,4 +166,101 @@ case class MinhashSigExpr(child: Expression, abs: Seq[(Long, Long)], p: Long)
 object MinhashSigExpr {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[MinhashSigExpr].getName, "graft_minhash_sig")
+}
+
+/** All `nTables` sign-LSH bucket keys of a float-vector in ONE pass:
+  * element t of the result is the bucket for hash table t —
+  * `(t << 32) | bits`, bit p set iff `dot(vec, plane(t, p)) >= 0` with the
+  * same sequential-double accumulation as `DotProductFloat` (so a DuckDB
+  * oracle embedding the same integer plane constants reproduces every
+  * bucket bit-identically). `planes` is the [table][plane][dim]-flattened
+  * component matrix.
+  *
+  * Exists because the built-ins form (nTables x nPlanes `dot` calls over
+  * 64-literal arrays, ORed and exploded) bloats the plan to thousands of
+  * nodes — Catalyst re-optimization per action cost more than the sketch
+  * itself, and the generator expression fell out of codegen. This is the
+  * same arithmetic as one tight loop over a reference-object matrix; the
+  * spec suite asserts bit-equality against the Column twin
+  * (`Similarity.multiTableBucketsHof`).
+  */
+case class LshBucketsExpr(child: Expression, planes: Seq[Float],
+                          nPlanes: Int, nTables: Int, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nPlanes >= 1 && nPlanes < 32, s"nPlanes must be in [1, 31], got $nPlanes")
+  require(planes.length == nTables * nPlanes * dim,
+    s"planes length ${planes.length} != $nTables*$nPlanes*$dim")
+  // planes is a Seq (not Array) so case-class equality — and plan
+  // canonicalization / cache matching — compares contents, not references
+
+  override def nullIntolerant: Boolean = true
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(org.apache.spark.sql.types.FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  @transient private lazy val pl: Array[Float] = planes.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(vec.numElements(), dim)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bits = t.toLong << 32
+      var p = 0
+      while (p < nPlanes) {
+        val off = (t * nPlanes + p) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          s += vec.getFloat(i).toDouble * pl(off + i).toDouble
+          i += 1
+        }
+        if (s >= 0) bits |= (1L << p)
+        p += 1
+      }
+      out(t) = bits
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val plRef = ctx.addReferenceObj("lshPlanes", pl, "float[]")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      val bits = ctx.freshName("bits")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($vec.numElements(), $dim);
+         |long[] $out = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bits = ((long) $t) << 32;
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
+         |    int $off = ($t * $nPlanes + $p) * $dim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += ((double) $vec.getFloat($i)) * ((double) $plRef[$off + $i]);
+         |    }
+         |    if ($s >= 0) $bits |= (1L << $p);
+         |  }
+         |  $out[$t] = $bits;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketsExpr =
+    copy(child = newChild)
+}
+
+object LshBucketsExpr {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[LshBucketsExpr].getName, "graft_lsh_buckets")
 }

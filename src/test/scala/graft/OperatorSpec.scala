@@ -335,11 +335,23 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     assert(prefix == naive, s"prefix filter lost/added pairs: ${prefix.diff(naive)} / ${naive.diff(fast)}")
   }
 
+  test("native LSH buckets expression is bit-identical to the Column twin") {
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+    val native = Similarity.multiTableBuckets(e, "embedding", 5, 4, 64)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toSeq.sorted
+    val hof = Similarity.multiTableBucketsHof(e, "embedding", 5, 4, 64)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toSeq.sorted
+    assert(native == hof)
+    assert(native.nonEmpty)
+  }
+
   test("LSH near-dup pairs: subset of exact with reasonable recall") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val exact = Similarity.cosineDupPairs(e, "vec_id", "embedding", 0.4, 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.cosineDupPairsLsh(e, "vec_id", "embedding", 0.4, 3, 3, 12, 64)
+    // autoPlanes(500, 32) = 4 — same parameterization as q_embed_dup_lsh
+    val lsh = Similarity.cosineDupPairsLsh(e, "vec_id", "embedding", 0.4, 3,
+      Similarity.autoPlanes(500L, targetBucket = 32), 12, 64)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact), "LSH pairs must be exact-verified")
     assert(exact.nonEmpty)
