@@ -299,17 +299,29 @@ object QueriesText {
     * "training-set cleaning" shape; survivors counted per source.
     */
   private def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    // ONE spread corpus materialization feeds all three tiers (exact-key
+    // pass, shingle/PTJ pass, final anti-join) — r3 paid three separate
+    // scan+decode passes plus jaccardPairs' internal re-shuffle. The
+    // checkpoint is within the operator family's existing working-set
+    // budget: PTJ already materializes the (larger) exploded-shingle
+    // relation the same way.
+    val par = s.sparkContext.defaultParallelism
+    val d = docs(s, dir).repartition(par).localCheckpoint()
     val exactDrop = Text.exactDupGroups(d, "doc_id",
         concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
       .select(explode(col("members")).as("doc_id"), col("keeper"))
       .where(col("doc_id") =!= col("keeper"))
       .select("doc_id")
-    val nearDrop = Text.jaccardPairs(d, "doc_id", Text.shingles(col("text"), 2), 0.8)
+    val nearDrop = Text.jaccardPairs(d, "doc_id", Text.shingles(col("text"), 2), 0.8,
+        assumeSpread = true)
       .select(col("doc_b").as("doc_id"))
     // one combined drop list → a single anti-join pass over documents
-    // instead of two (the drop list is tiny relative to the corpus)
-    d.join(exactDrop.union(nearDrop).distinct(), Seq("doc_id"), "left_anti")
+    // instead of two. No distinct() — anti-join semantics tolerate
+    // duplicate keys, so deduping the list would only add an exchange.
+    // The drop list is tiny relative to the corpus (bounded by the dup
+    // rate): broadcast it so the corpus side never shuffles; a corpus
+    // whose drop list outgrows broadcast wants Skew.bloomAntiJoin instead.
+    d.join(broadcast(exactDrop.union(nearDrop)), Seq("doc_id"), "left_anti")
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
   }

@@ -145,12 +145,16 @@ object Text {
     * is a correctness net, not a work path.
     */
   def jaccardPairs(df: DataFrame, id: String, shingleCol: Column,
-                   minJaccard: Double): DataFrame = {
+                   minJaccard: Double, assumeSpread: Boolean = false): DataFrame = {
     val t = minJaccard
     val par = df.sparkSession.sparkContext.defaultParallelism
     // Spread the input BEFORE evaluating the shingle expression (a
     // single-split scan would shingle every doc on one core); persist the
     // per-doc sets — they feed segment generation AND both verify sides.
+    // `assumeSpread` skips the repartition when the caller already
+    // materialized a spread corpus (the composed dedup pipeline shares one
+    // checkpointed base across its tiers — re-shuffling it would be a
+    // pure-overhead exchange).
     // FLAT exploded (doc, shingle, hash64) rows — everything downstream is
     // codegen'd relational ops over these. No array<string> columns survive
     // past this point: columnar-caching / deserializing array payloads
@@ -161,7 +165,7 @@ object Text {
     // FOUR consumers need sh (lmax, segments, both verify sides), but the
     // columnar SQL cache measured slower to re-read than recomputing, while
     // checkpointed rows scan at full speed. Eager: one job, run here.
-    val sh = df.repartition(par)
+    val sh = (if (assumeSpread) df else df.repartition(par))
       .select(col(id).as("doc"), explode(array_distinct(shingleCol)).as("sh"))
       .withColumn("_h", hash(col("sh")).cast("long"))
       .localCheckpoint()
