@@ -480,6 +480,52 @@ object Queries {
         expr("asof_ats div 1000000000").as("alert_day_s"))
   }
 
+  /** §2.16e METAR pressure-altitude correction — the reference's flagship
+    * use of the as-of METAR lookup (flight.go:276 ComputeIndicatedAltitudes,
+    * track.go:231 AdjustAltitudes): each track point's pressure altitude is
+    * corrected by the most recent altimeter setting,
+    * `indicated = pressure_alt + (inHg - 29.9213) * 1000` (the standard
+    * ~1000 ft/inHg sea-level approximation; 29.9213 is the reference's
+    * metar.go:10 StandardPressureInHg), falling back to the uncorrected
+    * altitude when no METAR precedes the point (track.go:247).
+    *
+    * The "METAR archive" is derived from events as an hourly per-user
+    * series (hour-bucketed min value → a 4-decimal inHg around standard
+    * pressure); `value * 100` plays the pressure altitude. The lookup runs
+    * through the custom Catalyst as-of operator (one co-partitioned
+    * exchange per side, streaming merge); the oracle uses DuckDB's native
+    * ASOF LEFT JOIN — nulls (points before any METAR) keep the fallback.
+    */
+  private def qIndicatedAlt(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // min(value) is an exact pick (no sum/avg halfway risk); arithmetic on
+    // it is identical double ops on both engines
+    val metar = ev
+      .groupBy(col("user_id"), expr(s"(ts div $HourNs) * $HourNs").as("hts"))
+      .agg(round(lit(29.9213) + (min("value") - 50.0) / 100.0, 4).as("inhg"))
+    org.apache.spark.sql.graft.AsOfJoin.join(ev, metar, "user_id", "ts", "hts",
+        Seq("inhg"))
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100.0, 1).as("press_alt"),
+        col("asof_inhg").as("inhg"),
+        when(col("asof_inhg").isNull, round(col("value") * 100.0, 1))
+          .otherwise(round(col("value") * 100.0
+            + (col("asof_inhg") - 29.9213) * 1000.0, 1)).as("indicated_alt"))
+  }
+
+  private val oIndicatedAlt = """
+    WITH metar AS (
+      SELECT user_id, (epoch_ns(ts) // 3600000000000) * 3600000000000 AS hts,
+             round(29.9213 + (min(value) - 50.0) / 100.0, 4) AS inhg
+      FROM events GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id,
+           round(e.value * 100.0, 1) AS press_alt, m.inhg,
+           CASE WHEN m.inhg IS NULL THEN round(e.value * 100.0, 1)
+                ELSE round(e.value * 100.0 + (m.inhg - 29.9213) * 1000.0, 1)
+           END AS indicated_alt
+    FROM events e ASOF LEFT JOIN metar m
+      ON e.user_id = m.user_id AND epoch_ns(e.ts) >= m.hts"""
+
   /** §2.8b Preferred-source track selection (flight.go:173 PreferredTrack:
     * first source in a priority list the flight actually has — ADSB > MLAT
     * > FOIA in the reference; click > view > signup here). Per key: rank
@@ -560,6 +606,7 @@ object Queries {
     GraftQuery("q_asof_join", qAsofJoin, Some(oAsofJoin), headline = true),
     GraftQuery("q_asof_table", qAsofTable, Some(oAsofTable), headline = true),
     GraftQuery("q_asof_native", qAsofNative, Some(oAsofTable), headline = true),
+    GraftQuery("q_indicated_alt", qIndicatedAlt, Some(oIndicatedAlt)),
     GraftQuery("q_interval_overlap", qIntervalOverlap, Some(oIntervalOverlap), headline = true),
     GraftQuery("q_level_flight", qLevelFlight, Some(oLevelFlight)),
     GraftQuery("q_sanity_filter", qSanityFilter, Some(oSanityFilter))

@@ -272,7 +272,15 @@ object Text {
     // every shingle on one core), and persist the exploded shingle set: it
     // feeds the vocab ranking (whose range-sort adds a boundary-sampling
     // pass) AND the doc-ranks join — without the cache the shingling runs
-    // 3x per action.
+    // 3x per action. LIFECYCLE: both persists here are released when the
+    // returned DataFrame's first action completes would be ideal, but Spark
+    // has no "unpersist after next action" hook — so the caches are pinned
+    // to docRanks' materialization: docRanks is persisted eagerly via a
+    // count() below, after which sh can be dropped (docRanks carries
+    // everything downstream consumers need). docRanks itself stays cached
+    // for the caller's action and is released on session cache-clear
+    // (Verify/Bench clear between queries) — the one-persist residue is
+    // documented here rather than leaked silently.
     val sh = df.repartition(par)
       .select(col(id).as("doc"), explode(shingleCol).as("sh"))
       .persist()
@@ -296,6 +304,12 @@ object Text {
       .withColumn("prefix_len",
         (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int"))
       .persist()
+    // materialize docRanks now so the shingle-explosion cache can be
+    // released immediately — without this, repeated invocations in one
+    // session accumulate executor storage (sh is the big one: one row per
+    // (doc, shingle))
+    docRanks.count()
+    sh.unpersist()
     val prefix = docRanks
       .select(col("doc"), col("n_sh"),
         posexplode(slice(col("ranks"), lit(1), col("prefix_len"))))

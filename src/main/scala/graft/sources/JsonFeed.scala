@@ -67,4 +67,51 @@ object JsonFeed {
         col("f.enRoute.position.actualSpeed.surveillance.content").as("speed"))
       .where(col("lat").isNotNull && col("lon").isNotNull)
   }
+
+  /** fr24-style compact-array feed (reference: fr24/fr24.go:210
+    * ParseCurrentList; record layout documented at fr24.go:159-171): the
+    * envelope is `{"full_count":N,"version":V,"aircraft":[[...],[...]]}`
+    * where each aircraft is a 19-element HETEROGENEOUS array —
+    * [id, modeS, lat, lon, track, alt, speed, squawk, radar, equipType,
+    * registration, epoch, origin, destination, flightNumber, onGround,
+    * verticalSpeed, callsign, _] — strings and numbers mixed positionally.
+    *
+    * Spark form: `from_json` reads each aircraft as `array<string>` (the
+    * parser preserves any scalar token as its text), then positional
+    * `get()` + `try_cast` project the typed columns — both null-safe, so a
+    * short row, a swapped type, or outright garbage nulls out instead of
+    * failing the batch (same poison rule as the SWIM path). One scan, no
+    * UDFs, fully parallel over the raw-string table.
+    */
+  val fr24Envelope: StructType = StructType(Seq(
+    StructField("full_count", LongType),
+    StructField("version", LongType),
+    StructField("aircraft", ArrayType(ArrayType(StringType)))))
+
+  def parseFr24List(raw: DataFrame, jsonCol: String): DataFrame = {
+    val parsed = from_json(col(jsonCol), fr24Envelope)
+    def str(i: Int): Column = get(col("a"), lit(i))
+    def dbl(i: Int): Column = expr(s"try_cast(get(a, $i) AS DOUBLE)")
+    raw.select(explode(parsed.getField("aircraft")).as("a"))
+      .select(
+        str(0).as("fr_id"),
+        str(1).as("icao_id"),
+        dbl(2).as("lat"),
+        dbl(3).as("lon"),
+        dbl(4).as("track"),
+        dbl(5).as("alt"),
+        dbl(6).as("speed"),
+        str(7).as("squawk"),
+        str(8).as("radar"),
+        str(9).as("equip_type"),
+        str(10).as("registration"),
+        timestamp_seconds(expr("try_cast(get(a, 11) AS BIGINT)")).as("pos_time"),
+        str(12).as("origin"),
+        str(13).as("destination"),
+        str(14).as("flight_number"),
+        (dbl(15) =!= 0.0).as("on_ground"),
+        dbl(16).as("vertical_speed"),
+        str(17).as("callsign"))
+      .where(col("lat").isNotNull && col("lon").isNotNull)
+  }
 }

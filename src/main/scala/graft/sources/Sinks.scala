@@ -73,4 +73,24 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** Match-list CSV export (report/listmatches.go:27 ListReporter +
+    * report/csv.go OutputAsCSV): the "flights that matched the report's
+    * restrictions, one flat row per match/intersection, as a file a
+    * spreadsheet can open" path. Header row on, timestamps rendered as
+    * text (CSV has no types), deterministic column order = the caller's
+    * select order. `orderCols` sorts the output (the reference emits rows
+    * in report iteration order; a distributed sink needs an explicit sort
+    * to be reproducible) — pass the match keys. Coalesce to one file only
+    * when `singleFile` (the reference streams one HTTP response; at
+    * 100 TB leave many parts and let the object store concatenate).
+    */
+  def writeMatchListCsv(df: DataFrame, path: String, orderCols: Seq[String],
+                        singleFile: Boolean = false): Unit = {
+    val ordered = if (orderCols.nonEmpty) df.orderBy(orderCols.map(col): _*) else df
+    (if (singleFile) ordered.coalesce(1) else ordered)
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .csv(path)
+  }
 }

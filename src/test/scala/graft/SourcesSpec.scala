@@ -39,6 +39,22 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(good.count() == 2)
     assert(bad.count() == 1)
   }
+
+  test("match-list CSV sink dumps intersection rows with header, ordered") {
+    val out = Files.createTempDirectory("graft_matchcsv").toString + "/matches"
+    val matches = Queries.queries("q_geo_intersections")(spark, sfDir)
+    Sinks.writeMatchListCsv(matches, out, Seq("user_id", "entry_event"),
+      singleFile = true)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.columns.toSeq == matches.columns.toSeq) // header preserved order
+    assert(back.count() == matches.count())
+    // single part file + header row, like the reference's one-response CSV
+    val parts = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(parts.length == 1)
+    val first = scala.io.Source.fromFile(parts.head)
+    try assert(first.getLines().next() == matches.columns.mkString(","))
+    finally first.close()
+  }
 }
 
 class FoiaSpec extends AnyFunSuite with SparkFixture {
@@ -118,6 +134,29 @@ class JsonFeedSpec extends AnyFunSuite with SparkFixture {
       ("SWA1988", 123, 41.5, -122.5, 11000.0, 440.0),
       ("UAL12", 123, 37.6, -122.4, 11000.0, 440.0),
       ("AAL3", 123, 40.0, -100.0, 11000.0, 440.0)))
+  }
+
+  test("fr24 compact-array feed parses mixed records and drops poison") {
+    // the three record flavors from the reference's fr24.go:159-171 comment
+    val scheduled = """["7624382","AC7BF6",37.7370,-122.4019,195,6775,269,"3253","T-KSFO1","CRJ2","N903SW",1441900518,"SFO","BFL","UA5613",0,2176,"",0]"""
+    val unscheduled = """["7638091","A8A763",37.6081,-122.3855,197,74,7,"6337","T-MLAT2","B762","N657GT",1441940842,"","","",1,0,"",0]"""
+    val anon = """["7624195","",37.6762,-122.5215,275,4143,142,"3347","T-MLAT2","GLF4","",1441900519,"","","",0,2048,"GLF4",0]"""
+    val short = """["deadbeef","ABCDEF"]"""                   // truncated row
+    val swapped = """["x","y","not-a-lat",1.0,0,0,0,"","","","",0,"","","",0,0,"",0]"""
+    val feed =
+      s"""{"full_count":5,"version":4,"aircraft":[$scheduled,$unscheduled,$anon,$short,$swapped]}"""
+    val raw = Seq(feed, "not json", """{"aircraft": 7}""").toDF("payload")
+    val out = graft.sources.JsonFeed.parseFr24List(raw, "payload")
+    val rows = out.select("fr_id", "icao_id", "lat", "alt", "on_ground", "registration")
+      .as[(String, String, Double, Double, Boolean, String)].collect().toSet
+    assert(rows == Set(
+      ("7624382", "AC7BF6", 37.737, 6775.0, false, "N903SW"),
+      ("7638091", "A8A763", 37.6081, 74.0, true, "N657GT"),
+      ("7624195", "", 37.6762, 4143.0, false, "")))
+    // epoch lands as a real timestamp
+    val t = out.where(col("fr_id") === "7624382")
+      .select(col("pos_time").cast("long")).as[Long].head()
+    assert(t == 1441900518L)
   }
 }
 
