@@ -108,6 +108,11 @@ object Text {
     * exact set similarity joins", VLDB'15) — EXACT results at corpus scale
     * without the quadratic cross-join and without an inverted index:
     *
+    * 0. Bucket docs into geometric LENGTH CLASSES (ratio 1/t); a
+    *    qualifying pair's sizes are within factor 1/t, so it lives in
+    *    exactly one two-class group and each group sizes its own `p` from
+    *    the group-local lmax — one long doc can't degrade the short tail's
+    *    segment selectivity (see the inline length-class comment).
     * 1. Partition the shingle UNIVERSE into `p` parts by `hash(sh) mod p`.
     *    A doc's segment for part i = its (sorted) shingles hashing to i.
     * 2. If J(A,B) >= t then |A Δ B| <= (1-t)/(1+t) * (|A|+|B|) < p, so the
@@ -170,43 +175,102 @@ object Text {
       .withColumn("_h", hash(col("sh")).cast("long"))
       .localCheckpoint()
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    // p parts: |A Δ B| <= (1-t)/(1+t)*(|A|+|B|) <= (1-t)/(1+t)*2*lmax < p
-    val lmax = counts.agg(max("n_sh")).head.getAs[Any](0) match {
-      case null => 1L
-      case v: Long => v
-      case v: Int => v.toLong
+    // LENGTH CLASSES, engaged adaptively: p sized from a GLOBAL lmax lets
+    // one long doc inflate p for the whole short tail — segments degrade
+    // toward single-shingle sets and segment agreement toward "shares any
+    // shingle" (the inverted-index Σdf² blowup PTJ exists to avoid). The
+    // cure is geometric length classes with ratio 1/t:
+    // cls = floor(ln n / ln(1/t)). A qualifying pair has sizes within
+    // factor 1/t (J >= t forces |B| >= t|A|), so its classes differ by at
+    // most 1 — every pair lives in exactly the group g = min(cls_a, cls_b),
+    // where group g spans classes {g, g+1}. Each doc joins groups
+    // {cls-1, cls} (2x segment duplication) and each group gets its own p
+    // from the GROUP lmax: |A Δ B| <= (1-t)/(1+t)*2*lmax_g < p_g for every
+    // pair assigned to g.
+    //
+    // The 2x fan-out is pure overhead when lengths are benign (measured
+    // ~30% on the sf corpus, whose 12 dense occupied classes make every doc
+    // pay), so classes engage only when the tail is actually damaging:
+    // lmax > 4x median means the global p forces the median doc's segments
+    // ~4x too fine. Below that, one global group IS the class design (all
+    // bulk docs within a few classes) minus the duplication. Both paths are
+    // exact — the spec suite pins fast == naive on benign AND skewed
+    // corpora. The two driver-side scalars are an aggregate over the
+    // per-doc counts (tiny), same cost shape as r3's lmax head().
+    val (lmax, lmed) = {
+      val r = counts.agg(max("n_sh"), expr("percentile(n_sh, 0.5)")).head
+      (if (r.isNullAt(0)) 1L else r.getLong(0),
+        if (r.isNullAt(1)) 1.0 else r.getDouble(1))
     }
-    val p = (math.floor((1 - t) / (1 + t) * 2 * lmax) + 1).toInt.max(1)
+    val singleGroup = lmax.toDouble <= 4.0 * lmed
+    def pFor(l: Long): Int = (math.floor((1 - t) / (1 + t) * 2 * l) + 1).toInt.max(1)
+    // (grp, doc, n_sh, cls, p_g) memberships. Single-group mode: every doc
+    // in group 0 with the global p — the r3 shape. Class mode: a pair's
+    // group is min(cls_a, cls_b) — always some member doc's OWN class — so
+    // membership in cls-1 is kept only when that class is PRESENT (sparse
+    // class layouts skip the 2x).
+    val logInvT = math.log(1.0 / t)
+    val mem =
+      if (singleGroup)
+        counts.select(col("doc"), col("n_sh"), lit(0).as("cls"),
+          lit(0).as("grp"), lit(pFor(lmax)).as("p_g"))
+      else {
+        val withCls = counts.withColumn("cls",
+          floor(log(col("n_sh").cast("double")) / logInvT).cast("int"))
+        val clsPresent = withCls.select(col("cls").as("grp")).distinct()
+        val membership = withCls
+          .select(col("doc"), col("n_sh"), col("cls"),
+            explode(array(col("cls") - 1, col("cls"))).as("grp"))
+          .where(col("grp") >= 0)
+          .join(broadcast(clsPresent), Seq("grp"), "left_semi")
+        // per-group part count; the group list is tiny → broadcast
+        val pByGrp = membership.groupBy("grp").agg(max("n_sh").as("lmax_g"))
+          .withColumn("p_g",
+            (floor(lit((1 - t) / (1 + t)) * 2 * col("lmax_g")) + 1).cast("int"))
+          .select("grp", "p_g")
+        membership.join(broadcast(pByGrp), Seq("grp"))
+      }
     // Segment key = part-seeded polynomial fold over the SORTED murmur
-    // hashes (canonical order ⇒ equal sets get equal keys). Only NON-EMPTY
-    // segments are materialized and joined — empty-segment agreements are
-    // accounted for by the np-based bound below, never enumerated.
-    val segsNonEmpty = sh
-      .withColumn("part", pmod(col("_h"), lit(p)).cast("int"))
-      .groupBy("doc", "part")
+    // hashes (canonical order ⇒ equal sets get equal keys), computed per
+    // (group, doc). Only NON-EMPTY segments are materialized and joined —
+    // empty-segment agreements are accounted for by the np-based bound
+    // below, never enumerated. Shingle rows carry ONLY (grp, p_g) through
+    // the heavy segment groupBy; per-(grp, doc) metadata re-attaches
+    // afterwards from the small `mem` (in single-group mode the constants
+    // attach for free — no join).
+    val segsNonEmpty = (
+      if (singleGroup)
+        sh.withColumn("grp", lit(0)).withColumn("p_g", lit(pFor(lmax)))
+      else sh.join(mem.select("doc", "grp", "p_g"), Seq("doc")))
+      .withColumn("part", pmod(col("_h"), col("p_g")).cast("int"))
+      .groupBy("grp", "doc", "part")
       .agg(polyFold(sort_array(collect_list(col("_h"))),
         col("part").cast("long")).as("seg"))
-    val npDf = segsNonEmpty.groupBy("doc").agg(count(lit(1)).as("np"))
-    val docMeta = counts.join(npDf, Seq("doc")) // (doc, n_sh, np)
-    val segs = segsNonEmpty.join(docMeta, Seq("doc"))
+    val npDf = segsNonEmpty.groupBy("grp", "doc").agg(count(lit(1)).as("np"))
+    val docMeta = mem.select("grp", "doc", "n_sh", "cls")
+      .join(npDf, Seq("grp", "doc")) // (grp, doc, n_sh, cls, np)
+    val segs = segsNonEmpty.select("grp", "doc", "part", "seg")
+      .join(docMeta, Seq("grp", "doc"))
       // round-robin spread: the tiny upstream exchanges get AQE-coalesced
       // to ~1 partition and every join below is a broadcast (adds no
       // exchange), so without this the self-join + match-count aggregation
       // would run serially
       .repartition(par)
-      .select("doc", "n_sh", "np", "part", "seg")
-    // A qualifying pair agrees on >= p - D(|A|,|B|) segments total; at most
-    // p - max(np_a, np_b) of those can be both-empty, so it agrees on
-    // >= max(np_a, np_b) - D NON-EMPTY segments. Counting matching parts
+    // A qualifying pair agrees on >= p_g - D(|A|,|B|) segments total; at
+    // most p_g - max(np_a, np_b) of those can be both-empty, so it agrees
+    // on >= max(np_a, np_b) - D NON-EMPTY segments. Counting matching parts
     // per pair and applying that bound keeps candidate verification
     // proportional to the TRUE pair count (measured here: 145k one-segment
     // candidates -> ~300 surviving the match-count bound for 256 true
-    // pairs).
+    // pairs). The min-class rule assigns each pair to ONE group, so the
+    // match-count grouping needs no grp key and no cross-group dedup.
     val dBound = floor(lit((1 - t) / (1 + t)) * (col("n_a") + col("n_b")))
-    val candMain = segs.toDF("doc_a", "n_a", "np_a", "part", "seg")
-      .join(segs.toDF("doc_b", "n_b", "np_b", "part", "seg"), Seq("part", "seg"))
+    val sa = segs.toDF("grp", "doc_a", "part", "seg", "n_a", "cls_a", "np_a")
+    val sb = segs.toDF("grp", "doc_b", "part", "seg", "n_b", "cls_b", "np_b")
+    val candMain = sa.join(sb, Seq("grp", "part", "seg"))
       .where(col("doc_a") < col("doc_b") &&
-        col("n_a") >= col("n_b") * t && col("n_b") >= col("n_a") * t)
+        col("n_a") >= col("n_b") * t && col("n_b") >= col("n_a") * t &&
+        col("grp") === least(col("cls_a"), col("cls_b")))
       .groupBy("doc_a", "doc_b", "n_a", "n_b", "np_a", "np_b")
       .agg(count(lit(1)).as("_nmatch"))
       .where(col("_nmatch") >= greatest(col("np_a"), col("np_b")) - dBound)
@@ -214,18 +278,18 @@ object Text {
     // Fallback net: a qualifying pair with ZERO non-empty agreements needs
     // both np_a <= D and np_b <= D; since D <= floor(n*(1-t)/t) for every
     // admissible partner of a doc of size n, only docs with np under that
-    // per-doc ceiling can participate. Pair them exactly (tiny or empty set
-    // — requires ~t/(1-t)-fold hash concentration of a doc's shingles).
+    // per-doc ceiling can participate. Pair them exactly within their
+    // assigned group (tiny or empty set — requires ~t/(1-t)-fold hash
+    // concentration of a doc's shingles).
     val fDocs = docMeta
       .where(col("np") <= floor(col("n_sh") * lit((1 - t) / t)))
-    val candFb = fDocs.select(col("doc").as("doc_a"), col("n_sh").as("n_a"),
-        col("np").as("np_a"))
-      .join(fDocs.select(col("doc").as("doc_b"), col("n_sh").as("n_b"),
-        col("np").as("np_b")),
-        col("doc_a") < col("doc_b") &&
-          col("n_a") >= col("n_b") * t && col("n_b") >= col("n_a") * t &&
-          greatest(col("np_a"), col("np_b")) <= floor(
-            lit((1 - t) / (1 + t)) * (col("n_a") + col("n_b"))))
+    val candFb = fDocs.toDF("grp", "doc_a", "n_a", "cls_a", "np_a")
+      .join(fDocs.toDF("grp", "doc_b", "n_b", "cls_b", "np_b"), Seq("grp"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("n_a") >= col("n_b") * t && col("n_b") >= col("n_a") * t &&
+        col("grp") === least(col("cls_a"), col("cls_b")) &&
+        greatest(col("np_a"), col("np_b")) <= floor(
+          lit((1 - t) / (1 + t)) * (col("n_a") + col("n_b"))))
       .select("doc_a", "doc_b", "n_a", "n_b")
     val cand = candMain.union(candFb).distinct()
     // Counting verification: |A ∩ B| = rows surviving the two equi-joins

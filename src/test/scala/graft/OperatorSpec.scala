@@ -335,6 +335,38 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     assert(prefix == naive, s"prefix filter lost/added pairs: ${prefix.diff(naive)} / ${naive.diff(fast)}")
   }
 
+  test("jaccardPairs matches naive quadratic on a length-SKEWED corpus") {
+    // 3 giant docs next to a short tail: with a single global p the long
+    // docs inflate the partition count for every short doc; the length-
+    // class grouping must keep results exact regardless
+    val rnd = new scala.util.Random(7)
+    def words(n: Int, vocab: Int, off: Int): String =
+      Seq.fill(n)(s"w${off + rnd.nextInt(vocab)}").mkString(" ")
+    val shortDocs = (0 until 120).map { i =>
+      val base = words(12, 30, 0)
+      // plant near-dups: every 4th short doc is a 1-word edit of the previous
+      (i.toLong, if (i % 4 == 1) base else words(12, 30, 0))
+    }
+    val longDocs = (0 until 3).map { i =>
+      (1000L + i, words(1500, 400, 1000)) }
+    val editedLong = Seq((2000L, longDocs.head._2 + " extraword"))
+    val docs = (shortDocs ++ longDocs ++ editedLong).toDF("doc_id", "text")
+      .withColumn("sh", Text.shingles(col("text"), 2))
+    val fast = Text.jaccardPairs(docs, "doc_id", col("sh"), 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val d = docs.select(col("doc_id"), col("sh"))
+    val naive = d.toDF("doc_a", "sh_a").crossJoin(d.toDF("doc_b", "sh_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("j", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("j") >= 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "skewed corpus must contain true pairs")
+    assert(naive.exists(_._2 == 2000L), "must include a long-doc pair")
+    assert(fast == naive,
+      s"length-class PTJ lost/added pairs: ${naive.diff(fast)} / ${fast.diff(naive)}")
+  }
+
   test("native LSH buckets expression is bit-identical to the Column twin") {
     val e = Tables.embeddings(spark, sfDir).limit(200)
     val native = Similarity.multiTableBuckets(e, "embedding", 5, 4, 64)
