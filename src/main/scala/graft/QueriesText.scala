@@ -379,14 +379,52 @@ object QueriesText {
   /** §2.44 LSH-bucketed ANN (auto-scaled hyperplanes x 8 tables): exact
     * ranking inside the union of the query's buckets — the 100 TB path.
     * Plane count scales with log2(corpus) so bucket sizes (and per-query
-    * work) stay bounded as the corpus grows. Rows-only (bucketing isn't
-    * ANSI SQL); recall vs brute force measured in the spec suite.
+    * work) stay bounded as the corpus grows. Fully oracle-checked since the
+    * planes moved to integer cross-engine constants: DuckDB rebuilds the
+    * buckets, candidate set and exact ranking (same construction as
+    * oEmbedDupLsh + oKnnBrute); recall vs brute force is additionally
+    * measured in the spec suite.
     */
   private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val planes = Similarity.autoPlanes(e.count()) // count is parquet metadata
+    val n = e.count() // parquet metadata count
     Similarity.knnLsh(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
-      5, planes, 8, 64, 3)
+      5, Similarity.autoPlanes(n), 8, 64, 3, corpusN = n)
+  }
+
+  /** Oracle for q_knn_lsh: hyperplane buckets from the SAME integer plane
+    * constants (sequential-double dot, as in oEmbedDupLsh), collide-in-any-
+    * table candidates for the vec_id<10 query set, then exact cosine
+    * ranking with the same (cos desc, n_id asc) order as oKnnBrute. Plane
+    * count pinned to the 500-vector verify corpus: autoPlanes(500) = 4.
+    */
+  private val oKnnLsh: String = {
+    val nPlanes = Similarity.autoPlanes(500L)
+    val nTables = 8
+    val rows = for { t <- 0 until nTables; p <- 0 until nPlanes } yield
+      s"($t, ${1L << p}, ${Similarity.lshPlaneConsts(t, p, 64).mkString("[", ", ", "]")})"
+    s"""
+    WITH pl(tbl, pbit, comps) AS (VALUES
+      ${rows.mkString(",\n      ")}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+      SELECT e.vec_id, pl.tbl,
+             sum(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [e.v[i] * pl.comps[i] for i in range(1, 65)]),
+                   (acc, x) -> acc + x) >= 0 THEN pl.pbit ELSE 0 END) AS bkt
+      FROM e CROSS JOIN pl
+      GROUP BY e.vec_id, pl.tbl),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+      FROM b q JOIN b n ON q.tbl = n.tbl AND q.bkt = n.bkt
+      WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id),
+    r AS (
+      SELECT c.q_id, c.n_id,
+             list_cosine_similarity(x.v, y.v) AS craw,
+             row_number() OVER (PARTITION BY c.q_id ORDER BY
+               list_cosine_similarity(x.v, y.v) DESC, c.n_id) AS rk
+      FROM cand c JOIN e x ON x.vec_id = c.q_id JOIN e y ON y.vec_id = c.n_id)
+    SELECT q_id, n_id, rk, round(craw, 3) + 0 AS cos FROM r WHERE rk <= 5"""
   }
 
   /** §2.44b IVF ANN (k-means coarse quantizer, 16 cells, probe 3):
@@ -520,7 +558,7 @@ object QueriesText {
     GraftQuery("q_embed_dup", qEmbedDup, Some(oEmbedDup)),
     GraftQuery("q_embed_dup_lsh", qEmbedDupLsh, Some(oEmbedDupLsh)),
     GraftQuery("q_knn_brute", qKnnBrute, Some(oKnnBrute), headline = true),
-    GraftQuery("q_knn_lsh", qKnnLsh, None),
+    GraftQuery("q_knn_lsh", qKnnLsh, Some(oKnnLsh)),
     GraftQuery("q_knn_ivf", qKnnIvf, None),
     GraftQuery("q_text_lang", qTextLang, Some(oTextLang)),
     GraftQuery("q_text_quality", qTextQuality, Some(oTextQuality)),

@@ -335,19 +335,33 @@ object Similarity {
 
   /** ANN via multi-table LSH: exact cosine ranking within the union of the
     * query's buckets. Same output shape as knnBrute; recall measured in the
-    * spec suite. Shuffle key is the bucket — corpus size never joins itself.
+    * spec suite. Shuffle key is the bucket — corpus size never joins itself,
+    * and (same scale rule as `cosineDupPairsLsh`) the bucket join carries
+    * ONLY ids: candidates dedup as ~16-byte rows, then vectors re-attach by
+    * id — the query set broadcasts (it is small by contract), the corpus
+    * side broadcasts under `BroadcastRowCap` and shuffle-joins past it.
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-             k: Int, nPlanes: Int, nTables: Int, dim: Int, roundTo: Int): DataFrame = {
-    val c = multiTableBuckets(corpus, vec, nPlanes, nTables, dim)
-      .select(col(id).as("n_id"), col(vec).as("n_vec"), col("bucket"))
-    val q = multiTableBuckets(queries, vec, nPlanes, nTables, dim)
-      .select(col(id).as("q_id"), col(vec).as("q_vec"), col("bucket"))
+             k: Int, nPlanes: Int, nTables: Int, dim: Int, roundTo: Int,
+             corpusN: Long = -1L): DataFrame = {
+    val c = multiTableBuckets(
+        corpus.select(col(id).as("n_id"), col(vec).as("_v")), "_v",
+        nPlanes, nTables, dim)
+      .select(col("n_id"), col("bucket")) // vectors pruned from the shuffle
+    val q = multiTableBuckets(
+        queries.select(col(id).as("q_id"), col(vec).as("_v")), "_v",
+        nPlanes, nTables, dim)
+      .select(col("q_id"), col("bucket"))
     val cand = q.join(c, Seq("bucket")).where(col("q_id") =!= col("n_id"))
-      .select("q_id", "q_vec", "n_id", "n_vec")
+      .select("q_id", "n_id")
       .dropDuplicates("q_id", "n_id") // collided in >= 1 table
+    val qv = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
+    val cv = corpus.select(col(id).as("n_id"), col(vec).as("n_vec"))
+    val small = (if (corpusN >= 0) corpusN else corpus.count()) <= BroadcastRowCap
     val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
     cand
+      .join(broadcast(qv), Seq("q_id"))
+      .join(if (small) broadcast(cv) else cv, Seq("n_id"))
       .withColumn("_cos", cosine(col("q_vec"), col("n_vec")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
