@@ -427,13 +427,16 @@ object QueriesText {
     SELECT q_id, n_id, rk, round(craw, 3) + 0 AS cos FROM r WHERE rk <= 5"""
   }
 
-  /** §2.44b IVF ANN (k-means coarse quantizer, 16 cells, probe 3):
-    * rows-only; recall vs brute measured in the spec suite.
+  /** §2.44b IVF ANN (k-means coarse quantizer, √n cells via `autoCells`,
+    * probe ≈ cells/8 so the probed corpus fraction stays constant as the
+    * index sharpens): rows-only; recall vs brute measured in the spec
+    * suite. At the 500-vector verify corpus: 22 cells, probe 3.
     */
   private def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count()) // parquet metadata count
     Similarity.knnIvf(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
-      5, 16, 3, 3)
+      5, cells, math.max(3, cells / 8), 3)
   }
 
   // ---------------------------------------------------------------------------

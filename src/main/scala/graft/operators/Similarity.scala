@@ -247,6 +247,19 @@ object Similarity {
     math.min(31, math.max(minPlanes, math.ceil(
       math.log(math.max(1.0, corpusN.toDouble / targetBucket)) / math.log(2.0)).toInt))
 
+  /** IVF cell count: √n balances the two per-query cost terms (centroid
+    * scan ∝ nCells, in-cell ranking ∝ nProbe·n/nCells), the classic IVF
+    * sizing rule. Clamped above because the coarse quantizer trains on the
+    * DRIVER (Lloyd's over a bounded sample — `knnIvf`): per-iteration cost
+    * is sample(=64·cells)·cells·dim, so 512 cells ≈ 1e9 mults/iteration is
+    * the driver's comfortable ceiling. A corpus past the clamp (>260k
+    * vectors wants >512 cells) needs a distributed or two-level quantizer
+    * — documented boundary, same family as the IVF sample-training trade.
+    */
+  def autoCells(corpusN: Long, minCells: Int = 8, maxCells: Int = 512): Int =
+    math.min(maxCells,
+      math.max(minCells, math.round(math.sqrt(corpusN.toDouble)).toInt))
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer (deterministic
     * seed) partitions the corpus into cells; queries probe their `nProbe`
     * nearest cells and rank exactly inside them. The classic

@@ -416,6 +416,32 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     // query's neighborhood — true neighbors concentrate there.
     assert(recall >= 0.3, s"IVF recall@5 = $recall")
   }
+
+  test("autoCells follows sqrt(n) between its clamps") {
+    assert(Similarity.autoCells(1L) === 8)      // min clamp
+    assert(Similarity.autoCells(500L) === 22)   // round(sqrt(500))
+    assert(Similarity.autoCells(1000000L) === 512) // driver-training ceiling
+    // monotone non-decreasing across the clamp boundaries
+    val ns = Seq(1L, 64L, 500L, 5000L, 262144L, 1000000L, 1L << 40)
+    val cells = ns.map(Similarity.autoCells(_))
+    assert(cells === cells.sorted)
+  }
+
+  test("IVF ANN with autoCells/scaled probe keeps recall@5") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val n = e.count()
+    val cells = Similarity.autoCells(n) // 22 at the 500-vector test corpus
+    val ivf = Similarity.knnIvf(e, q, "vec_id", "embedding",
+        5, cells, math.max(3, cells / 8), 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    // sharper cells (22 vs 8) probe a smaller fraction; the query-biased
+    // probe still concentrates true neighbors.
+    assert(recall >= 0.3, s"auto-scaled IVF recall@5 = $recall")
+  }
 }
 
 class IdentitySpec extends AnyFunSuite with SparkFixture {
