@@ -515,8 +515,11 @@ object QueriesText {
     FROM documents"""
 
   /** §2.49b Multimodal decode plumbing in the catalog: documents as opaque
-    * blobs → batched (stub) decode → feature summary per mime. Typed
-    * Dataset + mapPartitions path; rows-only (stub decode isn't SQL).
+    * blobs → batched (stub) decode → feature summary per mime. The typed
+    * Dataset + mapPartitions path runs for real; the exposed aggregate
+    * (mime/shape passthrough + byte lengths) is deterministic, so DuckDB
+    * oracle-checks the plumbing end-to-end — the stub's feature vector is
+    * the declared non-SQL boundary and stays out of the output.
     */
   private def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -531,8 +534,19 @@ object QueriesText {
         round(avg("byte_len"), 2).as("avg_bytes"))
   }
 
+  /** Oracle for q_mm_features: the stub decoder passes mime through and
+    * fixes width=height=64; byte_len is the blob length — all of which
+    * DuckDB recomputes from octet_length.
+    */
+  private val oMmFeatures = """
+    SELECT 'application/octet-stream' AS mime, 64 AS width, 64 AS height,
+           count(*) AS n_media,
+           round(avg(octet_length(CAST(text AS BLOB))), 2) AS avg_bytes
+    FROM documents"""
+
   /** §2.49c Frame-sampling plumbing: every 2nd 64-byte chunk as a frame
-    * row; frames counted per doc. Rows-only.
+    * row; frames counted per doc. The per-doc aggregate is pure chunk
+    * arithmetic over the blob length, so it oracle-checks exactly.
     */
   private def qMmFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -546,13 +560,31 @@ object QueriesText {
         sum(octet_length(col("frame_bytes"))).as("frame_bytes_total"))
   }
 
+  /** Oracle for q_mm_frames: chunks of 64 bytes, indices 0,2,4,…; with
+    * nch = ceil(len/64) chunks, (nch+1)//2 are sampled. Sampled chunks are
+    * full 64 bytes except that when nch is ODD the final (possibly short)
+    * chunk — length len-64*(nch-1) — has an even index and is sampled.
+    * Empty blobs emit no rows on the Spark side (flatMap of zero chunks),
+    * hence the nch > 0 guard.
+    */
+  private val oMmFrames = """
+    WITH c AS (
+      SELECT doc_id AS id, octet_length(CAST(text AS BLOB)) AS len,
+             CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT) AS nch
+      FROM documents)
+    SELECT id, (nch + 1) // 2 AS n_frames,
+           CASE WHEN nch % 2 = 1
+                THEN 64 * ((nch + 1) // 2 - 1) + (len - 64 * (nch - 1))
+                ELSE 64 * ((nch + 1) // 2) END AS frame_bytes_total
+    FROM c WHERE nch > 0"""
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q_doc_dedup_exact", qDocDedupExact, Some(oDocDedupExact)),
     GraftQuery("q_dedup_pipeline", qDedupPipeline, Some(oDedupPipeline), headline = true),
-    GraftQuery("q_mm_features", qMmFeatures, None),
-    GraftQuery("q_mm_frames", qMmFrames, None),
+    GraftQuery("q_mm_features", qMmFeatures, Some(oMmFeatures)),
+    GraftQuery("q_mm_frames", qMmFrames, Some(oMmFrames)),
     GraftQuery("q_doc_ngram_jaccard", qDocNgramJaccard, Some(oDocNgramJaccard), headline = true),
     GraftQuery("q_doc_minhash_lsh", qDocMinhashLsh, Some(oDocMinhashLsh), headline = true),
     GraftQuery("q_doc_simhash", qDocSimhash, Some(oDocSimhash)),

@@ -339,7 +339,10 @@ object Similarity {
         .drop("_d", "_rn", "center")
     }
     val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
-    q.join(c, Seq("cell")).where(col("q_id") =!= col("n_id"))
+    // query probes broadcast (small by contract, like knnBrute's query set):
+    // without the hint the planner SMJs on cell and the whole corpus pays a
+    // second exchange beyond its assignment aggregate
+    broadcast(q).join(c, Seq("cell")).where(col("q_id") =!= col("n_id"))
       .withColumn("_cos", cosine(col("q_vec"), col("n_vec")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
