@@ -313,7 +313,67 @@ object Similarity {
     val centerDf = spark.createDataFrame(
       centers.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq.map(_.toFloat)) })
       .toDF("cell", "center")
+    knnIvfSearch(corpus, queries, id, vec, k, nProbe, roundTo, centerDf)
+  }
 
+  /** Distributed Lloyd's iterations — the documented path past `autoCells`'
+    * 512-cell driver-trainer ceiling. Every per-point operation is a Spark
+    * job (assignment: broadcast centers + min_by; update: per-dimension
+    * mean); the driver only ever holds the nCells x dim model between
+    * iterations, never the points. Cost per iteration: one shuffle of one
+    * row per training point (min_by partials aggregate map-side) plus one
+    * nCells x dim shuffle for the centroid update — so training is sized by
+    * `sampleFrac`, the standard IVF trade (quantizer quality saturates far
+    * below full-corpus training; the full corpus is only ever ASSIGNED,
+    * once, in the search).
+    */
+  def ivfCentroidsDistributed(corpus: DataFrame, vec: String, nCells: Int,
+                              iters: Int = 5, sampleFrac: Double = 1.0): DataFrame = {
+    val spark = corpus.sparkSession
+    // stable point ids + stable sample across iterations: checkpoint once
+    val pts = (if (sampleFrac < 1.0)
+        corpus.sample(withReplacement = false, sampleFrac, seed = 42)
+      else corpus)
+      .select(col(vec).as("_v"))
+      .withColumn("_pid", monotonically_increasing_id())
+      .localCheckpoint()
+    // init: nCells hash-spread rows (deterministic, order-independent) —
+    // the one nCells-sized collect; every later iteration collects the same
+    // bounded model, never points
+    var centers: Seq[(Int, Seq[Float])] = pts
+      .withColumn("_h", hash(col("_v")))
+      .orderBy("_h").limit(nCells)
+      .select("_v").collect()
+      .map(_.getSeq[Float](0)).zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    for (_ <- 0 until iters) {
+      val cdf = spark.createDataFrame(centers).toDF("cell", "center")
+      val assigned = pts.join(broadcast(cdf))
+        .withColumn("_d",
+          dot(col("_v"), col("_v")) - lit(2.0) * dot(col("_v"), col("center"))
+            + dot(col("center"), col("center")))
+        .groupBy("_pid")
+        .agg(first("_v").as("_v"),
+          min(struct(col("_d"), col("cell"))).getField("cell").as("cell"))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("_v")))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("center"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
+      // cells that captured no points keep their previous center stable
+      centers = centers.map { case (i, c) => (i, updated.getOrElse(i, c)) }
+    }
+    spark.createDataFrame(centers).toDF("cell", "center")
+  }
+
+  /** IVF search against a prebuilt (cell, center) model — `knnIvf` trains
+    * driver-side and delegates here; a distributed-trained model
+    * (`ivfCentroidsDistributed`) plugs in unchanged.
+    */
+  def knnIvfSearch(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                   k: Int, nProbe: Int, roundTo: Int, centerDf: DataFrame): DataFrame = {
     // assign every corpus vector to its nearest cell (argmin center dist);
     // centers are tiny → broadcast. The nProbe=1 corpus side uses min_by
     // (hash aggregate with map-side partials — no sort of the nCells x N

@@ -238,19 +238,27 @@ object Text {
     // the heavy segment groupBy; per-(grp, doc) metadata re-attaches
     // afterwards from the small `mem` (in single-group mode the constants
     // attach for free — no join).
+    // explicit-N repartition on the agg keys: the groupBy reuses the
+    // partitioning (no second exchange) and — unlike the implicit agg
+    // exchange — AQE won't coalesce it to ~1 partition on byte-size
+    // grounds; the collect_list/sort/polyFold work here is CPU-heavy per
+    // row, so a "small" exchange still must not serialize it (profiled:
+    // the coalesced form ran this agg 19.8 s single-task on the skewed
+    // 10x corpus)
     val segsNonEmpty = (
       if (singleGroup)
         sh.withColumn("grp", lit(0)).withColumn("p_g", lit(pFor(lmax)))
       else sh.join(mem.select("doc", "grp", "p_g"), Seq("doc")))
       .withColumn("part", pmod(col("_h"), col("p_g")).cast("int"))
+      .repartition(par, col("grp"), col("doc"), col("part"))
       .groupBy("grp", "doc", "part")
       .agg(polyFold(sort_array(collect_list(col("_h"))),
         col("part").cast("long")).as("seg"))
     val npDf = segsNonEmpty.groupBy("grp", "doc").agg(count(lit(1)).as("np"))
-    val docMeta = mem.select("grp", "doc", "n_sh", "cls")
-      .join(npDf, Seq("grp", "doc")) // (grp, doc, n_sh, cls, np)
+    val docMeta = mem.select("grp", "doc", "n_sh", "cls", "p_g")
+      .join(npDf, Seq("grp", "doc")) // (grp, doc, n_sh, cls, p_g, np)
     val segs = segsNonEmpty.select("grp", "doc", "part", "seg")
-      .join(docMeta, Seq("grp", "doc"))
+      .join(docMeta.drop("p_g"), Seq("grp", "doc"))
       // round-robin spread: the tiny upstream exchanges get AQE-coalesced
       // to ~1 partition and every join below is a broadcast (adds no
       // exchange), so without this the self-join + match-count aggregation
@@ -276,22 +284,58 @@ object Text {
       .where(col("_nmatch") >= greatest(col("np_a"), col("np_b")) - dBound)
       .select("doc_a", "doc_b", "n_a", "n_b")
     // Fallback net: a qualifying pair with ZERO non-empty agreements needs
-    // both np_a <= D and np_b <= D; since D <= floor(n*(1-t)/t) for every
+    // max(np_a, np_b) <= D; since D <= floor(n*(1-t)/t) for every
     // admissible partner of a doc of size n, only docs with np under that
-    // per-doc ceiling can participate. Pair them exactly within their
-    // assigned group (tiny or empty set — requires ~t/(1-t)-fold hash
-    // concentration of a doc's shingles).
+    // per-doc ceiling can participate — and a pair with EITHER doc above
+    // its ceiling has max(np) > D, so only both-in-fDocs pairs need a net.
     val fDocs = docMeta
       .where(col("np") <= floor(col("n_sh") * lit((1 - t) / t)))
-    val candFb = fDocs.toDF("grp", "doc_a", "n_a", "cls_a", "np_a")
-      .join(fDocs.toDF("grp", "doc_b", "n_b", "cls_b", "np_b"), Seq("grp"))
+    // fDocs is NOT guaranteed tiny: docs within ~(1+t)/2 of their group's
+    // lmax_g auto-qualify (p_g itself sits below their np ceiling), so a
+    // size-heavy top class — e.g. a replicated-giant corpus — lands its
+    // whole population here, and pairing it exactly is quadratic WITH
+    // wide-doc verification (measured 10x probe with 0.5% giant docs:
+    // 55 s vs 13 s benign; ~31k giant pairs x ~3k-shingle verify joins).
+    // So REFINE instead of pair: re-segment only fDocs' shingles with a
+    // finer p2_g = 2*p_g + 1. The match-count theorem holds for ANY part
+    // count — non-empty agreements >= max(np2) - D — and np2 grows with
+    // p2 while D stays fixed, so the bound that was vacuous at p_g
+    // (np ~ p_g - 1 ~ D) turns selective at 2x the parts. False giant
+    // pairs share ~no segments and die here; the exact pairwise join
+    // survives only as the residual net for docs whose np2 STILL sits
+    // under the ceiling (needs ~t/(1-t)-fold hash concentration twice —
+    // empty in every measured corpus).
+    val fSh = sh.join(fDocs.select("doc", "grp", "p_g"), Seq("doc"))
+    val segs2 = fSh
+      .withColumn("part", pmod(col("_h"), col("p_g") * 2 + 1).cast("int"))
+      // same serialization guard as segsNonEmpty's agg above
+      .repartition(par, col("grp"), col("doc"), col("part"))
+      .groupBy("grp", "doc", "part")
+      .agg(polyFold(sort_array(collect_list(col("_h"))),
+        col("part").cast("long")).as("seg"))
+    val np2Df = segs2.groupBy("grp", "doc").agg(count(lit(1)).as("np2"))
+    val fMeta = fDocs.select("grp", "doc", "n_sh", "cls").join(np2Df, Seq("grp", "doc"))
+    val fSegs = segs2.join(fMeta, Seq("grp", "doc")).repartition(par)
+    val fa = fSegs.toDF("grp", "doc_a", "part", "seg", "n_a", "cls_a", "np2_a")
+    val fb = fSegs.toDF("grp", "doc_b", "part", "seg", "n_b", "cls_b", "np2_b")
+    val candRefined = fa.join(fb, Seq("grp", "part", "seg"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("n_a") >= col("n_b") * t && col("n_b") >= col("n_a") * t &&
+        col("grp") === least(col("cls_a"), col("cls_b")))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b", "np2_a", "np2_b")
+      .agg(count(lit(1)).as("_nmatch"))
+      .where(col("_nmatch") >= greatest(col("np2_a"), col("np2_b")) - dBound)
+      .select("doc_a", "doc_b", "n_a", "n_b")
+    val fDocs2 = fMeta.where(col("np2") <= floor(col("n_sh") * lit((1 - t) / t)))
+    val candFb = fDocs2.toDF("grp", "doc_a", "n_a", "cls_a", "np2_a")
+      .join(fDocs2.toDF("grp", "doc_b", "n_b", "cls_b", "np2_b"), Seq("grp"))
       .where(col("doc_a") < col("doc_b") &&
         col("n_a") >= col("n_b") * t && col("n_b") >= col("n_a") * t &&
         col("grp") === least(col("cls_a"), col("cls_b")) &&
-        greatest(col("np_a"), col("np_b")) <= floor(
+        greatest(col("np2_a"), col("np2_b")) <= floor(
           lit((1 - t) / (1 + t)) * (col("n_a") + col("n_b"))))
       .select("doc_a", "doc_b", "n_a", "n_b")
-    val cand = candMain.union(candFb).distinct()
+    val cand = candMain.union(candRefined).union(candFb).distinct()
     // Counting verification: |A ∩ B| = rows surviving the two equi-joins
     // through the exploded table (exact string equality on the shingle, so
     // hash collisions cannot inflate the count). Requires t > 0: pairs with

@@ -10,11 +10,19 @@ import org.apache.spark.sql.functions._
   * and the dedup operators' scaling behavior (bucket sizes, empty-segment
   * skew, LSH band balance) is exercised honestly. Embeddings replicate with
   * shifted ids (same vectors: ANN throughput scales with corpus size).
-  * Usage: `sbt "runMain graft.tools.DocScaleProbe [factor]"`.
+  * Usage: `sbt "runMain graft.tools.DocScaleProbe [factor] [skew]"`.
+  *
+  * `skew` additionally inflates 0.5% of documents with ~3000 UNIQUE filler
+  * words each (unique per doc — no new cross-doc shingles), driving
+  * lmax >> 4x median so `jaccardPairs`' length-class path engages: the
+  * audit is that the giant class neither serializes (its segments hash-
+  * spread over (part, seg) like everyone else's) nor drags the short tail
+  * into its inflated match bound.
   */
 object DocScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
+    val skew = args.length > 1 && args(1) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +37,7 @@ object DocScaleProbe {
     val out = java.nio.file.Files.createTempDirectory("graft_docscale").toString
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
     val nDocs = docs.count()
-    docs.crossJoin(spark.range(factor).toDF("rep"))
+    val replicated = docs.crossJoin(spark.range(factor).toDF("rep"))
       .repartition(cpus.toInt * 2)
       .select(
         (col("doc_id") * factor + col("rep")).as("doc_id"),
@@ -37,6 +45,12 @@ object DocScaleProbe {
           w => concat(w, lit("_"), col("rep"))), " ").as("text"),
         col("lang"), col("source"),
         col("n_chars"))
+    (if (!skew) replicated else replicated.withColumn("text",
+      when(col("doc_id") % 200 === 0,
+        concat(col("text"), lit(" "), array_join(
+          transform(sequence(lit(1), lit(3000)),
+            i => concat(lit("zfill"), col("doc_id"), lit("x"), i)), " ")))
+        .otherwise(col("text"))))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     // Embeddings replicate with a per-replica coordinate ROTATION (circular
     // shift by rep): a permutation preserves norms and within-replica inner
@@ -76,7 +90,10 @@ object DocScaleProbe {
     time("q_embed_dup") { q("q_embed_dup")(spark, out).count() }
     time("q_embed_dup_lsh") { q("q_embed_dup_lsh")(spark, out).count() }
 
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    // keep the replicated corpus for follow-up profiling (ProfileJaccard
+    // et al.) when asked; default cleans up
+    if (!sys.env.contains("GRAFT_KEEP_DIR"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     spark.stop()
   }
 }
