@@ -14,7 +14,13 @@ final case class GraftQuery(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    // Oracle SQL that depends on the DATA (e.g. a trained-model export) or
+    // on data-derived parameters (corpus-sized LSH planes): generated at
+    // Verify-dump time with the session + sf dir, so the emitted SQL always
+    // matches the corpus the driver compares against. Static `oracle` wins
+    // when both are set.
+    oracleGen: Option[(SparkSession, String) => String] = None)
 
 /** The query catalog — SURVEY.md §2's inventory, one entry per line item. */
 object Queries {
@@ -617,4 +623,19 @@ object Queries {
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+
+  /** Static oracles plus the data-dependent generated ones — what Verify
+    * dumps to oracle_sql.json. A generator that throws degrades that query
+    * to the rows-only check instead of killing the dump.
+    */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    all.flatMap { q =>
+      q.oracle.orElse {
+        try q.oracleGen.map(_(spark, dir))
+        catch { case e: Throwable =>
+          System.err.println(s"[oracle-gen] ${q.name} failed: ${e.getMessage}")
+          None
+        }
+      }.map(o => q.name -> o.trim)
+    }.toMap
 }

@@ -15,6 +15,21 @@ object QueriesText {
   private def docsW(s: SparkSession, dir: String): DataFrame = Tables.documentsSpread(s, dir)
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
+  // Shared similarity-query parameters — the Spark queries AND their oracle
+  // generators read THESE (never re-pin a literal on one side: an oracle
+  // whose table/plane/dim count drifts from the query's fails the gate in a
+  // way that must be found by hand).
+  private val EmbDim = 64        // embeddings.embedding element count
+  private val KnnK = 5           // top-k for all ANN catalog queries
+  private val KnnRound = 3       // cosine rounding, both engines
+  private val KnnLshTables = 8   // q_knn_lsh hash tables
+  private val DupLshTables = 12  // q_embed_dup_lsh hash tables
+  private val DupLshBucket = 32  // q_embed_dup_lsh autoPlanes target bucket
+  /** q_knn_ivf probe count for a given cell count (~cells/8 keeps the probed
+    * corpus fraction constant as the index sharpens).
+    */
+  private def ivfProbes(cells: Int): Int = math.max(3, cells / 8)
+
   // ---------------------------------------------------------------------------
   // DuckDB fragments mirroring graft.operators.Text's cross-engine hashes.
   // Same arithmetic, same element order → bit-identical BIGINT results, so
@@ -247,24 +262,25 @@ object QueriesText {
   private def qEmbedDupLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val n = e.count() // parquet metadata count
-    Similarity.cosineDupPairsLsh(e, "vec_id", "embedding", 0.4, 3,
-      Similarity.autoPlanes(n, targetBucket = 32), 12, 64, corpusN = n)
+    Similarity.cosineDupPairsLsh(e, "vec_id", "embedding", 0.4, KnnRound,
+      Similarity.autoPlanes(n, targetBucket = DupLshBucket), DupLshTables,
+      EmbDim, corpusN = n)
   }
 
-  /** Oracle for q_embed_dup_lsh: rebuilds the hyperplane buckets from the
-    * SAME integer plane constants (embedded as literals, like the minhash
-    * perms in oDocMinhashLsh), with the dot product as a sequential double
-    * fold — bit-identical to `DotProductFloat`'s accumulation — then the
-    * same collide-in-any-table candidate join + exact-cosine verification.
-    * Plane count is pinned to the verify corpus size (500 vectors at
-    * sf0.01/sf0.001 → autoPlanes(500, 32) = 4); at other scales the Spark
-    * side auto-scales and the oracle doesn't apply.
+  /** Oracle generator for q_embed_dup_lsh: rebuilds the hyperplane buckets
+    * from the SAME integer plane constants (embedded as literals, like the
+    * minhash perms in oDocMinhashLsh), with the dot product as a sequential
+    * double fold — bit-identical to `DotProductFloat`'s accumulation — then
+    * the same collide-in-any-table candidate join + exact-cosine
+    * verification. Plane count is derived from the ACTUAL corpus at dump
+    * time (Verify passes the sf dir), exactly as the Spark side derives it
+    * — no pinned corpus size to drift.
     */
-  private val oEmbedDupLsh: String = {
-    val nPlanes = Similarity.autoPlanes(500L, targetBucket = 32)
-    val nTables = 12
+  private def oEmbedDupLshGen(s: SparkSession, dir: String): String = {
+    val nPlanes = Similarity.autoPlanes(embs(s, dir).count(), targetBucket = DupLshBucket)
+    val nTables = DupLshTables
     val rows = for { t <- 0 until nTables; p <- 0 until nPlanes } yield
-      s"($t, ${1L << p}, ${Similarity.lshPlaneConsts(t, p, 64).mkString("[", ", ", "]")})"
+      s"($t, ${1L << p}, ${Similarity.lshPlaneConsts(t, p, EmbDim).mkString("[", ", ", "]")})"
     s"""
     WITH pl(tbl, pbit, comps) AS (VALUES
       ${rows.mkString(",\n      ")}),
@@ -272,7 +288,7 @@ object QueriesText {
     b AS (
       SELECT e.vec_id, pl.tbl,
              sum(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                   [e.v[i] * pl.comps[i] for i in range(1, 65)]),
+                   [e.v[i] * pl.comps[i] for i in range(1, ${EmbDim + 1})]),
                    (acc, x) -> acc + x) >= 0 THEN pl.pbit ELSE 0 END) AS bkt
       FROM e CROSS JOIN pl
       GROUP BY e.vec_id, pl.tbl),
@@ -360,21 +376,26 @@ object QueriesText {
   /** §2.43 Brute-force cosine top-5 for query set vec_id < 10. */
   private def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    Similarity.knnBrute(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 5, 3)
+    Similarity.knnBrute(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+      KnnK, KnnRound)
   }
 
-  private val oKnnBrute = """
-    SELECT q_id, n_id, rk, round(c, 3) + 0 AS cos FROM (
-      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                    CAST(n.embedding AS DOUBLE[])) AS c,
-             row_number() OVER (PARTITION BY q.vec_id ORDER BY
-               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                      CAST(n.embedding AS DOUBLE[])) DESC,
-               n.vec_id) AS rk
-      FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
-      WHERE q.vec_id < 10) t
-    WHERE rk <= 5"""
+  /** Both engines rank on the ROUNDED cosine (`+ 0` normalizes DuckDB's
+    * -0.0; Spark's BigDecimal round never emits -0.0), so two candidates
+    * whose raw cosines differ by ulps across engines can't rank-flip — the
+    * tie falls through to n_id deterministically on both sides.
+    */
+  private val oKnnBrute = s"""
+    SELECT q_id, n_id, rk, cr AS cos FROM (
+      SELECT q_id, n_id, cr,
+             row_number() OVER (PARTITION BY q_id ORDER BY cr DESC, n_id) AS rk
+      FROM (
+        SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+               round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(n.embedding AS DOUBLE[])), $KnnRound) + 0 AS cr
+        FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+        WHERE q.vec_id < 10) t0) t
+    WHERE rk <= $KnnK"""
 
   /** §2.44 LSH-bucketed ANN (auto-scaled hyperplanes x 8 tables): exact
     * ranking inside the union of the query's buckets — the 100 TB path.
@@ -389,20 +410,21 @@ object QueriesText {
     val e = embs(s, dir)
     val n = e.count() // parquet metadata count
     Similarity.knnLsh(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
-      5, Similarity.autoPlanes(n), 8, 64, 3, corpusN = n)
+      KnnK, Similarity.autoPlanes(n), KnnLshTables, EmbDim, KnnRound, corpusN = n)
   }
 
-  /** Oracle for q_knn_lsh: hyperplane buckets from the SAME integer plane
-    * constants (sequential-double dot, as in oEmbedDupLsh), collide-in-any-
-    * table candidates for the vec_id<10 query set, then exact cosine
-    * ranking with the same (cos desc, n_id asc) order as oKnnBrute. Plane
-    * count pinned to the 500-vector verify corpus: autoPlanes(500) = 4.
+  /** Oracle generator for q_knn_lsh: hyperplane buckets from the SAME
+    * integer plane constants (sequential-double dot, as in oEmbedDupLshGen),
+    * collide-in-any-table candidates for the vec_id<10 query set, then exact
+    * cosine ranking on the ROUNDED value (see oKnnBrute) with n_id
+    * tie-break. Plane count derived from the actual corpus at dump time,
+    * exactly as the Spark side derives it.
     */
-  private val oKnnLsh: String = {
-    val nPlanes = Similarity.autoPlanes(500L)
-    val nTables = 8
+  private def oKnnLshGen(s: SparkSession, dir: String): String = {
+    val nPlanes = Similarity.autoPlanes(embs(s, dir).count())
+    val nTables = KnnLshTables
     val rows = for { t <- 0 until nTables; p <- 0 until nPlanes } yield
-      s"($t, ${1L << p}, ${Similarity.lshPlaneConsts(t, p, 64).mkString("[", ", ", "]")})"
+      s"($t, ${1L << p}, ${Similarity.lshPlaneConsts(t, p, EmbDim).mkString("[", ", ", "]")})"
     s"""
     WITH pl(tbl, pbit, comps) AS (VALUES
       ${rows.mkString(",\n      ")}),
@@ -410,7 +432,7 @@ object QueriesText {
     b AS (
       SELECT e.vec_id, pl.tbl,
              sum(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                   [e.v[i] * pl.comps[i] for i in range(1, 65)]),
+                   [e.v[i] * pl.comps[i] for i in range(1, ${EmbDim + 1})]),
                    (acc, x) -> acc + x) >= 0 THEN pl.pbit ELSE 0 END) AS bkt
       FROM e CROSS JOIN pl
       GROUP BY e.vec_id, pl.tbl),
@@ -419,24 +441,91 @@ object QueriesText {
       FROM b q JOIN b n ON q.tbl = n.tbl AND q.bkt = n.bkt
       WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id),
     r AS (
-      SELECT c.q_id, c.n_id,
-             list_cosine_similarity(x.v, y.v) AS craw,
-             row_number() OVER (PARTITION BY c.q_id ORDER BY
-               list_cosine_similarity(x.v, y.v) DESC, c.n_id) AS rk
-      FROM cand c JOIN e x ON x.vec_id = c.q_id JOIN e y ON y.vec_id = c.n_id)
-    SELECT q_id, n_id, rk, round(craw, 3) + 0 AS cos FROM r WHERE rk <= 5"""
+      SELECT q_id, n_id, cr,
+             row_number() OVER (PARTITION BY q_id ORDER BY cr DESC, n_id) AS rk
+      FROM (
+        SELECT c.q_id, c.n_id,
+               round(list_cosine_similarity(x.v, y.v), $KnnRound) + 0 AS cr
+        FROM cand c JOIN e x ON x.vec_id = c.q_id JOIN e y ON y.vec_id = c.n_id) t0)
+    SELECT q_id, n_id, rk, cr AS cos FROM r WHERE rk <= $KnnK"""
   }
 
   /** §2.44b IVF ANN (k-means coarse quantizer, √n cells via `autoCells`,
     * probe ≈ cells/8 so the probed corpus fraction stays constant as the
-    * index sharpens): rows-only; recall vs brute measured in the spec
-    * suite. At the 500-vector verify corpus: 22 cells, probe 3.
+    * index sharpens): fully oracle-checked via the trained-model export
+    * (`oKnnIvfGen`); recall vs brute additionally measured in the spec
+    * suite. At the 500-vector verify corpus: 22 cells, probe 3. Past
+    * `Similarity.DriverCellCap` cells the quantizer trains distributed
+    * (see `Similarity.knnIvf`).
     */
   private def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val cells = Similarity.autoCells(e.count()) // parquet metadata count
     Similarity.knnIvf(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
-      5, cells, math.max(3, cells / 8), 3)
+      KnnK, cells, ivfProbes(cells), KnnRound)
+  }
+
+  /** Oracle generator for q_knn_ivf — the round-4 `no_oracle` gap, closed
+    * the way oKnnLshGen embeds plane constants: the driver-side quantizer is
+    * DETERMINISTIC (seeded sample + fixed Lloyd's iterations + stable
+    * empty-cell rule), so train the SAME model the query trains and export
+    * the (cell, center) literals into SQL replaying the whole search:
+    * assignment (arg-min ||v-c||², ties → lower cell), probe selection
+    * (nProbe nearest cells per query), and exact in-cell cosine ranking.
+    * Centers are float-valued — exactly representable as DOUBLE literals —
+    * and distance/cosine arithmetic is the sequential double fold
+    * bit-identical to `DotProductFloat`, with identical operation order
+    * (vv - 2.0*vc + cc), so every assignment, probe and rank reproduces.
+    */
+  private def oKnnIvfGen(s: SparkSession, dir: String): String = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    // the export mirrors the driver-trained path; a verify corpus large
+    // enough to hit the distributed trainer (>DriverCellCap² vectors) is
+    // out of oracle scope by design
+    require(cells <= Similarity.DriverCellCap,
+      s"oKnnIvfGen covers the driver-trained path only (cells=$cells)")
+    val nProbe = ivfProbes(cells)
+    val ctrRows = Similarity.ivfTrainDriver(e, "embedding", cells).map {
+      case (i, c) => s"($i, [${c.map(_.toDouble).mkString(", ")}])"
+    }
+    // sequential double fold over the element products — DotProductFloat's
+    // accumulation order exactly
+    def fdot(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |               [$a[i] * $b[i] for i in range(1, ${EmbDim + 1})]),
+         |               (acc, x) -> acc + x)""".stripMargin
+    s"""
+    WITH ctr(cell, cv) AS (VALUES
+      ${ctrRows.mkString(",\n      ")}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (
+      SELECT e.vec_id, e.v, ctr.cell,
+             ${fdot("e.v", "e.v")}
+             - 2.0 * ${fdot("e.v", "ctr.cv")}
+             + ${fdot("ctr.cv", "ctr.cv")} AS dist
+      FROM e CROSS JOIN ctr),
+    corp AS (
+      SELECT vec_id AS n_id, v AS nv, cell FROM (
+        SELECT vec_id, v, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d) t WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS q_id, v AS qv, cell FROM (
+        SELECT vec_id, v, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d WHERE vec_id < 10) t WHERE rn <= $nProbe),
+    cand AS (
+      SELECT p.q_id, c.n_id,
+             round(${fdot("p.qv", "c.nv")}
+                   / (sqrt(${fdot("p.qv", "p.qv")}) * sqrt(${fdot("c.nv", "c.nv")})),
+                   $KnnRound) + 0 AS cr
+      FROM probe p JOIN corp c ON p.cell = c.cell AND p.q_id <> c.n_id)
+    SELECT q_id, n_id, rk, cr AS cos FROM (
+      SELECT q_id, n_id, cr,
+             row_number() OVER (PARTITION BY q_id ORDER BY cr DESC, n_id) AS rk
+      FROM cand) t
+    WHERE rk <= $KnnK"""
   }
 
   // ---------------------------------------------------------------------------
@@ -591,10 +680,10 @@ object QueriesText {
     GraftQuery("q_doc_simhash_pairs", qDocSimhashPairs, Some(oDocSimhashPairs)),
     GraftQuery("q_doc_fingerprint", qDocFingerprint, Some(oDocFingerprint)),
     GraftQuery("q_embed_dup", qEmbedDup, Some(oEmbedDup)),
-    GraftQuery("q_embed_dup_lsh", qEmbedDupLsh, Some(oEmbedDupLsh)),
+    GraftQuery("q_embed_dup_lsh", qEmbedDupLsh, None, oracleGen = Some(oEmbedDupLshGen)),
     GraftQuery("q_knn_brute", qKnnBrute, Some(oKnnBrute), headline = true),
-    GraftQuery("q_knn_lsh", qKnnLsh, Some(oKnnLsh)),
-    GraftQuery("q_knn_ivf", qKnnIvf, None),
+    GraftQuery("q_knn_lsh", qKnnLsh, None, oracleGen = Some(oKnnLshGen)),
+    GraftQuery("q_knn_ivf", qKnnIvf, None, oracleGen = Some(oKnnIvfGen)),
     GraftQuery("q_text_lang", qTextLang, Some(oTextLang)),
     GraftQuery("q_text_quality", qTextQuality, Some(oTextQuality)),
     GraftQuery("q_token_count", qTokenCount, Some(oTokenCount)),

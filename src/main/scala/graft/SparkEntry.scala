@@ -10,4 +10,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracleSql
+  /** oracleSql plus the data-dependent generated oracles (trained-model
+    * exports, corpus-sized LSH constants) — Verify dumps THIS map, so the
+    * emitted SQL always matches the corpus the driver compares against. */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    Queries.oracleSqlFor(spark, dir)
 }

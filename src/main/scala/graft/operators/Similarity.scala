@@ -147,12 +147,18 @@ object Similarity {
       .repartition(par)
     val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
       .withColumn("q_norm", l2norm(col("q_vec")))
+    // rank on the ROUNDED cosine (ties then broken by n_id): the raw values
+    // differ across engines by ulps (DuckDB's list_cosine_similarity
+    // evaluates sqrt(aa*bb), this side sqrt(aa)*sqrt(bb)), so a raw-value
+    // rank could flip two ~equal candidates; the rounded value is the one
+    // number both engines provably share
     val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
     broadcast(q).join(c, col("q_id") =!= col("n_id"))
-      .withColumn("_cos", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .withColumn("_cos",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), roundTo))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
-      .select(col("q_id"), col("n_id"), col("rk"), round(col("_cos"), roundTo).as("cos"))
+      .select(col("q_id"), col("n_id"), col("rk"), col("_cos").as("cos"))
   }
 
   /** Deterministic random-hyperplane LSH signature (Charikar): `nPlanes`
@@ -249,16 +255,21 @@ object Similarity {
 
   /** IVF cell count: √n balances the two per-query cost terms (centroid
     * scan ∝ nCells, in-cell ranking ∝ nProbe·n/nCells), the classic IVF
-    * sizing rule. Clamped above because the coarse quantizer trains on the
-    * DRIVER (Lloyd's over a bounded sample — `knnIvf`): per-iteration cost
-    * is sample(=64·cells)·cells·dim, so 512 cells ≈ 1e9 mults/iteration is
-    * the driver's comfortable ceiling. A corpus past the clamp (>260k
-    * vectors wants >512 cells) needs a distributed or two-level quantizer
-    * — documented boundary, same family as the IVF sample-training trade.
+    * sizing rule. No driver-bound clamp: past `DriverCellCap` cells,
+    * `knnIvf` switches to the distributed trainer, so √n holds to 1e9+
+    * vectors (maxCells 65536 covers √1e9 ≈ 31.6k with slack; past THAT a
+    * two-level quantizer is the standard next step).
     */
-  def autoCells(corpusN: Long, minCells: Int = 8, maxCells: Int = 512): Int =
+  def autoCells(corpusN: Long, minCells: Int = 8, maxCells: Int = 65536): Int =
     math.min(maxCells,
       math.max(minCells, math.round(math.sqrt(corpusN.toDouble)).toInt))
+
+  /** Cells above which `knnIvf` trains the coarse quantizer DISTRIBUTED
+    * (`ivfCentroidsDistributed`) instead of on the driver: driver Lloyd's
+    * costs sample(=64·cells)·cells·dim per iteration, so 512 cells ≈ 1e9
+    * mults/iteration is the driver's comfortable ceiling.
+    */
+  val DriverCellCap = 512
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer (deterministic
     * seed) partitions the corpus into cells; queries probe their `nProbe`
@@ -270,11 +281,30 @@ object Similarity {
   def knnIvf(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
              k: Int, nCells: Int, nProbe: Int, roundTo: Int): DataFrame = {
     val spark = corpus.sparkSession
-    // Coarse quantizer: Lloyd's iterations over a BOUNDED deterministic
-    // sample, on the driver. At corpus scale the quantizer is always trained
-    // on a sample (training on 100 TB would dwarf the search); keeping the
-    // tiny nCells x dim model driver-side also avoids one distributed job
-    // per k-means iteration. The sample cap bounds driver memory (~1 MB).
+    // Trainer dispatch: under `DriverCellCap` the quantizer trains on the
+    // driver (one bounded collect, zero extra distributed jobs); past it —
+    // √n wants more cells than driver Lloyd's can afford — training runs
+    // distributed (per-iteration Spark jobs over a bounded sample, the
+    // driver only ever holds the nCells x dim model).
+    val centerDf =
+      if (nCells <= DriverCellCap)
+        spark.createDataFrame(ivfTrainDriver(corpus, vec, nCells)).toDF("cell", "center")
+      else ivfCentroidsDistributed(corpus, vec, nCells)
+    knnIvfSearch(corpus, queries, id, vec, k, nProbe, roundTo, centerDf)
+  }
+
+  /** Driver-side Lloyd's over a bounded deterministic sample — the coarse
+    * quantizer for cell counts a single machine handles (`DriverCellCap`).
+    * DETERMINISTIC for a fixed corpus + session layout (seeded sample, fixed
+    * iterations, stable empty-cell rule), which is what lets an oracle
+    * generator train the SAME model and embed the resulting centers as SQL
+    * literals (QueriesText.oKnnIvfGen). Returns (cell, center) pairs;
+    * centers quantized to float, matching the search side's float vectors.
+    */
+  def ivfTrainDriver(corpus: DataFrame, vec: String,
+                     nCells: Int): Seq[(Int, Seq[Float])] = {
+    // At corpus scale the quantizer is always trained on a sample (training
+    // on 100 TB would dwarf the search); the cap bounds driver memory (~1 MB).
     val sampleN = math.max(nCells * 64, 4096)
     // Seeded RANDOM sample, not limit(): a head-of-table prefix correlates
     // with whatever the parquet is sorted/clustered by, which can train the
@@ -310,10 +340,7 @@ object Similarity {
         if (counts(c) == 0) centers(c) // keep an empty cell's center stable
         else sums(c).map(_ / counts(c)))
     }
-    val centerDf = spark.createDataFrame(
-      centers.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq.map(_.toFloat)) })
-      .toDF("cell", "center")
-    knnIvfSearch(corpus, queries, id, vec, k, nProbe, roundTo, centerDf)
+    centers.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq.map(_.toFloat)) }
   }
 
   /** Distributed Lloyd's iterations — the documented path past `autoCells`'
@@ -323,24 +350,38 @@ object Similarity {
     * iterations, never the points. Cost per iteration: one shuffle of one
     * row per training point (min_by partials aggregate map-side) plus one
     * nCells x dim shuffle for the centroid update — so training is sized by
-    * `sampleFrac`, the standard IVF trade (quantizer quality saturates far
+    * the sample cap, the standard IVF trade (quantizer quality saturates far
     * below full-corpus training; the full corpus is only ever ASSIGNED,
     * once, in the search).
+    *
+    * `sampleRows` <= 0 means auto: 64·nCells training points (the same
+    * per-cell budget as the driver trainer) — the scale-safe default, so a
+    * caller who just wants more cells never accidentally trains a
+    * points-x-centers join over the full corpus.
     */
   def ivfCentroidsDistributed(corpus: DataFrame, vec: String, nCells: Int,
-                              iters: Int = 5, sampleFrac: Double = 1.0): DataFrame = {
+                              iters: Int = 5, sampleRows: Long = -1L): DataFrame = {
     val spark = corpus.sparkSession
+    val targetRows = if (sampleRows > 0) sampleRows else math.max(64L * nCells, 4096L)
+    val corpusN = corpus.count() // metadata-only on parquet
+    require(corpusN > 0, "ivfCentroidsDistributed: empty corpus")
+    val frac = math.min(1.0, targetRows * 1.2 / corpusN)
     // stable point ids + stable sample across iterations: checkpoint once
-    val pts = (if (sampleFrac < 1.0)
-        corpus.sample(withReplacement = false, sampleFrac, seed = 42)
+    val pts = (if (frac < 1.0)
+        corpus.sample(withReplacement = false, frac, seed = 42)
       else corpus)
       .select(col(vec).as("_v"))
       .withColumn("_pid", monotonically_increasing_id())
       .localCheckpoint()
     // init: nCells hash-spread rows (deterministic, order-independent) —
     // the one nCells-sized collect; every later iteration collects the same
-    // bounded model, never points
+    // bounded model, never points. DISTINCT vectors: duplicate rows (or the
+    // same vector reached via hash ties) would seed identical centers, and
+    // the loser cell then captures zero points forever — the empty-cell
+    // guard would preserve the stale duplicate, silently shrinking the
+    // effective cell count.
     var centers: Seq[(Int, Seq[Float])] = pts
+      .select("_v").dropDuplicates("_v")
       .withColumn("_h", hash(col("_v")))
       .orderBy("_h").limit(nCells)
       .select("_v").collect()
@@ -398,15 +439,16 @@ object Similarity {
         .where(col("_rn") <= nProbe)
         .drop("_d", "_rn", "center")
     }
+    // rounded-cosine rank — see knnBrute
     val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
     // query probes broadcast (small by contract, like knnBrute's query set):
     // without the hint the planner SMJs on cell and the whole corpus pays a
     // second exchange beyond its assignment aggregate
     broadcast(q).join(c, Seq("cell")).where(col("q_id") =!= col("n_id"))
-      .withColumn("_cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("_cos", round(cosine(col("q_vec"), col("n_vec")), roundTo))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
-      .select(col("q_id"), col("n_id"), col("rk"), round(col("_cos"), roundTo).as("cos"))
+      .select(col("q_id"), col("n_id"), col("rk"), col("_cos").as("cos"))
   }
 
   /** ANN via multi-table LSH: exact cosine ranking within the union of the
@@ -434,13 +476,14 @@ object Similarity {
     val qv = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
     val cv = corpus.select(col(id).as("n_id"), col(vec).as("n_vec"))
     val small = (if (corpusN >= 0) corpusN else corpus.count()) <= BroadcastRowCap
+    // rounded-cosine rank — see knnBrute
     val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
     cand
       .join(broadcast(qv), Seq("q_id"))
       .join(if (small) broadcast(cv) else cv, Seq("n_id"))
-      .withColumn("_cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("_cos", round(cosine(col("q_vec"), col("n_vec")), roundTo))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
-      .select(col("q_id"), col("n_id"), col("rk"), round(col("_cos"), roundTo).as("cos"))
+      .select(col("q_id"), col("n_id"), col("rk"), col("_cos").as("cos"))
   }
 }

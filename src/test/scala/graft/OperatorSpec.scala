@@ -420,7 +420,10 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
   test("autoCells follows sqrt(n) between its clamps") {
     assert(Similarity.autoCells(1L) === 8)      // min clamp
     assert(Similarity.autoCells(500L) === 22)   // round(sqrt(500))
-    assert(Similarity.autoCells(1000000L) === 512) // driver-training ceiling
+    // sqrt holds past the driver-trainer ceiling (knnIvf switches to the
+    // distributed trainer above DriverCellCap cells instead of clamping)
+    assert(Similarity.autoCells(1000000L) === 1000)
+    assert(Similarity.autoCells(1L << 40) === 65536) // two-level-quantizer boundary
     // monotone non-decreasing across the clamp boundaries
     val ns = Seq(1L, 64L, 500L, 5000L, 262144L, 1000000L, 1L << 40)
     val cells = ns.map(Similarity.autoCells(_))
