@@ -286,11 +286,10 @@ object Similarity {
     // √n wants more cells than driver Lloyd's can afford — training runs
     // distributed (per-iteration Spark jobs over a bounded sample, the
     // driver only ever holds the nCells x dim model).
-    val centerDf =
-      if (nCells <= DriverCellCap)
-        spark.createDataFrame(ivfTrainDriver(corpus, vec, nCells)).toDF("cell", "center")
+    val model =
+      if (nCells <= DriverCellCap) ivfTrainDriver(corpus, vec, nCells)
       else ivfCentroidsDistributed(corpus, vec, nCells)
-    knnIvfSearch(corpus, queries, id, vec, k, nProbe, roundTo, centerDf)
+    knnIvfSearch(corpus, queries, id, vec, k, nProbe, roundTo, model)
   }
 
   /** Driver-side Lloyd's over a bounded deterministic sample — the coarse
@@ -360,18 +359,18 @@ object Similarity {
     * points-x-centers join over the full corpus.
     */
   def ivfCentroidsDistributed(corpus: DataFrame, vec: String, nCells: Int,
-                              iters: Int = 5, sampleRows: Long = -1L): DataFrame = {
+                              iters: Int = 5,
+                              sampleRows: Long = -1L): Seq[(Int, Seq[Float])] = {
     val spark = corpus.sparkSession
     val targetRows = if (sampleRows > 0) sampleRows else math.max(64L * nCells, 4096L)
     val corpusN = corpus.count() // metadata-only on parquet
     require(corpusN > 0, "ivfCentroidsDistributed: empty corpus")
     val frac = math.min(1.0, targetRows * 1.2 / corpusN)
-    // stable point ids + stable sample across iterations: checkpoint once
+    // stable sample across iterations: checkpoint once
     val pts = (if (frac < 1.0)
         corpus.sample(withReplacement = false, frac, seed = 42)
       else corpus)
       .select(col(vec).as("_v"))
-      .withColumn("_pid", monotonically_increasing_id())
       .localCheckpoint()
     // init: nCells hash-spread rows (deterministic, order-independent) —
     // the one nCells-sized collect; every later iteration collects the same
@@ -387,15 +386,11 @@ object Similarity {
       .select("_v").collect()
       .map(_.getSeq[Float](0)).zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     for (_ <- 0 until iters) {
-      val cdf = spark.createDataFrame(centers).toDF("cell", "center")
-      val assigned = pts.join(broadcast(cdf))
-        .withColumn("_d",
-          dot(col("_v"), col("_v")) - lit(2.0) * dot(col("_v"), col("center"))
-            + dot(col("center"), col("center")))
-        .groupBy("_pid")
-        .agg(first("_v").as("_v"),
-          min(struct(col("_d"), col("cell"))).getField("cell").as("cell"))
-      val updated = assigned
+      // assignment is the native one-pass argmin (IvfArgminExpr): one row
+      // per training point, no points x centers join to materialize, no
+      // re-aggregate — each iteration is one scan of the checkpointed
+      // sample plus the tiny per-dimension mean shuffle below
+      val updated = ivfAssign(pts, "_v", centers)
         .select(col("cell"), posexplode(col("_v")))
         .groupBy("cell", "pos").agg(avg("col").as("m"))
         .groupBy("cell")
@@ -406,44 +401,82 @@ object Similarity {
       // cells that captured no points keep their previous center stable
       centers = centers.map { case (i, c) => (i, updated.getOrElse(i, c)) }
     }
-    spark.createDataFrame(centers).toDF("cell", "center")
+    centers
+  }
+
+  /** Native one-pass cell assignment: adds `cell` = argmin over the model's
+    * centers of ||v-c||² (see IvfArgminExpr for the cross-engine arithmetic
+    * contract). Model cell ids must be positional 0..n-1 — both trainers
+    * produce that.
+    */
+  def ivfAssign(df: DataFrame, vec: String,
+                model: Seq[(Int, Seq[Float])]): DataFrame = {
+    require(model.zipWithIndex.forall { case ((c, _), i) => c == i },
+      "ivfAssign: model cell ids must be positional 0..n-1")
+    df.withColumn("cell", org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.IvfArgminExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(col(vec)),
+        model.flatMap(_._2), model.length, model.head._2.length)))
+  }
+
+  /** Relational twin of `ivfAssign` — centers broadcast-joined against
+    * every row, struct-min argmin with (dist, cell) tie order, ||v||²/||c||²
+    * hoisted to their own sides. Kept for the spec suite's bit-equality
+    * battery; `ivfAssign` replaces it in the hot path because this form
+    * materializes n·nCells rows for a per-row loop.
+    */
+  def ivfAssignHof(df: DataFrame, id: String, vec: String,
+                   model: Seq[(Int, Seq[Float])]): DataFrame = {
+    val centersCc = broadcast(
+      df.sparkSession.createDataFrame(model).toDF("cell", "center")
+        .withColumn("_cc", dot(col("center"), col("center"))))
+    df.select(col(id), col(vec))
+      .withColumn("_vv", dot(col(vec), col(vec)))
+      .join(centersCc)
+      .withColumn("_d",
+        col("_vv") - lit(2.0) * dot(col(vec), col("center")) + col("_cc"))
+      .groupBy(id)
+      .agg(first(col(vec)).as(vec),
+        min(struct(col("_d"), col("cell"))).getField("cell").as("cell"))
   }
 
   /** IVF search against a prebuilt (cell, center) model — `knnIvf` trains
-    * driver-side and delegates here; a distributed-trained model
-    * (`ivfCentroidsDistributed`) plugs in unchanged.
+    * driver-side or distributed and delegates here; any deterministic
+    * positional model plugs in unchanged.
     */
   def knnIvfSearch(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-                   k: Int, nProbe: Int, roundTo: Int, centerDf: DataFrame): DataFrame = {
-    // assign every corpus vector to its nearest cell (argmin center dist);
-    // centers are tiny → broadcast. The nProbe=1 corpus side uses min_by
-    // (hash aggregate with map-side partials — no sort of the nCells x N
-    // exploded rows); the tiny query side ranks its nProbe cells with a
-    // window. Ties broken by cell id on both paths (struct min orders by
-    // (_d, cell), matching the window's (_d asc, cell asc)).
-    def withDist(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      df.select(col(id).as(idAs), col(vec).as(vecAs))
-        .join(broadcast(centerDf))
-        .withColumn("_d",
-          dot(col(vecAs), col(vecAs)) - lit(2.0) * dot(col(vecAs), col("center"))
-            + dot(col("center"), col("center")))
-
-    val c = withDist(corpus, "n_id", "n_vec")
-      .groupBy("n_id")
-      .agg(first("n_vec").as("n_vec"),
-        min(struct(col("_d"), col("cell"))).getField("cell").as("cell"))
+                   k: Int, nProbe: Int, roundTo: Int,
+                   model: Seq[(Int, Seq[Float])]): DataFrame = {
+    val spark = corpus.sparkSession
+    // Corpus side: the native argmin assigns every vector its cell in ONE
+    // codegen pass — no n x cells join, no aggregate, zero exchanges for
+    // the corpus before the probe join (the r4 relational form materialized
+    // 164M rows at the 300k x 548 probe; this is a per-row loop).
+    val c = ivfAssign(
+      corpus.select(col(id).as("n_id"), col(vec).as("n_vec")), "n_vec", model)
+    // Query side: queries x cells is tiny — rank the nProbe nearest cells
+    // relationally with the SAME fold arithmetic the oracle replays
+    // (dist = vv - 2.0*vc + cc, ties by cell asc — matching IvfArgminExpr's
+    // first-strict-minimum rule on the corpus side).
+    val centersCc = broadcast(
+      spark.createDataFrame(model).toDF("cell", "center")
+        .withColumn("_cc", dot(col("center"), col("center"))))
     val q = {
       val w = Window.partitionBy("q_id").orderBy(col("_d").asc, col("cell").asc)
-      withDist(queries, "q_id", "q_vec")
+      queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
+        .withColumn("_vv", dot(col("q_vec"), col("q_vec")))
+        .join(centersCc)
+        .withColumn("_d",
+          col("_vv") - lit(2.0) * dot(col("q_vec"), col("center")) + col("_cc"))
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") <= nProbe)
-        .drop("_d", "_rn", "center")
+        .select("q_id", "q_vec", "cell")
     }
     // rounded-cosine rank — see knnBrute
     val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
     // query probes broadcast (small by contract, like knnBrute's query set):
-    // without the hint the planner SMJs on cell and the whole corpus pays a
-    // second exchange beyond its assignment aggregate
+    // without the hint the planner SMJs on cell and the whole corpus pays
+    // an exchange it otherwise never needs
     broadcast(q).join(c, Seq("cell")).where(col("q_id") =!= col("n_id"))
       .withColumn("_cos", round(cosine(col("q_vec"), col("n_vec")), roundTo))
       .withColumn("rk", row_number().over(w))

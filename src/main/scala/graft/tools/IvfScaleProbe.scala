@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** IVF distributed-trainer probe: replicates the sf0.1 embeddings past the
+  * `DriverCellCap` boundary (>262k vectors → autoCells > 512) so `knnIvf`
+  * exercises the DISTRIBUTED quantizer path end to end, then measures
+  * recall@5 against brute force and reports timings + model size.
+  *
+  * Replication is rotation x diagonal-sign: replica `rep` applies a
+  * circular coordinate shift of `rep % 64` and a per-group ±1 sign mask
+  * (`rep / 64` picks the mask). Both transforms are ORTHOGONAL — norms and
+  * within-replica inner products are preserved exactly, so each replica
+  * keeps the corpus's neighbor structure and true-neighbor counts grow
+  * linearly — while cross-replica cosines decorrelate (shifted axes /
+  * flipped signs ≈ random directions), unlike identical copies, which
+  * would make every query's top-k a degenerate tie among its clones.
+  *
+  * Usage: `sbt "runMain graft.tools.IvfScaleProbe [factor]"` (default 150
+  * → 300k vectors, 548 cells).
+  */
+object IvfScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 150
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = java.nio.file.Files.createTempDirectory("graft_ivfscale").toString
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    embs.crossJoin(spark.range(factor).toDF("rep"))
+      .repartition(cpus.toInt * 2)
+      .select((col("vec_id") * factor + col("rep")).as("vec_id"),
+        expr("""transform(sequence(0, 63), i ->
+                  CASE WHEN ((i + 1) * (rep DIV 64)) % 5 < 2 THEN -1.0 ELSE 1.0 END
+                  * embedding[int((i + rep) % 64)])""")
+          .cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val e = graft.Tables.embeddings(spark, out)
+    val n = e.count()
+    val cells = Similarity.autoCells(n)
+    val nProbe = math.max(3, cells / 8)
+    println(s"[ivfscale] corpus: $n vectors (${factor}x), autoCells=$cells " +
+      s"(driver cap ${Similarity.DriverCellCap}), nProbe=$nProbe")
+    require(cells > Similarity.DriverCellCap,
+      s"probe must cross the driver-trainer boundary; raise factor (cells=$cells)")
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[ivfscale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val q = e.where(col("vec_id") < 10)
+    // the two phases knnIvf composes at this cell count, timed apart: the
+    // index BUILD (distributed Lloyd's over the default 64*cells sample)
+    // amortizes over every later query batch; SEARCH is the steady-state
+    // per-batch cost (native argmin corpus pass + probe ranking)
+    val model = timed("ivfCentroidsDistributed") {
+      Similarity.ivfCentroidsDistributed(e, "embedding", cells)
+    }
+    val ivf = timed("knnIvfSearch") {
+      Similarity.knnIvfSearch(e, q, "vec_id", "embedding", 5, nProbe, 6, model)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val brute = timed("knnBrute (exact baseline)") {
+      Similarity.knnBrute(e, q, "vec_id", "embedding", 5, 6)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    println(f"[ivfscale] recall@5 vs brute = $recall%.3f over ${brute.size} pairs")
+    val rt = Runtime.getRuntime
+    println(f"[ivfscale] driver heap used ≈ ${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB " +
+      f"(model is cells x dim x 4B ≈ ${cells * 64 * 4 / 1e3}%.0f KB)")
+
+    if (!sys.env.contains("GRAFT_KEEP_DIR"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    spark.stop()
+  }
+}

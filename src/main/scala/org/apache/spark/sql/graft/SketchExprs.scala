@@ -264,3 +264,128 @@ object LshBucketsExpr {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[LshBucketsExpr].getName, "graft_lsh_buckets")
 }
+
+/** Nearest-centroid cell of a float-vector — the IVF coarse-quantizer
+  * assignment — in ONE pass: argmin over `nCells` centers of
+  * `||v||² - 2·(v·c) + ||c||²`, every dot the same sequential-double
+  * accumulation as `DotProductFloat` and the combination evaluated
+  * `(vv - (2.0*vc)) + cc`, so a DuckDB oracle replaying the distance with
+  * inline folds over the SAME center literals reproduces every assignment
+  * bit-identically (ties keep the LOWEST cell — the scan keeps the first
+  * strict minimum, matching `min(struct(dist, cell))` and
+  * `ORDER BY dist, cell LIMIT 1`). `centers` is the [cell][dim]-flattened
+  * matrix in cell order; per-cell ||c||² is precomputed once, not per row.
+  *
+  * Exists because the relational form — corpus x centers broadcast join +
+  * min_by aggregate — materializes n·nCells wide rows for what is a tight
+  * per-row loop: at 300k vectors x 548 cells that is 164M rows of pure
+  * plan overhead (measured ~30 s vs ~1 s here). The join form is kept as
+  * the bit-equality twin (`Similarity.ivfAssignHof`), asserted in the spec
+  * suite.
+  */
+case class IvfArgminExpr(child: Expression, centers: Seq[Float],
+                         nCells: Int, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+  require(centers.length == nCells * dim,
+    s"centers length ${centers.length} != $nCells*$dim")
+  // centers is a Seq (not Array) so case-class equality — and plan
+  // canonicalization / cache matching — compares contents, not references
+
+  override def nullIntolerant: Boolean = true
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_ivf_argmin"
+
+  @transient private lazy val ctr: Array[Float] = centers.toArray
+  @transient private lazy val cc: Array[Double] = {
+    val out = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val v = ctr(c * dim + i).toDouble
+        s += v * v
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(vec.numElements(), dim)
+    var vv = 0.0
+    var i = 0
+    while (i < n) {
+      val x = vec.getFloat(i).toDouble
+      vv += x * x
+      i += 1
+    }
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < nCells) {
+      val off = c * dim
+      var s = 0.0
+      i = 0
+      while (i < n) {
+        s += vec.getFloat(i).toDouble * ctr(off + i).toDouble
+        i += 1
+      }
+      val d = vv - 2.0 * s + cc(c)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val ctrRef = ctx.addReferenceObj("ivfCenters", ctr, "float[]")
+      val ccRef = ctx.addReferenceObj("ivfCc", cc, "double[]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x")
+      val vv = ctx.freshName("vv")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val off = ctx.freshName("off")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $n = java.lang.Math.min($vec.numElements(), $dim);
+         |double $vv = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $vec.getFloat($i);
+         |  $vv += $x * $x;
+         |}
+         |int $best = 0;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $nCells; $c++) {
+         |  int $off = $c * $dim;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ((double) $vec.getFloat($i)) * ((double) $ctrRef[$off + $i]);
+         |  }
+         |  double $d = $vv - 2.0 * $s + $ccRef[$c];
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IvfArgminExpr =
+    copy(child = newChild)
+}
+
+object IvfArgminExpr {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[IvfArgminExpr].getName, "graft_ivf_argmin")
+}

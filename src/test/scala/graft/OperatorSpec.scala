@@ -434,16 +434,26 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.where(col("vec_id") < 10)
     val centers = Similarity.ivfCentroidsDistributed(e, "embedding", 16, iters = 4)
-    val rows = centers.collect()
-    assert(rows.length === 16, "one center per cell")
-    assert(rows.forall(_.getSeq[Float](1).length === 64), "dim preserved")
-    assert(rows.map(_.getInt(0)).toSet === (0 until 16).toSet)
+    assert(centers.length === 16, "one center per cell")
+    assert(centers.forall(_._2.length === 64), "dim preserved")
+    assert(centers.map(_._1) === (0 until 16))
     val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5, 6)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val ivf = Similarity.knnIvfSearch(e, q, "vec_id", "embedding", 5, 4, 6, centers)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = brute.count(ivf.contains).toDouble / brute.size
     assert(recall >= 0.3, s"distributed-IVF recall@5 = $recall")
+  }
+
+  test("native IVF argmin assignment bit-matches the join/min_by twin") {
+    val e = Tables.embeddings(spark, sfDir)
+    val model = Similarity.ivfTrainDriver(e, "embedding", 22)
+    val native = Similarity.ivfAssign(e, "embedding", model)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val hof = Similarity.ivfAssignHof(e, "vec_id", "embedding", model)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(native.size === 500)
+    assert(native === hof)
   }
 
   test("IVF ANN with autoCells/scaled probe keeps recall@5") {
