@@ -150,7 +150,11 @@ object Text {
     * is a correctness net, not a work path.
     */
   def jaccardPairs(df: DataFrame, id: String, shingleCol: Column,
-                   minJaccard: Double, assumeSpread: Boolean = false): DataFrame = {
+                   minJaccard: Double, assumeSpread: Boolean = false,
+                   // None = adaptive gate (lmax > 4x median engages classes);
+                   // Some(b) forces class mode on/off — profiling/A-B hook,
+                   // both paths are exact
+                   classes: Option[Boolean] = None): DataFrame = {
     val t = minJaccard
     val par = df.sparkSession.sparkContext.defaultParallelism
     // Spread the input BEFORE evaluating the shingle expression (a
@@ -202,7 +206,10 @@ object Text {
       (if (r.isNullAt(0)) 1L else r.getLong(0),
         if (r.isNullAt(1)) 1.0 else r.getDouble(1))
     }
-    val singleGroup = lmax.toDouble <= 4.0 * lmed
+    val singleGroup = classes match {
+      case Some(b) => !b
+      case None => lmax.toDouble <= 4.0 * lmed
+    }
     def pFor(l: Long): Int = (math.floor((1 - t) / (1 + t) * 2 * l) + 1).toInt.max(1)
     // (grp, doc, n_sh, cls, p_g) memberships. Single-group mode: every doc
     // in group 0 with the global p — the r3 shape. Class mode: a pair's
