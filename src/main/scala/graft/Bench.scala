@@ -44,9 +44,48 @@ object Bench {
       name -> timed
     }
 
+    // Isolation lane (full runs only): the 5 slowest queries re-run in a
+    // FRESH JVM each, so one query's GC/JIT state can't contaminate
+    // another's number — r3's "across-the-board regressions" were exactly
+    // that contamination. Children are this same main with a single query
+    // arg (which skips isolation — no recursion), forked with the parent's
+    // classpath and JVM flags; their one-line JSON is parsed off a pipe so
+    // the parent still emits exactly one JSON line.
+    val isolated: Seq[(String, Double)] =
+      if (args.nonEmpty || sys.env.contains("SPARK_GRAFT_NO_ISOLATE")) Seq.empty
+      else results.filter(_._2 >= 0).sortBy(-_._2).take(5).map { case (name, _) =>
+        name -> runIsolated(name)
+      }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val isoField = if (isolated.isEmpty) "" else s""","isolated":$iso"""
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$isoField,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Fork a fresh JVM running this main for one query; return its timed
+    * seconds (parsed from the child's JSON line), -1 on any failure.
+    */
+  private def runIsolated(name: String): Double = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench", name)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val ok = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+      if (!ok) { p.destroyForcibly(); return -1.0 }
+      val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":([-0-9.eE]+)").r
+      re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
+    } catch { case _: Throwable => -1.0 }
   }
 }

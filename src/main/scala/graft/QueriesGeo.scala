@@ -610,6 +610,73 @@ object QueriesGeo {
            round(avg(value), 4) AS mean_value, count(*) AS n
     FROM events GROUP BY 1, 2"""
 
+  /** §2.31c METAR raw-text decode (metar/noaa.go raw_text shape,
+    * ogimet.go:47 OgimetParse prefix form): report strings are synthesized
+    * deterministically from events columns — three envelope variants
+    * (ogimet 12-digit prefix, bare SPECI, bare METAR), every 5th without an
+    * altimeter group — then decoded with the REAL operator
+    * (sources.Metar.parseRaw) and aggregated per station. DuckDB replays
+    * the same synthesis and regex extraction, so the decode path is fully
+    * hash-checked; the feed envelopes (NOAA CSV, ogimet line gluing) are
+    * spec-tested in MetarSpec on the reference's own shapes.
+    */
+  private def qMetarParse(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      when(col("user_id") % 3 === 0, lit("201601070156 METAR "))
+        .when(col("user_id") % 3 === 1, lit("SPECI "))
+        .otherwise(lit("")),
+      lit("K"), lpad((col("user_id") % 999).cast("string"), 3, "0"), lit(" "),
+      lpad(expr("(ts div 86400000000000) % 27 + 1").cast("string"), 2, "0"),
+      lpad(expr("(ts div 3600000000000) % 24").cast("string"), 2, "0"),
+      lit("56Z 28011KT 10SM"),
+      when(col("user_id") % 5 === 0, lit(""))
+        .otherwise(concat(lit(" A"),
+          lpad((lit(2880) + col("user_id") % 240).cast("string"), 4, "0"))),
+      lit(" RMK AO2"))
+    graft.sources.Metar.parseRaw(ev(s, dir).select(raw.as("raw")), col("raw"))
+      .groupBy("metar_station")
+      .agg(count(lit(1)).as("n"),
+        count(col("metar_inhg")).as("n_altim"),
+        round(avg("metar_inhg"), 4).as("avg_inhg"),
+        min("metar_day").as("min_day"),
+        max("metar_hour").as("max_hour"),
+        count(col("metar_ts")).as("n_ogimet"))
+  }
+
+  private val oMetarParse = """
+    WITH raw AS (
+      SELECT (CASE WHEN user_id % 3 = 0 THEN '201601070156 METAR '
+                   WHEN user_id % 3 = 1 THEN 'SPECI '
+                   ELSE '' END)
+             || 'K' || lpad(CAST(user_id % 999 AS VARCHAR), 3, '0') || ' '
+             || lpad(CAST((epoch_ns(ts) // 86400000000000) % 27 + 1 AS VARCHAR), 2, '0')
+             || lpad(CAST((epoch_ns(ts) // 3600000000000) % 24 AS VARCHAR), 2, '0')
+             || '56Z 28011KT 10SM'
+             || (CASE WHEN user_id % 5 = 0 THEN ''
+                      ELSE ' A' || lpad(CAST(2880 + user_id % 240 AS VARCHAR), 4, '0') END)
+             || ' RMK AO2' AS raw
+      FROM events),
+    parsed AS (
+      SELECT nullif(regexp_extract(
+               regexp_replace(regexp_replace(raw, '^[0-9]{12} ', ''),
+                              '^(METAR|SPECI) ', ''),
+               '^([A-Z][A-Z0-9]{3})[ =]', 1), '') AS station,
+             nullif(regexp_extract(
+               regexp_replace(regexp_replace(raw, '^[0-9]{12} ', ''),
+                              '^(METAR|SPECI) ', ''),
+               '\b([0-9]{6})Z\b', 1), '') AS dhm,
+             nullif(regexp_extract(regexp_replace(raw, '^[0-9]{12} ', ''),
+                                   '\bA([0-9]{4})\b', 1), '') AS alt4,
+             nullif(regexp_extract(raw, '^([0-9]{12}) ', 1), '') AS pfx
+      FROM raw)
+    SELECT station AS metar_station, count(*) AS n,
+           count(CAST(alt4 AS INT) / 100.0) AS n_altim,
+           round(avg(CAST(alt4 AS INT) / 100.0), 4) AS avg_inhg,
+           min(CAST(substr(dhm, 1, 2) AS INT)) AS min_day,
+           max(CAST(substr(dhm, 3, 2) AS INT)) AS max_hour,
+           count(strptime(pfx, '%Y%m%d%H%M')) AS n_ogimet
+    FROM parsed GROUP BY 1"""
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[GraftQuery] = Seq(
@@ -624,6 +691,7 @@ object QueriesGeo {
     GraftQuery("q_straightline", qStraightline, Some(oStraightline)),
     GraftQuery("q_procedure", qProcedure, Some(oProcedure)),
     GraftQuery("q_metar_daygrid", qMetarDaygrid, Some(oMetarDaygrid)),
+    GraftQuery("q_metar_parse", qMetarParse, Some(oMetarParse)),
     GraftQuery("q_georestrictor_set", qGeorestrictorSet, Some(oGeorestrictorSet)),
     GraftQuery("q_geo_intersections", qGeoIntersections, Some(oGeoIntersections), headline = true),
     GraftQuery("q_classb", qClassb, Some(oClassb)),

@@ -114,4 +114,127 @@ object JsonFeed {
         str(17).as("callsign"))
       .where(col("lat").isNotNull && col("lon").isNotNull)
   }
+
+  // ---------------------------------------------------------------------------
+  // FlightAware FlightXML (reference fa/fa.go, fa/types.go)
+  // ---------------------------------------------------------------------------
+
+  /** FlightXML GetHistoricalTrack envelope (fa/types.go:40):
+    * `{"GetHistoricalTrackResult": {"data": [{...TrackStruct}]}}`.
+    */
+  val faTrackEnvelope: StructType = StructType(Seq(
+    StructField("GetHistoricalTrackResult", StructType(Seq(
+      StructField("data", ArrayType(StructType.fromDDL(
+        """altitude BIGINT, altitudeChange STRING, altitudeStatus STRING,
+           groundspeed BIGINT, latitude DOUBLE, longitude DOUBLE,
+           timestamp BIGINT, updateType STRING"""))))))))
+
+  /** Decode FlightXML GetHistoricalTrack responses to typed track points.
+    * `trusted` mirrors fa/types.go:66 DataCanBeTrusted: only actual
+    * surveillance positions ("TA"/"A" — ADS-B) qualify; projected ("TP")
+    * and radar ("TZ") points carry the flag false so downstream sanity
+    * filters (§2.19) can drop them relationally. FlightXML altitudes are
+    * in hundreds of feet. Poison rule as the other feeds: malformed JSON
+    * or missing positions null out and are dropped, never fail the batch.
+    */
+  def parseFaTrack(raw: DataFrame, jsonCol: String): DataFrame =
+    raw.select(explode(
+        from_json(col(jsonCol), faTrackEnvelope)
+          .getField("GetHistoricalTrackResult").getField("data")).as("p"))
+      .select(
+        timestamp_seconds(col("p.timestamp")).as("pos_time"),
+        col("p.latitude").as("lat"),
+        col("p.longitude").as("lon"),
+        (col("p.altitude") * 100).as("alt"),
+        col("p.groundspeed").as("speed"),
+        col("p.updateType").as("update_type"),
+        col("p.updateType").isin("TA", "A").as("trusted"))
+      .where(col("lat").isNotNull && col("lon").isNotNull)
+
+  /** FlightXML FlightInfoEx envelope (fa/types.go:5): flight metadata —
+    * `{"FlightInfoExResult": {"flights": [{...}], "next_offset": N}}`.
+    * Epoch fields of -1/0 (FlightXML's "not yet known") become null
+    * timestamps rather than 1970 artifacts.
+    */
+  val faFlightInfoEnvelope: StructType = StructType(Seq(
+    StructField("FlightInfoExResult", StructType(Seq(
+      StructField("flights", ArrayType(StructType.fromDDL(
+        """faFlightID STRING, ident STRING, aircrafttype STRING,
+           origin STRING, destination STRING, route STRING,
+           filed_departuretime BIGINT, actualdeparturetime BIGINT,
+           estimatedarrivaltime BIGINT, actualarrivaltime BIGINT,
+           filed_altitude BIGINT, diverted STRING"""))),
+      StructField("next_offset", LongType))))))
+
+  def parseFaFlightInfo(raw: DataFrame, jsonCol: String): DataFrame = {
+    def epoch(c: Column): Column =
+      when(c > 0, timestamp_seconds(c))
+    raw.select(explode(
+        from_json(col(jsonCol), faFlightInfoEnvelope)
+          .getField("FlightInfoExResult").getField("flights")).as("f"))
+      .select(
+        col("f.faFlightID").as("fa_flight_id"),
+        col("f.ident").as("callsign"),
+        col("f.aircrafttype").as("equip_type"),
+        col("f.origin").as("origin"),
+        col("f.destination").as("destination"),
+        col("f.route").as("route"),
+        epoch(col("f.filed_departuretime")).as("filed_departure"),
+        epoch(col("f.actualdeparturetime")).as("actual_departure"),
+        epoch(col("f.estimatedarrivaltime")).as("estimated_arrival"),
+        epoch(col("f.actualarrivaltime")).as("actual_arrival"),
+        col("f.filed_altitude").as("filed_altitude"))
+      .where(col("fa_flight_id").isNotNull)
+  }
+
+  // ---------------------------------------------------------------------------
+  // ADS-B Exchange VirtualRadar list (reference aex/aex.go:53 LiveQuery,
+  // aex/types.go:3 LiveQueryResponse / :8 AExAircraft)
+  // ---------------------------------------------------------------------------
+
+  /** The AircraftList.json envelope: `{"acList": [{...AExAircraft}]}` with
+    * the fields aex.go:90 ToAircraftData actually consumes.
+    */
+  val aexEnvelope: StructType = StructType(Seq(
+    StructField("acList", ArrayType(StructType.fromDDL(
+      """Icao STRING, Call STRING, Reg STRING, Type STRING, OpIcao STRING,
+         Alt DOUBLE, GAlt DOUBLE, Spd DOUBLE, Vsi DOUBLE, Trak DOUBLE,
+         Lat DOUBLE, Long DOUBLE, PosTime DOUBLE, Mlat BOOLEAN,
+         Gnd BOOLEAN, Rcvr DOUBLE, From STRING, To STRING""")))))
+
+  /** Decode an ADS-B Exchange aircraft list to typed rows, mirroring
+    * ToAircraftData's projections: PosTime is float epoch MILLIS truncated
+    * to seconds (aex.go:92), `msg_type` is "MLAT" when the position was
+    * multilaterated and "MSG" (ADS-B) otherwise (aex.go:114), and the
+    * origin/destination airport codes extract "KXXX ..." → "XXX"
+    * (aex.go:82 toIcaoAirport — non-K descriptions yield null, as the
+    * reference yields ""). Numeric fields arrive as JSON doubles and cast
+    * to the reference's integer widths.
+    */
+  def parseAexList(raw: DataFrame, jsonCol: String): DataFrame = {
+    def icaoAirport(c: Column): Column = {
+      val m = regexp_extract(c, "^K([A-Z]{3})\\s", 1)
+      when(m =!= "", m)
+    }
+    raw.select(explode(
+        from_json(col(jsonCol), aexEnvelope).getField("acList")).as("a"))
+      .select(
+        col("a.Icao").as("icao_id"),
+        col("a.Call").as("callsign"),
+        col("a.Reg").as("registration"),
+        col("a.Type").as("equip_type"),
+        col("a.OpIcao").as("op_icao"),
+        timestamp_seconds((col("a.PosTime") / 1000.0).cast("long")).as("pos_time"),
+        col("a.Lat").as("lat"),
+        col("a.Long").as("lon"),
+        col("a.Alt").cast("long").as("alt"),
+        col("a.Spd").cast("long").as("speed"),
+        col("a.Vsi").cast("long").as("vertical_rate"),
+        col("a.Trak").cast("long").as("track"),
+        when(col("a.Mlat"), "MLAT").otherwise("MSG").as("msg_type"),
+        coalesce(col("a.Gnd"), lit(false)).as("on_ground"),
+        icaoAirport(col("a.From")).as("origin"),
+        icaoAirport(col("a.To")).as("destination"))
+      .where(col("lat").isNotNull && col("lon").isNotNull)
+  }
 }

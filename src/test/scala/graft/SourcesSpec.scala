@@ -158,6 +158,75 @@ class JsonFeedSpec extends AnyFunSuite with SparkFixture {
       .select(col("pos_time").cast("long")).as[Long].head()
     assert(t == 1441900518L)
   }
+
+  test("FlightXML historical-track feed: typed points, trust flag, poison drop") {
+    // updateType semantics per fa/types.go:58-66: TA/A = surveillance
+    // (trusted), TP = projected, TZ = radar
+    val feed = """{"GetHistoricalTrackResult":{"data":[
+      {"altitude":85,"altitudeChange":"C","altitudeStatus":"-","groundspeed":265,
+       "latitude":37.7,"longitude":-122.4,"timestamp":1441900518,"updateType":"TA"},
+      {"altitude":90,"altitudeChange":"C","altitudeStatus":"-","groundspeed":270,
+       "latitude":37.8,"longitude":-122.5,"timestamp":1441900578,"updateType":"TP"},
+      {"altitude":95,"groundspeed":280,
+       "latitude":null,"longitude":-122.6,"timestamp":1441900638,"updateType":"TZ"}
+    ]}}""".replaceAll("\n\\s*", "")
+    val raw = Seq(feed, "not json", """{"GetHistoricalTrackResult":{}}""").toDF("payload")
+    val out = graft.sources.JsonFeed.parseFaTrack(raw, "payload")
+    val rows = out.select("lat", "alt", "speed", "update_type", "trusted")
+      .as[(Double, Long, Long, String, Boolean)].collect().toSet
+    // null-lat point dropped; FlightXML hundreds-of-feet altitude scaled
+    assert(rows == Set(
+      (37.7, 8500L, 265L, "TA", true),
+      (37.8, 9000L, 270L, "TP", false)))
+  }
+
+  test("FlightXML FlightInfoEx feed: metadata rows, -1 epochs become null") {
+    val feed = """{"FlightInfoExResult":{"next_offset":-1,"flights":[
+      {"faFlightID":"UAL1234-1441843891-airline-0309","ident":"UAL1234",
+       "aircrafttype":"B739","origin":"KSFO","destination":"KLAX",
+       "route":"TRUKN2 BSR","filed_departuretime":1441913400,
+       "actualdeparturetime":1441913520,"estimatedarrivaltime":1441918500,
+       "actualarrivaltime":-1,"filed_altitude":330,"diverted":""}
+    ]}}""".replaceAll("\n\\s*", "")
+    val raw = Seq(feed, "garbage").toDF("payload")
+    val out = graft.sources.JsonFeed.parseFaFlightInfo(raw, "payload")
+    val r = out.head()
+    assert(r.getAs[String]("callsign") == "UAL1234")
+    assert(r.getAs[String]("origin") == "KSFO")
+    assert(r.getAs[java.sql.Timestamp]("actual_departure").toInstant.getEpochSecond
+      == 1441913520L)
+    assert(r.isNullAt(out.columns.indexOf("actual_arrival"))) // -1 → null
+    assert(r.getAs[Long]("filed_altitude") == 330L)
+  }
+
+  test("ADS-B Exchange acList feed: millis epoch, MLAT flag, airport extraction") {
+    val feed = """{"lastDv":"636407000000000000","acList":[
+      {"Icao":"AAA5AE","Call":"UAL1572","Reg":"N78511","Type":"B738",
+       "OpIcao":"UAL","Alt":8550,"GAlt":8514,"Spd":268.6,"Vsi":2176,
+       "Trak":321.7,"Lat":37.680267,"Long":-122.436842,
+       "PosTime":1505618648880.0,"Mlat":false,"Gnd":false,"Rcvr":1,
+       "From":"KBOS General Edward Lawrence Logan, Boston, United States",
+       "To":"KSFO San Francisco, United States"},
+      {"Icao":"","Call":"GLF4","Alt":4143,"Spd":142,"Vsi":0,"Trak":275,
+       "Lat":37.6762,"Long":-122.5215,"PosTime":1505618650000.0,"Mlat":true,
+       "From":"EGLL Heathrow, London, United Kingdom","To":""},
+      {"Icao":"BAD","Call":"NOPOS","PosTime":1505618650000.0}
+    ]}""".replaceAll("\n\\s*", "")
+    val raw = Seq(feed, "not json").toDF("payload")
+    val out = graft.sources.JsonFeed.parseAexList(raw, "payload")
+    assert(out.count() == 2) // position-less aircraft dropped
+    val ual = out.where(col("callsign") === "UAL1572").head()
+    assert(ual.getAs[java.sql.Timestamp]("pos_time").toInstant.getEpochSecond
+      == 1505618648L) // float millis truncated to seconds (aex.go:92)
+    assert(ual.getAs[String]("msg_type") == "MSG")
+    assert(ual.getAs[String]("origin") == "BOS") // "KBOS ..." → "BOS"
+    assert(ual.getAs[String]("destination") == "SFO")
+    assert(ual.getAs[Long]("alt") == 8550L)
+    val glf = out.where(col("callsign") === "GLF4").head()
+    assert(glf.getAs[String]("msg_type") == "MLAT")
+    assert(glf.getAs[String]("origin") == null) // non-K description → null
+    assert(glf.getAs[String]("destination") == null)
+  }
 }
 
 class StoreSpec extends AnyFunSuite with SparkFixture {
@@ -226,5 +295,132 @@ class StreamingWindowSpec extends AnyFunSuite with SparkFixture {
       val rows = spark.table("win_counts").as[(java.sql.Timestamp, Long)].collect()
       assert(rows.toSeq == Seq((t(0), 3L)))
     } finally query.stop()
+  }
+}
+
+/** METAR decode (sources.Metar) against the reference's envelope shapes:
+  * NOAA dataserver CSV (metar/noaa.go:18 parseNOAA — preamble, header map,
+  * empty-altim skip), the hourly archive rule (metar/metar.go Archive.Add:
+  * latest report in the hour wins), and raw/ogimet record decoding
+  * (metar/ogimet.go:20 OgimetPreParse, :47 OgimetParse). Payloads are
+  * synthesized in the reference's documented formats.
+  */
+class MetarSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.sources.Metar
+
+  // Format per noaa.go's embedded example: preamble lines, "N results",
+  // CSV header, then rows. Blob B permutes the column order to prove the
+  // decode is header-driven, not positional.
+  private val noaaA =
+    """No errors
+      |No warnings
+      |6 ms
+      |data source=metars
+      |4 results
+      |raw_text,station_id,observation_time,latitude,longitude,altim_in_hg,metar_type
+      |KSFO 051756Z 28014KT 10SM FEW020 16/08 A3004 RMK AO2,KSFO,2024-01-05T17:56:00Z,37.62,-122.37,30.041338,METAR
+      |KSFO 051656Z 28012KT 10SM FEW020 15/08 A3001 RMK AO2,KSFO,2024-01-05T16:56:00Z,37.62,-122.37,30.008858,METAR
+      |KSFO 051638Z 28010KT 10SM SCT018 15/08 A2998 RMK AO2,KSFO,2024-01-05T16:38:00Z,37.62,-122.37,29.979,SPECI
+      |KSJC 051753Z 30008KT 10SM CLR 17/07,KSJC,2024-01-05T17:53:00Z,37.36,-121.93,,METAR
+      |""".stripMargin
+  private val noaaB =
+    """No errors
+      |2 ms
+      |data source=metars
+      |1 results
+      |station_id,observation_time,altim_in_hg,raw_text
+      |KOAK,2024-01-05T17:53:00Z,29.920,KOAK 051753Z 29010KT 10SM CLR 16/07 A2992
+      |""".stripMargin
+
+  test("NOAA CSV envelope: preamble skip, header-driven columns, altim filter") {
+    val blobs = Seq((1L, noaaA), (2L, noaaB)).toDF("feed_id", "payload")
+    val reports = Metar.parseNoaaCsv(blobs, "feed_id", "payload")
+    val rows = reports.orderBy("observation_time", "station_id")
+      .select("station_id", "observation_time", "altim_in_hg").collect()
+    // KSJC's empty altim_in_hg row is skipped (reference behavior)
+    assert(rows.length === 4)
+    assert(rows.map(_.getString(0)).toSeq === Seq("KSFO", "KSFO", "KOAK", "KSFO"))
+    assert(rows.last.getDouble(2) === 30.041338)
+    // blob B decoded despite permuted columns
+    assert(rows.count(_.getString(0) == "KOAK") === 1)
+  }
+
+  test("hourly archive keeps the latest report per (station, day, hour)") {
+    val blobs = Seq((1L, noaaA)).toDF("feed_id", "payload")
+    val arch = Metar.archiveHourly(Metar.parseNoaaCsv(blobs, "feed_id", "payload"))
+    val slots = arch.orderBy("hour")
+      .select("station_id", "hour", "altim_in_hg").collect()
+    assert(slots.length === 2) // hours 16 and 17 for KSFO
+    // hour 16 has 16:38 SPECI and 16:56 METAR: 16:56 (later) wins
+    assert(slots.head.getInt(1) === 16)
+    assert(slots.head.getDouble(2) === 30.008858)
+  }
+
+  test("ogimet pre-parse glues continuations, strips comments; parseRaw decodes") {
+    val blob =
+      """# METAR archive
+        |
+        |201601070156 METAR KSFO 070156Z 16006KT 10SM -RA FEW019 SCT027 BKN049=
+        |201601070256 METAR KSFO 070256Z 17007KT 8SM
+        | -RA SCT027 BKN049 A2994=
+        |# trailing comment
+        |201601070356 METAR KSFO 070356Z
+        |""".stripMargin
+    val recs = Seq(blob).toDF("payload")
+      .select(explode(Metar.ogimetPreParse(col("payload"))).as("raw"))
+    // third record never terminates with '=' → dropped, like the reference
+    assert(recs.count() === 2)
+    val parsed = Metar.parseRaw(recs, col("raw"))
+      .orderBy("metar_ts")
+      .select("metar_station", "metar_day", "metar_hour", "metar_min",
+        "metar_inhg", "metar_ts").collect()
+    assert(parsed.map(_.getString(0)).toSeq === Seq("KSFO", "KSFO"))
+    assert(parsed.head.getInt(1) === 7 && parsed.head.getInt(2) === 1
+      && parsed.head.getInt(3) === 56)
+    assert(parsed.head.isNullAt(4)) // first record carries no A-group
+    assert(parsed.last.getDouble(4) === 29.94)
+    assert(parsed.head.getTimestamp(5).toInstant.toString === "2016-01-07T01:56:00Z")
+  }
+
+  test("parseRaw tolerates junk rows with nulls, never errors") {
+    val junk = Seq("-.-.-.-.", "", "totally unrelated text").toDF("raw")
+    val parsed = Metar.parseRaw(junk, col("raw"))
+    assert(parsed.count() === 3)
+    assert(parsed.where(col("metar_station").isNotNull).count() === 0)
+    assert(parsed.where(col("metar_inhg").isNotNull).count() === 0)
+  }
+}
+
+/** Report renderer parity (report/report.go AddRow text+HTML surfaces,
+  * listmatches.go header layout, report.go:217 MetadataTable sort order).
+  */
+class RenderSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.sources.Render
+
+  test("text table renders q_geo_intersections with uppercased header layout") {
+    val matches = Queries.queries("q_geo_intersections")(spark, sfDir)
+    val txt = Render.textTable(matches, limit = 10)
+    val lines = txt.split("\n")
+    // header row is the uppercased column list, like ListReporterHeaders
+    assert(lines.head.split("\\s+").toSeq === matches.columns.toSeq.map(_.toUpperCase))
+    assert(lines.length === math.min(10, matches.count()).toInt + 1)
+    // fixed-width: every row's cells start at the same offsets as the header
+    val hdrStarts = matches.columns.map(c => lines.head.indexOf(c.toUpperCase))
+    assert(hdrStarts.forall(_ >= 0))
+  }
+
+  test("HTML table escapes cells; metadata table sorts by key") {
+    val df = Seq((1L, "<b>bold</b> & co")).toDF("id", "payload")
+    val html = Render.htmlTable(df)
+    assert(html.contains("<th>PAYLOAD</th>"))
+    assert(html.contains("<td>&lt;b&gt;bold&lt;/b&gt; &amp; co</td>"))
+    assert(!html.contains("<b>bold</b>"))
+
+    val counters = Seq(("[B] Eliminated", 3L), ("[A] PreProcessed", 150L))
+      .toDF("key", "n")
+    assert(Render.metadataTable(counters) ===
+      Seq(("[A] PreProcessed", "150"), ("[B] Eliminated", "3")))
   }
 }
