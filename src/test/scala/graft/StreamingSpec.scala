@@ -128,3 +128,73 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 }
+
+/** Streaming document dedup (streaming/DedupStream): the continuous-ingest
+  * form of the batch dedup tiers — exact norm-key first-wins and
+  * simhash-bucket near-dup suppression, both watermark-bounded.
+  */
+class DedupStreamSpec extends AnyFunSuite with SparkFixture {
+  import graft.streaming.DedupStream
+  import graft.streaming.DedupStream.Doc
+
+  private val ns = 1000000000L
+
+  test("streaming exact dedup: first arrival of a norm key survives") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    val out = DedupStream.dedupExact(input.toDS(), retentionMs = 60000L)
+    val query = out.writeStream.format("memory").queryName("dedup_exact")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Doc(1L, "the quick brown fox jumps over the lazy dog tail", 10L * ns),
+        Doc(2L, "the quick brown fox jumps over the lazy dog ears", 12L * ns), // same 8-word key
+        Doc(3L, "an entirely different document body goes right here", 14L * ns))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_exact").select("docId").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L)) // doc 2's first-8-words key matches doc 1
+    } finally query.stop()
+  }
+
+  test("streaming simhash near-dup: later near-duplicate suppressed, state times out") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 60 tokens (3 repeats) so the simhash majority votes are stable enough
+    // that a one-word edit keeps the pair in one bucket (top-10-bit block) —
+    // the regime the blocking tier is FOR; short texts spread across buckets
+    // and fall through to the exact tiers
+    val base = Seq.fill(3)("alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo sierra tango")
+      .mkString(" ")
+    val nearDup = base.patch(base.lastIndexOf("tango"), "whiskey", 5) // last word differs
+    val distinct = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+
+    val input = MemoryStream[Doc]
+    val out = DedupStream.dedupSimhash(input.toDS(), maxHamming = 6,
+      retentionMs = 60000L)
+    val query = out.writeStream.format("memory").queryName("dedup_near")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Doc(1L, base, 10L * ns))
+      query.processAllAvailable()
+      input.addData(Doc(2L, nearDup, 20L * ns), Doc(3L, distinct, 21L * ns))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_near")
+        .select("docId").as[Long].collect().toSet
+      assert(ids.contains(1L) && ids.contains(3L), s"survivors: $ids")
+      assert(!ids.contains(2L), "near-duplicate of doc 1 must be suppressed")
+
+      // sanity: batch twin agrees the pair is within the Hamming bound and
+      // shares a bucket (the suppression was blocking, not luck)
+      val sig = graft.operators.Text.simhash(
+        Seq((1L, base), (2L, nearDup)).toDF("docId", "text"),
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " "), 30)
+        .select("docId", "simhash").as[(Long, Long)].collect().toMap
+      assert(java.lang.Long.bitCount(sig(1L) ^ sig(2L)) <= 6)
+      assert((sig(1L) >> 20) == (sig(2L) >> 20))
+    } finally query.stop()
+  }
+}
