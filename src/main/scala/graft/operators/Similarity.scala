@@ -440,6 +440,24 @@ object Similarity {
         min(struct(col("_d"), col("cell"))).getField("cell").as("cell"))
   }
 
+  /** Build the IVF index for a corpus: train (driver-side under
+    * `DriverCellCap` cells, distributed past it) and assign every vector
+    * its cell — returns the model plus the indexed corpus
+    * (n_id, n_vec, cell). The assignment is the INDEX-BUILD cost
+    * (n·cells distance evaluations): at corpus scale it is paid once and
+    * the indexed table persisted (ideally partitioned by `cell`, so a
+    * probe join prunes partitions); every later query batch runs
+    * `knnIvfSearchIndexed` against it with no corpus-wide work.
+    */
+  def ivfIndex(corpus: DataFrame, id: String, vec: String,
+               nCells: Int): (Seq[(Int, Seq[Float])], DataFrame) = {
+    val model =
+      if (nCells <= DriverCellCap) ivfTrainDriver(corpus, vec, nCells)
+      else ivfCentroidsDistributed(corpus, vec, nCells)
+    (model, ivfAssign(
+      corpus.select(col(id).as("n_id"), col(vec).as("n_vec")), "n_vec", model))
+  }
+
   /** IVF search against a prebuilt (cell, center) model — `knnIvf` trains
     * driver-side or distributed and delegates here; any deterministic
     * positional model plugs in unchanged.
@@ -447,13 +465,26 @@ object Similarity {
   def knnIvfSearch(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
                    k: Int, nProbe: Int, roundTo: Int,
                    model: Seq[(Int, Seq[Float])]): DataFrame = {
-    val spark = corpus.sparkSession
     // Corpus side: the native argmin assigns every vector its cell in ONE
     // codegen pass — no n x cells join, no aggregate, zero exchanges for
     // the corpus before the probe join (the r4 relational form materialized
     // 164M rows at the 300k x 548 probe; this is a per-row loop).
     val c = ivfAssign(
       corpus.select(col(id).as("n_id"), col(vec).as("n_vec")), "n_vec", model)
+    knnIvfSearchIndexed(c, queries, id, vec, k, nProbe, roundTo, model)
+  }
+
+  /** Search a PREBUILT index (`ivfIndex` output, or a persisted
+    * (n_id, n_vec, cell) table): per batch, only the query set touches the
+    * centers; the corpus contributes exactly its probed cells through the
+    * broadcast hash join.
+    */
+  def knnIvfSearchIndexed(indexed: DataFrame, queries: DataFrame,
+                          id: String, vec: String,
+                          k: Int, nProbe: Int, roundTo: Int,
+                          model: Seq[(Int, Seq[Float])]): DataFrame = {
+    val spark = indexed.sparkSession
+    val c = indexed
     // Query side: queries x cells is tiny — rank the nProbe nearest cells
     // relationally with the SAME fold arithmetic the oracle replays
     // (dist = vv - 2.0*vc + cc, ties by cell asc — matching IvfArgminExpr's

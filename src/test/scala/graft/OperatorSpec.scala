@@ -445,6 +445,20 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.3, s"distributed-IVF recall@5 = $recall")
   }
 
+  test("prebuilt IVF index serves query batches identically to direct search") {
+    val e = Tables.embeddings(spark, sfDir)
+    val (model, indexed) = Similarity.ivfIndex(e, "vec_id", "embedding", 22)
+    val idx = indexed.localCheckpoint() // the "persisted index" stand-in
+    for (lo <- Seq(0L, 40L)) {
+      val q = e.where(col("vec_id") >= lo && col("vec_id") < lo + 10)
+      val viaIndex = Similarity.knnIvfSearchIndexed(idx, q,
+        "vec_id", "embedding", 5, 3, 6, model).collect().toSet
+      val direct = Similarity.knnIvfSearch(e, q,
+        "vec_id", "embedding", 5, 3, 6, model).collect().toSet
+      assert(viaIndex === direct)
+    }
+  }
+
   test("native IVF argmin assignment bit-matches the join/min_by twin") {
     val e = Tables.embeddings(spark, sfDir)
     val model = Similarity.ivfTrainDriver(e, "embedding", 22)
