@@ -107,3 +107,63 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 }
+
+/** Randomized batteries for the round-5 additions: the native IVF argmin
+  * (vs its relational twin on random vectors and random models — edge cells,
+  * duplicate centers, tie distances) and the METAR raw decoder (round-trip
+  * through randomly synthesized report strings).
+  */
+class PropertySpecR5 extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  private val rnd = new scala.util.Random(1234)
+
+  test("IvfArgminExpr bit-matches the join/min_by twin on random vectors + models") {
+    for (round <- 1 to 4) {
+      val dim = 8
+      val nCells = 1 + rnd.nextInt(7)
+      // small integer coordinates force plenty of EXACT distance ties —
+      // the tie rule (lowest cell) is the part worth hammering
+      val model: Seq[(Int, Seq[Float])] = (0 until nCells)
+        .map(c => (c, Seq.fill(dim)(rnd.nextInt(3).toFloat)))
+      val vecs = (0 until 60)
+        .map(i => (i.toLong, Seq.fill(dim)(rnd.nextInt(3).toFloat)))
+        .toDF("vid", "v")
+      val native = Similarity.ivfAssign(vecs, "v", model)
+        .select("vid", "cell").as[(Long, Int)].collect().toMap
+      val twin = Similarity.ivfAssignHof(vecs, "vid", "v", model)
+        .select("vid", "cell").as[(Long, Int)].collect().toMap
+      assert(native === twin, s"round=$round nCells=$nCells")
+    }
+  }
+
+  test("METAR parseRaw round-trips randomly synthesized reports") {
+    import graft.sources.Metar
+    val cases = (1 to 50).map { i =>
+      val station = "K" + Seq.fill(3)(('A' + rnd.nextInt(26)).toChar).mkString
+      val day = 1 + rnd.nextInt(28)
+      val hour = rnd.nextInt(24)
+      val min = rnd.nextInt(60)
+      val altim = 2800 + rnd.nextInt(400)
+      val hasAltim = rnd.nextBoolean()
+      val prefix = rnd.nextInt(3) match {
+        case 0 => f"201601$day%02d$hour%02d$min%02d METAR "
+        case 1 => "SPECI "
+        case _ => ""
+      }
+      val raw = f"$prefix$station $day%02d$hour%02d$min%02dZ 28014KT 10SM" +
+        (if (hasAltim) f" A$altim%04d" else "") + " RMK AO2"
+      (i.toLong, raw, station, day, hour, min, if (hasAltim) altim / 100.0 else -1.0)
+    }
+    val parsed = Metar.parseRaw(
+        cases.map(c => (c._1, c._2)).toDF("id", "raw"), col("raw"))
+      .select("id", "metar_station", "metar_day", "metar_hour", "metar_min", "metar_inhg")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          if (r.isNullAt(5)) -1.0 else r.getDouble(5))).toMap
+    for ((id, _, station, day, hour, min, inhg) <- cases) {
+      assert(parsed(id) === ((station, day, hour, min, inhg)), s"case $id")
+    }
+  }
+}
