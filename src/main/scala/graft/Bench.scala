@@ -77,13 +77,18 @@ object Bench {
       val cmd = Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", System.getProperty("java.class.path"), "graft.Bench", name)
       val pb = new ProcessBuilder(cmd.asJava)
-      pb.redirectErrorStream(false)
+      // stdout to a temp FILE, not a pipe: a pipe would need the parent to
+      // drain it before waitFor, and a hung child that never closes stdout
+      // would then block readAllBytes forever — the exact pathology the
+      // timeout exists for
+      val outFile = java.io.File.createTempFile("graft_bench_iso", ".out")
+      outFile.deleteOnExit()
+      pb.redirectOutput(outFile)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
       val ok = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
       if (!ok) { p.destroyForcibly(); return -1.0 }
+      val out = java.nio.file.Files.readString(outFile.toPath)
       val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":([-0-9.eE]+)").r
       re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
     } catch { case _: Throwable => -1.0 }

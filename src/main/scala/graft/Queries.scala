@@ -626,10 +626,13 @@ object Queries {
 
   /** Static oracles plus the data-dependent generated ones — what Verify
     * dumps to oracle_sql.json. A generator that throws degrades that query
-    * to the rows-only check instead of killing the dump.
+    * to the rows-only check instead of killing the dump. `only` restricts
+    * which generators RUN (a generator may train a model — single-query
+    * fast-iteration dumps must not pay for queries they filter out).
     */
-  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
-    all.flatMap { q =>
+  def oracleSqlFor(spark: SparkSession, dir: String,
+                   only: Set[String] = Set.empty): Map[String, String] =
+    all.filter(q => only.isEmpty || only(q.name)).flatMap { q =>
       q.oracle.orElse {
         try q.oracleGen.map(_(spark, dir))
         catch { case e: Throwable =>

@@ -13,6 +13,7 @@ object SparkEntry {
   /** oracleSql plus the data-dependent generated oracles (trained-model
     * exports, corpus-sized LSH constants) — Verify dumps THIS map, so the
     * emitted SQL always matches the corpus the driver compares against. */
-  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
-    Queries.oracleSqlFor(spark, dir)
+  def oracleSqlFor(spark: SparkSession, dir: String,
+                   only: Set[String] = Set.empty): Map[String, String] =
+    Queries.oracleSqlFor(spark, dir, only)
 }

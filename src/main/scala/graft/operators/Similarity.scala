@@ -382,7 +382,12 @@ object Similarity {
     var centers: Seq[(Int, Seq[Float])] = pts
       .select("_v").dropDuplicates("_v")
       .withColumn("_h", hash(col("_v")))
-      .orderBy("_h").limit(nCells)
+      // the vector itself breaks 32-bit hash ties (arrays sort
+      // lexicographically): at 64*65536-row samples a few thousand hash
+      // collisions are expected, and without a total order the selected
+      // seed set — and with it the whole trained model — would be
+      // partition-dependent
+      .orderBy(col("_h"), col("_v")).limit(nCells)
       .select("_v").collect()
       .map(_.getSeq[Float](0)).zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     for (_ <- 0 until iters) {

@@ -25,7 +25,9 @@ object Metar {
     */
   def ogimetPreParse(blob: Column): Column = {
     val glued = aggregate(
-      split(blob, "\n"),
+      // split pattern is a regex: tolerate CRLF payloads (trim() strips
+      // only spaces, so a trailing \r would defeat the '=' terminator)
+      split(blob, "\r?\n"),
       struct(array().cast("array<string>").as("done"), lit("").as("curr")),
       (acc, raw) => {
         val l = trim(raw)
@@ -74,7 +76,10 @@ object Metar {
       .withColumn("metar_inhg",
         when(alt4 =!= "", alt4.cast("int") / 100.0))
       .withColumn("metar_ts",
-        when(pfx =!= "", to_timestamp(pfx, "yyyyMMddHHmm")))
+        // try_: a 12-digit prefix that isn't a valid datetime (month 13,
+        // corrupt archive line) must null out, not throw — Spark 4 runs
+        // ANSI by default and to_timestamp would fail the batch
+        when(pfx =!= "", try_to_timestamp(pfx, lit("yyyyMMddHHmm"))))
   }
 
   /** Decode a NOAA dataserver CSV payload (noaa.go:18 parseNOAA) into one
@@ -95,11 +100,17 @@ object Metar {
     */
   def parseNoaaCsv(df: DataFrame, id: String, blob: String): DataFrame = {
     val lines = df.select(col(id),
-        posexplode(split(col(blob), "\n")).as(Seq("pos", "line")))
+        posexplode(split(col(blob), "\r?\n")).as(Seq("pos", "line")))
       .withColumn("line", trim(col("line")))
     val mark = lines
       .where(col("line").rlike("^[0-9]+ results$"))
       .groupBy(id).agg(min("pos").as("_mark"))
+    // A blob whose header lacks one of the four columns decodes to zero
+    // rows (the position guard below) rather than erroring: Spark 4 runs
+    // ANSI by default, where element_at(_, 0) — array_position's missing
+    // marker — throws. Same poison contract as the JSON feeds: envelope
+    // drift and garbled lines drop rows, never the batch (try_element_at
+    // nulls a too-short line, try_to_timestamp/try_cast null bad values).
     val hdr = lines.join(mark, id)
       .where(col("pos") === col("_mark") + 1)
       .select(col(id), split(col("line"), ",").as("_hdr"))
@@ -108,17 +119,22 @@ object Metar {
         array_position(col("_hdr"), "station_id").as("_p_sta"),
         array_position(col("_hdr"), "observation_time").as("_p_obs"),
         array_position(col("_hdr"), "altim_in_hg").as("_p_alt"))
+      .where(col("_p_raw") > 0 && col("_p_sta") > 0 &&
+        col("_p_obs") > 0 && col("_p_alt") > 0)
     lines.join(mark, id).join(hdr, id)
       .where(col("pos") > col("_mark") + 1 && length(col("line")) > 0)
       .withColumn("_f", split(col("line"), ","))
       .select(col(id),
-        element_at(col("_f"), col("_p_raw").cast("int")).as("raw_text"),
-        element_at(col("_f"), col("_p_sta").cast("int")).as("station_id"),
-        to_timestamp(element_at(col("_f"), col("_p_obs").cast("int")),
-          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("observation_time"),
-        element_at(col("_f"), col("_p_alt").cast("int")).as("_alt"))
-      .where(col("_alt").isNotNull && col("_alt") =!= "")
-      .withColumn("altim_in_hg", col("_alt").cast("double"))
+        try_element_at(col("_f"), col("_p_raw").cast("int")).as("raw_text"),
+        try_element_at(col("_f"), col("_p_sta").cast("int")).as("station_id"),
+        try_to_timestamp(
+          try_element_at(col("_f"), col("_p_obs").cast("int")),
+          lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).as("observation_time"),
+        try_element_at(col("_f"), col("_p_alt").cast("int")).as("_alt"))
+      .where(col("_alt").isNotNull && col("_alt") =!= "" &&
+        col("observation_time").isNotNull)
+      .withColumn("altim_in_hg", expr("try_cast(_alt AS DOUBLE)"))
+      .where(col("altim_in_hg").isNotNull)
       .drop("_alt")
   }
 

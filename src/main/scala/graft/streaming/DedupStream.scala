@@ -41,7 +41,7 @@ object DedupStream {
   def dedupExact(docs: Dataset[Doc], retentionMs: Long): DataFrame =
     docs.toDF()
       .withColumn("event_time",
-        timestamp_micros((col("tsNs") / 1000L).cast("long")))
+        timestamp_micros(expr("tsNs div 1000")))
       .withColumn("norm_key",
         concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
       .withWatermark("event_time", s"$retentionMs milliseconds")
@@ -88,7 +88,7 @@ object DedupStream {
     val withSig = Text.simhash(
         docs.toDF()
           .withColumn("event_time",
-            timestamp_micros((col("tsNs") / 1000L).cast("long"))),
+            timestamp_micros(expr("tsNs div 1000"))),
         split(col("text"), " "), 30)
       .withWatermark("event_time", s"${2 * retentionMs} milliseconds")
       // keep the watermarked column in scope — the event-time timeout

@@ -101,7 +101,7 @@ object SessionStream {
     val src =
       if (!streaming || hasWatermark) points
       else points
-        .withColumn("event_time", timestamp_micros((col("tsNs") / 1000L).cast("long")))
+        .withColumn("event_time", timestamp_micros(expr("tsNs div 1000")))
         // 2x gap: one gap for the flush rule, one gap of cross-key slack
         // (see caveat above)
         .withWatermark("event_time", s"${2 * maxGapMs} milliseconds")

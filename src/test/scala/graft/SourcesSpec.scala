@@ -383,6 +383,37 @@ class MetarSpec extends AnyFunSuite with SparkFixture {
     assert(parsed.head.getTimestamp(5).toInstant.toString === "2016-01-07T01:56:00Z")
   }
 
+  test("decoders survive CRLF payloads, envelope drift, and corrupt prefixes") {
+    // CRLF: trailing \r must not defeat the '=' terminator or the
+    // "N results" preamble anchor (the Go reference's bufio strips \r)
+    val crlfNoaa = noaaA.replace("\n", "\r\n")
+    val crlfReports = Metar.parseNoaaCsv(
+      Seq((1L, crlfNoaa)).toDF("feed_id", "payload"), "feed_id", "payload")
+    assert(crlfReports.count() === 3)
+    val crlfOgimet = "201601070156 METAR KSFO 070156Z A3004=\r\n".*(2)
+    val recs = Seq(crlfOgimet).toDF("payload")
+      .select(explode(Metar.ogimetPreParse(col("payload"))).as("raw"))
+    assert(recs.count() === 2)
+
+    // envelope drift: a header missing altim_in_hg decodes to zero rows,
+    // not an ANSI element_at(0) error; short/garbled data lines drop
+    val drifted = noaaA.replace("altim_in_hg", "altim_renamed")
+    assert(Metar.parseNoaaCsv(
+      Seq((1L, drifted)).toDF("feed_id", "payload"), "feed_id", "payload")
+      .count() === 0)
+    val garbled = noaaA + "too,short\nKXXX 000000Z,KXXX,not-a-time,0,0,bad-altim,METAR\n"
+    assert(Metar.parseNoaaCsv(
+      Seq((1L, garbled)).toDF("feed_id", "payload"), "feed_id", "payload")
+      .count() === 3) // the two poison lines drop, valid rows survive
+
+    // a 12-digit prefix that isn't a real datetime nulls metar_ts (ANSI
+    // would otherwise fail the batch in to_timestamp)
+    val badPfx = Metar.parseRaw(
+      Seq("201613070156 METAR KSFO 070156Z A3004").toDF("raw"), col("raw"))
+    assert(badPfx.where(col("metar_ts").isNotNull).count() === 0)
+    assert(badPfx.head().getAs[String]("metar_station") === "KSFO")
+  }
+
   test("parseRaw tolerates junk rows with nulls, never errors") {
     val junk = Seq("-.-.-.-.", "", "totally unrelated text").toDF("raw")
     val parsed = Metar.parseRaw(junk, col("raw"))
