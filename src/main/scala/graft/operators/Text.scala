@@ -237,30 +237,41 @@ object Text {
           .select("grp", "p_g")
         membership.join(broadcast(pByGrp), Seq("grp"))
       }
-    // Segment key = part-seeded polynomial fold over the SORTED murmur
-    // hashes (canonical order ⇒ equal sets get equal keys), computed per
-    // (group, doc). Only NON-EMPTY segments are materialized and joined —
+    // Segment key: an ORDER-INDEPENDENT combination of the part's shingle
+    // hashes — each hash avalanche-mixed with the (part, grp) seed via
+    // xxhash64, then (36-bit-masked sum, bit_xor, count) folded through a
+    // final xxhash64. Equal shingle sets get equal keys by commutativity
+    // (no sort, no collected array); unequal sets collide only with
+    // xxhash-level probability, and a collision only ADDS a candidate the
+    // exact verification join kills — exactness is unaffected (spec pins
+    // fast == naive). This replaced the sorted polynomial fold
+    // (collect_list + sort_array per group): that form could not combine
+    // map-side — every (doc, shingle) row crossed the exchange and the
+    // grouped sorts were the operator's largest CPU block — while a
+    // commutative aggregate ships one partial row per group per mapper and
+    // needs no explicit repartition guard (the old CPU-heavy final agg had
+    // to be force-spread; the final merge of partials is trivial).
+    // The 36-bit mask keeps the sum ANSI-safe: 2^36 per term x up to 2^26
+    // shingles in one part stays under 2^63 (overflow would THROW under
+    // Spark 4's default ANSI mode, not wrap).
+    // Only NON-EMPTY segments are materialized and joined —
     // empty-segment agreements are accounted for by the np-based bound
     // below, never enumerated. Shingle rows carry ONLY (grp, p_g) through
-    // the heavy segment groupBy; per-(grp, doc) metadata re-attaches
-    // afterwards from the small `mem` (in single-group mode the constants
-    // attach for free — no join).
-    // explicit-N repartition on the agg keys: the groupBy reuses the
-    // partitioning (no second exchange) and — unlike the implicit agg
-    // exchange — AQE won't coalesce it to ~1 partition on byte-size
-    // grounds; the collect_list/sort/polyFold work here is CPU-heavy per
-    // row, so a "small" exchange still must not serialize it (profiled:
-    // the coalesced form ran this agg 19.8 s single-task on the skewed
-    // 10x corpus)
+    // the segment groupBy; per-(grp, doc) metadata re-attaches afterwards
+    // from the small `mem` (in single-group mode the constants attach for
+    // free — no join).
+    def segKey: Column = xxhash64(
+      sum(col("_m").bitwiseAND(lit((1L << 36) - 1))),
+      expr("bit_xor(_m)"),
+      count(lit(1)))
     val segsNonEmpty = (
       if (singleGroup)
         sh.withColumn("grp", lit(0)).withColumn("p_g", lit(pFor(lmax)))
       else sh.join(mem.select("doc", "grp", "p_g"), Seq("doc")))
       .withColumn("part", pmod(col("_h"), col("p_g")).cast("int"))
-      .repartition(par, col("grp"), col("doc"), col("part"))
+      .withColumn("_m", xxhash64(col("_h"), col("part"), col("grp")))
       .groupBy("grp", "doc", "part")
-      .agg(polyFold(sort_array(collect_list(col("_h"))),
-        col("part").cast("long")).as("seg"))
+      .agg(segKey.as("seg"))
     val npDf = segsNonEmpty.groupBy("grp", "doc").agg(count(lit(1)).as("np"))
     val docMeta = mem.select("grp", "doc", "n_sh", "cls", "p_g")
       .join(npDf, Seq("grp", "doc")) // (grp, doc, n_sh, cls, p_g, np)
@@ -315,11 +326,9 @@ object Text {
     val fSh = sh.join(fDocs.select("doc", "grp", "p_g"), Seq("doc"))
     val segs2 = fSh
       .withColumn("part", pmod(col("_h"), col("p_g") * 2 + 1).cast("int"))
-      // same serialization guard as segsNonEmpty's agg above
-      .repartition(par, col("grp"), col("doc"), col("part"))
+      .withColumn("_m", xxhash64(col("_h"), col("part"), col("grp")))
       .groupBy("grp", "doc", "part")
-      .agg(polyFold(sort_array(collect_list(col("_h"))),
-        col("part").cast("long")).as("seg"))
+      .agg(segKey.as("seg")) // same commutative key as segsNonEmpty
     val np2Df = segs2.groupBy("grp", "doc").agg(count(lit(1)).as("np2"))
     val fMeta = fDocs.select("grp", "doc", "n_sh", "cls").join(np2Df, Seq("grp", "doc"))
     val fSegs = segs2.join(fMeta, Seq("grp", "doc")).repartition(par)
