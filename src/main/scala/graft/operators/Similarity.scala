@@ -317,9 +317,19 @@ object Similarity {
       .sample(withReplacement = false, frac, seed = 42).limit(sampleN)
       .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(pts.nonEmpty, "knnIvf: sample returned no vectors")
+    lloydLocal(pts, nCells, 10).toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq.map(_.toFloat)) }
+  }
+
+  /** Plain-array Lloyd's iterations (deterministic: evenly-strided init over
+    * the given point order, fixed iterations, stable empty-cell rule) —
+    * shared by the driver trainer and the per-coarse-cell fine trainer.
+    */
+  private[operators] def lloydLocal(pts: Array[Array[Double]], nCells: Int,
+                                    iters: Int): Array[Array[Double]] = {
     val dim = pts.head.length
     var centers = Array.tabulate(nCells)(i => pts((i.toLong * pts.length / nCells).toInt).clone())
-    for (_ <- 0 until 10) {
+    for (_ <- 0 until iters) {
       val sums = Array.fill(nCells)(new Array[Double](dim))
       val counts = new Array[Long](nCells)
       for (p <- pts) {
@@ -339,7 +349,7 @@ object Similarity {
         if (counts(c) == 0) centers(c) // keep an empty cell's center stable
         else sums(c).map(_ / counts(c)))
     }
-    centers.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq.map(_.toFloat)) }
+    centers
   }
 
   /** Distributed Lloyd's iterations — the documented path past `autoCells`'
@@ -443,6 +453,123 @@ object Similarity {
       .groupBy(id)
       .agg(first(col(vec)).as(vec),
         min(struct(col("_d"), col("cell"))).getField("cell").as("cell"))
+  }
+
+  /** TWO-LEVEL coarse quantizer — the shape past the flat trainer's
+    * practical ceiling (assignment over a flat model costs nCells·dim per
+    * row; at √(10^9+) cells that dominates everything). Trains `nCoarse`
+    * top-level cells with the distributed trainer, then `nFine` sub-cells
+    * per coarse cell over the coarse cell's own sample rows (bounded
+    * per-cell Lloyd's inside `mapGroups` — per-group imperative training is
+    * the one legitimate spot: each group is a bounded sample, and nCoarse
+    * relational Lloyd's jobs per iteration would swamp the scheduler).
+    * Returns (coarse model, FLAT fine model) with fine cell ids
+    * `coarse*nFine + fine`, 0..nCoarse·nFine-1 — the flat model plugs into
+    * `knnIvfSearchIndexed` unchanged; only ASSIGNMENT goes hierarchical
+    * (`ivfAssign2`: (nCoarse+nFine)·dim per row instead of
+    * nCoarse·nFine·dim).
+    *
+    * A coarse cell with no sample rows keeps copies of its coarse center
+    * as its fine centers (stable, like the flat trainers' empty-cell rule).
+    */
+  def ivfTrainTwoLevel(corpus: DataFrame, vec: String, nCoarse: Int, nFine: Int,
+                       iters: Int = 5)
+      : (Seq[(Int, Seq[Float])], Seq[(Int, Seq[Float])]) = {
+    import corpus.sparkSession.implicits._
+    val coarse = ivfCentroidsDistributed(corpus, vec, nCoarse, iters)
+    // fine-training sample: the usual 64-per-cell budget across ALL fine
+    // cells, drawn once and routed to its coarse cell by the native argmin
+    val targetRows = math.max(64L * nCoarse * nFine, 4096L)
+    val corpusN = corpus.count()
+    val frac = math.min(1.0, targetRows * 1.2 / corpusN)
+    val sampled = (if (frac < 1.0)
+        corpus.sample(withReplacement = false, frac, seed = 43)
+      else corpus).select(col(vec).as("_v"))
+    val perCell = 64 * nFine
+    val fineTrained: Map[Int, Seq[Seq[Float]]] =
+      ivfAssign(sampled, "_v", coarse)
+        .select(col("cell"), col("_v"))
+        .as[(Int, Seq[Float])]
+        .groupByKey(_._1)
+        .mapGroups { (cell, rows) =>
+          // deterministic per-group order (shuffle order is not): sort by
+          // (murmur-of-vector, vector) before capping the training set
+          val pts = rows.map(_._2).toArray
+            .sortBy(v => (util.hashing.MurmurHash3.seqHash(v), v.mkString(",")))
+            .take(perCell)
+            .map(_.toArray.map(_.toDouble))
+          val centers = lloydLocal(pts, math.min(nFine, pts.length), iters)
+          (cell, centers.map(_.toSeq.map(_.toFloat)).toSeq)
+        }
+        .collect().map { case (c, ctrs) => c -> ctrs }.toMap
+    val coarseByCell = coarse.toMap
+    val fineFlat: Seq[(Int, Seq[Float])] = (0 until nCoarse).flatMap { c =>
+      val trained = fineTrained.getOrElse(c, Seq.empty)
+      // pad short/missing cells with the coarse center (ties resolve to the
+      // lowest fine id, so duplicates are harmless dead sub-cells)
+      val ctrs = trained ++ Seq.fill(nFine - trained.length)(coarseByCell(c))
+      ctrs.zipWithIndex.map { case (v, f) => (c * nFine + f, v) }
+    }
+    (coarse, fineFlat)
+  }
+
+  /** Hierarchical two-stage cell assignment (adds `cell` = coarse·nFine +
+    * fine) — see IvfArgmin2Expr for the per-row cost and the
+    * hierarchical-greedy recall trade.
+    */
+  def ivfAssign2(df: DataFrame, vec: String,
+                 coarse: Seq[(Int, Seq[Float])],
+                 fine: Seq[(Int, Seq[Float])]): DataFrame = {
+    require(coarse.zipWithIndex.forall { case ((c, _), i) => c == i } &&
+      fine.zipWithIndex.forall { case ((c, _), i) => c == i },
+      "ivfAssign2: model cell ids must be positional")
+    val dim = coarse.head._2.length
+    df.withColumn("cell", org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.IvfArgmin2Expr(
+        org.apache.spark.sql.graft.ColumnShim.expression(col(vec)),
+        coarse.flatMap(_._2), fine.flatMap(_._2),
+        coarse.length, fine.length / coarse.length, dim)))
+  }
+
+  /** Relational twin of `ivfAssign2` (two chained broadcast-join argmins,
+    * same cc - 2·vc arithmetic) — the spec suite's bit-equality reference.
+    */
+  def ivfAssign2Hof(df: DataFrame, id: String, vec: String,
+                    coarse: Seq[(Int, Seq[Float])],
+                    fine: Seq[(Int, Seq[Float])]): DataFrame = {
+    val spark = df.sparkSession
+    val nFine = fine.length / coarse.length
+    def ccDf(m: Seq[(Int, Seq[Float])], cellAs: String) = broadcast(
+      spark.createDataFrame(m).toDF(cellAs, "center")
+        .withColumn("_cc", dot(col("center"), col("center"))))
+    val co = df.select(col(id), col(vec))
+      .join(ccDf(coarse, "c_cell"))
+      .withColumn("_d", col("_cc") - lit(2.0) * dot(col(vec), col("center")))
+      .groupBy(id)
+      .agg(first(col(vec)).as(vec),
+        min(struct(col("_d"), col("c_cell"))).getField("c_cell").as("c_cell"))
+    co.join(ccDf(fine, "f_cell"),
+        col("f_cell") >= col("c_cell") * nFine &&
+        col("f_cell") < (col("c_cell") + 1) * nFine)
+      .withColumn("_d", col("_cc") - lit(2.0) * dot(col(vec), col("center")))
+      .groupBy(id)
+      .agg(first(col(vec)).as(vec),
+        min(struct(col("_d"), col("f_cell"))).getField("f_cell").as("cell"))
+  }
+
+  /** IVF ANN with the two-level quantizer: train hierarchical, assign the
+    * corpus with the two-stage argmin, search the flat fine-cell index
+    * (probe ranking over nCoarse·nFine centers is relational and the query
+    * set is small by contract).
+    */
+  def knnIvfTwoLevel(corpus: DataFrame, queries: DataFrame, id: String,
+                     vec: String, k: Int, nCoarse: Int, nFine: Int,
+                     nProbe: Int, roundTo: Int): DataFrame = {
+    val (coarse, fine) = ivfTrainTwoLevel(corpus, vec, nCoarse, nFine)
+    val indexed = ivfAssign2(
+      corpus.select(col(id).as("n_id"), col(vec).as("n_vec")), "n_vec",
+      coarse, fine)
+    knnIvfSearchIndexed(indexed, queries, id, vec, k, nProbe, roundTo, fine)
   }
 
   /** Build the IVF index for a corpus: train (driver-side under

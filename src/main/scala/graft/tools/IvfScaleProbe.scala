@@ -94,6 +94,54 @@ object IvfScaleProbe {
     }
     val recall = brute.count(ivf.contains).toDouble / brute.size
     println(f"[ivfscale] recall@5 vs brute = $recall%.3f over ${brute.size} pairs")
+
+    // Two-level lane at a comparable total cell count: per-row assignment
+    // is (nC + nF)·dim instead of cells·dim — the shape that keeps √n
+    // cells viable at 10^9+ vectors (548 cells: ~11x less per-row work;
+    // 65k cells: ~128x)
+    val nC = math.max(2, math.round(math.sqrt(cells.toDouble)).toInt)
+    val nF = nC
+    val (coarse, fine) = timed(s"ivfTrainTwoLevel (${nC}x$nF)") {
+      Similarity.ivfTrainTwoLevel(e, "embedding", nC, nF)
+    }
+    val assigned2 = timed("ivfAssign2 (hierarchical)") {
+      Similarity.ivfAssign2(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec")),
+        "n_vec", coarse, fine).localCheckpoint()
+    }
+    val ivf2 = timed("two-level indexed search") {
+      Similarity.knnIvfSearchIndexed(assigned2, q, "vec_id", "embedding",
+          5, nProbe, 6, fine)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val recall2 = brute.count(ivf2.contains).toDouble / brute.size
+    println(f"[ivfscale] two-level recall@5 vs brute = $recall2%.3f (${nC * nF} cells, $nProbe probes)")
+
+    // Assignment-cost scaling, isolated: a 16384-cell model built from
+    // corpus vectors directly (no training — this lane measures ONLY the
+    // per-row argmin, flat cells·dim vs hierarchical (√cells + √cells)·dim,
+    // the term that decides whether √n cells survive 10^9 vectors). Flat
+    // does 64x the fp work here.
+    val bigN = 16384
+    val seedVecs = e.orderBy("vec_id").limit(bigN)
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val flatBig: Seq[(Int, Seq[Float])] = seedVecs.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq
+    val coarseBig: Seq[(Int, Seq[Float])] = (0 until 128)
+      .map(i => (i, seedVecs(i * 128)))
+    val slice = e // full corpus: the fp-work gap needs enough rows to clear scan overhead
+    // sum(cell), not count(): count() lets Catalyst prune the assignment
+    // projection away entirely and times an empty scan
+    timed(s"flat assign, $bigN cells (300k rows)") {
+      Similarity.ivfAssign(
+        slice.select(col("vec_id").as("n_id"), col("embedding").as("n_vec")),
+        "n_vec", flatBig).agg(sum("cell")).head()
+    }
+    timed(s"two-level assign, 128x128 cells (300k rows)") {
+      Similarity.ivfAssign2(
+        slice.select(col("vec_id").as("n_id"), col("embedding").as("n_vec")),
+        "n_vec", coarseBig, flatBig).agg(sum("cell")).head()
+    }
     val rt = Runtime.getRuntime
     println(f"[ivfscale] driver heap used ≈ ${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB " +
       f"(model is cells x dim x 4B ≈ ${cells * 64 * 4 / 1e3}%.0f KB)")

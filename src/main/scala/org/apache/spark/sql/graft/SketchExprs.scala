@@ -389,3 +389,129 @@ object IvfArgminExpr {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[IvfArgminExpr].getName, "graft_ivf_argmin")
 }
+
+/** TWO-LEVEL nearest-centroid assignment — the quantizer shape past the
+  * flat argmin's comfortable cell count: argmin over `nCoarse` coarse
+  * centers, then argmin over that winner's `nFine` sub-centers; the
+  * returned cell id is `coarse * nFine + fine`. Per-row work is
+  * (nCoarse + nFine)·dim instead of (nCoarse·nFine)·dim — at 65k cells
+  * (256 x 256) that is ~256x less — which is what keeps √n cells viable
+  * at 10^9+ vectors. The assignment is hierarchical-greedy, the standard
+  * IMI/two-level-IVF trade: the globally nearest fine cell can hide under
+  * a runner-up coarse cell, so recall is bought back with `nProbe` at
+  * search time (measured in the spec suite).
+  *
+  * Distances drop the ||v||² term (constant per row — argmin-invariant);
+  * ties keep the lowest index at both levels. Bit-equality twin:
+  * `Similarity.ivfAssign2Hof` (same cc - 2·vc arithmetic relationally).
+  * `coarse` is [nCoarse][dim]-flattened, `fine` [nCoarse][nFine][dim].
+  */
+case class IvfArgmin2Expr(child: Expression, coarse: Seq[Float], fine: Seq[Float],
+                          nCoarse: Int, nFine: Int, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nCoarse >= 1 && nFine >= 1, s"bad cell counts ($nCoarse, $nFine)")
+  require(coarse.length == nCoarse * dim,
+    s"coarse length ${coarse.length} != $nCoarse*$dim")
+  require(fine.length == nCoarse * nFine * dim,
+    s"fine length ${fine.length} != $nCoarse*$nFine*$dim")
+
+  override def nullIntolerant: Boolean = true
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_ivf_argmin2"
+
+  @transient private lazy val co: Array[Float] = coarse.toArray
+  @transient private lazy val fi: Array[Float] = fine.toArray
+  private def sqNorms(ctr: Array[Float], n: Int): Array[Double] = {
+    val out = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) { val v = ctr(c * dim + i).toDouble; s += v * v; i += 1 }
+      out(c) = s
+      c += 1
+    }
+    out
+  }
+  @transient private lazy val coCc: Array[Double] = sqNorms(co, nCoarse)
+  @transient private lazy val fiCc: Array[Double] = sqNorms(fi, nCoarse * nFine)
+
+  private def argmin(vec: ArrayData, n: Int, ctr: Array[Float],
+                     cc: Array[Double], base: Int, count: Int): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < count) {
+      val off = (base + c) * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += vec.getFloat(i).toDouble * ctr(off + i).toDouble; i += 1 }
+      val d = cc(base + c) - 2.0 * s
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(vec.numElements(), dim)
+    val c = argmin(vec, n, co, coCc, 0, nCoarse)
+    val f = argmin(vec, n, fi, fiCc, c * nFine, nFine)
+    c * nFine + f
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val coRef = ctx.addReferenceObj("ivf2Co", co, "float[]")
+      val fiRef = ctx.addReferenceObj("ivf2Fi", fi, "float[]")
+      val coCcRef = ctx.addReferenceObj("ivf2CoCc", coCc, "double[]")
+      val fiCcRef = ctx.addReferenceObj("ivf2FiCc", fiCc, "double[]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val off = ctx.freshName("off")
+      val bestC = ctx.freshName("bestC")
+      val bestF = ctx.freshName("bestF")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $n = java.lang.Math.min($vec.numElements(), $dim);
+         |int $bestC = 0;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $nCoarse; $c++) {
+         |  int $off = $c * $dim;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ((double) $vec.getFloat($i)) * ((double) $coRef[$off + $i]);
+         |  }
+         |  double $d = $coCcRef[$c] - 2.0 * $s;
+         |  if ($d < $bestD) { $bestD = $d; $bestC = $c; }
+         |}
+         |int $bestF = 0;
+         |$bestD = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $nFine; $c++) {
+         |  int $off = ($bestC * $nFine + $c) * $dim;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ((double) $vec.getFloat($i)) * ((double) $fiRef[$off + $i]);
+         |  }
+         |  double $d = $fiCcRef[$bestC * $nFine + $c] - 2.0 * $s;
+         |  if ($d < $bestD) { $bestD = $d; $bestF = $c; }
+         |}
+         |${ev.value} = $bestC * $nFine + $bestF;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IvfArgmin2Expr =
+    copy(child = newChild)
+}
+
+object IvfArgmin2Expr {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[IvfArgmin2Expr].getName, "graft_ivf_argmin2")
+}

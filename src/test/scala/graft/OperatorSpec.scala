@@ -459,6 +459,32 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("two-level IVF: hierarchical assignment bit-matches its twin, recall holds") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+    val (coarse, fine) = Similarity.ivfTrainTwoLevel(e, "embedding", 4, 8)
+    assert(coarse.length === 4 && fine.length === 32)
+    assert(fine.map(_._1) === (0 until 32))
+    // native two-stage argmin == relational twin (same cc - 2vc arithmetic)
+    val native = Similarity.ivfAssign2(e, "embedding", coarse, fine)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val twin = Similarity.ivfAssign2Hof(e, "vec_id", "embedding", coarse, fine)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(native.size === 500)
+    assert(native === twin)
+    // every assigned fine cell belongs to the row's coarse cell's block
+    val coarseOnly = Similarity.ivfAssign(e, "embedding", coarse)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(native.forall { case (id, cell) => cell / 8 == coarseOnly(id) })
+    // end-to-end recall vs brute at 32 fine cells, probing 8
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf2 = Similarity.knnIvfTwoLevel(e, q, "vec_id", "embedding", 5, 4, 8, 8, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf2.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"two-level IVF recall@5 = $recall")
+  }
+
   test("native IVF argmin assignment bit-matches the join/min_by twin") {
     val e = Tables.embeddings(spark, sfDir)
     val model = Similarity.ivfTrainDriver(e, "embedding", 22)
