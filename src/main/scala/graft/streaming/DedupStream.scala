@@ -26,6 +26,17 @@ import graft.operators.Text
   * after retention passes survives — the explicit trade every
   * watermark-bounded streaming dedup makes; the batch tiers remain the
   * exhaustive backstop.
+  *
+  * Why simhash and not MinHash banding for the streaming near-dup tier:
+  * banding routes each document to MULTIPLE buckets (one per band), and a
+  * survive/suppress decision must be consistent across all of them — the
+  * survivor registered in every band's state only if NO band found a
+  * candidate. That cross-key coordination is cyclic within one stateful
+  * stage (each bucket's state depends on decisions other buckets are
+  * making in the same batch), so it needs a second feedback pass the
+  * engine doesn't offer. SimHash blocks on ONE key per document, so the
+  * in-bucket decision is locally complete — the streaming-friendly tier
+  * by construction. MinHash+LSH stays a batch tier (q_doc_minhash_lsh).
   */
 object DedupStream {
 
