@@ -370,12 +370,14 @@ object Similarity {
     */
   def ivfCentroidsDistributed(corpus: DataFrame, vec: String, nCells: Int,
                               iters: Int = 5,
-                              sampleRows: Long = -1L): Seq[(Int, Seq[Float])] = {
+                              sampleRows: Long = -1L,
+                              corpusN: Long = -1L): Seq[(Int, Seq[Float])] = {
     val spark = corpus.sparkSession
     val targetRows = if (sampleRows > 0) sampleRows else math.max(64L * nCells, 4096L)
-    val corpusN = corpus.count() // metadata-only on parquet
-    require(corpusN > 0, "ivfCentroidsDistributed: empty corpus")
-    val frac = math.min(1.0, targetRows * 1.2 / corpusN)
+    // metadata-only on parquet; callers that already counted pass it in
+    val nRows = if (corpusN >= 0) corpusN else corpus.count()
+    require(nRows > 0, "ivfCentroidsDistributed: empty corpus")
+    val frac = math.min(1.0, targetRows * 1.2 / nRows)
     // stable sample across iterations: checkpoint once
     val pts = (if (frac < 1.0)
         corpus.sample(withReplacement = false, frac, seed = 42)
@@ -473,15 +475,17 @@ object Similarity {
     * as its fine centers (stable, like the flat trainers' empty-cell rule).
     */
   def ivfTrainTwoLevel(corpus: DataFrame, vec: String, nCoarse: Int, nFine: Int,
-                       iters: Int = 5)
+                       iters: Int = 5, corpusN: Long = -1L)
       : (Seq[(Int, Seq[Float])], Seq[(Int, Seq[Float])]) = {
     import corpus.sparkSession.implicits._
-    val coarse = ivfCentroidsDistributed(corpus, vec, nCoarse, iters)
+    // one count serves both samplers — on a derived (non-parquet) corpus a
+    // count is a full plan execution, not metadata
+    val n = if (corpusN >= 0) corpusN else corpus.count()
+    val coarse = ivfCentroidsDistributed(corpus, vec, nCoarse, iters, corpusN = n)
     // fine-training sample: the usual 64-per-cell budget across ALL fine
     // cells, drawn once and routed to its coarse cell by the native argmin
     val targetRows = math.max(64L * nCoarse * nFine, 4096L)
-    val corpusN = corpus.count()
-    val frac = math.min(1.0, targetRows * 1.2 / corpusN)
+    val frac = math.min(1.0, targetRows * 1.2 / n)
     val sampled = (if (frac < 1.0)
         corpus.sample(withReplacement = false, frac, seed = 43)
       else corpus).select(col(vec).as("_v"))
@@ -492,12 +496,25 @@ object Similarity {
         .as[(Int, Seq[Float])]
         .groupByKey(_._1)
         .mapGroups { (cell, rows) =>
-          // deterministic per-group order (shuffle order is not): sort by
-          // (murmur-of-vector, vector) before capping the training set
-          val pts = rows.map(_._2).toArray
-            .sortBy(v => (util.hashing.MurmurHash3.seqHash(v), v.mkString(",")))
-            .take(perCell)
-            .map(_.toArray.map(_.toDouble))
+          // BOUNDED deterministic selection: a max-heap of the perCell
+          // smallest rows by (murmur-of-vector, vector) — shuffle order is
+          // not deterministic, and buffering/sorting the whole group would
+          // put a skewed coarse cell's entire slice of the sample in one
+          // task's memory (the group is bounded only in aggregate)
+          implicit val vecOrd: Ordering[Seq[Float]] =
+            math.Ordering.Implicits.seqOrdering
+          val heap = scala.collection.mutable.PriorityQueue
+            .empty[(Int, Seq[Float])] // max-heap: largest key on top
+          for ((_, v) <- rows) {
+            val key = (util.hashing.MurmurHash3.seqHash(v), v)
+            if (heap.size < perCell) heap.enqueue(key)
+            else if (Ordering[(Int, Seq[Float])].lt(key, heap.head)) {
+              heap.dequeue(); heap.enqueue(key)
+            }
+          }
+          val selected: Seq[(Int, Seq[Float])] = heap.dequeueAll
+          val pts = selected.reverse // ascending key order
+            .map(_._2.toArray.map(_.toDouble)).toArray
           val centers = lloydLocal(pts, math.min(nFine, pts.length), iters)
           (cell, centers.map(_.toSeq.map(_.toFloat)).toSeq)
         }
@@ -506,11 +523,28 @@ object Similarity {
     val fineFlat: Seq[(Int, Seq[Float])] = (0 until nCoarse).flatMap { c =>
       val trained = fineTrained.getOrElse(c, Seq.empty)
       // pad short/missing cells with the coarse center (ties resolve to the
-      // lowest fine id, so duplicates are harmless dead sub-cells)
+      // lowest fine id, so duplicates are dead sub-cells — assignment can
+      // never land past the first of an identical-center run)
       val ctrs = trained ++ Seq.fill(nFine - trained.length)(coarseByCell(c))
       ctrs.zipWithIndex.map { case (v, f) => (c * nFine + f, v) }
     }
     (coarse, fineFlat)
+  }
+
+  /** Drop DEAD duplicate cells from a model before probe ranking: within
+    * each coarse block, only the first of an identical-center run can ever
+    * win assignment (the argmin tie rule), yet each duplicate would consume
+    * one of the query's nProbe slots at the same distance — a coarse cell
+    * padded to nFine could silently burn most of the probe budget on
+    * provably-empty cells. Search joins by cell VALUE, so a non-positional
+    * model is fine there (only assignment needs positional ids).
+    */
+  def dedupeForSearch(fine: Seq[(Int, Seq[Float])],
+                      nFine: Int): Seq[(Int, Seq[Float])] = {
+    fine.groupBy(_._1 / nFine).toSeq.sortBy(_._1).flatMap { case (_, cells) =>
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Float]]
+      cells.sortBy(_._1).filter { case (_, v) => seen.add(v) }
+    }
   }
 
   /** Hierarchical two-stage cell assignment (adds `cell` = coarse·nFine +
@@ -523,6 +557,9 @@ object Similarity {
     require(coarse.zipWithIndex.forall { case ((c, _), i) => c == i } &&
       fine.zipWithIndex.forall { case ((c, _), i) => c == i },
       "ivfAssign2: model cell ids must be positional")
+    require(fine.length % coarse.length == 0,
+      s"ivfAssign2: fine cell count ${fine.length} must be a multiple of " +
+        s"coarse count ${coarse.length} (uniform blocks)")
     val dim = coarse.head._2.length
     df.withColumn("cell", org.apache.spark.sql.graft.ColumnShim.column(
       org.apache.spark.sql.graft.IvfArgmin2Expr(
@@ -538,6 +575,9 @@ object Similarity {
                     coarse: Seq[(Int, Seq[Float])],
                     fine: Seq[(Int, Seq[Float])]): DataFrame = {
     val spark = df.sparkSession
+    require(fine.length % coarse.length == 0,
+      s"ivfAssign2Hof: fine cell count ${fine.length} must be a multiple of " +
+        s"coarse count ${coarse.length} (uniform blocks)")
     val nFine = fine.length / coarse.length
     def ccDf(m: Seq[(Int, Seq[Float])], cellAs: String) = broadcast(
       spark.createDataFrame(m).toDF(cellAs, "center")
@@ -569,7 +609,10 @@ object Similarity {
     val indexed = ivfAssign2(
       corpus.select(col(id).as("n_id"), col(vec).as("n_vec")), "n_vec",
       coarse, fine)
-    knnIvfSearchIndexed(indexed, queries, id, vec, k, nProbe, roundTo, fine)
+    // probe ranking skips dead pad duplicates so nProbe buys nProbe
+    // DISTINCT populated regions (see dedupeForSearch)
+    knnIvfSearchIndexed(indexed, queries, id, vec, k, nProbe, roundTo,
+      dedupeForSearch(fine, nFine))
   }
 
   /** Build the IVF index for a corpus: train (driver-side under

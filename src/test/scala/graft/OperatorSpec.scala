@@ -483,6 +483,10 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = brute.count(ivf2.contains).toDouble / brute.size
     assert(recall >= 0.3, s"two-level IVF recall@5 = $recall")
+    // dead pad duplicates (identical centers within a block) drop from the
+    // probe-ranking model; first occurrence and cross-block copies stay
+    val padded = Seq((0, Seq(1f)), (1, Seq(1f)), (2, Seq(2f)), (3, Seq(1f)))
+    assert(Similarity.dedupeForSearch(padded, 2).map(_._1) === Seq(0, 2, 3))
   }
 
   test("native IVF argmin assignment bit-matches the join/min_by twin") {
