@@ -32,28 +32,35 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm once (plan/codegen/JIT), then best-of-two timed runs — the
-    // steady-state figure, robust to one-off GC pauses. Cached blocks from
-    // queries that persist() intermediates are dropped BETWEEN queries (so
-    // caches don't accumulate across the run) but kept across a query's own
-    // runs — same-plan persists are served from the existing cache entry.
+    // warm once (plan/codegen/JIT), then best-of-N timed runs — the
+    // steady-state figure, robust to one-off GC pauses. Children (single
+    // query arg) use best-of-3: their number is the credible one, worth the
+    // extra run. Cached blocks from queries that persist() intermediates are
+    // dropped BETWEEN queries (so caches don't accumulate across the run)
+    // but kept across a query's own runs — same-plan persists are served
+    // from the existing cache entry.
+    val timedRuns = if (args.nonEmpty) 3 else 2
     val results = names.map { name =>
       spark.catalog.clearCache()
       val warm = runOnce(name)
-      val timed = if (warm < 0) -1.0 else math.min(runOnce(name), runOnce(name))
+      val timed = if (warm < 0) -1.0 else Seq.fill(timedRuns)(runOnce(name)).min
       name -> timed
     }
 
-    // Isolation lane (full runs only): the 5 slowest queries re-run in a
-    // FRESH JVM each, so one query's GC/JIT state can't contaminate
-    // another's number — r3's "across-the-board regressions" were exactly
-    // that contamination. Children are this same main with a single query
-    // arg (which skips isolation — no recursion), forked with the parent's
-    // classpath and JVM flags; their one-line JSON is parsed off a pipe so
-    // the parent still emits exactly one JSON line.
+    // Isolation lane (full runs only): every query whose main-lane time
+    // exceeds 1 s re-runs in a FRESH JVM, so one query's GC/JIT state can't
+    // contaminate another's number — r3's "across-the-board regressions" and
+    // r5's phantom 3x PTJ regression were exactly that contamination. The
+    // parent SparkSession is STOPPED first so the children compete with a
+    // quiet machine, not with 32 idle-but-resident executor threads and the
+    // parent's retained heap. Children are this same main with a single
+    // query arg (which skips isolation — no recursion) and best-of-3 timing,
+    // forked with the parent's classpath and JVM flags.
+    val isolate = args.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_ISOLATE")
+    if (isolate) spark.stop()
     val isolated: Seq[(String, Double)] =
-      if (args.nonEmpty || sys.env.contains("SPARK_GRAFT_NO_ISOLATE")) Seq.empty
-      else results.filter(_._2 >= 0).sortBy(-_._2).take(5).map { case (name, _) =>
+      if (!isolate) Seq.empty
+      else results.filter(_._2 >= 1.0).sortBy(-_._2).map { case (name, _) =>
         name -> runIsolated(name)
       }
 
@@ -62,7 +69,7 @@ object Bench {
     val isoField = if (isolated.isEmpty) "" else s""","isolated":$iso"""
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$isoField,"sf":"$sfDir"}""")
-    spark.stop()
+    if (!isolate) spark.stop()
   }
 
   /** Fork a fresh JVM running this main for one query; return its timed
