@@ -402,14 +402,29 @@ object Similarity {
       .orderBy(col("_h"), col("_v")).limit(nCells)
       .select("_v").collect()
       .map(_.getSeq[Float](0)).zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    // fewer distinct vectors than requested cells: the model silently has
+    // fewer centers than nCells, which changes every downstream geometry
+    // (block math, probe sizing) — make the degradation visible
+    if (centers.length < nCells)
+      System.err.println(s"graft: ivfCentroidsDistributed seeded only " +
+        s"${centers.length} of $nCells cells (distinct sample vectors short) " +
+        s"— effective cell count is ${centers.length}")
     for (_ <- 0 until iters) {
       // assignment is the native one-pass argmin (IvfArgminExpr): one row
       // per training point, no points x centers join to materialize, no
       // re-aggregate — each iteration is one scan of the checkpointed
-      // sample plus the tiny per-dimension mean shuffle below
+      // sample plus the tiny per-dimension mean shuffle below.
+      // The per-dimension mean is a SORTED sequential double fold, not
+      // avg(): a plain double sum's merge order follows shuffle-block
+      // arrival, so avg() can differ by ulps across executions — and the
+      // oracle generators retrain this model and embed it as SQL literals,
+      // so the trainer must be bit-reproducible run-to-run, not just
+      // input-deterministic
       val updated = ivfAssign(pts, "_v", centers)
         .select(col("cell"), posexplode(col("_v")))
-        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .groupBy("cell", "pos")
+        .agg((aggregate(array_sort(collect_list(col("col").cast("double"))),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("center"))
@@ -482,9 +497,13 @@ object Similarity {
     // count is a full plan execution, not metadata
     val n = if (corpusN >= 0) corpusN else corpus.count()
     val coarse = ivfCentroidsDistributed(corpus, vec, nCoarse, iters, corpusN = n)
+    // a degenerate corpus (fewer distinct vectors than nCoarse) seeds fewer
+    // coarse centers; all block math below derives from the ACTUAL count so
+    // the pad loop can't index a missing cell
+    val nCoarseEff = coarse.length
     // fine-training sample: the usual 64-per-cell budget across ALL fine
     // cells, drawn once and routed to its coarse cell by the native argmin
-    val targetRows = math.max(64L * nCoarse * nFine, 4096L)
+    val targetRows = math.max(64L * nCoarseEff.toLong * nFine, 4096L)
     val frac = math.min(1.0, targetRows * 1.2 / n)
     val sampled = (if (frac < 1.0)
         corpus.sample(withReplacement = false, frac, seed = 43)
@@ -520,7 +539,7 @@ object Similarity {
         }
         .collect().map { case (c, ctrs) => c -> ctrs }.toMap
     val coarseByCell = coarse.toMap
-    val fineFlat: Seq[(Int, Seq[Float])] = (0 until nCoarse).flatMap { c =>
+    val fineFlat: Seq[(Int, Seq[Float])] = (0 until nCoarseEff).flatMap { c =>
       val trained = fineTrained.getOrElse(c, Seq.empty)
       // pad short/missing cells with the coarse center (ties resolve to the
       // lowest fine id, so duplicates are dead sub-cells — assignment can

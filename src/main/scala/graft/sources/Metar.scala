@@ -151,7 +151,11 @@ object Metar {
     reports
       .withColumn("day_s",
         (unix_timestamp(col("observation_time")).cast("long") / 86400).cast("long") * 86400)
-      .withColumn("hour", hour(col("observation_time")))
+      // hour from the SAME epoch arithmetic as day_s — hour() reads the
+      // session timezone, so in a non-UTC session the slot key would mix
+      // a UTC day with a local hour
+      .withColumn("hour",
+        ((unix_timestamp(col("observation_time")).cast("long") % 86400) / 3600).cast("int"))
       .groupBy("station_id", "day_s", "hour")
       .agg(max(struct(col("observation_time"), col("altim_in_hg"), col("raw_text"))).as("_r"))
       .select(col("station_id"), col("day_s"), col("hour"),

@@ -515,6 +515,38 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     // probe still concentrates true neighbors.
     assert(recall >= 0.3, s"auto-scaled IVF recall@5 = $recall")
   }
+
+  test("distributed IVF trainer is bit-reproducible across executions") {
+    // the oracle generators RETRAIN the model and embed it as SQL literals,
+    // so two trainings of the same corpus must agree to the bit — this is
+    // what the sorted-fold centroid mean buys over avg() (whose double-sum
+    // merge order follows shuffle-block arrival)
+    val e = Tables.embeddings(spark, sfDir)
+    val a = Similarity.ivfCentroidsDistributed(e, "embedding", 16, iters = 4)
+    val b = Similarity.ivfCentroidsDistributed(e, "embedding", 16, iters = 4)
+    assert(a === b)
+    val (ca, fa) = Similarity.ivfTrainTwoLevel(e, "embedding", 4, 4, iters = 3)
+    val (cb, fb) = Similarity.ivfTrainTwoLevel(e, "embedding", 4, 4, iters = 3)
+    assert(ca === cb)
+    assert(fa === fb)
+  }
+
+  test("two-level trainer survives a degenerate corpus (distinct vectors < nCoarse)") {
+    val tiny = Seq(
+      (1L, Seq.fill(4)(1f)), (2L, Seq.fill(4)(2f)),
+      (3L, Seq.fill(4)(3f)), (4L, Seq.fill(4)(1f)) // one exact dup
+    ).toDF("vec_id", "embedding")
+    val (coarse, fine) = Similarity.ivfTrainTwoLevel(tiny, "embedding", 8, 2)
+    // only 3 distinct vectors: the coarse model shrinks, block math follows
+    assert(coarse.length === 3)
+    assert(fine.length === coarse.length * 2)
+    assert(fine.map(_._1) === (0 until fine.length))
+    // assignment against the shrunken model still covers every row
+    val assigned = Similarity.ivfAssign2(tiny, "embedding", coarse, fine)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(assigned.size === 4)
+    assert(assigned.values.forall(c => c >= 0 && c < fine.length))
+  }
 }
 
 class IdentitySpec extends AnyFunSuite with SparkFixture {
