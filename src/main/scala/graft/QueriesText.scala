@@ -465,36 +465,49 @@ object QueriesText {
       KnnK, cells, ivfProbes(cells), KnnRound)
   }
 
+  /** Sequential double fold over the element products — DotProductFloat's
+    * accumulation order exactly (shared by every ANN oracle generator).
+    */
+  private def fdot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |               [$a[i] * $b[i] for i in range(1, ${EmbDim + 1})]),
+       |               (acc, x) -> acc + x)""".stripMargin
+
   /** Oracle generator for q_knn_ivf — the round-4 `no_oracle` gap, closed
-    * the way oKnnLshGen embeds plane constants: the driver-side quantizer is
-    * DETERMINISTIC (seeded sample + fixed Lloyd's iterations + stable
-    * empty-cell rule), so train the SAME model the query trains and export
-    * the (cell, center) literals into SQL replaying the whole search:
-    * assignment (arg-min ||v-c||², ties → lower cell), probe selection
-    * (nProbe nearest cells per query), and exact in-cell cosine ranking.
-    * Centers are float-valued — exactly representable as DOUBLE literals —
-    * and distance/cosine arithmetic is the sequential double fold
-    * bit-identical to `DotProductFloat`, with identical operation order
-    * (vv - 2.0*vc + cc), so every assignment, probe and rank reproduces.
+    * the way oKnnLshGen embeds plane constants: the quantizer is
+    * DETERMINISTIC on BOTH dispatch branches (driver: seeded sample + fixed
+    * Lloyd's iterations + stable empty-cell rule; distributed: total-ordered
+    * init + sorted-fold centroid means), so train the SAME model the query
+    * trains — through the SAME `ivfTrainDispatch` branch point, so a corpus
+    * whose √n crosses `DriverCellCap` is oracle-covered on the branch it
+    * actually takes — and export the (cell, center) literals into SQL
+    * replaying the whole search. Centers are float-valued — exactly
+    * representable as DOUBLE literals — and distance/cosine arithmetic is
+    * the sequential double fold bit-identical to `DotProductFloat`, with
+    * identical operation order (vv - 2.0*vc + cc), so every assignment,
+    * probe and rank reproduces.
     */
   private def oKnnIvfGen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
     val cells = Similarity.autoCells(e.count())
-    // the export mirrors the driver-trained path; a verify corpus large
-    // enough to hit the distributed trainer (>DriverCellCap² vectors) is
-    // out of oracle scope by design
-    require(cells <= Similarity.DriverCellCap,
-      s"oKnnIvfGen covers the driver-trained path only (cells=$cells)")
-    val nProbe = ivfProbes(cells)
-    val ctrRows = Similarity.ivfTrainDriver(e, "embedding", cells).map {
+    ivfFlatOracle(Similarity.ivfTrainDispatch(e, "embedding", cells),
+      ivfProbes(cells), qMax = 10, batchSplit = None)
+  }
+
+  /** DuckDB replay of `knnIvfSearch` against an exported flat model:
+    * corpus assignment (arg-min vv - 2·vc + cc, ties → lower cell), probe
+    * selection (nProbe nearest cells per query, same arithmetic), exact
+    * in-cell rounded-cosine ranking. `qMax` bounds the query set
+    * (vec_id < qMax); `batchSplit` adds q_knn_ivf_batch's batch tag.
+    */
+  private def ivfFlatOracle(model: Seq[(Int, Seq[Float])], nProbe: Int,
+                            qMax: Int, batchSplit: Option[Int]): String = {
+    val ctrRows = model.map {
       case (i, c) => s"($i, [${c.map(_.toDouble).mkString(", ")}])"
     }
-    // sequential double fold over the element products — DotProductFloat's
-    // accumulation order exactly
-    def fdot(a: String, b: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |               [$a[i] * $b[i] for i in range(1, ${EmbDim + 1})]),
-         |               (acc, x) -> acc + x)""".stripMargin
+    val batchCol = batchSplit
+      .map(b => s", CASE WHEN q_id < $b THEN 0 ELSE 1 END AS batch")
+      .getOrElse("")
     s"""
     WITH ctr(cell, cv) AS (VALUES
       ${ctrRows.mkString(",\n      ")}),
@@ -514,7 +527,150 @@ object QueriesText {
       SELECT vec_id AS q_id, v AS qv, cell FROM (
         SELECT vec_id, v, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        FROM d WHERE vec_id < 10) t WHERE rn <= $nProbe),
+        FROM d WHERE vec_id < $qMax) t WHERE rn <= $nProbe),
+    cand AS (
+      SELECT p.q_id, c.n_id,
+             round(${fdot("p.qv", "c.nv")}
+                   / (sqrt(${fdot("p.qv", "p.qv")}) * sqrt(${fdot("c.nv", "c.nv")})),
+                   $KnnRound) + 0 AS cr
+      FROM probe p JOIN corp c ON p.cell = c.cell AND p.q_id <> c.n_id)
+    SELECT q_id, n_id, rk, cr AS cos$batchCol FROM (
+      SELECT q_id, n_id, cr,
+             row_number() OVER (PARTITION BY q_id ORDER BY cr DESC, n_id) AS rk
+      FROM cand) t
+    WHERE rk <= $KnnK"""
+  }
+
+  /** §2.44c (new r6): the DISTRIBUTED trainer oracle-gated end-to-end.
+    * `knnIvf` only dispatches distributed past `DriverCellCap` cells
+    * (≈262k+ vectors — beyond any verify corpus), but that branch is the
+    * one that runs at 100 TB, so this query FORCES it at the sf's natural
+    * cell count and the oracle replays the distributed-trained model the
+    * same way. Both sides cross `ivfCentroidsDistributed`, bit-reproducible
+    * by the total-ordered init + sorted-fold centroid means.
+    */
+  private def qKnnIvfDist(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val n = e.count()
+    val cells = Similarity.autoCells(n)
+    Similarity.knnIvfSearch(e, e.where(col("vec_id") < 10), "vec_id",
+      "embedding", KnnK, ivfProbes(cells), KnnRound,
+      Similarity.ivfCentroidsDistributed(e, "embedding", cells, corpusN = n))
+  }
+
+  private def oKnnIvfDistGen(s: SparkSession, dir: String): String = {
+    val e = embs(s, dir)
+    val n = e.count()
+    val cells = Similarity.autoCells(n)
+    ivfFlatOracle(
+      Similarity.ivfCentroidsDistributed(e, "embedding", cells, corpusN = n),
+      ivfProbes(cells), qMax = 10, batchSplit = None)
+  }
+
+  /** §2.44d (new r6): the INDEX-REUSE shape — the actual 100 TB usage
+    * pattern. `ivfIndex` builds once (train + ONE native-argmin assignment
+    * pass over the corpus); the checkpointed indexed table stands in for a
+    * persisted cell-partitioned parquet; each query batch then runs
+    * `knnIvfSearchIndexed` with no corpus-wide work (probes broadcast, the
+    * corpus contributes only its probed cells through the hash join).
+    */
+  private def qKnnIvfBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    val (model, indexed) = Similarity.ivfIndex(e, "vec_id", "embedding", cells)
+    val idx = indexed.localCheckpoint() // assignment paid once, not per batch
+    val nProbe = ivfProbes(cells)
+    def batch(lo: Long, hi: Long, tag: Int) =
+      Similarity.knnIvfSearchIndexed(idx,
+        e.where(col("vec_id") >= lo && col("vec_id") < hi),
+        "vec_id", "embedding", KnnK, nProbe, KnnRound, model)
+        .withColumn("batch", lit(tag))
+    batch(0L, 10L, 0).unionByName(batch(10L, 20L, 1))
+  }
+
+  private def oKnnIvfBatchGen(s: SparkSession, dir: String): String = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    ivfFlatOracle(Similarity.ivfTrainDispatch(e, "embedding", cells),
+      ivfProbes(cells), qMax = 20, batchSplit = Some(10))
+  }
+
+  /** q_knn_ivf2 geometry: split `autoCells` into two near-square levels
+    * (nCoarse·nFine >= cells). sf0.01 (500 vectors): 22 cells → 5×5;
+    * sf0.1 (2k vectors): 45 → 7×7 — the gate sees different derived
+    * params at the two scales.
+    */
+  private def ivf2Geom(n: Long): (Int, Int) = {
+    val cells = Similarity.autoCells(n)
+    val nCoarse = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    (nCoarse, math.max(2, math.ceil(cells.toDouble / nCoarse).toInt))
+  }
+
+  /** §2.44e (new r6): TWO-LEVEL IVF cataloged — per-row assignment cost
+    * (nCoarse+nFine)·dim instead of cells·dim, the term that keeps √n
+    * cells viable at 10^9+ vectors (see IvfArgmin2Expr). Probe ranking
+    * skips dead pad duplicates (`dedupeForSearch`) so nProbe buys nProbe
+    * DISTINCT populated regions.
+    */
+  private def qKnnIvf2(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val (nCoarse, nFine) = ivf2Geom(e.count())
+    Similarity.knnIvfTwoLevel(e, e.where(col("vec_id") < 10), "vec_id",
+      "embedding", KnnK, nCoarse, nFine, ivfProbes(nCoarse * nFine), KnnRound)
+  }
+
+  /** Oracle generator for q_knn_ivf2: retrains the SAME two-level model
+    * (coarse via the distributed trainer, fine via the bounded per-cell
+    * heap + local Lloyd's — both bit-reproducible) and replays the search:
+    * hierarchical-greedy assignment (coarse argmin with cc - 2·vc — the
+    * ||v||² term is argmin-invariant and dropped, exactly IvfArgmin2Expr's
+    * arithmetic — then fine argmin within the winner's block), probe
+    * ranking over the DEDUPED fine model with vv - 2·vc + cc
+    * (knnIvfSearchIndexed's arithmetic), exact in-cell cosine ranking.
+    */
+  private def oKnnIvf2Gen(s: SparkSession, dir: String): String = {
+    val e = embs(s, dir)
+    val n = e.count()
+    val (nCoarse, nFine) = ivf2Geom(n)
+    val (coarse, fine) =
+      Similarity.ivfTrainTwoLevel(e, "embedding", nCoarse, nFine, corpusN = n)
+    val nProbe = ivfProbes(nCoarse * nFine)
+    def rows(m: Seq[(Int, Seq[Float])]) = m.map {
+      case (i, c) => s"($i, [${c.map(_.toDouble).mkString(", ")}])"
+    }
+    val probeModel = Similarity.dedupeForSearch(fine, nFine)
+    s"""
+    WITH co(cell, cv) AS (VALUES
+      ${rows(coarse).mkString(",\n      ")}),
+    fi(cell, cv) AS (VALUES
+      ${rows(fine).mkString(",\n      ")}),
+    pr(cell, cv) AS (VALUES
+      ${rows(probeModel).mkString(",\n      ")}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ca AS (
+      SELECT vec_id, v, cell AS c_cell FROM (
+        SELECT e.vec_id, e.v, co.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ${fdot("co.cv", "co.cv")} - 2.0 * ${fdot("e.v", "co.cv")},
+                 co.cell) AS rn
+        FROM e CROSS JOIN co) t WHERE rn = 1),
+    corp AS (
+      SELECT vec_id AS n_id, v AS nv, cell FROM (
+        SELECT ca.vec_id, ca.v, fi.cell,
+               row_number() OVER (PARTITION BY ca.vec_id ORDER BY
+                 ${fdot("fi.cv", "fi.cv")} - 2.0 * ${fdot("ca.v", "fi.cv")},
+                 fi.cell) AS rn
+        FROM ca JOIN fi ON fi.cell >= ca.c_cell * $nFine
+                       AND fi.cell < (ca.c_cell + 1) * $nFine) t
+      WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS q_id, v AS qv, cell FROM (
+        SELECT e.vec_id, e.v, pr.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ${fdot("e.v", "e.v")} - 2.0 * ${fdot("e.v", "pr.cv")}
+                   + ${fdot("pr.cv", "pr.cv")},
+                 pr.cell) AS rn
+        FROM e CROSS JOIN pr WHERE e.vec_id < 10) t WHERE rn <= $nProbe),
     cand AS (
       SELECT p.q_id, c.n_id,
              round(${fdot("p.qv", "c.nv")}
@@ -684,6 +840,9 @@ object QueriesText {
     GraftQuery("q_knn_brute", qKnnBrute, Some(oKnnBrute), headline = true),
     GraftQuery("q_knn_lsh", qKnnLsh, None, oracleGen = Some(oKnnLshGen)),
     GraftQuery("q_knn_ivf", qKnnIvf, None, oracleGen = Some(oKnnIvfGen)),
+    GraftQuery("q_knn_ivf_dist", qKnnIvfDist, None, oracleGen = Some(oKnnIvfDistGen)),
+    GraftQuery("q_knn_ivf_batch", qKnnIvfBatch, None, oracleGen = Some(oKnnIvfBatchGen)),
+    GraftQuery("q_knn_ivf2", qKnnIvf2, None, oracleGen = Some(oKnnIvf2Gen)),
     GraftQuery("q_text_lang", qTextLang, Some(oTextLang)),
     GraftQuery("q_text_quality", qTextQuality, Some(oTextQuality)),
     GraftQuery("q_token_count", qTokenCount, Some(oTokenCount)),

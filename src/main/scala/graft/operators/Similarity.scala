@@ -279,18 +279,24 @@ object Similarity {
     * force is measured in the spec suite.
     */
   def knnIvf(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-             k: Int, nCells: Int, nProbe: Int, roundTo: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    // Trainer dispatch: under `DriverCellCap` the quantizer trains on the
-    // driver (one bounded collect, zero extra distributed jobs); past it —
-    // √n wants more cells than driver Lloyd's can afford — training runs
-    // distributed (per-iteration Spark jobs over a bounded sample, the
-    // driver only ever holds the nCells x dim model).
-    val model =
-      if (nCells <= DriverCellCap) ivfTrainDriver(corpus, vec, nCells)
-      else ivfCentroidsDistributed(corpus, vec, nCells)
-    knnIvfSearch(corpus, queries, id, vec, k, nProbe, roundTo, model)
-  }
+             k: Int, nCells: Int, nProbe: Int, roundTo: Int): DataFrame =
+    knnIvfSearch(corpus, queries, id, vec, k, nProbe, roundTo,
+      ivfTrainDispatch(corpus, vec, nCells))
+
+  /** Trainer dispatch — THE branch point every IVF entry (and every oracle
+    * generator that retrains to export literals) must share: under
+    * `DriverCellCap` the quantizer trains on the driver (one bounded
+    * collect, zero extra distributed jobs); past it — √n wants more cells
+    * than driver Lloyd's can afford — training runs distributed
+    * (per-iteration Spark jobs over a bounded sample, the driver only ever
+    * holds the nCells x dim model). Both branches are bit-reproducible
+    * run-to-run, which is what lets generated oracles retrain the SAME
+    * model.
+    */
+  def ivfTrainDispatch(corpus: DataFrame, vec: String,
+                       nCells: Int): Seq[(Int, Seq[Float])] =
+    if (nCells <= DriverCellCap) ivfTrainDriver(corpus, vec, nCells)
+    else ivfCentroidsDistributed(corpus, vec, nCells)
 
   /** Driver-side Lloyd's over a bounded deterministic sample — the coarse
     * quantizer for cell counts a single machine handles (`DriverCellCap`).
@@ -645,9 +651,7 @@ object Similarity {
     */
   def ivfIndex(corpus: DataFrame, id: String, vec: String,
                nCells: Int): (Seq[(Int, Seq[Float])], DataFrame) = {
-    val model =
-      if (nCells <= DriverCellCap) ivfTrainDriver(corpus, vec, nCells)
-      else ivfCentroidsDistributed(corpus, vec, nCells)
+    val model = ivfTrainDispatch(corpus, vec, nCells)
     (model, ivfAssign(
       corpus.select(col(id).as("n_id"), col(vec).as("n_vec")), "n_vec", model))
   }
