@@ -27,16 +27,17 @@ import graft.operators.Text
   * watermark-bounded streaming dedup makes; the batch tiers remain the
   * exhaustive backstop.
   *
-  * Why simhash and not MinHash banding for the streaming near-dup tier:
-  * banding routes each document to MULTIPLE buckets (one per band), and a
-  * survive/suppress decision must be consistent across all of them — the
-  * survivor registered in every band's state only if NO band found a
-  * candidate. That cross-key coordination is cyclic within one stateful
-  * stage (each bucket's state depends on decisions other buckets are
-  * making in the same batch), so it needs a second feedback pass the
-  * engine doesn't offer. SimHash blocks on ONE key per document, so the
-  * in-bucket decision is locally complete — the streaming-friendly tier
-  * by construction. MinHash+LSH stays a batch tier (q_doc_minhash_lsh).
+  * MinHash banding routes each document to MULTIPLE buckets (one per
+  * band), so — unlike simhash's single blocking key — a survive/suppress
+  * decision is not locally complete in one bucket. The r5 note argued the
+  * coordination is cyclic IF buckets must register only survivors; the
+  * cycle disappears by matching the batch tier's actual candidate
+  * semantics (q_doc_minhash_lsh): a pair is a candidate when the docs
+  * share ANY band bucket, regardless of whether the earlier doc itself
+  * survived. Then each bucket's verdict ("some PRIOR ARRIVAL here
+  * verifies against me") is independent of other buckets' decisions, and
+  * a second, transient per-doc stage ANDs the per-band verdicts — see
+  * `dedupMinhashLsh`.
   */
 object DedupStream {
 
@@ -113,5 +114,121 @@ object DedupStream {
       else GroupStateTimeout.NoTimeout()
     withSig.groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(update)
+  }
+
+  case class BandRow(docId: Long, text: String, tsNs: Long,
+                     sh: Seq[String], band: Int, bandHash: Long)
+  case class BandVerdict(docId: Long, text: String, tsNs: Long,
+                         band: Int, dup: Boolean)
+  /** Per-bucket state: (docId, tsNs, distinct shingles) of every arrival in
+    * the retention window — ARRIVALS, not survivors (see `dedupMinhashLsh`).
+    * Shingle sets are what exact-Jaccard verification needs; state size is
+    * bucket arrivals x document shingles, bounded by the retention window.
+    */
+  case class BandBucketState(docs: Seq[(Long, Long, Seq[String])], lastNs: Long)
+
+  /** Streaming MinHash+LSH near-dup tier — the streaming form of
+    * q_doc_minhash_lsh, with the SAME candidate + verification semantics:
+    * a document drops iff some EARLIER-ARRIVED document (a) shares at least
+    * one of its `bands` LSH band buckets and (b) verifies at true shingle
+    * Jaccard >= `threshold`.
+    *
+    * Two chained stateful stages (Spark supports multiple stateful
+    * operators in append mode):
+    *  1. per (band, band_hash) bucket: `flatMapGroupsWithState` holds every
+    *     arrival's shingle set for the retention window and emits one
+    *     verdict row per (doc, band) — "a prior arrival in this bucket
+    *     verifies against me". Registering ARRIVALS (not survivors) is what
+    *     makes the verdict locally complete per bucket; it exactly mirrors
+    *     the batch tier, whose candidate pairs are drawn from the full
+    *     banded corpus, not from survivors.
+    *  2. per docId: AND the `bands` verdicts. All of a document's band rows
+    *     are derived from one input row, so they land in the same
+    *     micro-batch and the group completes immediately — the stage holds
+    *     NO cross-batch state (nothing is ever stored), it is just the
+    *     only per-key-complete-group operator available on a stream.
+    *
+    * Scale: stage 1 shuffles on (band, band_hash) — bucket sizes, not
+    * corpus size, bound the verification work, the same contract as the
+    * batch tier's band join; stage 2 shuffles one row per (doc, band).
+    * Suppression is arrival-order-dependent per bucket (ties broken by
+    * (tsNs, docId)), the streaming analog of the batch tier's doc_a <
+    * doc_b orientation.
+    */
+  def dedupMinhashLsh(docs: Dataset[Doc], threshold: Double,
+                      retentionMs: Long, bands: Int = 4,
+                      rowsPerBand: Int = 4): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    val streaming = docs.isStreaming
+    // Spark's static checker rejects ANY stateful op downstream of
+    // flatMapGroupsWithState (a stage-1 output older than the global
+    // watermark would be dropped as late by a watermark-filtering
+    // downstream operator). Stage 2 here holds no state and applies no
+    // watermark filter (NoTimeout — FlatMapGroupsWithStateExec only
+    // late-filters under event-time timeout), and its inputs carry their
+    // producing row's own event time, so the flagged scenario cannot
+    // occur. The opt-out is session-global, so the CALLER makes that
+    // call, not this library.
+    if (streaming) require(docs.sparkSession.conf
+        .get("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+        .equalsIgnoreCase("false"),
+      "dedupMinhashLsh chains two stateful stages; set " +
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false " +
+        "(stage 2 is stateless-in-effect — see scaladoc)")
+
+    def bucketUpdate(key: (Int, Long), rows: Iterator[BandRow],
+                     state: GroupState[BandBucketState]): Iterator[BandVerdict] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val sorted = rows.toSeq.sortBy(r => (r.tsNs, r.docId))
+      var st = state.getOption.getOrElse(BandBucketState(Vector.empty, 0L))
+      val out = Seq.newBuilder[BandVerdict]
+      for (r <- sorted) {
+        val mySh = r.sh.toSet
+        val dup = st.docs.exists { case (_, _, sh) =>
+          val inter = sh.count(mySh.contains)
+          val uni = sh.size + mySh.size - inter
+          uni > 0 && inter.toDouble / uni >= threshold
+        }
+        out += BandVerdict(r.docId, r.text, r.tsNs, r.band, dup)
+        st = BandBucketState(st.docs :+ ((r.docId, r.tsNs, r.sh)),
+          math.max(st.lastNs, r.tsNs))
+      }
+      state.update(st)
+      if (streaming) state.setTimeoutTimestamp(
+        math.max(st.lastNs / 1000000L + retentionMs,
+          state.getCurrentWatermarkMs() + 1L))
+      out.result().iterator
+    }
+
+    // stage-2 combiner: stateless in effect — the group is always complete
+    // within the micro-batch (all band rows of a doc share its event time),
+    // so no state is ever written and no timeout is needed
+    def combine(docId: Long, rows: Iterator[BandVerdict],
+                state: GroupState[Boolean]): Iterator[Doc] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val rs = rows.toSeq
+      if (rs.isEmpty || rs.exists(_.dup)) Iterator.empty
+      else Iterator.single(Doc(rs.head.docId, rs.head.text, rs.head.tsNs))
+    }
+
+    val withSh = docs.toDF()
+      .withColumn("event_time", timestamp_micros(expr("tsNs div 1000")))
+      .withColumn("sh", Text.shingles(col("text"), 2))
+    val banded = Text.lshBands(
+        Text.minhashSignature(withSh, col("sh"), bands * rowsPerBand,
+          Text.polyHash),
+        bands, rowsPerBand)
+      .withWatermark("event_time", s"${2 * retentionMs} milliseconds")
+      .select(col("docId"), col("text"), col("tsNs"), col("sh"),
+        col("band"), col("band_hash").as("bandHash"), col("event_time"))
+      .as[BandRow]
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    banded.groupByKey(r => (r.band, r.bandHash))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(bucketUpdate)
+      .groupByKey(_.docId)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(combine)
   }
 }

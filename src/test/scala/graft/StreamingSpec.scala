@@ -197,4 +197,66 @@ class DedupStreamSpec extends AnyFunSuite with SparkFixture {
       assert((sig(1L) >> 20) == (sig(2L) >> 20))
     } finally query.stop()
   }
+
+  test("streaming minhash-LSH tier agrees with the batch tier's pair semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Text
+    def doc(ws: Seq[String]) = ws.mkString(" ")
+    val w = (0 until 30).map(i => s"w$i")
+    val z = (0 until 30).map(i => s"z$i")
+    val docsSeq = Seq(
+      Doc(1L, doc(w), 10L * ns),
+      Doc(2L, doc(w.init :+ "changed"), 20L * ns), // jaccard vs 1 ≈ 0.93
+      Doc(3L, doc(z), 30L * ns),
+      Doc(4L, doc((0 until 30).map(i => s"q$i")), 40L * ns),
+      Doc(5L, doc(z.init :+ "flip"), 50L * ns))    // jaccard vs 3 ≈ 0.93
+
+    // independent batch twin (q_doc_minhash_lsh semantics): b drops iff
+    // some a<b shares a band bucket AND verifies at true jaccard >= 0.8
+    // (arrival order == id order in this corpus)
+    val sigs = Text.minhashSignature(
+        docsSeq.toDF().withColumn("sh", Text.shingles(col("text"), 2)),
+        col("sh"), 16, Text.polyHash)
+      .select(col("docId"), col("sh"), col("sig"))
+    val banded = Text.lshBands(sigs, 4, 4).select("docId", "band", "band_hash")
+    val dropped = banded.toDF("a", "band", "band_hash")
+      .join(banded.toDF("b", "band", "band_hash"), Seq("band", "band_hash"))
+      .where(col("a") < col("b")).select("a", "b").distinct()
+      .join(sigs.select(col("docId").as("a"), col("sh").as("sh_a")), "a")
+      .join(sigs.select(col("docId").as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("j",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("j") >= 0.8)
+      .select("b").as[Long].collect().toSet
+    assert(dropped === Set(2L, 5L), s"scenario must exercise suppression: $dropped")
+    val expected = Set(1L, 3L, 4L)
+
+    // the operator's batch mode reproduces the twin
+    val viaBatch = DedupStream.dedupMinhashLsh(docsSeq.toDS(), 0.8, 60000L)
+      .collect().map(_.docId).toSet
+    assert(viaBatch === expected)
+
+    // streaming: doc 5 arrives a LATER micro-batch than its match (doc 3) —
+    // suppression must come from bucket state, not same-batch comparison.
+    // The chained-stateful-stage checker opt-out is scoped to this query
+    // and restored (see dedupMinhashLsh scaladoc for why it is sound).
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prior = spark.conf.get(checkKey)
+    spark.conf.set(checkKey, "false")
+    val input = MemoryStream[Doc]
+    val out = DedupStream.dedupMinhashLsh(input.toDS(), 0.8, 60000L)
+    val query = out.writeStream.format("memory").queryName("dedup_mh")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docsSeq.take(4): _*)
+      query.processAllAvailable()
+      input.addData(docsSeq(4))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_mh").select("docId").as[Long].collect().toSet
+      assert(ids === expected)
+    } finally { query.stop(); spark.conf.set(checkKey, prior) }
+  }
 }
