@@ -78,7 +78,33 @@ object DocScaleProbe {
 
     val q = graft.Queries.queries
     time("q_doc_dedup_exact") { q("q_doc_dedup_exact")(spark, out).count() }
+    // Per-class parallelism audit (skew mode): the giant length class must
+    // NOT serialize the PTJ stage — its segments hash-spread over the same
+    // (grp, part, seg) shuffle as everyone else's. Evidence: per-task
+    // duration spread of the heaviest stage. A serialized class shows one
+    // task at ~stage wall time with the rest idle (max >> median); a
+    // spread class keeps max/median small.
+    val taskAudit = new org.apache.spark.scheduler.SparkListener {
+      val byStage = scala.collection.concurrent.TrieMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        byStage.getOrElseUpdate(e.stageId,
+          scala.collection.mutable.ArrayBuffer.empty[Long])
+          .synchronized { byStage(e.stageId) += e.taskInfo.duration }
+    }
+    if (skew) spark.sparkContext.addSparkListener(taskAudit)
     time("q_doc_ngram_jaccard") { q("q_doc_ngram_jaccard")(spark, out).count() }
+    if (skew) {
+      spark.sparkContext.removeSparkListener(taskAudit)
+      val (stage, ds) = taskAudit.byStage.maxBy(_._2.sum)
+      val sorted = ds.sorted
+      val med = sorted(sorted.length / 2)
+      println(f"[docscale] PTJ heaviest stage $stage: ${ds.length} tasks, " +
+        f"median ${med} ms, p95 ${sorted((sorted.length * 95) / 100)} ms, " +
+        f"max ${sorted.last} ms (max/median ${sorted.last.toDouble / med}%.1f) " +
+        f"— a serialized class would put the stage's whole wall time in one task")
+    }
     time("q_doc_minhash_lsh") { q("q_doc_minhash_lsh")(spark, out).count() }
     time("q_doc_simhash_pairs") { q("q_doc_simhash_pairs")(spark, out).count() }
     time("q_doc_fingerprint") { q("q_doc_fingerprint")(spark, out).count() }
