@@ -713,6 +713,138 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rk"), col("_cos").as("cos"))
   }
 
+  /** Train residual product-quantization codebooks against a coarse model
+    * (Jégou et al.'s IVFADC, public literature): a bounded seeded sample is
+    * cell-assigned by the native argmin, residuals v - c(cell) are split
+    * into `m` subspaces of dim/m components, and each subspace trains its
+    * own `ks`-entry codebook with local Lloyd's. DETERMINISTIC: the
+    * collected sample is totally ordered by (murmur-of-vector, vector)
+    * before training — collect order is partition-dependent, the trained
+    * model must not be. Returns flat [m][ks][dsub] float codebooks
+    * (PqEncodeExpr/PqAdcExpr's layout). Codebooks are GLOBAL over
+    * residuals (the standard trade: per-cell codebooks would cost
+    * nCells·m·ks·dsub — residuals are already centered, one family serves
+    * all cells).
+    */
+  def pqTrain(corpus: DataFrame, vec: String, coarse: Seq[(Int, Seq[Float])],
+              m: Int, ks: Int, iters: Int = 10,
+              corpusN: Long = -1L): Seq[Float] = {
+    val dim = coarse.head._2.length
+    require(dim % m == 0, s"pqTrain: m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val coarseArr = coarse.flatMap(_._2).toArray
+    val targetRows = math.max(64L * ks, 4096L)
+    val n = if (corpusN >= 0) corpusN else corpus.count()
+    require(n > 0, "pqTrain: empty corpus")
+    val frac = math.min(1.0, targetRows * 1.2 / n)
+    val sampled = (if (frac < 1.0)
+        corpus.sample(withReplacement = false, frac, seed = 44)
+      else corpus).select(col(vec).as("_v"))
+    implicit val vecOrd: Ordering[Seq[Float]] =
+      math.Ordering.Implicits.seqOrdering
+    val rows = ivfAssign(sampled, "_v", coarse)
+      .select(col("cell"), col("_v")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy { case (_, v) => (util.hashing.MurmurHash3.seqHash(v), v) }
+    val res: Array[Array[Double]] = rows.map { case (cell, v) =>
+      Array.tabulate(dim)(i => v(i).toDouble - coarseArr(cell * dim + i))
+    }
+    (0 until m).flatMap { mm =>
+      val sub = res.map(r =>
+        java.util.Arrays.copyOfRange(r, mm * dsub, (mm + 1) * dsub))
+      // ks fixed regardless of sample size: the byte layout is the
+      // contract; a short sample just seeds duplicate centers, which decay
+      // to dead codes (encode ties resolve to the lowest code)
+      lloydLocal(sub, ks, iters).flatMap(_.map(_.toFloat))
+    }
+  }
+
+  /** Add the packed PQ code word (`codes` BIGINT — one byte per subspace)
+    * to a cell-assigned frame: the COMPRESSED index payload. At m=8 over
+    * 64 floats the per-row vector payload drops 256 B → 8 B (32x), which
+    * is what lets probed cells stay memory-resident at corpus scale.
+    */
+  def pqEncode(df: DataFrame, vec: String, cell: String,
+               coarse: Seq[(Int, Seq[Float])], codebooks: Seq[Float],
+               m: Int, ks: Int): DataFrame = {
+    val dim = coarse.head._2.length
+    df.withColumn("codes", org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.PqEncodeExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(col(vec)),
+        org.apache.spark.sql.graft.ColumnShim.expression(col(cell)),
+        coarse.flatMap(_._2), codebooks, coarse.length, m, ks, dim)))
+  }
+
+  /** IVF-PQ ANN (IVFADC-R): coarse-quantize + PQ-encode the corpus into a
+    * compressed (n_id, cell, codes) index, probe nProbe cells per query,
+    * rank in-cell candidates by ADC distance (native PqAdcExpr over the
+    * packed codes — the corpus VECTOR never enters the probe join), then
+    * exact-rerank the top k·rerankFactor shortlist against the raw vectors
+    * (a bounded point-lookup join — the standard recall-restoring step).
+    * Output shape matches knnIvf: (q_id, n_id, rk, cos).
+    */
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+               k: Int, nCells: Int, nProbe: Int, m: Int, ks: Int,
+               roundTo: Int, rerankFactor: Int = 64): DataFrame = {
+    val coarseModel = ivfTrainDispatch(corpus, vec, nCells)
+    val codebooks = pqTrain(corpus, vec, coarseModel, m, ks)
+    val encoded = pqEncode(
+        ivfAssign(corpus.select(col(id).as("n_id"), col(vec).as("n_vec")),
+          "n_vec", coarseModel),
+        "n_vec", "cell", coarseModel, codebooks, m, ks)
+      .select("n_id", "cell", "codes") // the compressed index — no vectors
+    knnIvfPqSearch(encoded, corpus, queries, id, vec, k, nProbe, m, ks,
+      roundTo, coarseModel, codebooks, rerankFactor)
+  }
+
+  /** Search a PREBUILT compressed index (`pqEncode` output — (n_id, cell,
+    * codes) — or its persisted form): probe selection, in-cell ADC
+    * ranking, exact rerank of the shortlist against the raw vector table
+    * (`raw` — only the shortlist's ids are fetched from it).
+    */
+  def knnIvfPqSearch(encoded: DataFrame, raw: DataFrame, queries: DataFrame,
+                     id: String, vec: String, k: Int, nProbe: Int,
+                     m: Int, ks: Int, roundTo: Int,
+                     coarseModel: Seq[(Int, Seq[Float])],
+                     codebooks: Seq[Float],
+                     rerankFactor: Int = 64): DataFrame = {
+    val spark = encoded.sparkSession
+    val dim = coarseModel.head._2.length
+    // probe selection: same relational ranking as knnIvfSearchIndexed
+    val centersCc = broadcast(
+      spark.createDataFrame(coarseModel).toDF("cell", "center")
+        .withColumn("_cc", dot(col("center"), col("center"))))
+    val wp = Window.partitionBy("q_id").orderBy(col("_d").asc, col("cell").asc)
+    val probes = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
+      .withColumn("_vv", dot(col("q_vec"), col("q_vec")))
+      .join(centersCc)
+      .withColumn("_d",
+        col("_vv") - lit(2.0) * dot(col("q_vec"), col("center")) + col("_cc"))
+      .withColumn("_rn", row_number().over(wp))
+      .where(col("_rn") <= nProbe)
+      .select("q_id", "q_vec", "cell")
+    val wAdc = Window.partitionBy("q_id").orderBy(col("_ad").asc, col("n_id").asc)
+    val shortlist = broadcast(probes).join(encoded, Seq("cell"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("_ad", org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.graft.PqAdcExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("q_vec")),
+          org.apache.spark.sql.graft.ColumnShim.expression(col("cell")),
+          org.apache.spark.sql.graft.ColumnShim.expression(col("codes")),
+          coarseModel.flatMap(_._2), codebooks, coarseModel.length, m, ks, dim)))
+      .withColumn("_rn", row_number().over(wAdc))
+      .where(col("_rn") <= k * rerankFactor)
+      .select("q_id", "q_vec", "n_id")
+    // exact rerank of the shortlist — rounded-cosine rank keys, see knnBrute
+    val cv = raw.select(col(id).as("n_id"), col(vec).as("n_vec"))
+    val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
+    broadcast(shortlist).join(cv, Seq("n_id"))
+      .withColumn("_cos", round(cosine(col("q_vec"), col("n_vec")), roundTo))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("rk"), col("_cos").as("cos"))
+  }
+
   /** ANN via multi-table LSH: exact cosine ranking within the union of the
     * query's buckets. Same output shape as knnBrute; recall measured in the
     * spec suite. Shuffle key is the bucket — corpus size never joins itself,

@@ -117,6 +117,43 @@ object IvfScaleProbe {
     val recall2 = brute.count(ivf2.contains).toDouble / brute.size
     println(f"[ivfscale] two-level recall@5 vs brute = $recall2%.3f (${nC * nF} cells, $nProbe probes)")
 
+    // IVF-PQ lane (the 10^9-vector MEMORY story): residual codebooks over
+    // the distributed coarse model, corpus encoded to (n_id, cell, codes)
+    // — BIGINT codes, 8 B vs the 256 B raw vector — ADC in-cell ranking,
+    // exact rerank of the rf·k shortlist. Payload compression is measured
+    // from the written parquet, recall against the same brute baseline.
+    val pqM = 8; val pqKs = 256
+    val codebooks = timed(s"pqTrain (m=$pqM, ks=$pqKs)") {
+      Similarity.pqTrain(e, "embedding", model, pqM, pqKs, corpusN = n)
+    }
+    val encoded = timed("pqEncode (materialize once)") {
+      val enc = Similarity.pqEncode(indexed, "n_vec", "cell", model,
+        codebooks, pqM, pqKs).select("n_id", "cell", "codes")
+      enc.write.mode("overwrite").parquet(s"$out/pq_index.parquet")
+      spark.read.parquet(s"$out/pq_index.parquet")
+    }
+    // rerankFactor sweep: the shortlist size is the recall/throughput knob
+    // (the rerank join fetches shortlist ids only — its cost is flat here)
+    val recallByRf = (for (rf <- Seq(4, 16, 64)) yield {
+      val pq = timed(s"IVF-PQ search (ADC + rerank $rf*k)") {
+        Similarity.knnIvfPqSearch(encoded, e, q, "vec_id", "embedding",
+            5, nProbe, pqM, pqKs, 6, model, codebooks, rerankFactor = rf)
+          .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      rf -> brute.count(pq.contains).toDouble / brute.size
+    }).toMap
+    val recallPq = recallByRf(64)
+    println(s"[ivfscale] IVF-PQ recall@5 by rerank factor: " +
+      recallByRf.toSeq.sortBy(_._1).map { case (rf, r) => f"$rf*k -> $r%.3f" }.mkString(", "))
+    def dirMb(p: String): Double = {
+      val d = new java.io.File(p)
+      (if (d.exists) d.listFiles.map(_.length).sum else 0L) / 1e6
+    }
+    indexed.write.mode("overwrite").parquet(s"$out/raw_index.parquet")
+    println(f"[ivfscale] IVF-PQ recall@5 vs brute = $recallPq%.3f " +
+      f"(flat IVF: $recall%.3f) | index payload ${dirMb(s"$out/pq_index.parquet")}%.1f MB " +
+      f"vs raw ${dirMb(s"$out/raw_index.parquet")}%.1f MB")
+
     // Assignment-cost scaling, isolated: a 16384-cell model built from
     // corpus vectors directly (no training — this lane measures ONLY the
     // per-row argmin, flat cells·dim vs hierarchical (√cells + √cells)·dim,

@@ -531,6 +531,87 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     assert(fa === fb)
   }
 
+  test("PQ encode + ADC native expressions bit-match a driver-side reference") {
+    val e = Tables.embeddings(spark, sfDir)
+    val m = 8; val ks = 32; val dim = 64; val dsub = dim / m
+    val coarse = Similarity.ivfTrainDriver(e, "embedding", 16)
+    val codebooks = Similarity.pqTrain(e, "embedding", coarse, m, ks)
+    assert(codebooks.length === m * ks * dsub)
+    // determinism: a second training reproduces the codebooks exactly
+    assert(Similarity.pqTrain(e, "embedding", coarse, m, ks) === codebooks)
+    val coArr = coarse.flatMap(_._2).toArray
+    val cbArr = codebooks.toArray
+    def resid(v: Seq[Float], cell: Int, i: Int): Double =
+      v(i).toDouble - coArr(cell * dim + i).toDouble
+    def refEncode(v: Seq[Float], cell: Int): Long = {
+      var packed = 0L
+      for (mm <- 0 until m) {
+        var best = 0; var bestD = Double.PositiveInfinity
+        for (j <- 0 until ks) {
+          var s = 0.0
+          for (d <- 0 until dsub) {
+            val i = mm * dsub + d
+            val t = resid(v, cell, i) - cbArr((mm * ks + j) * dsub + d).toDouble
+            s += t * t
+          }
+          if (s < bestD) { bestD = s; best = j }
+        }
+        packed |= best.toLong << (8 * mm)
+      }
+      packed
+    }
+    def refAdc(q: Seq[Float], cell: Int, codes: Long): Double = {
+      var s = 0.0
+      for (mm <- 0 until m) {
+        val j = ((codes >>> (8 * mm)) & 0xFFL).toInt
+        for (d <- 0 until dsub) {
+          val i = mm * dsub + d
+          val t = resid(q, cell, i) - cbArr((mm * ks + j) * dsub + d).toDouble
+          s += t * t
+        }
+      }
+      s
+    }
+    val enc = Similarity.pqEncode(
+      Similarity.ivfAssign(e.select(col("vec_id"), col("embedding")),
+        "embedding", coarse),
+      "embedding", "cell", coarse, codebooks, m, ks)
+    val qv = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec"))
+    val rows = enc.crossJoin(broadcast(qv))
+      .withColumn("_ad", org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.graft.PqAdcExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("q_vec")),
+          org.apache.spark.sql.graft.ColumnShim.expression(col("cell")),
+          org.apache.spark.sql.graft.ColumnShim.expression(col("codes")),
+          coarse.flatMap(_._2), codebooks, coarse.length, m, ks, dim)))
+      .select("vec_id", "embedding", "cell", "codes", "q_vec", "_ad")
+      .collect()
+    assert(rows.length === 500)
+    for (r <- rows) {
+      val v = r.getSeq[Float](1); val cell = r.getInt(2)
+      assert(r.getLong(3) === refEncode(v, cell), s"encode vec ${r.get(0)}")
+      assert(r.getDouble(5) === refAdc(r.getSeq[Float](4), cell, r.getLong(3)),
+        s"adc vec ${r.get(0)}")
+    }
+  }
+
+  test("IVF-PQ recall stays near uncompressed IVF at a 32x smaller payload") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvf(e, q, "vec_id", "embedding", 5, 22, 3, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.knnIvfPq(e, q, "vec_id", "embedding",
+        5, 22, 3, 8, 32, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val rIvf = brute.count(ivf.contains).toDouble / brute.size
+    val rPq = brute.count(pq.contains).toDouble / brute.size
+    assert(rPq >= 0.9 * rIvf,
+      s"IVF-PQ recall $rPq must hold >= 0.9x uncompressed IVF recall $rIvf")
+  }
+
   test("two-level trainer survives a degenerate corpus (distinct vectors < nCoarse)") {
     val tiny = Seq(
       (1L, Seq.fill(4)(1f)), (2L, Seq.fill(4)(2f)),
