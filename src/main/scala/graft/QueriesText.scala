@@ -595,6 +595,121 @@ object QueriesText {
       ivfProbes(cells), qMax = 20, batchSplit = Some(10))
   }
 
+  // q_knn_ivf_pq geometry: m subspaces of EmbDim/m components, ks codes
+  // per subspace, and a DELIBERATELY tight rerank shortlist (2k of ~70
+  // in-cell candidates at sf0.01) so the ADC ordering genuinely decides
+  // the output the oracle checks — at the operator's 64*k default the
+  // shortlist would swallow every candidate here and the gate would only
+  // be checking the exact rerank.
+  private val PqM = 8
+  private val PqKs = 32
+  private val PqRerank = 2
+
+  /** §2.44f (new r6): IVF-PQ cataloged — the compressed-index ANN lane
+    * (residual product quantization, packed BIGINT codes, ADC shortlist,
+    * exact rerank) oracle-gated end-to-end. See Similarity.knnIvfPq /
+    * PqEncodeExpr / PqAdcExpr.
+    */
+  private def qKnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    Similarity.knnIvfPq(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+      KnnK, cells, ivfProbes(cells), PqM, PqKs, KnnRound, PqRerank)
+  }
+
+  /** Oracle generator for q_knn_ivf_pq: retrains the SAME coarse model and
+    * residual codebooks (both bit-reproducible) and replays the whole
+    * compressed search in SQL — corpus assignment, per-subspace encoding
+    * (argmin of the residual sub-distance, ties → lowest code), ADC
+    * distance as ONE sequential fold over all 64 components (the
+    * expression accumulates across subspace boundaries continuously, so a
+    * per-subspace partial sum would re-associate the doubles and drift by
+    * ulps), tight shortlist, exact rounded-cosine rerank.
+    */
+  private def oKnnIvfPqGen(s: SparkSession, dir: String): String = {
+    val e = embs(s, dir)
+    val n = e.count()
+    val cells = Similarity.autoCells(n)
+    val nProbe = ivfProbes(cells)
+    val dsub = EmbDim / PqM
+    val coarse = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val codebooks = Similarity.pqTrain(e, "embedding", coarse, PqM, PqKs,
+      corpusN = n)
+    val ctrRows = coarse.map {
+      case (i, c) => s"($i, [${c.map(_.toDouble).mkString(", ")}])"
+    }
+    val cbRows = for (mm <- 0 until PqM; j <- 0 until PqKs) yield {
+      val sub = (0 until dsub)
+        .map(d => codebooks((mm * PqKs + j) * dsub + d).toDouble)
+      s"($mm, $j, [${sub.mkString(", ")}])"
+    }
+    val cbFlat = codebooks.map(_.toDouble).mkString(", ")
+    s"""
+    WITH ctr(cell, cv) AS (VALUES
+      ${ctrRows.mkString(",\n      ")}),
+    cb(mm, j, cv) AS (VALUES
+      ${cbRows.mkString(",\n      ")}),
+    cbf(cv) AS (VALUES ([$cbFlat])),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (
+      SELECT e.vec_id, e.v, ctr.cell,
+             ${fdot("e.v", "e.v")}
+             - 2.0 * ${fdot("e.v", "ctr.cv")}
+             + ${fdot("ctr.cv", "ctr.cv")} AS dist
+      FROM e CROSS JOIN ctr),
+    corp AS (
+      SELECT vec_id AS n_id, v AS nv, cell FROM (
+        SELECT vec_id, v, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d) t WHERE rn = 1),
+    enc AS (
+      SELECT n_id, mm, j FROM (
+        SELECT c.n_id, cb.mm, cb.j,
+               row_number() OVER (PARTITION BY c.n_id, cb.mm ORDER BY
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [(c.nv[cb.mm * $dsub + i] - t0.cv[cb.mm * $dsub + i]) - cb.cv[i]
+                    for i in range(1, ${dsub + 1})]),
+                   (acc, t) -> acc + t * t),
+                 cb.j) AS rn
+        FROM corp c JOIN ctr t0 ON t0.cell = c.cell CROSS JOIN cb) t
+      WHERE rn = 1),
+    codes AS (SELECT n_id, list(j ORDER BY mm) AS cs FROM enc GROUP BY n_id),
+    probe AS (
+      SELECT vec_id AS q_id, v AS qv, cell FROM (
+        SELECT vec_id, v, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d WHERE vec_id < 10) t WHERE rn <= $nProbe),
+    adc AS (
+      SELECT p.q_id, p.qv, c.n_id, c.nv,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               [(p.qv[i] - t0.cv[i])
+                - cbf.cv[(((i - 1) // $dsub) * $PqKs + cd.cs[(i - 1) // $dsub + 1]) * $dsub
+                         + ((i - 1) % $dsub) + 1]
+                for i in range(1, ${EmbDim + 1})]),
+               (acc, t) -> acc + t * t) AS ad
+      FROM probe p
+      JOIN corp c ON p.cell = c.cell AND p.q_id <> c.n_id
+      JOIN ctr t0 ON t0.cell = p.cell
+      JOIN codes cd ON cd.n_id = c.n_id
+      CROSS JOIN cbf),
+    short AS (
+      SELECT q_id, qv, n_id, nv FROM (
+        SELECT q_id, qv, n_id, nv,
+               row_number() OVER (PARTITION BY q_id ORDER BY ad, n_id) AS rn
+        FROM adc) t WHERE rn <= ${KnnK * PqRerank}),
+    cand AS (
+      SELECT q_id, n_id,
+             round(${fdot("qv", "nv")}
+                   / (sqrt(${fdot("qv", "qv")}) * sqrt(${fdot("nv", "nv")})),
+                   $KnnRound) + 0 AS cr
+      FROM short)
+    SELECT q_id, n_id, rk, cr AS cos FROM (
+      SELECT q_id, n_id, cr,
+             row_number() OVER (PARTITION BY q_id ORDER BY cr DESC, n_id) AS rk
+      FROM cand) t
+    WHERE rk <= $KnnK"""
+  }
+
   /** q_knn_ivf2 geometry: split `autoCells` into two near-square levels
     * (nCoarse·nFine >= cells). sf0.01 (500 vectors): 22 cells → 5×5;
     * sf0.1 (2k vectors): 45 → 7×7 — the gate sees different derived
@@ -843,6 +958,7 @@ object QueriesText {
     GraftQuery("q_knn_ivf_dist", qKnnIvfDist, None, oracleGen = Some(oKnnIvfDistGen)),
     GraftQuery("q_knn_ivf_batch", qKnnIvfBatch, None, oracleGen = Some(oKnnIvfBatchGen)),
     GraftQuery("q_knn_ivf2", qKnnIvf2, None, oracleGen = Some(oKnnIvf2Gen)),
+    GraftQuery("q_knn_ivf_pq", qKnnIvfPq, None, oracleGen = Some(oKnnIvfPqGen)),
     GraftQuery("q_text_lang", qTextLang, Some(oTextLang)),
     GraftQuery("q_text_quality", qTextQuality, Some(oTextQuality)),
     GraftQuery("q_token_count", qTokenCount, Some(oTokenCount)),
