@@ -679,7 +679,56 @@ object QueriesGeo {
 
   // ---------------------------------------------------------------------------
 
+  /** §2.50 (new r6) Descent-grid segments — the reference's fpdf plot
+    * layer as DATA (fpdf/descent.go:278 DrawTrackWithDistFunc +
+    * fpdf/basegrid.go:38 U/V): per-track consecutive-point segments with
+    * x = distance-to-anchor (descent.go:335 DistanceFromOrigin semantics
+    * on the synthetic plane), y = `value` in its altitude role, both
+    * endpoints linearly projected into the reference's 170-wide letter
+    * grid, color band per segment, out-of-bounds flag. Everything up to
+    * the SVG bytes is this relational plan; `Render.descentSvg` assembles
+    * the bounded page.
+    */
+  private val DescentGrid = graft.operators.Viz.Grid(
+    offU = 22.0, offV = 35.0, w = 170.0, h = 100.0,
+    minX = 0.0, maxX = 80.0, minY = 0.0, maxY = 100.0)
+
+  private def qDescentGrid(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Viz.segments(ev(s, dir), "user_id", "ts", "event_id",
+        sqrt(Geo.distSq(xCol, yCol.cast("double"), 50.0, 50.0)), xCol,
+        DescentGrid, bandSize = 20.0)
+      .withColumn("oob", col("oob").cast("int"))
+
+  private val oDescentGrid = s"""
+    SELECT user_id, rn - 1 AS seg,
+           round(px, 3) AS x1, round(py, 3) AS y1,
+           round(x, 3) AS x2, round(y, 3) AS y2,
+           round(22.0 + ((px - 0.0) / 80.0) * 170.0, 3) AS u1,
+           round(35.0 + (100.0 - ((py - 0.0) / 100.0) * 100.0), 3) AS v1,
+           round(22.0 + ((x - 0.0) / 80.0) * 170.0, 3) AS u2,
+           round(35.0 + (100.0 - ((y - 0.0) / 100.0) * 100.0), 3) AS v2,
+           CAST(floor(y / 20.0) AS INT) AS band,
+           CAST(((px - 0.0) / 80.0 < 0.0 OR (px - 0.0) / 80.0 > 1.0
+              OR (py - 0.0) / 100.0 < 0.0 OR (py - 0.0) / 100.0 > 1.0
+              OR (x - 0.0) / 80.0 < 0.0 OR (x - 0.0) / 80.0 > 1.0
+              OR (y - 0.0) / 100.0 < 0.0 OR (y - 0.0) / 100.0 > 1.0)
+             AS INT) AS oob
+    FROM (
+      SELECT user_id, ts, event_id, x, y,
+             lag(x) OVER w AS px, lag(y) OVER w AS py,
+             row_number() OVER w AS rn
+      FROM (
+        SELECT user_id, ts, event_id,
+               sqrt((value - 50.0) * (value - 50.0)
+                 + (CAST($ySql AS DOUBLE) - 50.0)
+                   * (CAST($ySql AS DOUBLE) - 50.0)) AS x,
+               value AS y
+        FROM events) t0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+    WHERE px IS NOT NULL"""
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q_descent_grid", qDescentGrid, Some(oDescentGrid)),
     GraftQuery("q_geo_box", qGeoBox, Some(oGeoBox)),
     GraftQuery("q_time_of_day", qTimeOfDay, Some(oTimeOfDay)),
     GraftQuery("q_airspace_snapshot", qAirspaceSnapshot, Some(oAirspaceSnapshot), headline = true),

@@ -454,4 +454,53 @@ class RenderSpec extends AnyFunSuite with SparkFixture {
     assert(Render.metadataTable(counters) ===
       Seq(("[A] PreProcessed", "150"), ("[B] Eliminated", "3")))
   }
+
+  test("Viz.segments projects tracks into page space like basegrid U/V") {
+    import graft.operators.Viz
+    import org.apache.spark.sql.functions.col
+    val g = Viz.Grid(offU = 10.0, offV = 20.0, w = 100.0, h = 50.0,
+      minX = 0.0, maxX = 10.0, minY = 0.0, maxY = 100.0)
+    // one track of three points; the middle->last leg exits maxY
+    val df = Seq(
+      (1L, 1L, 101L, 0.0, 0.0), (1L, 2L, 102L, 5.0, 50.0),
+      (1L, 3L, 103L, 10.0, 150.0),
+      (2L, 1L, 201L, 2.0, 20.0), (2L, 2L, 202L, 4.0, 40.0)
+    ).toDF("user_id", "ts", "event_id", "x", "y")
+    val segs = Viz.segments(df, "user_id", "ts", "event_id",
+        col("x"), col("y"), g, bandSize = 20.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(segs.size === 3) // two legs for user 1, one for user 2
+    val s1 = segs((1L, 1L)) // (0,0) -> (5,50)
+    assert(s1.getAs[Double]("u1") === 10.0)           // x=0 -> left edge
+    assert(s1.getAs[Double]("v1") === 70.0)           // y=0 -> bottom (offV + h)
+    assert(s1.getAs[Double]("u2") === 60.0)           // x=5 -> mid
+    assert(s1.getAs[Double]("v2") === 45.0)           // y=50 -> mid
+    assert(s1.getAs[Int]("band") === 2)               // floor(50/20)
+    assert(!s1.getAs[Boolean]("oob"))
+    val s2 = segs((1L, 2L)) // second endpoint y=150 > maxY
+    assert(s2.getAs[Boolean]("oob"))
+    // InvertX mirrors the distance axis (descent grids read toward anchor)
+    val inv = Viz.segments(df.where(col("user_id") === 2L), "user_id", "ts",
+        "event_id", col("x"), col("y"), g.copy(invertX = true), 20.0)
+      .collect().head
+    assert(inv.getAs[Double]("u1") === 10.0 + (1.0 - 0.2) * 100.0)
+  }
+
+  test("descentSvg renders frame, gridlines, in-bounds segments, caption, key") {
+    import graft.operators.Viz
+    import org.apache.spark.sql.functions.col
+    val g = Viz.Grid(offU = 22.0, offV = 35.0, w = 170.0, h = 100.0,
+      minX = 0.0, maxX = 80.0, minY = 0.0, maxY = 100.0)
+    val segs = Queries.queries("q_descent_grid")(spark, sfDir)
+    val inBounds = segs.where(col("oob").cast("int") === 0).count()
+    val svg = Render.descentSvg(segs, g, caption = "descent & profile")
+    assert(svg.startsWith("<svg "))
+    assert(svg.contains("<rect x=\"22.00\" y=\"35.00\" width=\"170.00\""))
+    // 9 vertical gridlines (0..80 step 10) + 6 horizontal (0..100 step 20)
+    assert(svg.split("stroke=\"#ccc\"").length - 1 === 9 + 6)
+    // one <line> per in-bounds segment plus the 15 gridlines
+    assert(svg.split("<line ").length - 1 === inBounds + 15)
+    assert(svg.contains("descent &amp; profile")) // caption escaped
+    for (c <- Render.BandPalette.take(3)) assert(svg.contains(c))
+  }
 }
