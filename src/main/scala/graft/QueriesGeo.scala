@@ -727,8 +727,74 @@ object QueriesGeo {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
     WHERE px IS NOT NULL"""
 
+  /** §2.31e (new r6) Sideview with the ALONG-PATH projection
+    * (fpdf/sideview.go + fpdf/trackprojector.go:53 ProjectAlongPath —
+    * "distance travelled"): x = running 2-D path length (cumulative
+    * euclidean step, the Track.Dist cumulation), y = altitude role,
+    * projected through the same grid arithmetic as q_descent_grid. The
+    * running sum is order-defined (sequential per track), so both engines
+    * cumulate identically — the q_cumdist precedent in 2-D.
+    */
+  private val SideviewGrid = graft.operators.Viz.Grid(
+    offU = 22.0, offV = 35.0, w = 170.0, h = 100.0,
+    minX = 0.0, maxX = 2000.0, minY = 0.0, maxY = 100.0)
+
+  private def qSideviewPath(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val withCum = ev(s, dir)
+      .withColumn("_sx", xCol).withColumn("_sy", yCol.cast("double"))
+      .withColumn("_px", lag(col("_sx"), 1).over(w))
+      .withColumn("_py", lag(col("_sy"), 1).over(w))
+      .withColumn("_step", when(col("_px").isNull, lit(0.0)).otherwise(
+        sqrt((col("_sx") - col("_px")) * (col("_sx") - col("_px")) +
+          (col("_sy") - col("_py")) * (col("_sy") - col("_py")))))
+      .withColumn("cum", sum(col("_step")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    graft.operators.Viz.segments(withCum, "user_id", "ts", "event_id",
+        col("cum"), col("_sx"), SideviewGrid, bandSize = 20.0)
+      .withColumn("oob", col("oob").cast("int"))
+  }
+
+  private val oSideviewPath = s"""
+    SELECT user_id, rn - 1 AS seg,
+           round(pc, 3) AS x1, round(pv, 3) AS y1,
+           round(cum, 3) AS x2, round(v, 3) AS y2,
+           round(22.0 + ((pc - 0.0) / 2000.0) * 170.0, 3) AS u1,
+           round(35.0 + (100.0 - ((pv - 0.0) / 100.0) * 100.0), 3) AS v1,
+           round(22.0 + ((cum - 0.0) / 2000.0) * 170.0, 3) AS u2,
+           round(35.0 + (100.0 - ((v - 0.0) / 100.0) * 100.0), 3) AS v2,
+           CAST(floor(v / 20.0) AS INT) AS band,
+           CAST(((pc - 0.0) / 2000.0 < 0.0 OR (pc - 0.0) / 2000.0 > 1.0
+              OR (pv - 0.0) / 100.0 < 0.0 OR (pv - 0.0) / 100.0 > 1.0
+              OR (cum - 0.0) / 2000.0 < 0.0 OR (cum - 0.0) / 2000.0 > 1.0
+              OR (v - 0.0) / 100.0 < 0.0 OR (v - 0.0) / 100.0 > 1.0)
+             AS INT) AS oob
+    FROM (
+      SELECT user_id, ts, event_id, cum, v,
+             lag(cum) OVER w AS pc, lag(v) OVER w AS pv,
+             row_number() OVER w AS rn
+      FROM (
+        SELECT user_id, ts, event_id, v,
+               sum(step) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (
+          SELECT user_id, ts, event_id, v,
+                 CASE WHEN px IS NULL THEN 0.0 ELSE
+                   sqrt((v - px) * (v - px) + (y - py) * (y - py)) END AS step
+          FROM (
+            SELECT user_id, ts, event_id, value AS v,
+                   CAST($ySql AS DOUBLE) AS y,
+                   lag(value) OVER w2 AS px,
+                   lag(CAST($ySql AS DOUBLE)) OVER w2 AS py
+            FROM events
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)) t0) t1) t2
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+    WHERE pc IS NOT NULL"""
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q_descent_grid", qDescentGrid, Some(oDescentGrid)),
+    GraftQuery("q_sideview_path", qSideviewPath, Some(oSideviewPath)),
     GraftQuery("q_geo_box", qGeoBox, Some(oGeoBox)),
     GraftQuery("q_time_of_day", qTimeOfDay, Some(oTimeOfDay)),
     GraftQuery("q_airspace_snapshot", qAirspaceSnapshot, Some(oAirspaceSnapshot), headline = true),

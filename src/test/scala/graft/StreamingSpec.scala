@@ -259,4 +259,41 @@ class DedupStreamSpec extends AnyFunSuite with SparkFixture {
       assert(ids === expected)
     } finally { query.stop(); spark.conf.set(checkKey, prior) }
   }
+
+  test("streaming ANN-index ingest: IVF assignment + PQ encode on a stream") {
+    // the index-build expressions are stateless projections, so incoming
+    // vectors score against the broadcast model AT INGEST — new corpus
+    // rows land in the persisted (n_id, cell, codes) index with no batch
+    // rebuild; batch-mode encoding of the same rows is the twin
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sfDir)
+    val model = Similarity.ivfTrainDriver(e, "embedding", 16)
+    val codebooks = Similarity.pqTrain(e, "embedding", model, 8, 32)
+    def encode(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(
+        Similarity.ivfAssign(df, "embedding", model),
+        "embedding", "cell", model, codebooks, 8, 32)
+        .select("vec_id", "cell", "codes")
+    val rows = e.select("vec_id", "embedding").limit(50)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val expected = encode(rows.toDF("vec_id", "embedding"))
+      .as[(Long, Int, Long)].collect().toSet
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = encode(input.toDS().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("ann_ingest")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(30): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(30): _*)
+      query.processAllAvailable()
+      val got = spark.table("ann_ingest")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got === expected)
+    } finally query.stop()
+  }
 }
