@@ -710,6 +710,119 @@ object QueriesText {
     WHERE rk <= $KnnK"""
   }
 
+  /** §2.44g (new r6): TWO-LEVEL IVF + PQ composed (the IMI-family shape —
+    * hierarchical assignment keeps per-row compute at (nC+nF)·dim, PQ
+    * keeps the in-cell payload at m bytes). Oracle replays the two-stage
+    * assignment, encoding against the row's own FINE center, the one-fold
+    * ADC with the probed cell's fine center, the tight shortlist, and the
+    * exact rerank.
+    */
+  private def qKnnIvf2Pq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val (nCoarse, nFine) = ivf2Geom(e.count())
+    Similarity.knnIvf2Pq(e, e.where(col("vec_id") < 10), "vec_id",
+      "embedding", KnnK, nCoarse, nFine, ivfProbes(nCoarse * nFine),
+      PqM, PqKs, KnnRound, PqRerank)
+  }
+
+  private def oKnnIvf2PqGen(s: SparkSession, dir: String): String = {
+    val e = embs(s, dir)
+    val n = e.count()
+    val (nCoarse, nFine) = ivf2Geom(n)
+    val nProbe = ivfProbes(nCoarse * nFine)
+    val dsub = EmbDim / PqM
+    val (coarse, fine) =
+      Similarity.ivfTrainTwoLevel(e, "embedding", nCoarse, nFine, corpusN = n)
+    val codebooks = Similarity.pqTrain(e, "embedding", fine, PqM, PqKs,
+      corpusN = n)
+    def rows(m: Seq[(Int, Seq[Float])]) = m.map {
+      case (i, c) => s"($i, [${c.map(_.toDouble).mkString(", ")}])"
+    }
+    val probeModel = Similarity.dedupeForSearch(fine, nFine)
+    val cbRows = for (mm <- 0 until PqM; j <- 0 until PqKs) yield {
+      val sub = (0 until dsub)
+        .map(d => codebooks((mm * PqKs + j) * dsub + d).toDouble)
+      s"($mm, $j, [${sub.mkString(", ")}])"
+    }
+    val cbFlat = codebooks.map(_.toDouble).mkString(", ")
+    s"""
+    WITH co(cell, cv) AS (VALUES
+      ${rows(coarse).mkString(",\n      ")}),
+    fi(cell, cv) AS (VALUES
+      ${rows(fine).mkString(",\n      ")}),
+    pr(cell, cv) AS (VALUES
+      ${rows(probeModel).mkString(",\n      ")}),
+    cb(mm, j, cv) AS (VALUES
+      ${cbRows.mkString(",\n      ")}),
+    cbf(cv) AS (VALUES ([$cbFlat])),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ca AS (
+      SELECT vec_id, v, cell AS c_cell FROM (
+        SELECT e.vec_id, e.v, co.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ${fdot("co.cv", "co.cv")} - 2.0 * ${fdot("e.v", "co.cv")},
+                 co.cell) AS rn
+        FROM e CROSS JOIN co) t WHERE rn = 1),
+    corp AS (
+      SELECT vec_id AS n_id, v AS nv, cell FROM (
+        SELECT ca.vec_id, ca.v, fi.cell,
+               row_number() OVER (PARTITION BY ca.vec_id ORDER BY
+                 ${fdot("fi.cv", "fi.cv")} - 2.0 * ${fdot("ca.v", "fi.cv")},
+                 fi.cell) AS rn
+        FROM ca JOIN fi ON fi.cell >= ca.c_cell * $nFine
+                       AND fi.cell < (ca.c_cell + 1) * $nFine) t
+      WHERE rn = 1),
+    enc AS (
+      SELECT n_id, mm, j FROM (
+        SELECT c.n_id, cb.mm, cb.j,
+               row_number() OVER (PARTITION BY c.n_id, cb.mm ORDER BY
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [(c.nv[cb.mm * $dsub + i] - t0.cv[cb.mm * $dsub + i]) - cb.cv[i]
+                    for i in range(1, ${dsub + 1})]),
+                   (acc, t) -> acc + t * t),
+                 cb.j) AS rn
+        FROM corp c JOIN fi t0 ON t0.cell = c.cell CROSS JOIN cb) t
+      WHERE rn = 1),
+    codes AS (SELECT n_id, list(j ORDER BY mm) AS cs FROM enc GROUP BY n_id),
+    probe AS (
+      SELECT vec_id AS q_id, v AS qv, cell FROM (
+        SELECT e.vec_id, e.v, pr.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ${fdot("e.v", "e.v")} - 2.0 * ${fdot("e.v", "pr.cv")}
+                   + ${fdot("pr.cv", "pr.cv")},
+                 pr.cell) AS rn
+        FROM e CROSS JOIN pr WHERE e.vec_id < 10) t WHERE rn <= $nProbe),
+    adc AS (
+      SELECT p.q_id, p.qv, c.n_id, c.nv,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               [(p.qv[i] - t0.cv[i])
+                - cbf.cv[(((i - 1) // $dsub) * $PqKs + cd.cs[(i - 1) // $dsub + 1]) * $dsub
+                         + ((i - 1) % $dsub) + 1]
+                for i in range(1, ${EmbDim + 1})]),
+               (acc, t) -> acc + t * t) AS ad
+      FROM probe p
+      JOIN corp c ON p.cell = c.cell AND p.q_id <> c.n_id
+      JOIN fi t0 ON t0.cell = p.cell
+      JOIN codes cd ON cd.n_id = c.n_id
+      CROSS JOIN cbf),
+    short AS (
+      SELECT q_id, qv, n_id, nv FROM (
+        SELECT q_id, qv, n_id, nv,
+               row_number() OVER (PARTITION BY q_id ORDER BY ad, n_id) AS rn
+        FROM adc) t WHERE rn <= ${KnnK * PqRerank}),
+    cand AS (
+      SELECT q_id, n_id,
+             round(${fdot("qv", "nv")}
+                   / (sqrt(${fdot("qv", "qv")}) * sqrt(${fdot("nv", "nv")})),
+                   $KnnRound) + 0 AS cr
+      FROM short)
+    SELECT q_id, n_id, rk, cr AS cos FROM (
+      SELECT q_id, n_id, cr,
+             row_number() OVER (PARTITION BY q_id ORDER BY cr DESC, n_id) AS rk
+      FROM cand) t
+    WHERE rk <= $KnnK"""
+  }
+
   /** q_knn_ivf2 geometry: split `autoCells` into two near-square levels
     * (nCoarse·nFine >= cells). sf0.01 (500 vectors): 22 cells → 5×5;
     * sf0.1 (2k vectors): 45 → 7×7 — the gate sees different derived
@@ -959,6 +1072,7 @@ object QueriesText {
     GraftQuery("q_knn_ivf_batch", qKnnIvfBatch, None, oracleGen = Some(oKnnIvfBatchGen)),
     GraftQuery("q_knn_ivf2", qKnnIvf2, None, oracleGen = Some(oKnnIvf2Gen)),
     GraftQuery("q_knn_ivf_pq", qKnnIvfPq, None, oracleGen = Some(oKnnIvfPqGen)),
+    GraftQuery("q_knn_ivf2_pq", qKnnIvf2Pq, None, oracleGen = Some(oKnnIvf2PqGen)),
     GraftQuery("q_text_lang", qTextLang, Some(oTextLang)),
     GraftQuery("q_text_quality", qTextQuality, Some(oTextQuality)),
     GraftQuery("q_token_count", qTokenCount, Some(oTokenCount)),

@@ -801,18 +801,27 @@ object Similarity {
     * codes) — or its persisted form): probe selection, in-cell ADC
     * ranking, exact rerank of the shortlist against the raw vector table
     * (`raw` — only the shortlist's ids are fetched from it).
+    *
+    * `coarseModel` is the POSITIONAL center table the codes were encoded
+    * against (PqAdcExpr indexes it by cell id); `probeModel` is the model
+    * probe ranking runs over — defaults to the same, but the two-level
+    * composition passes the pad-DEDUPED fine model there (probe slots
+    * shouldn't burn on dead duplicate cells) while ADC keeps the full
+    * positional table.
     */
   def knnIvfPqSearch(encoded: DataFrame, raw: DataFrame, queries: DataFrame,
                      id: String, vec: String, k: Int, nProbe: Int,
                      m: Int, ks: Int, roundTo: Int,
                      coarseModel: Seq[(Int, Seq[Float])],
                      codebooks: Seq[Float],
-                     rerankFactor: Int = 64): DataFrame = {
+                     rerankFactor: Int = 64,
+                     probeModel: Seq[(Int, Seq[Float])] = null): DataFrame = {
     val spark = encoded.sparkSession
     val dim = coarseModel.head._2.length
+    val probeM = Option(probeModel).getOrElse(coarseModel)
     // probe selection: same relational ranking as knnIvfSearchIndexed
     val centersCc = broadcast(
-      spark.createDataFrame(coarseModel).toDF("cell", "center")
+      spark.createDataFrame(probeM).toDF("cell", "center")
         .withColumn("_cc", dot(col("center"), col("center"))))
     val wp = Window.partitionBy("q_id").orderBy(col("_d").asc, col("cell").asc)
     val probes = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
@@ -843,6 +852,33 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("rk"), col("_cos").as("cos"))
+  }
+
+  /** TWO-LEVEL IVF + PQ (the IMI-family composition — Babenko & Lempitsky's
+    * inverted multi-index crossed with IVFADC, public literature): the
+    * hierarchical quantizer keeps per-row assignment at (nCoarse+nFine)·dim
+    * while PQ keeps the in-cell payload at m bytes — together they are the
+    * 10^9-vector shape on BOTH the compute and the memory axis. Residual
+    * codebooks train against the FINE centers (flat argmin over the fine
+    * model on the bounded sample — training-side only); the corpus encodes
+    * via the hierarchical argmin + residual-vs-own-fine-center; probe
+    * ranking runs over the pad-deduped fine model while ADC looks centers
+    * up positionally in the full one.
+    */
+  def knnIvf2Pq(corpus: DataFrame, queries: DataFrame, id: String,
+                vec: String, k: Int, nCoarse: Int, nFine: Int, nProbe: Int,
+                m: Int, ks: Int, roundTo: Int,
+                rerankFactor: Int = 64): DataFrame = {
+    val (coarse, fine) = ivfTrainTwoLevel(corpus, vec, nCoarse, nFine)
+    val codebooks = pqTrain(corpus, vec, fine, m, ks)
+    val encoded = pqEncode(
+        ivfAssign2(corpus.select(col(id).as("n_id"), col(vec).as("n_vec")),
+          "n_vec", coarse, fine),
+        "n_vec", "cell", fine, codebooks, m, ks)
+      .select("n_id", "cell", "codes")
+    knnIvfPqSearch(encoded, corpus, queries, id, vec, k, nProbe, m, ks,
+      roundTo, fine, codebooks, rerankFactor,
+      probeModel = dedupeForSearch(fine, fine.length / coarse.length))
   }
 
   /** ANN via multi-table LSH: exact cosine ranking within the union of the

@@ -154,6 +154,17 @@ object IvfScaleProbe {
       f"(flat IVF: $recall%.3f) | index payload ${dirMb(s"$out/pq_index.parquet")}%.1f MB " +
       f"vs raw ${dirMb(s"$out/raw_index.parquet")}%.1f MB")
 
+    // Composed two-level + PQ lane (the full 10^9-vector shape: compute
+    // axis via hierarchical assignment, memory axis via packed codes)
+    val imi = timed("two-level+PQ search (full pipeline)") {
+      Similarity.knnIvf2Pq(e, q, "vec_id", "embedding",
+          5, nC, nF, nProbe, pqM, pqKs, 6)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val recallImi = brute.count(imi.contains).toDouble / brute.size
+    println(f"[ivfscale] two-level+PQ recall@5 vs brute = $recallImi%.3f " +
+      f"(two-level uncompressed: $recall2%.3f)")
+
     // Assignment-cost scaling, isolated: a 16384-cell model built from
     // corpus vectors directly (no training — this lane measures ONLY the
     // per-row argmin, flat cells·dim vs hierarchical (√cells + √cells)·dim,

@@ -612,6 +612,18 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
       s"IVF-PQ recall $rPq must hold >= 0.9x uncompressed IVF recall $rIvf")
   }
 
+  test("two-level IVF + PQ composition keeps recall") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val imi = Similarity.knnIvf2Pq(e, q, "vec_id", "embedding",
+        5, 4, 8, 8, 8, 32, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(imi.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"two-level IVF+PQ recall@5 = $recall")
+  }
+
   test("two-level trainer survives a degenerate corpus (distinct vectors < nCoarse)") {
     val tiny = Seq(
       (1L, Seq.fill(4)(1f)), (2L, Seq.fill(4)(2f)),
