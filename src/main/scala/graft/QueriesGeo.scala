@@ -701,12 +701,12 @@ object QueriesGeo {
 
   private val oDescentGrid = s"""
     SELECT user_id, rn - 1 AS seg,
-           round(px, 3) AS x1, round(py, 3) AS y1,
-           round(x, 3) AS x2, round(y, 3) AS y2,
-           round(22.0 + ((px - 0.0) / 80.0) * 170.0, 3) AS u1,
-           round(35.0 + (100.0 - ((py - 0.0) / 100.0) * 100.0), 3) AS v1,
-           round(22.0 + ((x - 0.0) / 80.0) * 170.0, 3) AS u2,
-           round(35.0 + (100.0 - ((y - 0.0) / 100.0) * 100.0), 3) AS v2,
+           floor(px * 1000.0) / 1000.0 AS x1, floor(py * 1000.0) / 1000.0 AS y1,
+           floor(x * 1000.0) / 1000.0 AS x2, floor(y * 1000.0) / 1000.0 AS y2,
+           floor((22.0 + ((px - 0.0) / 80.0) * 170.0) * 1000.0) / 1000.0 AS u1,
+           floor((35.0 + (100.0 - ((py - 0.0) / 100.0) * 100.0)) * 1000.0) / 1000.0 AS v1,
+           floor((22.0 + ((x - 0.0) / 80.0) * 170.0) * 1000.0) / 1000.0 AS u2,
+           floor((35.0 + (100.0 - ((y - 0.0) / 100.0) * 100.0)) * 1000.0) / 1000.0 AS v2,
            CAST(floor(y / 20.0) AS INT) AS band,
            CAST(((px - 0.0) / 80.0 < 0.0 OR (px - 0.0) / 80.0 > 1.0
               OR (py - 0.0) / 100.0 < 0.0 OR (py - 0.0) / 100.0 > 1.0
@@ -758,12 +758,12 @@ object QueriesGeo {
 
   private val oSideviewPath = s"""
     SELECT user_id, rn - 1 AS seg,
-           round(pc, 3) AS x1, round(pv, 3) AS y1,
-           round(cum, 3) AS x2, round(v, 3) AS y2,
-           round(22.0 + ((pc - 0.0) / 2000.0) * 170.0, 3) AS u1,
-           round(35.0 + (100.0 - ((pv - 0.0) / 100.0) * 100.0), 3) AS v1,
-           round(22.0 + ((cum - 0.0) / 2000.0) * 170.0, 3) AS u2,
-           round(35.0 + (100.0 - ((v - 0.0) / 100.0) * 100.0), 3) AS v2,
+           floor(pc * 1000.0) / 1000.0 AS x1, floor(pv * 1000.0) / 1000.0 AS y1,
+           floor(cum * 1000.0) / 1000.0 AS x2, floor(v * 1000.0) / 1000.0 AS y2,
+           floor((22.0 + ((pc - 0.0) / 2000.0) * 170.0) * 1000.0) / 1000.0 AS u1,
+           floor((35.0 + (100.0 - ((pv - 0.0) / 100.0) * 100.0)) * 1000.0) / 1000.0 AS v1,
+           floor((22.0 + ((cum - 0.0) / 2000.0) * 170.0) * 1000.0) / 1000.0 AS u2,
+           floor((35.0 + (100.0 - ((v - 0.0) / 100.0) * 100.0)) * 1000.0) / 1000.0 AS v2,
            CAST(floor(v / 20.0) AS INT) AS band,
            CAST(((pc - 0.0) / 2000.0 < 0.0 OR (pc - 0.0) / 2000.0 > 1.0
               OR (pv - 0.0) / 100.0 < 0.0 OR (pv - 0.0) / 100.0 > 1.0

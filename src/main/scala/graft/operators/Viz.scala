@@ -70,6 +70,17 @@ object Viz {
     * Scale: one shuffle on the track key for the lag window; projection is
     * stateless arithmetic on top — the same plan family as q_kinematics.
     */
+  /** Truncate (round toward -inf) to `k` decimals: floor on identical
+    * IEEE doubles is bit-identical across engines, where round()'s tie
+    * rule is NOT — sqrt-derived coordinates land on .xxx5 boundaries
+    * often enough that half-up-vs-binary disagreement showed up within
+    * 100k rows at sf0.1.
+    */
+  private def trunc(c: Column, k: Int): Column = {
+    val p = math.pow(10.0, k)
+    floor(c * lit(p)) / lit(p)
+  }
+
   def segments(df: DataFrame, key: String, time: String, tie: String,
                x: Column, y: Column, grid: Grid, bandSize: Double,
                roundTo: Int = 3): DataFrame = {
@@ -82,14 +93,14 @@ object Viz {
       .where(col("_px").isNotNull)
       .select(
         col(key), col("seg"),
-        round(col("_px"), roundTo).as("x1"),
-        round(col("_py"), roundTo).as("y1"),
-        round(col("_x"), roundTo).as("x2"),
-        round(col("_y"), roundTo).as("y2"),
-        round(u(grid, col("_px")), roundTo).as("u1"),
-        round(v(grid, col("_py")), roundTo).as("v1"),
-        round(u(grid, col("_x")), roundTo).as("u2"),
-        round(v(grid, col("_y")), roundTo).as("v2"),
+        trunc(col("_px"), roundTo).as("x1"),
+        trunc(col("_py"), roundTo).as("y1"),
+        trunc(col("_x"), roundTo).as("x2"),
+        trunc(col("_y"), roundTo).as("y2"),
+        trunc(u(grid, col("_px")), roundTo).as("u1"),
+        trunc(v(grid, col("_py")), roundTo).as("v1"),
+        trunc(u(grid, col("_x")), roundTo).as("u2"),
+        trunc(v(grid, col("_y")), roundTo).as("v2"),
         floor(col("_y") / lit(bandSize)).cast("int").as("band"),
         (oob(grid, col("_px"), col("_py")) ||
           oob(grid, col("_x"), col("_y"))).as("oob"))
