@@ -612,6 +612,41 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
       s"IVF-PQ recall $rPq must hold >= 0.9x uncompressed IVF recall $rIvf")
   }
 
+  test("table-based ADC search agrees with the expression path") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+    val m = 8; val ks = 32
+    val model = Similarity.ivfTrainDriver(e, "embedding", 16)
+    val codebooks = Similarity.pqTrain(e, "embedding", model, m, ks)
+    val encoded = Similarity.pqEncode(
+        Similarity.ivfAssign(
+          e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec")),
+          "n_vec", model),
+        "n_vec", "cell", model, codebooks, m, ks)
+      .select("n_id", "cell", "codes")
+    import org.apache.spark.sql.DataFrame
+    def run(f: (DataFrame, DataFrame, DataFrame, String, String, Int, Int,
+                Int, Int, Int, Seq[(Int, Seq[Float])], Seq[Float], Int,
+                Seq[(Int, Seq[Float])]) => DataFrame, rf: Int) =
+      f(encoded, e, q, "vec_id", "embedding", 5, 4, m, ks, 6,
+          model, codebooks, rf, null)
+        .select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect().toSet
+    // generous shortlist: both paths rerank every candidate exactly →
+    // identical output despite the table's different double grouping
+    val expr = run(Similarity.knnIvfPqSearch, 64)
+    val tab = run(Similarity.knnIvfPqSearchTabulated, 64)
+    assert(tab === expr)
+    // tight shortlist: ADC ordering decides — ulp-level grouping skew may
+    // flip boundary candidates, but recall must hold
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(s: Set[(Long, Long, Int)]) =
+      brute.count(p => s.exists(t => (t._1, t._2) == p)).toDouble / brute.size
+    val rExpr = recall(run(Similarity.knnIvfPqSearch, 4))
+    val rTab = recall(run(Similarity.knnIvfPqSearchTabulated, 4))
+    assert(rTab >= 0.9 * rExpr, s"table-path recall $rTab vs expr $rExpr")
+  }
+
   test("two-level IVF + PQ composition keeps recall") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.where(col("vec_id") < 10)
