@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Similarity, Text}
+import graft.operators.{Sampling, Similarity, Text}
 
 /** Group F — LLM-data-pipeline operators (SURVEY §2 items 35, 38–49):
   * dedup tiers, similarity search, text analysis, multimodal metadata.
@@ -308,6 +308,51 @@ object QueriesText {
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 3) >= 0.4"""
+
+  /** §2.52 SemDeDup (semantic dedup, cell-blocked): quantizer cells block
+    * the pair work, rounded cosine >= threshold within a cell drops the
+    * higher id. Same trained model as the IVF ANN lane (`ivfTrainDispatch`
+    * — deterministic on both branches), so the oracle generator exports the
+    * centers and replays assignment + in-cell pairing exactly.
+    */
+  private val SemThresh = 0.4
+
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    Similarity.semDedup(e, "vec_id", "embedding", SemThresh, KnnRound,
+      Similarity.ivfTrainDispatch(e, "embedding", cells))
+  }
+
+  private def oSemDedupGen(s: SparkSession, dir: String): String = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val ctrRows = model.map {
+      case (i, c) => s"($i, [${c.map(_.toDouble).mkString(", ")}])"
+    }
+    s"""
+    WITH ctr(cell, cv) AS (VALUES
+      ${ctrRows.mkString(",\n      ")}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (
+      SELECT e.vec_id, e.v, ctr.cell,
+             ${fdot("e.v", "e.v")}
+             - 2.0 * ${fdot("e.v", "ctr.cv")}
+             + ${fdot("ctr.cv", "ctr.cv")} AS dist
+      FROM e CROSS JOIN ctr),
+    corp AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT vec_id, v, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d) t WHERE rn = 1),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
+      FROM corp a JOIN corp b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), $KnnRound) >= $SemThresh)
+    SELECT id_a AS vec_id, cell, count(*) AS n_dups, min(id_b) AS keeper_id
+    FROM p GROUP BY id_a, cell"""
+  }
 
   /** §2.38b End-to-end dedup pipeline: drop non-keeper members of exact-dup
     * groups (first-8-words key), then the higher id of every near-dup pair
@@ -1052,6 +1097,277 @@ object QueriesText {
     FROM c WHERE nch > 0"""
 
   // ---------------------------------------------------------------------------
+  // Dataset assembly (SURVEY §2 items 50–50c): deterministic sampling,
+  // stratified quotas, token-budget mixing, benchmark decontamination —
+  // all selection keyed on the cross-engine polynomial hash, so DuckDB
+  // recomputes the identical sample (operators.Sampling).
+  // ---------------------------------------------------------------------------
+
+  /** Shared sampling seed — in the query AND every oracle below. */
+  private val SampleSeed = "s1"
+
+  private def duckSampleHash(key: String): String =
+    duckPolyHash(s"$key || '#$SampleSeed'")
+
+  /** §2.50 Deterministic hash-threshold sampling (the reproducible
+    * `df.sample` replacement): membership is a pure function of the row
+    * key, independent of partitioning and engine — a shuffle-free filter
+    * directly over the scan.
+    */
+  private def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    Sampling.sampleByHash(docs(s, dir), col("doc_id"), SampleSeed, 200)
+      .select("doc_id", "source", "n_chars")
+
+  private val oSampleHash = s"""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 < 200"""
+
+  /** §2.50a Stratified quota sampling: exactly `quota` docs per source in
+    * deterministic hash order, rank kept for downstream sub-slicing.
+    */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedQuota(docs(s, dir), col("source"), col("doc_id"),
+        SampleSeed, 10)
+      .select("doc_id", "source", "rank")
+
+  private val oSampleStratified = s"""
+    SELECT doc_id, source, rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ${duckSampleHash("CAST(doc_id AS VARCHAR)")}, doc_id)
+               AS rank
+      FROM documents) t
+    WHERE rank <= 10"""
+
+  /** §2.50b Token-budget dataset mixing: per source, documents accumulate
+    * in hash order until the source's token budget fills (budgets differ
+    * per source — the "mix N tokens of web + M of code" assembly step);
+    * output is the per-source mix summary.
+    */
+  private def qMixBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+    val budget = lit(300L) +
+      lit(40L) * (substring(col("source"), 4, 10).cast("long") % 5)
+    Sampling.mixByBudget(d, col("source"), col("doc_id"), col("toks"),
+        budget, SampleSeed)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tok_total"))
+  }
+
+  private val oMixBudget = s"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             300 + 40 * (CAST(substr(source, 4) AS BIGINT) % 5) AS budget,
+             ${duckSampleHash("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    cum AS (
+      SELECT source, toks, budget,
+             sum(toks) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM t)
+    SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tok_total
+    FROM cum WHERE c <= budget GROUP BY source"""
+
+  /** §2.50c Benchmark decontamination: corpus docs whose distinct
+    * word-trigram hashes overlap a benchmark split (doc_id % 17 = 0 stands
+    * in for an eval suite) at ratio >= 0.8 of their own trigrams — the
+    * near-copy contamination band; the synthetic corpus's shared vocabulary
+    * keeps low ratios ubiquitous (~95% of docs share >= 5 trigrams), so the
+    * RATIO is the meaningful flag, thresholded on the truncated value so
+    * both engines cut the same set. The benchmark shingle set broadcasts
+    * (eval suites are small by construction); the corpus side is one
+    * explode + broadcast join + partial count — no corpus-wide shuffle.
+    * Ratio is truncated, not rounded: integer-ratio doubles land exactly
+    * on .5 boundaries.
+    */
+  private def qDecontam(s: SparkSession, dir: String): DataFrame = {
+    val withH = docsW(s, dir).withColumn("hs",
+      array_distinct(transform(Text.shingles(col("text"), 3), Text.polyHash(_))))
+    Sampling.decontaminate(
+      withH.where(col("doc_id") % 17 =!= 0),
+      withH.where(col("doc_id") % 17 === 0),
+      "doc_id", col("hs"), 5, minRatio = 0.8)
+  }
+
+  private val oDecontam = s"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                for i in range(1, len(words) - 1)],
+               s -> ${duckPolyHash("s")})) AS th
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+    bench AS (
+      SELECT DISTINCT unnest(th) AS h FROM hs WHERE doc_id % 17 = 0),
+    tr AS (
+      SELECT hs.doc_id, len(hs.th) AS n_sh, unnest(hs.th) AS h
+      FROM hs WHERE doc_id % 17 <> 0)
+    SELECT tr.doc_id, count(*) AS n_overlap,
+           floor(count(*) * 10000.0 / any_value(tr.n_sh)) / 10000.0
+             AS overlap_ratio
+    FROM tr JOIN bench ON tr.h = bench.h
+    GROUP BY tr.doc_id
+    HAVING count(*) >= 5
+       AND floor(count(*) * 10000.0 / any_value(tr.n_sh)) / 10000.0 >= 0.8"""
+
+  /** §2.50e Deterministic train/val/test split (90/5/5 on the hash of
+    * doc_id): growth-stable split assignment — a doc never migrates between
+    * splits when the corpus grows — summarized per (split, source).
+    */
+  private def qSampleSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitByHash(docs(s, dir), col("doc_id"), SampleSeed,
+        Seq(("train", 900), ("val", 950), ("test", 1000)))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_total"))
+
+  private val oSampleSplit = s"""
+    WITH t AS (
+      SELECT source, n_chars,
+             ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 AS h
+      FROM documents)
+    SELECT CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val'
+                ELSE 'test' END AS split,
+           source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM t GROUP BY 1, 2"""
+
+  /** §2.51 Repetition signals (Gopher-rules family): per-doc modal-bigram
+    * share and duplicate-bigram share for quality filtering. Fractions
+    * truncated multiply-then-divide so both engines round once, the same
+    * way.
+    */
+  private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
+    Text.repetitionSignals(docs(s, dir), "doc_id", col("text"), 2)
+
+  private val oTextRepetition = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+      FROM w WHERE len(ws) >= 2),
+    c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           count(*) AS n_distinct_grams,
+           CAST(max(c) AS BIGINT) AS top_gram_n,
+           floor(max(c) * 10000.0 / sum(c)) / 10000.0 AS top_gram_frac,
+           floor(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10000.0 / sum(c))
+             / 10000.0 AS dup_gram_frac
+    FROM c GROUP BY doc_id"""
+
+  /** §2.53 Span-level exact corpus dedup with reassembly: every 8-word
+    * span keeps only its global first occurrence (ordered by (doc, pos)),
+    * documents are rebuilt from surviving spans. The span STRING is the
+    * key on both engines — exact semantics, no hash-collision over-drop.
+    */
+  private val SpanWords = 8
+
+  private def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    Text.dedupSpans(docs(s, dir), "doc_id", col("text"), SpanWords)
+
+  private val oDedupSpans = s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sp AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(ws) / ${SpanWords}.0) AS BIGINT))) AS pos,
+             unnest([array_to_string(
+                       ws[(i * $SpanWords + 1):(i * $SpanWords + $SpanWords)], ' ')
+                     for i in range(CAST(ceil(len(ws) / ${SpanWords}.0) AS BIGINT))])
+               AS span
+      FROM w),
+    r AS (
+      SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM sp)
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos), '')
+             AS clean_text
+    FROM r GROUP BY doc_id"""
+
+  /** §2.50f Score-weighted (importance) sampling: per-doc acceptance
+    * threshold ∝ document length (capped) — the weighted-resampling
+    * assembly step, integer thresholds so both engines cut identically.
+    */
+  private def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.sampleByScore(docs(s, dir), col("doc_id"), SampleSeed,
+        least(lit(999L), floor(col("n_chars") / 2).cast("long")))
+      .select("doc_id", "source", "n_chars")
+
+  private val oSampleWeighted = s"""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 <
+          least(999, n_chars // 2)"""
+
+  /** §2.54 Vocabulary induction: per-word document frequency + collection
+    * frequency over the corpus, minDf cut, ranked (cf desc, word).
+    */
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    Text.vocabulary(docs(s, dir), "doc_id", col("text"), 2)
+
+  private val oVocab = """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    c AS (SELECT doc_id, word, count(*) AS c FROM t GROUP BY doc_id, word),
+    v AS (SELECT word, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf
+          FROM c GROUP BY word HAVING count(*) >= 2)
+    SELECT word, df, cf, row_number() OVER (ORDER BY cf DESC, word) AS rank
+    FROM v"""
+
+  /** §2.50g Cluster-balanced ("diverse") sampling: quota per IVF cell of
+    * the embedding space — the coverage-preserving curation step (sample
+    * evenly across semantic clusters instead of uniformly over docs).
+    * Shares the deterministic trained quantizer with the ANN/SemDeDup
+    * lanes, so the generated oracle replays assignment + per-cell ranking.
+    */
+  private val DiverseQuota = 5
+
+  private def qSampleDiverse(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val assigned = Similarity.ivfAssign(
+      e.select(col("vec_id"), col("embedding").as("_v")), "_v", model)
+    Sampling.stratifiedQuota(assigned, col("cell"), col("vec_id"),
+        SampleSeed, DiverseQuota)
+      .select("vec_id", "cell", "rank")
+  }
+
+  private def oSampleDiverseGen(s: SparkSession, dir: String): String = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val ctrRows = model.map { case (i, c) =>
+      s"($i, [${c.map(_.toDouble).mkString(", ")}])" }
+    s"""
+    WITH ctr(cell, cv) AS (VALUES
+      ${ctrRows.mkString(",\n      ")}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (
+      SELECT e.vec_id, ctr.cell,
+             ${fdot("e.v", "e.v")}
+             - 2.0 * ${fdot("e.v", "ctr.cv")}
+             + ${fdot("ctr.cv", "ctr.cv")} AS dist
+      FROM e CROSS JOIN ctr),
+    corp AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d) t WHERE rn = 1)
+    SELECT vec_id, cell, rank FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (
+               PARTITION BY cell
+               ORDER BY ${duckSampleHash("CAST(vec_id AS VARCHAR)")}, vec_id)
+               AS rank
+      FROM corp) t WHERE rank <= $DiverseQuota"""
+  }
+
+  // ---------------------------------------------------------------------------
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q_doc_dedup_exact", qDocDedupExact, Some(oDocDedupExact)),
@@ -1076,6 +1392,18 @@ object QueriesText {
     GraftQuery("q_text_lang", qTextLang, Some(oTextLang)),
     GraftQuery("q_text_quality", qTextQuality, Some(oTextQuality)),
     GraftQuery("q_token_count", qTokenCount, Some(oTokenCount)),
-    GraftQuery("q_multimodal_meta", qMultimodalMeta, Some(oMultimodalMeta))
+    GraftQuery("q_multimodal_meta", qMultimodalMeta, Some(oMultimodalMeta)),
+    GraftQuery("q_sample_hash", qSampleHash, Some(oSampleHash)),
+    GraftQuery("q_sample_stratified", qSampleStratified, Some(oSampleStratified)),
+    GraftQuery("q_mix_budget", qMixBudget, Some(oMixBudget)),
+    GraftQuery("q_decontam", qDecontam, Some(oDecontam)),
+    GraftQuery("q_sample_split", qSampleSplit, Some(oSampleSplit)),
+    GraftQuery("q_text_repetition", qTextRepetition, Some(oTextRepetition)),
+    GraftQuery("q_semdedup", qSemDedup, None, oracleGen = Some(oSemDedupGen)),
+    GraftQuery("q_dedup_spans", qDedupSpans, Some(oDedupSpans)),
+    GraftQuery("q_sample_weighted", qSampleWeighted, Some(oSampleWeighted)),
+    GraftQuery("q_vocab", qVocab, Some(oVocab)),
+    GraftQuery("q_sample_diverse", qSampleDiverse, None,
+      oracleGen = Some(oSampleDiverseGen))
   )
 }

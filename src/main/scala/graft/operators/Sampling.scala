@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators for training-data pipelines: deterministic
+  * sampling, stratified quotas, token-budget mixing, and benchmark
+  * decontamination. All selection is keyed on the cross-engine polynomial
+  * hash ([[Text.polyHash]]) of a caller-chosen key — NOT on `rand()` or
+  * `df.sample` — so membership is a pure function of the row, independent
+  * of partitioning, task retries, and engine (the DuckDB oracle recomputes
+  * the identical sample).
+  *
+  * Scale notes (100 TB):
+  *  - [[sampleByHash]] is a pure per-row filter — no shuffle, no state,
+  *    survives any repartitioning, and composes with partition pruning
+  *    (the filter sits directly over the scan).
+  *  - [[stratifiedQuota]] / [[mixByBudget]] rank within a stratum via a
+  *    window — one shuffle on the stratum key. A stratum's rows land on
+  *    one task, which is exactly right when quotas/budgets are
+  *    human-sized (benchmark assembly, eval splits). For quotas that are
+  *    themselves huge, take a hash-threshold pre-cut first
+  *    (`sampleByHash` at ~2x the target rate) and trim exactly inside
+  *    the shrunken stratum — the two-pass form keeps the window input
+  *    bounded by the quota, not the corpus.
+  *  - [[decontaminate]] broadcasts the BENCHMARK shingle set (benchmark
+  *    suites are ~10^4..10^6 shingles — small by construction, vs the
+  *    corpus side which never re-shuffles: one explode, a broadcast
+  *    semi-ish join that only keeps matching shingles, then a partial
+  *    aggregation whose input is bounded by the contamination volume,
+  *    not the corpus size).
+  */
+object Sampling {
+
+  /** The deterministic per-row sampling key: cross-engine polynomial hash
+    * of `key#seed`, uniform-ish over [0, PolyP). A different `seed` gives
+    * a decorrelated resample of the same corpus.
+    */
+  def sampleHash(key: Column, seed: String): Column =
+    Text.polyHash(concat(key.cast("string"), lit("#" + seed)))
+
+  /** Keep rows whose hash lands under `permille`/1000 — the reproducible
+    * `df.sample` replacement (Spark's `sample` draws per-partition, so
+    * membership changes under repartitioning; this never does).
+    */
+  def sampleByHash(df: DataFrame, key: Column, seed: String,
+                   permille: Int): DataFrame =
+    df.where(sampleHash(key, seed) % 1000 < permille)
+
+  /** Score-weighted (importance) sampling: keep a row when its hash lands
+    * under a PER-ROW acceptance threshold `permille` — i.e. row i survives
+    * with probability permille_i/1000, deterministically. This is the
+    * quality-/length-weighted resampling step (DSIR-family shape: sample
+    * documents proportionally to an importance weight) with the same
+    * reproducibility contract as [[sampleByHash]]: membership is a pure
+    * function of (key, seed, score) — partitioning-, retry- and
+    * growth-stable, and the oracle recomputes it exactly. `permille`
+    * should be an INTEGER column (cross-engine float comparison at the
+    * threshold boundary is not reproducible); values ≤ 0 never sample,
+    * ≥ 1000 always sample. Pure per-row filter — no shuffle.
+    */
+  def sampleByScore(df: DataFrame, key: Column, seed: String,
+                    permille: Column): DataFrame =
+    df.where(sampleHash(key, seed) % 1000 < permille)
+
+  /** Deterministic train/val/test split assignment: the row's hash lands in
+    * [0, 1000) and `cuts` carve it into labeled ranges — e.g.
+    * `Seq(("train", 900), ("val", 950), ("test", 1000))` (cumulative
+    * permille upper bounds, last must be 1000). Reproducible,
+    * partitioning-invariant, and growth-stable: a document never migrates
+    * between splits when the corpus grows or reshuffles (unlike
+    * `randomSplit`, which draws per-partition) — the property that keeps
+    * eval splits leakage-free across dataset versions. Pure per-row
+    * projection: no shuffle, composes with pushdown.
+    */
+  def splitByHash(df: DataFrame, key: Column, seed: String,
+                  cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 1000 &&
+        cuts.map(_._2) == cuts.map(_._2).sorted && cuts.forall(_._2 > 0),
+      s"cuts must be ascending cumulative permille ending at 1000: $cuts")
+    val h = sampleHash(key, seed) % 1000
+    val label = cuts.tail.foldLeft(when(h < cuts.head._2, cuts.head._1)) {
+      case (acc, (name, ub)) => acc.when(h < ub, name)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Exactly `quota` rows per stratum (fewer when the stratum is smaller),
+    * chosen deterministically in hash order with the key as tiebreak.
+    * `rank` (1-based position in the stratum's hash order) is kept so
+    * downstream splits can sub-slice without re-ranking.
+    */
+  def stratifiedQuota(df: DataFrame, stratum: Column, key: Column,
+                      seed: String, quota: Int): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(sampleHash(key, seed).asc, key.asc)
+    df.withColumn("rank", row_number().over(w)).where(col("rank") <= quota)
+  }
+
+  /** Token-budget dataset mixing: per `source`, take documents in
+    * deterministic hash order until the cumulative `tokens` reaches that
+    * source's `budget` (the crossing document is excluded — the kept mix
+    * never overshoots). This is the "mix N tokens of web + M of code"
+    * assembly step; budgets are normally small driver-side constants per
+    * source (a literal CASE), so the whole mix is one window pass.
+    */
+  def mixByBudget(df: DataFrame, source: Column, key: Column,
+                  tokens: Column, budget: Column, seed: String): DataFrame = {
+    val w = Window.partitionBy(source)
+      .orderBy(sampleHash(key, seed).asc, key.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(tokens).over(w))
+      .where(col("_cum") <= budget)
+      .drop("_cum")
+  }
+
+  /** Benchmark decontamination: per corpus document, count the distinct
+    * shingle hashes it shares with ANY benchmark document and flag it when
+    * the count reaches `minOverlap`. Returns flagged docs only:
+    * `(id, n_overlap, overlap_ratio)` where the ratio is n_overlap over
+    * the doc's own distinct-shingle count, TRUNCATED to 4 decimals
+    * (integer-ratio doubles can land exactly on .5 round boundaries —
+    * truncation is bit-identical cross-engine, see Viz.trunc).
+    *
+    * `shingleHashes` must be a distinct array of hashes per row (e.g.
+    * `array_distinct(transform(Text.shingles(col("text"), n), Text.polyHash))`)
+    * so the post-join count is a distinct-overlap count without a
+    * corpus-wide distinct.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, id: String,
+                    shingleHashes: Column, minOverlap: Int,
+                    minRatio: Double = 0.0): DataFrame = {
+    val b = bench.select(explode(shingleHashes).as("h")).distinct()
+    corpus
+      .select(col(id), size(shingleHashes).as("_n_sh"),
+        explode(shingleHashes).as("h"))
+      .join(broadcast(b), "h")
+      .groupBy(col(id), col("_n_sh"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+      .select(col(id), col("n_overlap"),
+        (floor(col("n_overlap") * lit(10000.0) / col("_n_sh")) /
+          lit(10000.0)).as("overlap_ratio"))
+      // threshold the TRUNCATED ratio so both engines cut the same set
+      .where(col("overlap_ratio") >= minRatio)
+  }
+}

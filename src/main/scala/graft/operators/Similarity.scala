@@ -135,6 +135,45 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SemDeDup — semantic dedup via quantizer cells (the Abbas et al. 2023
+    * arXiv:2303.09540 shape): cluster the corpus with the IVF coarse
+    * quantizer, then within each cell flag every document whose ROUNDED
+    * cosine to a LOWER-id cell-mate reaches `threshold`. The keep rule is
+    * the repo's pairwise convention (drop the higher id of every near-dup
+    * pair — deterministic, engine-independent; NOT a transitive closure:
+    * a doc survives iff no lower-id cell-mate is similar to it). Returns
+    * one row per DROPPED doc: (id, cell, n_dups, keeper_id = lowest
+    * similar cell-mate). Like all cell-blocked methods this trades recall
+    * at cell boundaries for never comparing across cells — the candidate
+    * generator family is the same as `cosineDupPairsLsh`, with the
+    * quantizer instead of hyperplanes as the blocker.
+    *
+    * Scale shape: assignment is the native one-pass argmin (zero corpus
+    * exchanges before the pair join); pair work is bucketed by cell, so
+    * CELL sizes — not the corpus — bound the quadratic term (√n cells →
+    * ~n^1.5 worst case, ~linear for balanced cells; grow `nCells` with the
+    * corpus exactly as the ANN path does via `autoCells`). Dup-heavy
+    * corpora collapse exact duplicates FIRST (DupSkewProbe: identical
+    * vectors land in one cell and re-quadratize any blocker).
+    */
+  def semDedup(corpus: DataFrame, id: String, vec: String, threshold: Double,
+               roundTo: Int, model: Seq[(Int, Seq[Float])]): DataFrame = {
+    val assigned = ivfAssign(
+        corpus.select(col(id).as("_id"), col(vec).as("_v")), "_v", model)
+      .withColumn("_norm", l2norm(col("_v")))
+    val a = assigned.select(col("_id").as("_id_a"), col("_v").as("_va"),
+      col("_norm").as("_na"), col("cell"))
+    val b = assigned.select(col("_id").as("_id_b"), col("_v").as("_vb"),
+      col("_norm").as("_nb"), col("cell"))
+    a.join(b, Seq("cell"))
+      .where(col("_id_b") < col("_id_a"))
+      .withColumn("_cos",
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), roundTo))
+      .where(col("_cos") >= threshold)
+      .groupBy(col("_id_a").as(id), col("cell"))
+      .agg(count(lit(1)).as("n_dups"), min("_id_b").as("keeper_id"))
+  }
+
   /** Exact top-k neighbors for a (small, broadcast) query set against the
     * full corpus: one pass over the corpus per plan, rank window per query.
     */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators for LLM-training-data pipelines.
@@ -618,5 +619,109 @@ object Text {
       .withColumn("stopword_ratio",
         size(filter(words, w => stopwords.map(w === _).reduce(_ || _))).cast("double")
           / size(words))
+  }
+
+  /** Repetition signals for quality filtering (the Gopher-rules family:
+    * top-n-gram fraction, duplicate-n-gram fraction): per document, count
+    * every word n-gram OCCURRENCE (not distinct — `shingles` dedups, so the
+    * gram list is built inline), then roll up the modal gram's share and the
+    * share of occurrences belonging to grams seen >= 2 times. Highly
+    * repetitive machine-generated text scores near 1; natural text near 0.
+    *
+    * Shape: one explode + groupBy (id, gram) + per-id rollup — both
+    * shuffles keyed on the doc id, linear in corpus token count, zero
+    * cross-document work, so the stage partitions like the corpus itself.
+    * Fractions are TRUNCATED to 4 decimals (integer-ratio doubles can land
+    * exactly on .5 round boundaries — Viz.trunc precedent).
+    */
+  /** Span-level exact corpus dedup with document reassembly (the
+    * deduplicate-training-data family, Lee et al. 2022 arXiv:2107.06499,
+    * at fixed-span granularity): chunk every document into consecutive
+    * `spanWords`-word spans, keep each distinct span's GLOBAL first
+    * occurrence (ordered by (doc id, position) — deterministic and
+    * engine-independent), drop every later occurrence anywhere in the
+    * corpus, and rebuild each document from its surviving spans in
+    * position order. Returns one row per input document:
+    * (id, n_spans, n_kept, clean_text) — a fully-duplicated document
+    * comes back with n_kept = 0 and an empty clean_text rather than
+    * disappearing, so downstream joins see the whole corpus.
+    *
+    * Shape: one explode, one shuffle keyed on the span text (the
+    * first-occurrence window), one shuffle back on the doc id for
+    * reassembly — linear in corpus token count, no pairwise work. The
+    * span string itself is the grouping key (exact semantics; a 31-bit
+    * hash key would over-drop on collisions at ~10^5+ distinct spans).
+    * At 100 TB the span-keyed exchange carries (span, id, pos) — the
+    * corpus once — and hot spans (boilerplate repeated millions of
+    * times) are exactly the rows the window then collapses; AQE skew
+    * splitting handles the oversized span partitions.
+    */
+  def dedupSpans(df: DataFrame, id: String, text: Column,
+                 spanWords: Int): DataFrame = {
+    require(spanWords >= 1, s"dedupSpans: spanWords must be >= 1, got $spanWords")
+    val words = split(text, " ")
+    val nSpans = ceil(size(words).cast("double") / spanWords).cast("int")
+    val spans = transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " "))
+    val w = Window.partitionBy(col("span")).orderBy(col(id).asc, col("pos").asc)
+    df.select(col(id), posexplode(spans).as(Seq("pos", "span")))
+      .withColumn("_keep", row_number().over(w) === 1)
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("_keep").as("keep"),
+                col("span")))),
+              s => s("keep")),
+            s => s("span")),
+          " ").as("clean_text"))
+  }
+
+  /** Corpus vocabulary induction (the tokenizer/vocab-build step): per
+    * word, document frequency (docs containing it) and collection
+    * frequency (total occurrences), cut at `minDf`, ranked by
+    * (cf desc, word) — a deterministic total order. Shape: one explode,
+    * groupBy (id, word) for the df term, then groupBy word — both
+    * shuffles keyed on the word; output is vocabulary-sized (≪ corpus),
+    * so the final global rank window runs over a bounded result, the
+    * same bounded-output class as the report renderers.
+    */
+  def vocabulary(df: DataFrame, id: String, text: Column,
+                 minDf: Int): DataFrame = {
+    val v = df.select(col(id), explode(split(text, " ")).as("word"))
+      .groupBy(col(id), col("word")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum("_c").as("cf"))
+      .where(col("df") >= minDf)
+    v.withColumn("rank",
+      row_number().over(Window.orderBy(col("cf").desc, col("word").asc)))
+  }
+
+  def repetitionSignals(df: DataFrame, id: String, text: Column,
+                        n: Int): DataFrame = {
+    require(n >= 1, s"repetitionSignals: n must be >= 1, got $n")
+    val words = split(text, " ")
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    // multiply-then-divide, ONE rounding, same order as the DuckDB oracle
+    // (divide-then-multiply double-rounds and can flip the floor by an ulp)
+    def fracTrunc(num: Column, den: Column): Column =
+      floor(num.cast("double") * lit(10000.0) / den) / lit(10000.0)
+    df.select(col(id), explode(grams).as("_g"))
+      .groupBy(col(id), col("_g")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(id)).agg(
+        sum("_c").as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max("_c").as("top_gram_n"),
+        sum(when(col("_c") >= 2, col("_c")).otherwise(lit(0L))).as("_dup"))
+      .select(col(id), col("n_grams"), col("n_distinct_grams"),
+        col("top_gram_n"),
+        fracTrunc(col("top_gram_n"), col("n_grams")).as("top_gram_frac"),
+        fracTrunc(col("_dup"), col("n_grams")).as("dup_gram_frac"))
   }
 }

@@ -109,6 +109,15 @@ object DocScaleProbe {
     time("q_doc_simhash_pairs") { q("q_doc_simhash_pairs")(spark, out).count() }
     time("q_doc_fingerprint") { q("q_doc_fingerprint")(spark, out).count() }
     time("q_token_count") { q("q_token_count")(spark, out).count() }
+    // r6 assembly lanes: span-keyed dedup exchange, per-doc gram rollup,
+    // broadcast-bench decontamination, cell-blocked semantic dedup — all
+    // must stay ~linear under replication (replicas suffix every word, so
+    // spans/grams are replica-unique; embeddings rotate, so cells keep
+    // their within-replica pair structure without cross-replica dups)
+    time("q_dedup_spans") { q("q_dedup_spans")(spark, out).count() }
+    time("q_text_repetition") { q("q_text_repetition")(spark, out).count() }
+    time("q_decontam") { q("q_decontam")(spark, out).count() }
+    time("q_semdedup") { q("q_semdedup")(spark, out).count() }
     time("q_knn_lsh") { q("q_knn_lsh")(spark, out).count() }
     time("q_knn_ivf") { q("q_knn_ivf")(spark, out).count() }
     // dup-pair crossover: the exact quadratic vs the LSH scale path on the

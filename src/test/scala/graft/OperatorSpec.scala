@@ -659,6 +659,42 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.3, s"two-level IVF+PQ recall@5 = $recall")
   }
 
+  test("semDedup drops the higher id of in-cell near-dup pairs only") {
+    val model = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f)))
+    val df = Seq(
+      (1L, Seq(1.0f, 0.05f)), (2L, Seq(1.0f, 0.06f)), // cell 0, cos ~0.9999
+      (3L, Seq(0.05f, 1.0f)),                         // cell 1, alone
+      (4L, Seq(-1.0f, 0.0f))                          // cell 1, dissimilar to 3
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding", 0.9, 3, model)
+      .select("vec_id", "cell", "n_dups", "keeper_id")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.toSeq == Seq((2L, 0, 1L, 1L)),
+      s"only doc 2 is a lower-id near-dup's shadow: ${out.toSeq}")
+  }
+
+  test("semDedup dropped set is the in-cell subset of the exact pair dedup") {
+    val e = Tables.embeddings(spark, sfDir)
+    val model = Similarity.ivfTrainDispatch(e, "embedding", 8)
+    val dropped = Similarity.semDedup(e, "vec_id", "embedding", 0.4, 3, model)
+      .select("vec_id", "keeper_id").as[(Long, Long)].collect()
+    // every (dropped, keeper) is a genuine exact near-dup pair...
+    val exact = Similarity.cosineDupPairs(e, "vec_id", "embedding", 0.4, 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .map(p => (p._2, p._1)).toSet // (higher, lower)
+    assert(dropped.nonEmpty && dropped.forall(exact.contains),
+      "cell blocking must never invent a pair the exact operator lacks")
+    // ...and a doc sharing a cell with its exact-pair partner IS dropped
+    val cells = Similarity.ivfAssign(
+        e.select(col("vec_id"), col("embedding")), "embedding", model)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val coLocated = exact.filter { case (hi, lo) => cells(hi) == cells(lo) }
+      .map(_._1)
+    val droppedIds = dropped.map(_._1).toSet
+    assert(coLocated.forall(droppedIds.contains),
+      "an in-cell near-dup pair must always drop its higher id")
+  }
+
   test("two-level trainer survives a degenerate corpus (distinct vectors < nCoarse)") {
     val tiny = Seq(
       (1L, Seq.fill(4)(1f)), (2L, Seq.fill(4)(2f)),
@@ -758,5 +794,197 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val frames = Multimodal.sampleFrames(media, 10, 2)
       .select("frame_no").as[Int].collect().sorted
     assert(frames.toSeq == Seq(0, 2, 4, 6, 8))
+  }
+}
+
+class SamplingOpSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  private def corpus = (0 until 400)
+    .map(i => (i.toLong, s"src${i % 4}", s"tok${i % 7} tok${i % 5} tok${i % 3} word$i"))
+    .toDF("doc_id", "source", "text")
+
+  test("sampleByHash is partitioning-invariant and seed-decorrelated") {
+    def ids(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Sampling.sampleByHash(df, col("doc_id"), seed, 250)
+        .select("doc_id").as[Long].collect().toSet
+    val base = ids(corpus, "a")
+    assert(ids(corpus.repartition(13), "a") === base,
+      "membership must be a pure function of the row, not the partitioning")
+    assert(base.nonEmpty && base.size < 400)
+    val other = ids(corpus, "b")
+    assert(other != base, "a different seed must give a different sample")
+    // uniform-ish: 25% +- 10 points on 400 rows
+    assert(math.abs(base.size - 100) < 40, s"got ${base.size}/400 at 25%")
+  }
+
+  test("stratifiedQuota takes exactly quota per stratum in hash order") {
+    val out = Sampling.stratifiedQuota(corpus, col("source"), col("doc_id"), "s", 7)
+      .select("source", "doc_id", "rank").as[(String, Long, Int)].collect()
+    assert(out.length == 4 * 7)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 7))
+    }
+    // rank order is the hash order: rank k's hash <= rank k+1's hash
+    val h = Sampling.sampleHash(col("doc_id"), "s")
+    val hashes = corpus.select(col("source"), col("doc_id"), h.as("h"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (s, rs) => s -> rs.sortBy(r => (r._3, r._2)).map(_._2).take(7) }
+    out.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.sortBy(_._3).map(_._2).toSeq == hashes(s).toSeq)
+    }
+  }
+
+  test("mixByBudget keeps the maximal hash-order prefix under the budget") {
+    val d = corpus.withColumn("toks", size(split(col("text"), " ")).cast("long"))
+    val out = Sampling.mixByBudget(d, col("source"), col("doc_id"),
+        col("toks"), lit(30L), "m")
+      .select("source", "doc_id", "toks").as[(String, Long, Long)].collect()
+    val perSrc = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perSrc.values.forall(_ <= 30L), s"budget overshot: $perSrc")
+    // maximality: the next doc in hash order would cross the budget
+    val ordered = d.select(col("source"), col("doc_id"), col("toks"),
+        Sampling.sampleHash(col("doc_id"), "m").as("h"))
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._4, r._2))).toMap
+    val kept = out.map(t => (t._1, t._2)).toSet
+    ordered.foreach { case (s, rows) =>
+      val firstOut = rows.find(r => !kept((s, r._2)))
+      firstOut.foreach { r =>
+        assert(perSrc.getOrElse(s, 0L) + r._3 > 30L,
+          s"$s: doc ${r._2} was excluded but fits the budget")
+      }
+    }
+  }
+
+  test("splitByHash partitions the corpus exhaustively, stably, near the cuts") {
+    val cuts = Seq(("train", 900), ("val", 950), ("test", 1000))
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Sampling.splitByHash(df, col("doc_id"), "sp", cuts)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val base = splits(corpus)
+    assert(base.size == 400, "every row gets a split")
+    assert(base.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(splits(corpus.repartition(17)) === base, "partitioning-invariant")
+    // growth stability: a subset's rows keep their assignment
+    val sub = splits(corpus.where(col("doc_id") < 100))
+    assert(sub.forall { case (id, s) => base(id) == s },
+      "docs must not migrate between splits when the corpus changes")
+    val counts = base.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 360) < 60, s"~90% train: $counts")
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(corpus, col("doc_id"), "sp", Seq(("a", 500)))
+    }
+  }
+
+  test("repetitionSignals: modal and duplicate bigram shares, truncated") {
+    val docs = Seq(
+      (1L, "a b a b a b"),        // bigrams: ab,ba,ab,ba,ab -> top 3/5, dup 5/5
+      (2L, "v w x y z"),          // all 4 bigrams distinct -> top 1/4, dup 0
+      (3L, "solo")                // < n words -> no grams, absent from output
+    ).toDF("doc_id", "text")
+    val out = Text.repetitionSignals(docs, "doc_id", col("text"), 2)
+      .select("doc_id", "n_grams", "n_distinct_grams", "top_gram_n",
+        "top_gram_frac", "dup_gram_frac")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((1L, 5L, 2L, 3L, 0.6, 1.0)))
+    assert(out(2L) == ((2L, 4L, 4L, 1L, 0.25, 0.0)))
+    // truncation (not rounding) of an integer-ratio double: 1/3 -> 0.3333
+    val t = Text.repetitionSignals(
+        Seq((9L, "c c c d")).toDF("doc_id", "text"), "doc_id", col("text"), 2)
+      .select("top_gram_frac").as[Double].head()
+    assert(t == 0.6666, "2/3 truncates to 0.6666, never rounds to 0.6667")
+  }
+
+  test("decontaminate flags near-copies by truncated ratio, skips disjoint docs") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),     // exact copy -> ratio 1.0
+      (2L, "alpha beta gamma delta epsilon different"), // 3/4 trigrams shared
+      (3L, "totally unrelated words here no overlap")   // disjoint
+    ).toDF("doc_id", "text")
+    def hs(df: org.apache.spark.sql.DataFrame) = df.withColumn("hs",
+      array_distinct(transform(Text.shingles(col("text"), 3), Text.polyHash(_))))
+    val out = Sampling.decontaminate(hs(train), hs(bench), "doc_id", col("hs"),
+        minOverlap = 1, minRatio = 0.9)
+      .select("doc_id", "overlap_ratio").as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(1L), s"only the exact copy passes 0.9: $out")
+    assert(out(1L) == 1.0)
+    val loose = Sampling.decontaminate(hs(train), hs(bench), "doc_id", col("hs"),
+        minOverlap = 1).select("doc_id").as[Long].collect().toSet
+    assert(loose == Set(1L, 2L), "disjoint doc must never be flagged")
+  }
+}
+
+class AssemblySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.{Sampling, Text}
+
+  test("dedupSpans keeps global first occurrences and reassembles in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // spans (w=3): "a b c", "d e f" — both first
+      (2L, "a b c x y z"),   // "a b c" dup of doc 1 -> dropped; "x y z" kept
+      (3L, "a b c d e f")    // fully duplicated -> n_kept 0, empty text
+    ).toDF("doc_id", "text")
+    val out = Text.dedupSpans(docs, "doc_id", col("text"), 3)
+      .select("doc_id", "n_spans", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 2L, "a b c d e f")))
+    assert(out(2L) == ((2L, 2L, 1L, "x y z")))
+    assert(out(3L) == ((3L, 2L, 0L, "")), "fully-dup doc stays, empty")
+    // ragged tail span shorter than w is deduped like any other
+    val ragged = Text.dedupSpans(
+        Seq((1L, "p q r s"), (2L, "s")).toDF("doc_id", "text"),
+        "doc_id", col("text"), 3)
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    assert(ragged == Map(1L -> 2L, 2L -> 0L),
+      "doc 2's lone span 's' duplicates doc 1's tail span")
+  }
+
+  test("dedupSpans surviving spans are globally unique and partition-invariant") {
+    val docs = (0L until 60L)
+      .map(i => (i, (0 until 12).map(j => s"w${(i * 7 + j) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Text.dedupSpans(df, "doc_id", col("text"), 4)
+        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    val base = run(docs)
+    assert(run(docs.repartition(13)) == base,
+      "first-occurrence rule must not depend on partitioning")
+    // no span text survives twice across the whole corpus
+    val spans = base.values.filter(_.nonEmpty).toSeq
+      .flatMap(t => t.split(" ").grouped(4).map(_.mkString(" ")))
+    assert(spans.distinct.size == spans.size, "a span survived twice")
+  }
+
+  test("sampleByScore acceptance tracks the per-row threshold") {
+    val df = (0L until 1000L).map(i => (i, (i % 100) * 10 + 5)).toDF("doc_id", "w")
+    val kept = Sampling.sampleByScore(df, col("doc_id"), "s", col("w"))
+      .select("doc_id", "w").as[(Long, Long)].collect()
+    // exact membership recomputation
+    val all = df.select(col("doc_id"), col("w"),
+        Sampling.sampleHash(col("doc_id"), "s").as("h"))
+      .as[(Long, Long, Long)].collect()
+    val expect = all.filter(r => r._3 % 1000 < r._2).map(r => (r._1, r._2))
+    assert(kept.sortBy(_._1).toSeq == expect.sortBy(_._1).toSeq)
+    // monotone: doubling every weight never loses a member
+    val kept2 = Sampling.sampleByScore(df, col("doc_id"), "s", col("w") * 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.map(_._1).toSet.subsetOf(kept2))
+  }
+
+  test("vocabulary counts df/cf with a deterministic rank order") {
+    val docs = Seq(
+      (1L, "x x y z"), (2L, "x y"), (3L, "y q")
+    ).toDF("doc_id", "text")
+    val out = Text.vocabulary(docs, "doc_id", col("text"), 2)
+      .select("word", "df", "cf", "rank")
+      .as[(String, Long, Long, Int)].collect().sortBy(_._4)
+    // q appears in 1 doc -> cut; x: df 2, cf 3; y: df 3, cf 3; z cut
+    assert(out.toSeq == Seq(("x", 2L, 3L, 1), ("y", 3L, 3L, 2)),
+      s"cf ties break by word asc: ${out.toSeq}")
   }
 }

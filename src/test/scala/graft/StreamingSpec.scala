@@ -260,6 +260,41 @@ class DedupStreamSpec extends AnyFunSuite with SparkFixture {
     } finally { query.stop(); spark.conf.set(checkKey, prior) }
   }
 
+  test("ingest-time sampling and split: stateless hash filters agree with batch") {
+    // sampleByHash/splitByHash are pure per-row projections (no state, no
+    // watermark), so they run unchanged at ingest — and because membership
+    // is a function of the ROW, a doc admitted by the stream is exactly the
+    // doc the batch pipeline would admit: stream-vs-batch dataset assembly
+    // can never drift.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Sampling
+    val rows = (0 until 300).map(i => (i.toLong, s"doc body $i"))
+    val batch = Sampling.splitByHash(
+        Sampling.sampleByHash(rows.toDF("doc_id", "text"), col("doc_id"), "in", 400),
+        col("doc_id"), "sp", Seq(("train", 900), ("val", 1000)))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+
+    val input = MemoryStream[(Long, String)]
+    val query = Sampling.splitByHash(
+        Sampling.sampleByHash(input.toDS().toDF("doc_id", "text"),
+          col("doc_id"), "in", 400),
+        col("doc_id"), "sp", Seq(("train", 900), ("val", 1000)))
+      .select("doc_id", "split")
+      .writeStream.format("memory").queryName("ingest_sample")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(150): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(150): _*)
+      query.processAllAvailable()
+      val got = spark.table("ingest_sample").as[(Long, String)].collect().toSet
+      assert(got === batch)
+      assert(got.size < 300 && got.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming ANN-index ingest: IVF assignment + PQ encode on a stream") {
     // the index-build expressions are stateless projections, so incoming
     // vectors score against the broadcast model AT INGEST — new corpus
@@ -295,5 +330,51 @@ class DedupStreamSpec extends AnyFunSuite with SparkFixture {
         .as[(Long, Int, Long)].collect().toSet
       assert(got === expected)
     } finally query.stop()
+  }
+}
+
+/** Ingest-time dataset assembly: the hash-membership sampling/split
+  * operators are stateless per-row projections, so they run unchanged on a
+  * stream — and, because membership is a pure function of the row (not of
+  * partitioning, batch boundaries, or arrival order), the streamed result
+  * is exactly the batch result: replaying the same corpus through any
+  * micro-batch slicing yields the same sample and the same splits.
+  */
+class StreamAssemblySpec extends AnyFunSuite with SparkFixture {
+
+  test("streamed hash sample + split agree with the batch twin exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sampling
+
+    val cuts = Seq(("train", 900), ("val", 950), ("test", 1000))
+    val rows = (0L until 300L).map(i => (i, s"doc body $i"))
+
+    val input = MemoryStream[(Long, String)]
+    val streamed = Sampling.splitByHash(
+      Sampling.sampleByHash(input.toDS().toDF("doc_id", "text"),
+        col("doc_id"), "ing", 400),
+      col("doc_id"), "ing", cuts)
+    val q = streamed.writeStream.format("memory").queryName("ingest_split")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // deliberately uneven micro-batches, out-of-order ids
+      input.addData(rows.slice(120, 300).reverse)
+      q.processAllAvailable()
+      input.addData(rows.slice(0, 120))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("ingest_split").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val want = Sampling.splitByHash(
+        Sampling.sampleByHash(rows.toDF("doc_id", "text"),
+          col("doc_id"), "ing", 400),
+        col("doc_id"), "ing", cuts)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got == want, "stream/batch membership or split label diverged")
+    assert(got.nonEmpty && got.size < 300)
   }
 }
