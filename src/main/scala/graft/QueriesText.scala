@@ -1367,6 +1367,104 @@ object QueriesText {
       FROM corp) t WHERE rank <= $DiverseQuota"""
   }
 
+  /** §2.55 Dedup clustering: connected components over the exact bigram-
+    * Jaccard near-dup pairs (threshold 0.8 — same pair source as the
+    * composed pipeline), one keeper per component (the min id). A~B~C
+    * collapses to one survivor even when A is not similar to C — the
+    * transitive step pairwise keep rules miss. The oracle replays the
+    * closure with a recursive CTE (min reachable label == component min).
+    */
+  private def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edges = Text.jaccardPairs(d, "doc_id",
+        Text.shingles(col("text"), 2), 0.8)
+      .select("doc_a", "doc_b")
+    val comp = graft.operators.Graph.connectedComponents(edges, "doc_a", "doc_b")
+    d.select(col("doc_id"))
+      .join(comp, d("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+      .withColumn("keeper",
+        when(col("doc_id") === col("comp"), lit(1)).otherwise(lit(0)))
+  }
+
+  private val oDedupComponents = """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([words[i] || ' ' || words[i+1]
+                            for i in range(1, len(words))]) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.bg, b.bg)) * 1.0 /
+            (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.8),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM p),
+    reach(id, l) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.src, r.l FROM reach r JOIN e ON e.dst = r.id),
+    comp AS (SELECT id, min(l) AS comp FROM reach GROUP BY id)
+    SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp,
+           CASE WHEN coalesce(c.comp, d.doc_id) = d.doc_id
+                THEN 1 ELSE 0 END AS keeper
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"""
+
+  /** §2.56 Quality-gate verdict (the composed filter stage, Gopher-rules
+    * style): per document, named flag per failed rule — too short, too
+    * stopword-heavy, modal-bigram share, duplicate-bigram share — and the
+    * final keep bit (no flags raised). Thresholds sit inside the corpus's
+    * actual signal distributions (short ≈ p10, stopword ≈ p92, top-gram
+    * ≈ p90, dup-gram ≈ p95) so the gate genuinely splits the corpus, and
+    * are applied to the ROUNDED/TRUNCATED values so both engines cut the
+    * same set. Shape: the quality side is a pure projection; the
+    * repetition side is the linear gram rollup; one doc_id-keyed join.
+    */
+  private def qQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val q = Text.qualityMetrics(docs(s, dir), col("text"), Seq("the", "a"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("stopword_ratio"), 4).as("sw"))
+    val r = Text.repetitionSignals(docs(s, dir), "doc_id", col("text"), 2)
+      .select(col("doc_id"), col("top_gram_frac"), col("dup_gram_frac"))
+    q.join(r, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_words") < 20).cast("int").as("f_short"),
+        (col("sw") > 0.12).cast("int").as("f_stopword"),
+        (coalesce(col("top_gram_frac"), lit(1.0)) >= 0.1)
+          .cast("int").as("f_top_gram"),
+        (coalesce(col("dup_gram_frac"), lit(1.0)) >= 0.15)
+          .cast("int").as("f_dup_gram"))
+      .withColumn("keep",
+        (col("f_short") + col("f_stopword") + col("f_top_gram") +
+          col("f_dup_gram") === 0).cast("int"))
+  }
+
+  private val oQualityGate = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+          FROM w WHERE len(ws) >= 2),
+    c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    rep AS (SELECT doc_id,
+              floor(max(c) * 10000.0 / sum(c)) / 10000.0 AS topf,
+              floor(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10000.0 / sum(c))
+                / 10000.0 AS dupf
+            FROM c GROUP BY doc_id),
+    qual AS (SELECT doc_id, len(ws) AS nw,
+               round(len(list_filter(ws, x -> x IN ('the', 'a'))) * 1.0
+                     / len(ws), 4) AS sw
+             FROM w)
+    SELECT q.doc_id,
+           CAST(q.nw < 20 AS INT) AS f_short,
+           CAST(q.sw > 0.12 AS INT) AS f_stopword,
+           CAST(coalesce(r.topf, 1.0) >= 0.1 AS INT) AS f_top_gram,
+           CAST(coalesce(r.dupf, 1.0) >= 0.15 AS INT) AS f_dup_gram,
+           CAST(q.nw >= 20 AND q.sw <= 0.12 AND coalesce(r.topf, 1.0) < 0.1
+                AND coalesce(r.dupf, 1.0) < 0.15 AS INT) AS keep
+    FROM qual q LEFT JOIN rep r USING (doc_id)"""
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[GraftQuery] = Seq(
@@ -1404,6 +1502,8 @@ object QueriesText {
     GraftQuery("q_sample_weighted", qSampleWeighted, Some(oSampleWeighted)),
     GraftQuery("q_vocab", qVocab, Some(oVocab)),
     GraftQuery("q_sample_diverse", qSampleDiverse, None,
-      oracleGen = Some(oSampleDiverseGen))
+      oracleGen = Some(oSampleDiverseGen)),
+    GraftQuery("q_dedup_components", qDedupComponents, Some(oDedupComponents)),
+    GraftQuery("q_quality_gate", qQualityGate, Some(oQualityGate))
   )
 }

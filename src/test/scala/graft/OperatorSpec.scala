@@ -988,3 +988,43 @@ class AssemblySpec extends AnyFunSuite with SparkFixture {
       s"cf ties break by word asc: ${out.toSeq}")
   }
 }
+
+class GraphOpSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.Graph
+
+  test("connectedComponents labels chains, cliques and leaves singletons out") {
+    // chain 1-2-3-4 (diameter 3: needs >1 round), clique {10,11,12}, pair {20,21}
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("a", "b")
+    val comp = Graph.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents is partition-invariant and merges via bridges") {
+    // two cliques bridged by one edge -> one component under min label
+    val c1 = for (i <- 0L until 8L; j <- (i + 1) until 8L) yield (i, j)
+    val c2 = for (i <- 100L until 108L; j <- (i + 1) until 108L) yield (i, j)
+    val edges = (c1 ++ c2 :+ ((7L, 100L))).toDF("a", "b")
+    val comp = Graph.connectedComponents(edges.repartition(11), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(0L), "bridge must merge both cliques")
+    assert(comp.keySet.size == 16)
+  }
+
+  test("connectedComponents refuses a diameter past maxIter") {
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponents(chain.toDF("a", "b"), "a", "b", maxIter = 3)
+    }
+    // and converges when given room
+    val ok = Graph.connectedComponents(chain.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(0L))
+  }
+}
