@@ -1241,7 +1241,10 @@ object QueriesText {
     * way.
     */
   private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
-    Text.repetitionSignals(docs(s, dir), "doc_id", col("text"), 2)
+    // rowwise-native form: zero exchanges (stats are doc-local; the
+    // relational twin pays two corpus shuffles) — bit-identical values,
+    // spec-asserted, same-JVM A/B 3.74 -> 2.55 s median at the 10x probe
+    Text.repetitionSignalsRowwise(docs(s, dir), "doc_id", col("text"), 2)
 
   private val oTextRepetition = """
     WITH w AS (
@@ -1426,7 +1429,7 @@ object QueriesText {
     val q = Text.qualityMetrics(docs(s, dir), col("text"), Seq("the", "a"))
       .select(col("doc_id"), col("n_words"),
         round(col("stopword_ratio"), 4).as("sw"))
-    val r = Text.repetitionSignals(docs(s, dir), "doc_id", col("text"), 2)
+    val r = Text.repetitionSignalsRowwise(docs(s, dir), "doc_id", col("text"), 2)
       .select(col("doc_id"), col("top_gram_frac"), col("dup_gram_frac"))
     q.join(r, Seq("doc_id"), "left")
       .select(col("doc_id"),

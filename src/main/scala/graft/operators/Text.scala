@@ -700,18 +700,26 @@ object Text {
       row_number().over(Window.orderBy(col("cf").desc, col("word").asc)))
   }
 
-  def repetitionSignals(df: DataFrame, id: String, text: Column,
-                        n: Int): DataFrame = {
-    require(n >= 1, s"repetitionSignals: n must be >= 1, got $n")
+  /** The document's word n-gram array (occurrences, NOT deduped —
+    * `shingles` dedups; repetition stats need every occurrence).
+    */
+  private def gramOccurrences(text: Column, n: Int): Column = {
     val words = split(text, " ")
-    val grams = when(size(words) >= n,
+    when(size(words) >= n,
       transform(sequence(lit(0), size(words) - n),
         i => array_join(slice(words, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-    // multiply-then-divide, ONE rounding, same order as the DuckDB oracle
-    // (divide-then-multiply double-rounds and can flip the floor by an ulp)
-    def fracTrunc(num: Column, den: Column): Column =
-      floor(num.cast("double") * lit(10000.0) / den) / lit(10000.0)
+  }
+
+  // multiply-then-divide, ONE rounding, same order as the DuckDB oracle
+  // (divide-then-multiply double-rounds and can flip the floor by an ulp)
+  private def fracTrunc(num: Column, den: Column): Column =
+    floor(num.cast("double") * lit(10000.0) / den) / lit(10000.0)
+
+  def repetitionSignals(df: DataFrame, id: String, text: Column,
+                        n: Int): DataFrame = {
+    require(n >= 1, s"repetitionSignals: n must be >= 1, got $n")
+    val grams = gramOccurrences(text, n)
     df.select(col(id), explode(grams).as("_g"))
       .groupBy(col(id), col("_g")).agg(count(lit(1)).as("_c"))
       .groupBy(col(id)).agg(
@@ -723,5 +731,67 @@ object Text {
         col("top_gram_n"),
         fracTrunc(col("top_gram_n"), col("n_grams")).as("top_gram_frac"),
         fracTrunc(col("_dup"), col("n_grams")).as("dup_gram_frac"))
+  }
+
+  /** Shuffle-free twin of [[repetitionSignals]]: every statistic is local
+    * to one document, so the whole rollup is a per-row native hash count
+    * (`RepetitionStatsExpr`, one codegen pass over the gram array) — ZERO
+    * exchanges vs the relational form's two; the output never leaves the
+    * scan stage. Same output schema and bit-identical values
+    * (spec-asserted against both the relational form and the sorted-fold
+    * HOF twin), so the catalog oracle is unchanged.
+    */
+  def repetitionSignalsRowwise(df: DataFrame, id: String, text: Column,
+                               n: Int): DataFrame = {
+    require(n >= 1, s"repetitionSignalsRowwise: n must be >= 1, got $n")
+    val stats = org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.RepetitionStatsExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(
+          gramOccurrences(text, n))))
+    df.select(col(id), stats.as("_s"))
+      .where(col("_s.n_grams") > 0) // docs with < n words: absent, like the
+      .select(col(id),              // exploded form (no grams to group)
+        col("_s.n_grams").as("n_grams"),
+        col("_s.n_distinct_grams").as("n_distinct_grams"),
+        col("_s.top_gram_n").as("top_gram_n"),
+        fracTrunc(col("_s.top_gram_n"), col("_s.n_grams")).as("top_gram_frac"),
+        fracTrunc(col("_s.dup_n"), col("_s.n_grams")).as("dup_gram_frac"))
+  }
+
+  /** Built-ins bit-equality twin of `RepetitionStatsExpr`: sorted-fold
+    * run-length pass (equal grams are adjacent after `array_sort`; a run
+    * boundary closes the previous gram's count into top/distinct/dup).
+    * Interpreted lambda per element — keep for the equality spec, use the
+    * native form in the hot path (the ProfileJaccard precedent).
+    */
+  def repetitionStatsHof(grams: Column): Column = {
+    val sorted = array_sort(grams)
+    val init = struct(
+      lit(null).cast("string").as("prev"), lit(0L).as("run"),
+      lit(0L).as("top"), lit(0L).as("nd"), lit(0L).as("dup"))
+    aggregate(sorted, init,
+      (acc, g) => {
+        val same = acc.getField("prev").isNotNull && acc.getField("prev") === g
+        val run = acc.getField("run")
+        struct(
+          g.as("prev"),
+          when(same, run + 1L).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("top"))
+            .otherwise(greatest(acc.getField("top"), run)).as("top"),
+          when(same, acc.getField("nd"))
+            .otherwise(acc.getField("nd") + 1L).as("nd"),
+          when(same, acc.getField("dup"))
+            .otherwise(acc.getField("dup") +
+              when(run >= 2L, run).otherwise(lit(0L))).as("dup"))
+      },
+      acc => {
+        val run = acc.getField("run")
+        struct(
+          size(sorted).cast("long").as("n_grams"),
+          acc.getField("nd").as("n_distinct_grams"),
+          greatest(acc.getField("top"), run).as("top_gram_n"),
+          (acc.getField("dup") + when(run >= 2L, run).otherwise(lit(0L)))
+            .as("dup_n"))
+      })
   }
 }

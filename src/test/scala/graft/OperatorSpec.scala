@@ -1028,3 +1028,44 @@ class GraphOpSpec extends AnyFunSuite with SparkFixture {
     assert(ok.values.toSet == Set(0L))
   }
 }
+
+class RepetitionStatsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.Text
+  import org.apache.spark.sql.graft.{ColumnShim, RepetitionStatsExpr}
+
+  private def nativeStats(grams: org.apache.spark.sql.Column) =
+    ColumnShim.column(RepetitionStatsExpr(ColumnShim.expression(grams)))
+
+  test("native repetition stats == sorted-fold HOF twin, bit for bit") {
+    val docs = Tables.documents(spark, sfDir)
+    val grams = org.apache.spark.sql.functions.split(
+      org.apache.spark.sql.functions.col("text"), " ")
+    val both = docs.select(col("doc_id"),
+        nativeStats(grams).as("nat"), Text.repetitionStatsHof(grams).as("hof"))
+      .select(col("doc_id"),
+        (col("nat.n_grams") === col("hof.n_grams") &&
+         col("nat.n_distinct_grams") === col("hof.n_distinct_grams") &&
+         col("nat.top_gram_n") === col("hof.top_gram_n") &&
+         col("nat.dup_n") === col("hof.dup_n")).as("eq"))
+    assert(both.where(!col("eq")).count() == 0)
+  }
+
+  test("rowwise operator == relational repetitionSignals on the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val rel = Text.repetitionSignals(docs, "doc_id", col("text"), 2)
+    val row = Text.repetitionSignalsRowwise(docs, "doc_id", col("text"), 2)
+    assert(rel.count() == row.count())
+    val joined = rel.as("a").join(row.as("b"), "doc_id")
+      .where(col("a.n_grams") =!= col("b.n_grams") ||
+        col("a.n_distinct_grams") =!= col("b.n_distinct_grams") ||
+        col("a.top_gram_n") =!= col("b.top_gram_n") ||
+        col("a.top_gram_frac") =!= col("b.top_gram_frac") ||
+        col("a.dup_gram_frac") =!= col("b.dup_gram_frac"))
+    assert(joined.count() == 0, "rowwise and relational forms diverged")
+    // and the short-doc edge: absent from both
+    val tiny = Seq((1L, "solo"), (2L, "a b a b")).toDF("doc_id", "text")
+    assert(Text.repetitionSignalsRowwise(tiny, "doc_id", col("text"), 2)
+      .select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+}
