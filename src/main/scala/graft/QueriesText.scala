@@ -1426,19 +1426,25 @@ object QueriesText {
     * repetition side is the linear gram rollup; one doc_id-keyed join.
     */
   private def qQualityGate(s: SparkSession, dir: String): DataFrame = {
+    // SINGLE-PASS gate: both signal families are doc-local (quality
+    // metrics are projections; repetition stats are the native rowwise
+    // pass), so the whole verdict is one scan-stage projection — zero
+    // joins, zero exchanges. Docs with < 2 words have no bigrams: their
+    // repetition fracs gate as 1.0 (flagged), matching the oracle's
+    // left-join coalesce.
     val q = Text.qualityMetrics(docs(s, dir), col("text"), Seq("the", "a"))
-      .select(col("doc_id"), col("n_words"),
-        round(col("stopword_ratio"), 4).as("sw"))
-    val r = Text.repetitionSignalsRowwise(docs(s, dir), "doc_id", col("text"), 2)
-      .select(col("doc_id"), col("top_gram_frac"), col("dup_gram_frac"))
-    q.join(r, Seq("doc_id"), "left")
+    val stats = Text.repetitionStats(col("text"), 2)
+    q.select(col("doc_id"), round(col("stopword_ratio"), 4).as("sw"),
+        col("n_words"), stats.as("_s"))
       .select(col("doc_id"),
         (col("n_words") < 20).cast("int").as("f_short"),
         (col("sw") > 0.12).cast("int").as("f_stopword"),
-        (coalesce(col("top_gram_frac"), lit(1.0)) >= 0.1)
-          .cast("int").as("f_top_gram"),
-        (coalesce(col("dup_gram_frac"), lit(1.0)) >= 0.15)
-          .cast("int").as("f_dup_gram"))
+        (when(col("_s.n_grams") === 0, lit(1.0))
+          .otherwise(Text.fracTrunc4(col("_s.top_gram_n"), col("_s.n_grams")))
+          >= 0.1).cast("int").as("f_top_gram"),
+        (when(col("_s.n_grams") === 0, lit(1.0))
+          .otherwise(Text.fracTrunc4(col("_s.dup_n"), col("_s.n_grams")))
+          >= 0.15).cast("int").as("f_dup_gram"))
       .withColumn("keep",
         (col("f_short") + col("f_stopword") + col("f_top_gram") +
           col("f_dup_gram") === 0).cast("int"))

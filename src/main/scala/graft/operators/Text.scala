@@ -711,10 +711,24 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
-  // multiply-then-divide, ONE rounding, same order as the DuckDB oracle
-  // (divide-then-multiply double-rounds and can flip the floor by an ulp)
-  private def fracTrunc(num: Column, den: Column): Column =
+  /** Truncated 4-decimal fraction, multiply-then-divide: ONE rounding, the
+    * same operation order as the DuckDB oracles (divide-then-multiply
+    * double-rounds and can flip the floor by an ulp at integer-ratio
+    * boundaries).
+    */
+  def fracTrunc4(num: Column, den: Column): Column =
     floor(num.cast("double") * lit(10000.0) / den) / lit(10000.0)
+  private def fracTrunc(num: Column, den: Column): Column = fracTrunc4(num, den)
+
+  /** The native per-row repetition stats column over `text`'s word
+    * n-grams: `struct<n_grams, n_distinct_grams, top_gram_n, dup_n>` —
+    * doc-local, zero-exchange (see [[repetitionSignalsRowwise]]).
+    */
+  def repetitionStats(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.RepetitionStatsExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(
+          gramOccurrences(text, n))))
 
   def repetitionSignals(df: DataFrame, id: String, text: Column,
                         n: Int): DataFrame = {
@@ -744,11 +758,7 @@ object Text {
   def repetitionSignalsRowwise(df: DataFrame, id: String, text: Column,
                                n: Int): DataFrame = {
     require(n >= 1, s"repetitionSignalsRowwise: n must be >= 1, got $n")
-    val stats = org.apache.spark.sql.graft.ColumnShim.column(
-      org.apache.spark.sql.graft.RepetitionStatsExpr(
-        org.apache.spark.sql.graft.ColumnShim.expression(
-          gramOccurrences(text, n))))
-    df.select(col(id), stats.as("_s"))
+    df.select(col(id), repetitionStats(text, n).as("_s"))
       .where(col("_s.n_grams") > 0) // docs with < n words: absent, like the
       .select(col(id),              // exploded form (no grams to group)
         col("_s.n_grams").as("n_grams"),

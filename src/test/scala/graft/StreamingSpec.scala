@@ -378,3 +378,52 @@ class StreamAssemblySpec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty && got.size < 300)
   }
 }
+
+/** The quality gate is a single scan-stage projection (doc-local signals,
+  * native repetition stats), so it filters at INGEST on a stream with the
+  * exact batch semantics — the filter stage of the pipeline moves to the
+  * edge for free.
+  */
+class StreamQualityGateSpec extends AnyFunSuite with SparkFixture {
+
+  test("streamed quality verdict == batch verdict per document") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.operators.Text
+
+    def gate(df: org.apache.spark.sql.DataFrame) = {
+      val q = Text.qualityMetrics(df, col("text"), Seq("the", "a"))
+      q.select(col("doc_id"), col("n_words"),
+          round(col("stopword_ratio"), 4).as("sw"),
+          Text.repetitionStats(col("text"), 2).as("_s"))
+        .select(col("doc_id"),
+          ((col("n_words") < 6).cast("int") +
+           (col("sw") > 0.3).cast("int") +
+           (when(col("_s.n_grams") === 0, lit(1.0))
+             .otherwise(Text.fracTrunc4(col("_s.top_gram_n"), col("_s.n_grams")))
+             >= 0.5).cast("int") === 0).cast("int").as("keep"))
+    }
+
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today fine"),
+      (2L, "spam spam spam spam spam spam spam spam"),   // repetition flag
+      (3L, "too short"),                                  // length flag
+      (4L, "the the the a a the a the a the a the")       // stopword flag
+    )
+    val input = MemoryStream[(Long, String)]
+    val q = gate(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(2)); q.processAllAvailable()
+      input.addData(rows.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_gate").as[(Long, Int)].collect().toMap
+    val want = gate(rows.toDF("doc_id", "text")).as[(Long, Int)].collect().toMap
+    assert(got == want)
+    assert(want == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
+  }
+}
