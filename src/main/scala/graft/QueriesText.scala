@@ -1392,17 +1392,21 @@ object QueriesText {
   }
 
   private val oDedupComponents = """
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct([words[i] || ' ' || words[i+1]
                             for i in range(1, len(words))]) AS bg
       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
-    p AS (
+    p AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing: e references p twice and the
+      -- recursion references e twice — inlined, DuckDB would re-run the
+      -- quadratic pair join up to 4x
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE len(list_intersect(a.bg, b.bg)) * 1.0 /
             (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.8),
-    e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+    e AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst FROM p
           UNION ALL
           SELECT doc_b AS src, doc_a AS dst FROM p),
     reach(id, l) AS (

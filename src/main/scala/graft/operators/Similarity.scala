@@ -716,35 +716,87 @@ object Similarity {
     * centers; the corpus contributes exactly its probed cells through the
     * broadcast hash join.
     */
+  /** The probe sub-plan shared by every indexed search: per query, the
+    * `nProbe` nearest cells, ranked relationally with the SAME fold
+    * arithmetic the oracle replays (dist = vv - 2.0*vc + cc, ties by cell
+    * asc — matching IvfArgminExpr's first-strict-minimum rule on the
+    * corpus side). queries x cells is tiny by contract.
+    */
+  private def probeCellPlan(queries: DataFrame, id: String, vec: String,
+                            nProbe: Int,
+                            model: Seq[(Int, Seq[Float])]): DataFrame = {
+    val spark = queries.sparkSession
+    val centersCc = broadcast(
+      spark.createDataFrame(model).toDF("cell", "center")
+        .withColumn("_cc", dot(col("center"), col("center"))))
+    val w = Window.partitionBy("q_id").orderBy(col("_d").asc, col("cell").asc)
+    queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
+      .withColumn("_vv", dot(col("q_vec"), col("q_vec")))
+      .join(centersCc)
+      .withColumn("_d",
+        col("_vv") - lit(2.0) * dot(col("q_vec"), col("center")) + col("_cc"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= nProbe)
+      .select("q_id", "q_vec", "cell")
+  }
+
   def knnIvfSearchIndexed(indexed: DataFrame, queries: DataFrame,
                           id: String, vec: String,
                           k: Int, nProbe: Int, roundTo: Int,
                           model: Seq[(Int, Seq[Float])]): DataFrame = {
-    val spark = indexed.sparkSession
     val c = indexed
-    // Query side: queries x cells is tiny — rank the nProbe nearest cells
-    // relationally with the SAME fold arithmetic the oracle replays
-    // (dist = vv - 2.0*vc + cc, ties by cell asc — matching IvfArgminExpr's
-    // first-strict-minimum rule on the corpus side).
-    val centersCc = broadcast(
-      spark.createDataFrame(model).toDF("cell", "center")
-        .withColumn("_cc", dot(col("center"), col("center"))))
-    val q = {
-      val w = Window.partitionBy("q_id").orderBy(col("_d").asc, col("cell").asc)
-      queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
-        .withColumn("_vv", dot(col("q_vec"), col("q_vec")))
-        .join(centersCc)
-        .withColumn("_d",
-          col("_vv") - lit(2.0) * dot(col("q_vec"), col("center")) + col("_cc"))
-        .withColumn("_rn", row_number().over(w))
-        .where(col("_rn") <= nProbe)
-        .select("q_id", "q_vec", "cell")
-    }
+    val q = probeCellPlan(queries, id, vec, nProbe, model)
     // rounded-cosine rank — see knnBrute
     val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
     // query probes broadcast (small by contract, like knnBrute's query set):
     // without the hint the planner SMJs on cell and the whole corpus pays
     // an exchange it otherwise never needs
+    broadcast(q).join(c, Seq("cell")).where(col("q_id") =!= col("n_id"))
+      .withColumn("_cos", round(cosine(col("q_vec"), col("n_vec")), roundTo))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("rk"), col("_cos").as("cos"))
+  }
+
+  /** Persist an IVF index CELL-PARTITIONED: postings as
+    * `partitionBy(cell)` parquet (one directory per cell — the layout
+    * that lets a probed search read ONLY its cells' files) and the
+    * trained centers as a tiny side table. This is the production index
+    * shape at 10^9+ vectors: assignment is paid once at build, and every
+    * subsequent search batch's scan is pruned to nProbe·|batch| cell
+    * directories out of `nCells`.
+    */
+  def writeIvfIndex(corpus: DataFrame, id: String, vec: String,
+                    nCells: Int, path: String): Unit = {
+    val (model, indexed) = ivfIndex(corpus, id, vec, nCells)
+    indexed.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/postings")
+    corpus.sparkSession.createDataFrame(model).toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+  }
+
+  /** Search a PERSISTED index ([[writeIvfIndex]] layout) with STATIC
+    * partition pruning: the probed cell set is computed first (bounded by
+    * |queries|·nProbe — a driver-side scalar collect in the precedented
+    * bounded-model class) and pushed as a partition filter, so the
+    * postings scan reads only the probed cell directories
+    * (`PartitionFilters: cell IN (...)` — spec-asserted). Results are
+    * identical to the in-memory [[knnIvfSearchIndexed]] on the same
+    * model/corpus.
+    */
+  def knnIvfSearchStored(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame,
+                         id: String, vec: String,
+                         k: Int, nProbe: Int, roundTo: Int): DataFrame = {
+    val model = spark.read.parquet(s"$path/centers")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    val q = probeCellPlan(queries, id, vec, nProbe, model)
+      .localCheckpoint() // probed twice: cell-set collect + the pair join
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(s"$path/postings")
+      .where(col("cell").isin(probed.map(Int.box): _*))
+    val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
     broadcast(q).join(c, Seq("cell")).where(col("q_id") =!= col("n_id"))
       .withColumn("_cos", round(cosine(col("q_vec"), col("n_vec")), roundTo))
       .withColumn("rk", row_number().over(w))

@@ -1069,3 +1069,46 @@ class RepetitionStatsSpec extends AnyFunSuite with SparkFixture {
       .select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 }
+
+class StoredIvfIndexSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  test("stored cell-partitioned index: pruned search == in-memory search") {
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", 16, dir)
+
+    val queries = e.where(col("vec_id") < 8)
+    val stored = Similarity.knnIvfSearchStored(spark, dir, queries,
+      "vec_id", "embedding", 5, 4, 3)
+
+    // identical results to the in-memory indexed search on the same model
+    val (model, indexed) = Similarity.ivfIndex(e, "vec_id", "embedding", 16)
+    val mem = Similarity.knnIvfSearchIndexed(indexed, queries,
+      "vec_id", "embedding", 5, 4, 3, model)
+    val a = stored.select("q_id", "n_id", "rk", "cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val b = mem.select("q_id", "n_id", "rk", "cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+
+    // the postings scan must carry the probed-cell partition filter —
+    // the layout's whole point: only probed cell directories are read
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#") ||
+           plan.contains("PartitionFilters: [isnotnull(cell") ||
+           ("cell IN".r.findFirstIn(plan).isDefined &&
+            plan.contains("PartitionFilters")),
+      s"expected a cell partition filter in the postings scan:\n$plan")
+
+    // and it reads fewer partition dirs than exist
+    val allCells = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("cell="))
+    val probedCells = "cell IN \\(([^)]*)\\)".r.findFirstMatchIn(plan)
+      .map(_.group(1).split(",").length)
+    assert(probedCells.forall(_ < allCells),
+      s"probed $probedCells of $allCells cells")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}
