@@ -1478,6 +1478,37 @@ object QueriesText {
                 AND coalesce(r.dupf, 1.0) < 0.15 AS INT) AS keep
     FROM qual q LEFT JOIN rep r USING (doc_id)"""
 
+  /** §2.57 Keyword relevance ranking (TF·IDF family, rational idf): global
+    * top-k docs for a query term set; sorted-fold double scoring, truncated
+    * rank keys, distributed top-k (sort+limit, no corpus-wide window).
+    */
+  private val KwTerms = Seq("merge", "slow", "stream", "window")
+  private val KwK = 25
+
+  private def qKeywordRank(s: SparkSession, dir: String): DataFrame =
+    Text.keywordRank(docs(s, dir), "doc_id", col("text"), KwTerms, KwK)
+
+  private val oKeywordRank = s"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    m AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+          FROM t WHERE w IN (${KwTerms.map(t => s"'$t'").mkString(", ")})
+          GROUP BY doc_id, w),
+    dfs AS (SELECT w, count(*) AS dfc FROM m GROUP BY w),
+    n AS (SELECT count(*) AS nn FROM documents),
+    cb AS (SELECT doc_id, w, ((SELECT nn FROM n) * 1.0 / dfc) * tf AS c
+           FROM m JOIN dfs USING (w)),
+    sc AS (SELECT doc_id,
+             floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(list_sort(list(struct_pack(w := w, c := c))),
+                                    x -> x.c)),
+                   (a, b) -> a + b) * 10000.0) / 10000.0 AS score
+           FROM cb GROUP BY doc_id)
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM sc) r WHERE rank <= $KwK"""
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[GraftQuery] = Seq(
@@ -1517,6 +1548,7 @@ object QueriesText {
     GraftQuery("q_sample_diverse", qSampleDiverse, None,
       oracleGen = Some(oSampleDiverseGen)),
     GraftQuery("q_dedup_components", qDedupComponents, Some(oDedupComponents)),
-    GraftQuery("q_quality_gate", qQualityGate, Some(oQualityGate))
+    GraftQuery("q_quality_gate", qQualityGate, Some(oQualityGate)),
+    GraftQuery("q_keyword_rank", qKeywordRank, Some(oKeywordRank))
   )
 }

@@ -768,6 +768,45 @@ object Text {
         fracTrunc(col("_s.dup_n"), col("_s.n_grams")).as("dup_gram_frac"))
   }
 
+  /** Keyword relevance ranking (TF·IDF family, rational idf): score every
+    * document containing any query term by Σ_t tf(t,d) · (N / df(t)) and
+    * return the global top-k. Cross-engine determinism: the double sum is
+    * a SORTED sequential fold over the doc's matched terms (term asc — the
+    * ivfCentroidsDistributed centroid-mean pattern: shuffle arrival order
+    * must not leak into float accumulation), the idf division happens ONCE
+    * before the multiply on both engines, and ranks key on the TRUNCATED
+    * score (sums of products can land on round-half boundaries; floor is
+    * bit-identical — Viz.trunc), ties → doc id.
+    *
+    * Shape: explode + filter to the term set (tiny IN-list, pushed into
+    * the scan stage), tf agg keyed on (doc, term), df agg keyed on term
+    * (term-count-sized), broadcast idf join, per-doc fold, then
+    * distributed top-k (sort+limit → TakeOrderedAndProject — no global
+    * window over the corpus; the rank window runs on k rows).
+    */
+  def keywordRank(df: DataFrame, id: String, text: Column,
+                  terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && k >= 1)
+    val n = df.count() // driver scalar (corpus size), precedented
+    val tf = df.select(col(id), explode(split(text, " ")).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
+    val contrib = tf.join(broadcast(dfs), "w")
+      .withColumn("_c", (lit(n.toDouble) / col("dfc")) * col("tf"))
+    val scored = contrib
+      .groupBy(col(id))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("w"), col("_c")))),
+          s => s("_c")),
+        lit(0.0), (acc, c) => acc + c).as("_raw"))
+      .select(col(id),
+        (floor(col("_raw") * lit(10000.0)) / lit(10000.0)).as("score"))
+    val top = scored.orderBy(col("score").desc, col(id).asc).limit(k)
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("score").desc, col(id).asc)))
+  }
+
   /** Built-ins bit-equality twin of `RepetitionStatsExpr`: sorted-fold
     * run-length pass (equal grams are adjacent after `array_sort`; a run
     * boundary closes the previous gram's count into top/distinct/dup).

@@ -1112,3 +1112,26 @@ class StoredIvfIndexSpec extends AnyFunSuite with SparkFixture {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
+
+class KeywordRankSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.Text
+
+  test("keywordRank weights rare terms higher and ranks deterministically") {
+    val docs = Seq(
+      (1L, "rare common common filler filler"),  // rare(1) + common(2)
+      (2L, "common filler filler filler x"),     // common(1)
+      (3L, "rare rare filler filler y"),         // rare(2)
+      (4L, "filler only no terms here z")        // no match -> absent
+    ).toDF("doc_id", "text")
+    val out = Text.keywordRank(docs, "doc_id", col("text"),
+        Seq("rare", "common"), 10)
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    // N=4, df(rare)=2, df(common)=2: idf 2.0 each
+    // doc3 = 2*2=8? no: rare tf 2 -> 2.0*2 = 4.0; doc1 = 2.0*1 + 2.0*2 = 6.0; doc2 = 2.0
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 2L), s"got $out")
+    assert(out.map(_._2).toSeq == Seq(6.0, 4.0, 2.0))
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3))
+  }
+}
