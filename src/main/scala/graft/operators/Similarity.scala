@@ -784,13 +784,38 @@ object Similarity {
     * identical to the in-memory [[knnIvfSearchIndexed]] on the same
     * model/corpus.
     */
+  /** The persisted quantizer model ([[writeIvfIndex]] layout) — a bounded
+    * model-sized collect, sorted for positional stability.
+    */
+  def readIvfCenters(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Seq[(Int, Seq[Float])] =
+    spark.read.parquet(s"$path/centers")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+
+  /** Append new vectors into a persisted index WITHOUT a rebuild: the
+    * batch assigns against the STORED centers (the native one-pass
+    * argmin) and its rows land in their cell directories via parquet
+    * append — the standard serving trade (cells drift only at the next
+    * rebuild; assignment stays consistent because the quantizer is
+    * frozen). Called per micro-batch from `foreachBatch`, this is the
+    * streaming ingest path for the production index: arrival order and
+    * batch slicing can't change any row's cell, so a stored search sees
+    * exactly the index a batch build over the union would produce.
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, id: String, vec: String): Unit = {
+    val model = readIvfCenters(spark, path)
+    ivfAssign(batch.select(col(id).as("n_id"), col(vec).as("n_vec")),
+        "n_vec", model)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+  }
+
   def knnIvfSearchStored(spark: org.apache.spark.sql.SparkSession,
                          path: String, queries: DataFrame,
                          id: String, vec: String,
                          k: Int, nProbe: Int, roundTo: Int): DataFrame = {
-    val model = spark.read.parquet(s"$path/centers")
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-      .sortBy(_._1).toSeq
+    val model = readIvfCenters(spark, path)
     val q = probeCellPlan(queries, id, vec, nProbe, model)
       .localCheckpoint() // probed twice: cell-set collect + the pair join
     val probed = q.select("cell").distinct().collect().map(_.getInt(0))

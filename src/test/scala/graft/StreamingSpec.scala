@@ -427,3 +427,58 @@ class StreamQualityGateSpec extends AnyFunSuite with SparkFixture {
     assert(want == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
   }
 }
+
+/** Streaming ingest into the PERSISTED cell-partitioned index: each
+  * micro-batch assigns against the frozen stored centers and appends into
+  * its cell directories (foreachBatch — the serving-time index-maintenance
+  * loop). Because the quantizer is frozen, arrival order and batch slicing
+  * can't change any row's cell: a stored search over the streamed index
+  * equals the in-memory search over a batch-built index of the full corpus
+  * with the same model.
+  */
+class StreamStoredIndexSpec extends AnyFunSuite with SparkFixture {
+
+  test("stream-appended stored index == batch-built index, search-for-search") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfstream").toString
+    val seed = e.where(col("vec_id") % 4 =!= 0)   // initial build
+    val late = e.where(col("vec_id") % 4 === 0)   // arrives on the stream
+    Similarity.writeIvfIndex(seed, "vec_id", "embedding", 16, dir)
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendIvfIndex(spark, dir, batch, "vec_id", "embedding")
+      }.start()
+    try {
+      val rows = late.select("vec_id", "embedding")
+        .as[(Long, Seq[Float])].collect().toSeq
+      input.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val queries = e.where(col("vec_id") < 8)
+    val stored = Similarity.knnIvfSearchStored(spark, dir, queries,
+        "vec_id", "embedding", 5, 4, 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+    // twin: in-memory index of the FULL corpus under the same frozen model
+    val model = Similarity.readIvfCenters(spark, dir)
+    val mem = Similarity.knnIvfSearchIndexed(
+        Similarity.ivfAssign(
+          e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec")),
+          "n_vec", model),
+        queries, "vec_id", "embedding", 5, 4, 3, model)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(stored == mem && stored.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}
