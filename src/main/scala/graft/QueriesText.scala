@@ -1219,8 +1219,7 @@ object QueriesText {
     * splits when the corpus grows — summarized per (split, source).
     */
   private def qSampleSplit(s: SparkSession, dir: String): DataFrame =
-    Sampling.splitByHash(docs(s, dir), col("doc_id"), SampleSeed,
-        Seq(("train", 900), ("val", 950), ("test", 1000)))
+    Sampling.splitByHash(docs(s, dir), col("doc_id"), SampleSeed, SplitCuts)
       .groupBy("split", "source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_total"))
 
@@ -1429,30 +1428,36 @@ object QueriesText {
     * same set. Shape: the quality side is a pure projection; the
     * repetition side is the linear gram rollup; one doc_id-keyed join.
     */
-  private def qQualityGate(s: SparkSession, dir: String): DataFrame = {
-    // SINGLE-PASS gate: both signal families are doc-local (quality
-    // metrics are projections; repetition stats are the native rowwise
-    // pass), so the whole verdict is one scan-stage projection — zero
-    // joins, zero exchanges. Docs with < 2 words have no bigrams: their
-    // repetition fracs gate as 1.0 (flagged), matching the oracle's
-    // left-join coalesce.
-    val q = Text.qualityMetrics(docs(s, dir), col("text"), Seq("the", "a"))
-    val stats = Text.repetitionStats(col("text"), 2)
-    q.select(col("doc_id"), round(col("stopword_ratio"), 4).as("sw"),
-        col("n_words"), stats.as("_s"))
-      .select(col("doc_id"),
-        (col("n_words") < 20).cast("int").as("f_short"),
-        (col("sw") > 0.12).cast("int").as("f_stopword"),
+  /** SINGLE-PASS gate verdict as a reusable projection: both signal
+    * families are doc-local (quality metrics are projections; repetition
+    * stats are the native rowwise pass), so adding the per-rule flags +
+    * keep bit to ANY documents frame costs zero joins and zero exchanges.
+    * Docs with < 2 words have no bigrams: their repetition fracs gate as
+    * 1.0 (flagged), matching the oracle's left-join coalesce.
+    */
+  private def withGateVerdict(d: DataFrame): DataFrame = {
+    val q = Text.qualityMetrics(d, col("text"), Seq("the", "a"))
+    q.withColumn("_sw", round(col("stopword_ratio"), 4))
+      .withColumn("_s", Text.repetitionStats(col("text"), 2))
+      .withColumn("f_short", (col("n_words") < 20).cast("int"))
+      .withColumn("f_stopword", (col("_sw") > 0.12).cast("int"))
+      .withColumn("f_top_gram",
         (when(col("_s.n_grams") === 0, lit(1.0))
           .otherwise(Text.fracTrunc4(col("_s.top_gram_n"), col("_s.n_grams")))
-          >= 0.1).cast("int").as("f_top_gram"),
+          >= 0.1).cast("int"))
+      .withColumn("f_dup_gram",
         (when(col("_s.n_grams") === 0, lit(1.0))
           .otherwise(Text.fracTrunc4(col("_s.dup_n"), col("_s.n_grams")))
-          >= 0.15).cast("int").as("f_dup_gram"))
+          >= 0.15).cast("int"))
       .withColumn("keep",
         (col("f_short") + col("f_stopword") + col("f_top_gram") +
           col("f_dup_gram") === 0).cast("int"))
   }
+
+  private def qQualityGate(s: SparkSession, dir: String): DataFrame =
+    withGateVerdict(docs(s, dir))
+      .select("doc_id", "f_short", "f_stopword", "f_top_gram", "f_dup_gram",
+        "keep")
 
   private val oQualityGate = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1477,6 +1482,57 @@ object QueriesText {
            CAST(q.nw >= 20 AND q.sw <= 0.12 AND coalesce(r.topf, 1.0) < 0.1
                 AND coalesce(r.dupf, 1.0) < 0.15 AS INT) AS keep
     FROM qual q LEFT JOIN rep r USING (doc_id)"""
+
+  /** §2.58 Dataset card (the assembly capstone report): per (source,
+    * split) — docs, tokens, gate-keep count and truncated keep fraction.
+    * Split assignment, gate verdict and token count are ALL scan-stage
+    * projections over one pass of the corpus, so the whole card is one
+    * aggregation exchange.
+    */
+  private val SplitCuts = Seq(("train", 900), ("val", 950), ("test", 1000))
+
+  private def qDatasetCard(s: SparkSession, dir: String): DataFrame =
+    withGateVerdict(
+      Sampling.splitByHash(docs(s, dir), col("doc_id"), SampleSeed, SplitCuts))
+      .withColumn("toks", col("n_words").cast("long"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("tok_total"),
+        sum("keep").cast("long").as("n_keep"))
+      .withColumn("keep_frac", Text.fracTrunc4(col("n_keep"), col("n_docs")))
+
+  private val oDatasetCard = s"""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws,
+             ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 AS h
+      FROM documents),
+    g AS (SELECT doc_id,
+                 unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+          FROM w WHERE len(ws) >= 2),
+    c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    rep AS (SELECT doc_id,
+              floor(max(c) * 10000.0 / sum(c)) / 10000.0 AS topf,
+              floor(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10000.0 / sum(c))
+                / 10000.0 AS dupf
+            FROM c GROUP BY doc_id),
+    base AS (
+      SELECT doc_id, source,
+             CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(len(ws) AS BIGINT) AS toks, len(ws) AS nw,
+             round(len(list_filter(ws, x -> x IN ('the', 'a'))) * 1.0
+                   / len(ws), 4) AS sw
+      FROM w),
+    v AS (
+      SELECT b.source, b.split, b.toks,
+             CAST(b.nw >= 20 AND b.sw <= 0.12 AND coalesce(r.topf, 1.0) < 0.1
+                  AND coalesce(r.dupf, 1.0) < 0.15 AS INT) AS keep
+      FROM base b LEFT JOIN rep r USING (doc_id))
+    SELECT source, split, count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS tok_total,
+           CAST(sum(keep) AS BIGINT) AS n_keep,
+           floor(sum(keep) * 10000.0 / count(*)) / 10000.0 AS keep_frac
+    FROM v GROUP BY source, split"""
 
   /** §2.57 Keyword relevance ranking (TF·IDF family, rational idf): global
     * top-k docs for a query term set; sorted-fold double scoring, truncated
@@ -1549,6 +1605,7 @@ object QueriesText {
       oracleGen = Some(oSampleDiverseGen)),
     GraftQuery("q_dedup_components", qDedupComponents, Some(oDedupComponents)),
     GraftQuery("q_quality_gate", qQualityGate, Some(oQualityGate)),
-    GraftQuery("q_keyword_rank", qKeywordRank, Some(oKeywordRank))
+    GraftQuery("q_keyword_rank", qKeywordRank, Some(oKeywordRank)),
+    GraftQuery("q_dataset_card", qDatasetCard, Some(oDatasetCard))
   )
 }
