@@ -1566,6 +1566,172 @@ object QueriesText {
       FROM sc) r WHERE rank <= $KwK"""
 
   // ---------------------------------------------------------------------------
+  // §2.54 PII detection + redaction (operators.Pii). The synthetic corpus
+  // carries no PII, so both engines decorate a deterministic subset of
+  // documents with PII-like strings derived from doc_id arithmetic —
+  // IDENTICAL integer rendering on both sides — then the operator under
+  // test is the detect/redact pass itself, replayed by the oracle.
+  // ---------------------------------------------------------------------------
+
+  /** Spark side of the PII-decorated corpus (DuckDB twin: [[duckPiiText]]). */
+  private def piiDocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def n(c: org.apache.spark.sql.Column) = c.cast("string")
+    val ptext = concat(
+      col("text"),
+      when(id % 7 === 0, concat(lit(" contact u"), n(id), lit("@ex"),
+        n(id % 10), lit(".example.com"))).otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" call "), n(id % 900 + 100), lit("-"),
+        n((id * 3) % 900 + 100), lit("-"), n((id * 7) % 9000 + 1000)))
+        .otherwise(lit("")),
+      when(id % 13 === 0, concat(lit(" from 10."), n(id % 256), lit("."),
+        n((id * 3) % 256), lit("."), n((id * 5) % 256))).otherwise(lit("")),
+      when(id % 17 === 0, concat(lit(" id "), n(id % 900 + 100), lit("-"),
+        n(id % 90 + 10), lit("-"), n((id * 11) % 9000 + 1000)))
+        .otherwise(lit("")))
+    docs(s, dir).withColumn("ptext", ptext)
+  }
+
+  /** DuckDB expression rebuilding [[piiDocs]]'s `ptext` from `text`. */
+  private val duckPiiText: String = """
+    text
+    || CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+         || '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.example.com'
+       ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' call '
+         || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+         || CAST((doc_id * 3) % 900 + 100 AS VARCHAR) || '-'
+         || CAST((doc_id * 7) % 9000 + 1000 AS VARCHAR)
+       ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' from 10.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.'
+         || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'
+         || CAST((doc_id * 5) % 256 AS VARCHAR)
+       ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' id '
+         || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+         || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'
+         || CAST((doc_id * 11) % 9000 + 1000 AS VARCHAR)
+       ELSE '' END"""
+
+  /** DuckDB per-kind hit-count expressions over `ptext` (= Pii.scan). */
+  private def duckPiiCounts: Seq[(String, String)] =
+    graft.operators.Pii.Patterns.map { case (kind, pat) =>
+      kind -> s"len(regexp_extract_all(ptext, '$pat'))"
+    }
+
+  /** §2.54 PII scan rollup: per source, hits by kind + affected docs —
+    * the decide-what-to-scrub audit. Pure projection + one aggregation.
+    */
+  private def qPiiScan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pii.scan(piiDocs(s, dir), col("ptext"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("pii_email").as("email_hits"),
+        sum("pii_ipv4").as("ipv4_hits"),
+        sum("pii_ssn").as("ssn_hits"),
+        sum("pii_phone").as("phone_hits"),
+        sum(when(col("pii_total") > 0, 1L).otherwise(0L)).as("docs_with_pii"))
+
+  private val oPiiScan = s"""
+    WITH p AS (SELECT source, $duckPiiText AS ptext FROM documents),
+    c AS (SELECT source,
+            ${duckPiiCounts.map { case (k, e) => s"$e AS c_$k" }.mkString(",\n            ")}
+          FROM p)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(c_email) AS BIGINT) AS email_hits,
+           CAST(sum(c_ipv4) AS BIGINT) AS ipv4_hits,
+           CAST(sum(c_ssn) AS BIGINT) AS ssn_hits,
+           CAST(sum(c_phone) AS BIGINT) AS phone_hits,
+           CAST(sum(CASE WHEN c_email + c_ipv4 + c_ssn + c_phone > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+    FROM c GROUP BY source"""
+
+  /** §2.54a PII redaction: affected docs only, masked text compared
+    * byte-for-byte across engines (the strongest possible check of the
+    * rewrite itself).
+    */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val scanned = graft.operators.Pii.scan(piiDocs(s, dir), col("ptext"))
+    graft.operators.Pii.redact(scanned, col("ptext"))
+      .where(col("pii_total") > 0)
+      .select(col("doc_id"), col("pii_total").as("n_pii"), col("redacted"))
+  }
+
+  private val oPiiRedact = {
+    val masked = graft.operators.Pii.Patterns.foldLeft("ptext") {
+      case (e, (kind, pat)) =>
+        s"regexp_replace($e, '$pat', '[${kind.toUpperCase}]', 'g')"
+    }
+    s"""
+    WITH p AS (SELECT doc_id, $duckPiiText AS ptext FROM documents),
+    c AS (SELECT doc_id,
+            ${duckPiiCounts.map { case (k, e) => s"$e AS c_$k" }.mkString(",\n            ")},
+            $masked AS redacted
+          FROM p)
+    SELECT doc_id, CAST(c_email + c_ipv4 + c_ssn + c_phone AS BIGINT) AS n_pii,
+           redacted
+    FROM c WHERE c_email + c_ipv4 + c_ssn + c_phone > 0"""
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.60 Integer-bit unigram surprisal (the perplexity-filter tier with
+  // log2 in whole bits — exact on both engines; see Text.unigramSurprisal).
+  // ---------------------------------------------------------------------------
+
+  private def qLmSurprisal(s: SparkSession, dir: String): DataFrame =
+    Text.unigramSurprisal(docs(s, dir), "doc_id", col("text"))
+
+  private val oLmSurprisal = """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    d AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+          FROM t GROUP BY doc_id, w),
+    v AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c FROM d GROUP BY w),
+    n AS (SELECT length(format('{:b}', CAST(sum(c) AS BIGINT))) - 1 AS nb
+          FROM v),
+    s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+            CAST(sum(tf * ((SELECT nb FROM n)
+                           - (length(format('{:b}', c)) - 1))) AS BIGINT)
+              AS sum_bits
+          FROM d JOIN v USING (w) GROUP BY doc_id)
+    SELECT doc_id, n_toks, sum_bits,
+           sum_bits * 100 // n_toks AS avg_centibits
+    FROM s"""
+
+  // ---------------------------------------------------------------------------
+  // §2.61 Incremental (cross-corpus) dedup — the production ingest shape:
+  // the corpus hash-splits into an existing BASE and an incoming batch;
+  // batch docs whose first-8-word key exists in base (or earlier in the
+  // batch) are dropped. The Spark side routes the base-key check through
+  // Skew.bloomAntiJoin (result-identical to the plain anti-join, which is
+  // exactly what the oracle runs) — this puts the past-broadcast drop-list
+  // path behind the cross-engine gate.
+  // ---------------------------------------------------------------------------
+
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val h = Sampling.sampleHash(col("doc_id"), SampleSeed) % 1000
+    val key = concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+    val base = d.where(h < 800)
+    val incoming = d.where(h >= 800)
+    Text.dedupIncremental(incoming, base, "doc_id", key, 100000L)
+      .select("doc_id", "source", "n_chars")
+  }
+
+  private val oDedupIncremental = s"""
+    WITH d AS (SELECT doc_id, source, n_chars,
+                 array_to_string(string_split(text, ' ')[1:8], ' ') AS k,
+                 ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 AS h
+               FROM documents),
+    base AS (SELECT DISTINCT k FROM d WHERE h < 800),
+    inc AS (SELECT doc_id, source, n_chars, k,
+              row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+            FROM d WHERE h >= 800)
+    SELECT doc_id, source, n_chars FROM inc i
+    WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM base b WHERE b.k = i.k)"""
+
+  // ---------------------------------------------------------------------------
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q_doc_dedup_exact", qDocDedupExact, Some(oDocDedupExact)),
@@ -1606,6 +1772,10 @@ object QueriesText {
     GraftQuery("q_dedup_components", qDedupComponents, Some(oDedupComponents)),
     GraftQuery("q_quality_gate", qQualityGate, Some(oQualityGate)),
     GraftQuery("q_keyword_rank", qKeywordRank, Some(oKeywordRank)),
-    GraftQuery("q_dataset_card", qDatasetCard, Some(oDatasetCard))
+    GraftQuery("q_dataset_card", qDatasetCard, Some(oDatasetCard)),
+    GraftQuery("q_pii_scan", qPiiScan, Some(oPiiScan)),
+    GraftQuery("q_pii_redact", qPiiRedact, Some(oPiiRedact)),
+    GraftQuery("q_lm_surprisal", qLmSurprisal, Some(oLmSurprisal)),
+    GraftQuery("q_dedup_incremental", qDedupIncremental, Some(oDedupIncremental))
   )
 }

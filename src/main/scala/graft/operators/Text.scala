@@ -843,4 +843,71 @@ object Text {
             .as("dup_n"))
       })
   }
+
+  /** Integer-bit unigram surprisal scoring — the perplexity-filter tier of
+    * quality pipelines (CCNet's LM-score shape), with log2 kept in WHOLE
+    * BITS so the score is pure integer arithmetic end-to-end and both
+    * engines compute it exactly (cross-engine `ln()` differs by ulps and
+    * a 100-term log sum WILL land on rounding boundaries; `bits(c) =
+    * floor(log2 c) = length(bin(c)) - 1` is exact everywhere).
+    *
+    * The unigram LM is trained on the corpus itself: token surprisal =
+    * bits(N) - bits(count(token)) where N = total corpus token
+    * occurrences; a document's score is the mean surprisal of its token
+    * occurrences in centibits (`sum * 100 div n` — integer division, the
+    * one rounding, identical on both engines). High scores = rare-token-
+    * heavy documents (OOV soup, boilerplate codes); low = stopword soup.
+    *
+    * Shape at 100 TB: explode → per-(doc, token) counts (map-side
+    * combine absorbs in-doc repetition before the exchange) → one
+    * token-keyed join against the vocab (vocab rows are unique per
+    * token, so hot tokens skew only the probe side — AQE splits them;
+    * broadcast when the vocab fits) → one doc-keyed rollup. Two corpus
+    * exchanges + one vocab-sized one; no all-pairs term anywhere. The
+    * corpus-total N is one driver scalar (the precedented stats-collect),
+    * exported to the oracle as integer arithmetic both engines replay.
+    */
+  def unigramSurprisal(df: DataFrame, id: String, text: Column): DataFrame = {
+    val perDoc = df.select(col(id), explode(split(text, " ")).as("_w"))
+      .groupBy(col(id), col("_w")).agg(count(lit(1)).as("_tf"))
+    val vocab = perDoc.groupBy(col("_w")).agg(sum("_tf").as("_c"))
+    val total = vocab.agg(sum("_c")).head.getLong(0)
+    require(total > 0, "unigramSurprisal: empty corpus")
+    val totalBits = 63 - java.lang.Long.numberOfLeadingZeros(total)
+    val bits = length(bin(col("_c"))) - 1
+    perDoc.join(vocab, "_w")
+      .groupBy(col(id))
+      .agg(sum(col("_tf")).as("n_toks"),
+        sum(col("_tf") * (lit(totalBits.toLong) - bits)).as("sum_bits"))
+      .withColumn("avg_centibits",
+        expr("sum_bits * 100 div n_toks"))
+  }
+
+  /** Incremental (cross-corpus) exact dedup — the production ingest shape:
+    * drop every incoming document whose dedup key already exists in the
+    * BASE corpus, and collapse duplicates within the batch itself
+    * (first-wins by id). Equals "rebuild exact dedup over base ∪ batch,
+    * keep only batch-side survivors" without ever re-scanning base
+    * beyond its key projection.
+    *
+    * Scale: the batch side shuffles once on the key (the in-batch
+    * first-wins window); the base-key side goes through
+    * [[Skew.bloomAntiJoin]] — base keys at 100 TB don't broadcast, and a
+    * plain anti-join would shuffle the full base key set against the
+    * batch; the bloom pass lets every definitely-new document (the
+    * overwhelming majority at steady state) bypass the join with zero
+    * exchange, and only the might-contain sliver replays the exact
+    * anti-join (bloom false positives removed there; result identical to
+    * the plain anti-join — Skew's spec enforces it).
+    */
+  def dedupIncremental(incoming: DataFrame, base: DataFrame, id: String,
+                       key: Column, estBaseKeys: Long): DataFrame = {
+    val inc = incoming.withColumn("_k", key)
+    val firstWins = inc
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_k")).orderBy(col(id).asc)))
+      .where(col("_rn") === 1).drop("_rn")
+    val baseKeys = base.select(key.as("_k")).distinct()
+    Skew.bloomAntiJoin(firstWins, baseKeys, "_k", estBaseKeys).drop("_k")
+  }
 }
