@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Sampling, Similarity, Text}
+import graft.operators.{Sampling, Similarity, Sketch, Text}
 
 /** Group F — LLM-data-pipeline operators (SURVEY §2 items 35, 38–49):
   * dedup tiers, similarity search, text analysis, multimodal metadata.
@@ -1732,6 +1732,92 @@ object QueriesText {
     WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM base b WHERE b.k = i.k)"""
 
   // ---------------------------------------------------------------------------
+  // §2.62 Bounded-memory sketches (operators.Sketch): KMV distinct-count
+  // (native partial-aggregating TypedImperativeAggregate) and count-min
+  // frequency estimation — both deterministic via the poly hash, so the
+  // driver hash-compares the ESTIMATES against DuckDB's replay.
+  // ---------------------------------------------------------------------------
+
+  private val KmvK = 64
+  private val CmsD = 3
+  private val CmsW = 64
+  private val DayNs = 86400000000000L
+
+  /** §2.62 Per-day distinct-user estimate via the native KMV aggregate,
+    * exact distinct alongside (the accuracy audit is IN the result).
+    */
+  private def qDistinctKmv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val h = Text.polyHash(concat(col("user_id").cast("string"), lit("#kmv")))
+    ev.select(expr(s"ts div $DayNs").as("day"), h.as("_h"), col("user_id"))
+      .groupBy("day")
+      .agg(Sketch.kmvAgg(col("_h"), KmvK).as("sk"),
+        countDistinct(col("user_id")).as("exact_nd"))
+      .select(col("day"), size(col("sk")).cast("long").as("n_sketch"),
+        Sketch.kmvEstimate("sk", KmvK, Text.PolyP).as("est_nd"),
+        col("exact_nd"))
+  }
+
+  private val oDistinctKmv = s"""
+    WITH e AS (SELECT epoch_ns(ts) // $DayNs AS day,
+                 ${duckPolyHash("CAST(user_id AS VARCHAR) || '#kmv'")} AS h,
+                 user_id
+               FROM events),
+    s AS (SELECT day, list_sort(list(DISTINCT h))[1:$KmvK] AS sk,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_nd
+          FROM e GROUP BY day)
+    SELECT day, CAST(len(sk) AS BIGINT) AS n_sketch,
+           CASE WHEN len(sk) < $KmvK THEN CAST(len(sk) AS BIGINT)
+                ELSE CAST(${(KmvK - 1).toLong} AS BIGINT)
+                     * CAST(${graft.operators.Text.PolyP} AS BIGINT)
+                     // greatest(sk[$KmvK], 1) END AS est_nd,
+           exact_nd
+    FROM s"""
+
+  /** §2.62a Count-min heavy hitters: candidates from the exact top-10 on
+    * the deterministic 10% doc sample, frequencies estimated over the
+    * FULL corpus from the d×w counter grid (never undercounts), exact
+    * count alongside.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = d.select(explode(split(col("text"), " ")).as("term"))
+    val sampToks = Sampling.sampleByHash(d, col("doc_id"), SampleSeed, 100)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val cands = sampToks.groupBy("term").agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("term").asc).limit(10).select("term")
+    val grid = Sketch.cmsCounters(toks, col("term"), CmsD, CmsW)
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+    Sketch.cmsEstimate(grid, cands, CmsD, CmsW)
+      .join(exact, Seq("term"))
+      .select(col("term"), col("est"), col("exact_n"),
+        (col("est") - col("exact_n")).as("overcount"))
+  }
+
+  private val oHeavyHitters = s"""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    st AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents
+           WHERE ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 < 100),
+    cand AS (SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+        FROM st GROUP BY term) c WHERE rn <= 10),
+    grid AS (SELECT r, ${duckPolyHash("term || '#cms' || CAST(r AS VARCHAR)")}
+                      % $CmsW AS bucket,
+               CAST(count(*) AS BIGINT) AS c
+             FROM t CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr
+             GROUP BY 1, 2),
+    probe AS (SELECT term, r,
+                ${duckPolyHash("term || '#cms' || CAST(r AS VARCHAR)")}
+                  % $CmsW AS bucket
+              FROM cand CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr),
+    est AS (SELECT term, min(coalesce(g.c, 0)) AS est
+            FROM probe p LEFT JOIN grid g USING (r, bucket) GROUP BY term),
+    ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_n
+           FROM t GROUP BY term)
+    SELECT term, est, exact_n, est - exact_n AS overcount
+    FROM est JOIN ex USING (term)"""
+
+  // ---------------------------------------------------------------------------
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q_doc_dedup_exact", qDocDedupExact, Some(oDocDedupExact)),
@@ -1776,6 +1862,8 @@ object QueriesText {
     GraftQuery("q_pii_scan", qPiiScan, Some(oPiiScan)),
     GraftQuery("q_pii_redact", qPiiRedact, Some(oPiiRedact)),
     GraftQuery("q_lm_surprisal", qLmSurprisal, Some(oLmSurprisal)),
-    GraftQuery("q_dedup_incremental", qDedupIncremental, Some(oDedupIncremental))
+    GraftQuery("q_dedup_incremental", qDedupIncremental, Some(oDedupIncremental)),
+    GraftQuery("q_distinct_kmv", qDistinctKmv, Some(oDistinctKmv)),
+    GraftQuery("q_heavy_hitters", qHeavyHitters, Some(oHeavyHitters))
   )
 }

@@ -32,6 +32,52 @@ class LmSurprisalSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+class SketchSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.{Sketch, Text}
+
+  test("native KMV aggregate is bit-equal to the relational twin") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 3000).map(_ =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(500).toLong)).toDF("g", "key")
+      .repartition(7) // merge path must engage across partitions
+    val h = Text.polyHash(concat(col("key").cast("string"), lit("#t")))
+    val native = df.groupBy(col("g"))
+      .agg(Sketch.kmvAgg(h, 32).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val twin = Sketch.kmvAggTwin(df, col("g"), h, 32)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == twin)
+  }
+
+  test("KMV estimate: exact below k, within 40% at 16x saturation") {
+    val df = (0L until 4000L).map(i => (if (i < 20) 0L else 1L, i))
+      .toDF("g", "key")
+    val h = Text.polyHash(concat(col("key").cast("string"), lit("#t")))
+    val est = df.groupBy(col("g"))
+      .agg(Sketch.kmvAgg(h, 256).as("sk"))
+      .select(col("g"), Sketch.kmvEstimate("sk", 256, Text.PolyP).as("e"))
+      .as[(Long, Long)].collect().toMap
+    assert(est(0L) == 20L) // unsaturated → exact
+    val nd = 3980.0
+    assert(est(1L) > nd * 0.6 && est(1L) < nd * 1.4,
+      s"estimate ${est(1L)} too far from $nd")
+  }
+
+  test("CMS never undercounts and is exact for isolated buckets") {
+    val toks = (Seq.fill(50)("alpha") ++ Seq.fill(7)("beta") ++
+      (0 until 200).map(i => s"noise$i")).toDF("term")
+    val grid = Sketch.cmsCounters(toks, col("term"), 3, 64)
+    val cands = Seq("alpha", "beta").toDF("term")
+    val est = Sketch.cmsEstimate(grid, cands, 3, 64)
+      .as[(String, Long)].collect().toMap
+    assert(est("alpha") >= 50L && est("beta") >= 7L)
+    // d=3 independent rows over w=64 with ~207 distinct terms: min over
+    // rows keeps the overcount small — sanity-bound it
+    assert(est("alpha") <= 50L + 60L && est("beta") <= 7L + 60L)
+  }
+}
+
 class DedupIncrementalSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
