@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Sampling, Similarity, Sketch, Text}
@@ -1817,6 +1818,117 @@ object QueriesText {
     SELECT term, est, exact_n, est - exact_n AS overcount
     FROM est JOIN ex USING (term)"""
 
+  /** §2.64 Sketch-mergeability rollup — the reason sketches matter at
+    * 100 TB: week-level distinct estimates computed by MERGING the
+    * persisted day-level KMV sketches (explode + re-aggregate; exact by
+    * the k-min merge property kmin_k(A∪B) = kmin_k(kmin_k(A)∪kmin_k(B))),
+    * never rescanning raw events. The week stage's input is
+    * O(days · k) rows regardless of corpus size — any time-range
+    * rollup reuses the same daily sketches. Exact weekly distinct
+    * alongside as the accuracy audit.
+    */
+  private def qDistinctRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val h = Text.polyHash(concat(col("user_id").cast("string"), lit("#kmv")))
+    val days = ev.select(expr(s"ts div $DayNs").as("day"), h.as("_h"))
+      .groupBy("day").agg(Sketch.kmvAgg(col("_h"), KmvK).as("sk"))
+    val weeks = days
+      .select(expr("day div 7").as("week"), explode(col("sk")).as("_h"))
+      .groupBy("week").agg(Sketch.kmvAgg(col("_h"), KmvK).as("sk"))
+    val exact = ev
+      .select(expr(s"ts div $DayNs div 7").as("week"), col("user_id"))
+      .groupBy("week").agg(countDistinct(col("user_id")).as("exact_nd"))
+    weeks
+      .select(col("week"), Sketch.kmvEstimate("sk", KmvK, Text.PolyP).as("est_nd"))
+      .join(exact, Seq("week"))
+      .select(col("week"), col("est_nd"), col("exact_nd"))
+  }
+
+  private val oDistinctRollup = s"""
+    WITH e AS (SELECT epoch_ns(ts) // $DayNs AS day,
+                 ${duckPolyHash("CAST(user_id AS VARCHAR) || '#kmv'")} AS h,
+                 user_id
+               FROM events),
+    d AS (SELECT day, list_sort(list(DISTINCT h))[1:$KmvK] AS sk
+          FROM e GROUP BY day),
+    w0 AS (SELECT day // 7 AS week, unnest(sk) AS h FROM d),
+    w AS (SELECT week, list_sort(list(DISTINCT h))[1:$KmvK] AS sk
+          FROM w0 GROUP BY week),
+    ex AS (SELECT day // 7 AS week,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_nd
+           FROM e GROUP BY 1)
+    SELECT week,
+           CASE WHEN len(sk) < $KmvK THEN CAST(len(sk) AS BIGINT)
+                ELSE CAST(${(KmvK - 1).toLong} AS BIGINT)
+                     * CAST(${graft.operators.Text.PolyP} AS BIGINT)
+                     // greatest(sk[$KmvK], 1) END AS est_nd,
+           exact_nd
+    FROM w JOIN ex USING (week)"""
+
+  /** §2.65 Deterministic sample quantiles: per-event-type p50/p90/p99 of
+    * `value` from the 10% hash sample (key = event_id — partitioning/
+    * retry-invariant membership), by pure RANK SELECTION: sort by
+    * (value, event_id), pick the element at integer rank
+    * (n−1)·q ÷ qden + 1. No float arithmetic ever touches the values —
+    * the selected doubles pass through bit-identically from the shared
+    * parquet, so the driver hash-compares them exactly (interpolating
+    * estimators like percentile_cont re-derive doubles and drift).
+    * Exact full-corpus p50 alongside audits the sample error. Scale:
+    * the per-group sort is over the SAMPLE (permille is the memory
+    * knob); the full-data audit column is the thing you'd drop at
+    * 100 TB — the operator is the sample path.
+    */
+  private def qQuantileSample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val samp = ev
+      .where(Sampling.sampleHash(col("event_id").cast("string"), "q1") % 1000 < 100)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = samp
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val sq = ranked.groupBy(col("event_type")).agg(
+      max(when(col("rn") === expr("(n - 1) div 2 + 1"), col("value"))).as("p50"),
+      max(when(col("rn") === expr("(n - 1) * 9 div 10 + 1"), col("value"))).as("p90"),
+      max(when(col("rn") === expr("(n - 1) * 99 div 100 + 1"), col("value"))).as("p99"),
+      first(col("n")).as("n_sample"))
+    val fullRanked = ev.select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val exact = fullRanked.groupBy(col("event_type")).agg(
+      max(when(col("rn") === expr("(n - 1) div 2 + 1"), col("value"))).as("exact_p50"))
+    sq.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_sample"), col("p50"), col("p90"),
+        col("p99"), col("exact_p50"))
+  }
+
+  private val oQuantileSample = s"""
+    WITH s AS (SELECT event_type, value, event_id FROM events
+               WHERE ${duckPolyHash("CAST(event_id AS VARCHAR) || '#q1'")}
+                     % 1000 < 100),
+    r AS (SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM s),
+    sq AS (SELECT event_type,
+             max(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS p50,
+             max(CASE WHEN rn = (n - 1) * 9 // 10 + 1 THEN value END) AS p90,
+             max(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN value END) AS p99,
+             CAST(any_value(n) AS BIGINT) AS n_sample
+           FROM r GROUP BY event_type),
+    fr AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+    ex AS (SELECT event_type,
+             max(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS exact_p50
+           FROM fr GROUP BY event_type)
+    SELECT event_type, n_sample, p50, p90, p99, exact_p50
+    FROM sq JOIN ex USING (event_type)"""
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[GraftQuery] = Seq(
@@ -1864,6 +1976,8 @@ object QueriesText {
     GraftQuery("q_lm_surprisal", qLmSurprisal, Some(oLmSurprisal)),
     GraftQuery("q_dedup_incremental", qDedupIncremental, Some(oDedupIncremental)),
     GraftQuery("q_distinct_kmv", qDistinctKmv, Some(oDistinctKmv)),
-    GraftQuery("q_heavy_hitters", qHeavyHitters, Some(oHeavyHitters))
+    GraftQuery("q_heavy_hitters", qHeavyHitters, Some(oHeavyHitters)),
+    GraftQuery("q_distinct_rollup", qDistinctRollup, Some(oDistinctRollup)),
+    GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample))
   )
 }

@@ -76,6 +76,43 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
     // rows keeps the overcount small — sanity-bound it
     assert(est("alpha") <= 50L + 60L && est("beta") <= 7L + 60L)
   }
+
+  test("KMV merge property: rollup of partial sketches == direct sketch") {
+    // kmin_k(A ∪ B) = kmin_k(kmin_k(A) ∪ kmin_k(B)) — what makes
+    // persisted day sketches reusable for any time-range rollup.
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 5000).map(_ =>
+      (rnd.nextInt(14).toLong, rnd.nextInt(900).toLong)).toDF("day", "key")
+      .repartition(5)
+    val h = Text.polyHash(concat(col("key").cast("string"), lit("#t")))
+    val days = df.groupBy(col("day")).agg(Sketch.kmvAgg(h, 48).as("sk"))
+    val rolled = days
+      .select((col("day") / 7).cast("long").as("week"), explode(col("sk")).as("_h"))
+      .groupBy(col("week")).agg(Sketch.kmvAgg(col("_h"), 48).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val direct = df.select((col("day") / 7).cast("long").as("week"), h.as("_h"))
+      .groupBy(col("week")).agg(Sketch.kmvAgg(col("_h"), 48).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(rolled == direct)
+  }
+
+  test("rank-selection quantiles pick exact order statistics") {
+    // 101 known values, one group: p50 = rank 51, p90 = rank 91,
+    // p99 = rank 100 under (n-1)*q div qden + 1.
+    val df = scala.util.Random.shuffle((0 until 101).toList)
+      .map(i => ("a", i.toDouble, i.toLong)).toDF("g", "value", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("value").asc, col("id").asc)
+    val got = df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .groupBy(col("g")).agg(
+        max(when(col("rn") === expr("(n - 1) div 2 + 1"), col("value"))).as("p50"),
+        max(when(col("rn") === expr("(n - 1) * 9 div 10 + 1"), col("value"))).as("p90"),
+        max(when(col("rn") === expr("(n - 1) * 99 div 100 + 1"), col("value"))).as("p99"))
+      .as[(String, Double, Double, Double)].head()
+    assert(got == (("a", 50.0, 90.0, 99.0)))
+  }
 }
 
 class DedupIncrementalSpec extends AnyFunSuite with SparkFixture {
