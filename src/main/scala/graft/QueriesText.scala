@@ -1929,6 +1929,51 @@ object QueriesText {
     SELECT event_type, n_sample, p50, p90, p99, exact_p50
     FROM sq JOIN ex USING (event_type)"""
 
+  /** §2.66 Sequence packing — the last assembly step before training:
+    * assign each doc a (bucket, shard, offset) so concatenated docs fill
+    * fixed token-budget shards (GPT-style packing at doc granularity).
+    * Distributed design: docs hash-partition into `PackBuckets`
+    * independent buckets and pack WITHIN each via a cumulative token sum
+    * (window partitioned by bucket — parallel, no global sort; the
+    * global-cumsum form would serialize the corpus through one
+    * partition). A doc belongs to the shard its START offset lands in;
+    * boundary docs straddle shards, as trainers expect. Order inside a
+    * bucket is the decorrelated hash (deterministic shuffle) so shards
+    * are source-mixed. All integer arithmetic — exact cross-engine.
+    */
+  private val PackBuckets = 8
+
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val budget = 4096L
+    val h = Sampling.sampleHash(col("doc_id").cast("string"), "pk")
+    val base = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      pmod(h, lit(PackBuckets.toLong)).as("bucket"), h.as("_h"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("_h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("_cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("bucket"), col("n_tok"),
+        expr(s"(_cum - n_tok) div ${budget}L").as("shard"),
+        expr(s"(_cum - n_tok) % ${budget}L").as("off"))
+  }
+
+  private val oPackSequences = s"""
+    WITH b AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 ${duckPolyHash("CAST(doc_id AS VARCHAR) || '#pk'")} AS h
+               FROM documents),
+    c AS (SELECT doc_id, n_tok, h % $PackBuckets AS bucket,
+            sum(n_tok) OVER (PARTITION BY h % $PackBuckets
+                             ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+          FROM b)
+    SELECT doc_id, bucket, n_tok,
+           CAST((cum - n_tok) // 4096 AS BIGINT) AS shard,
+           CAST((cum - n_tok) % 4096 AS BIGINT) AS off
+    FROM c"""
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[GraftQuery] = Seq(
@@ -1978,6 +2023,7 @@ object QueriesText {
     GraftQuery("q_distinct_kmv", qDistinctKmv, Some(oDistinctKmv)),
     GraftQuery("q_heavy_hitters", qHeavyHitters, Some(oHeavyHitters)),
     GraftQuery("q_distinct_rollup", qDistinctRollup, Some(oDistinctRollup)),
-    GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample))
+    GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
+    GraftQuery("q_pack_sequences", qPackSequences, Some(oPackSequences))
   )
 }

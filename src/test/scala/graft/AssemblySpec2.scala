@@ -115,6 +115,46 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+class PackSequencesSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  private val budget = 64L
+  private def pack(df: org.apache.spark.sql.DataFrame) = {
+    val h = Sampling.sampleHash(col("doc_id").cast("string"), "pk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("_h").asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(col("doc_id"), col("n_tok"),
+        pmod(h, lit(4L)).as("bucket"), h.as("_h"))
+      .withColumn("_cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("bucket"), col("n_tok"),
+        expr(s"(_cum - n_tok) div ${budget}L").as("shard"),
+        expr(s"(_cum - n_tok) % ${budget}L").as("off"))
+  }
+
+  test("packing tiles each bucket contiguously and survives repartitioning") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 400).map(i => (i.toLong, (1 + rnd.nextInt(30)).toLong))
+      .toDF("doc_id", "n_tok")
+    val a = pack(df).as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val b = pack(df.repartition(13)).as[(Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(a.sameElements(b)) // membership/assignment is partitioning-invariant
+    // start offsets reconstruct the exclusive prefix sum per bucket: sorted
+    // starts (shard*budget + off) must chain exactly by n_tok
+    a.groupBy(_._2).foreach { case (_, ds) =>
+      val inOrder = ds.sortBy(d => d._4 * budget + d._5)
+      inOrder.zip(inOrder.drop(1)).foreach { case (p, n) =>
+        assert(p._4 * budget + p._5 + p._3 == n._4 * budget + n._5,
+          s"gap/overlap between ${p._1} and ${n._1}")
+      }
+      assert(inOrder.head._4 == 0L && inOrder.head._5 == 0L)
+    }
+  }
+}
+
 class DedupIncrementalSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 

@@ -482,3 +482,43 @@ class StreamStoredIndexSpec extends AnyFunSuite with SparkFixture {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
+
+/** Streaming distinct-count: the native KMV aggregate in a streaming
+  * groupBy (Complete mode — TypedImperativeAggregate buffers merge across
+  * micro-batches like any partial aggregation). The sketch's set semantics
+  * make the result batch-slicing-invariant: however arrivals split into
+  * micro-batches, the final per-group sketch equals the batch twin's.
+  */
+class StreamSketchSpec extends AnyFunSuite with SparkFixture {
+
+  test("streaming KMV sketch == batch sketch regardless of batch slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Sketch, Text}
+
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 2000).map(_ =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(400).toLong))
+    def sketch(df: org.apache.spark.sql.DataFrame) = {
+      val h = Text.polyHash(concat(col("key").cast("string"), lit("#st")))
+      df.groupBy(col("g")).agg(Sketch.kmvAgg(h, 32).as("sk"))
+    }
+
+    val input = MemoryStream[(Long, Long)]
+    val q = sketch(input.toDS().toDF("g", "key"))
+      .writeStream.format("memory").queryName("stream_kmv")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(rows.take(700)); q.processAllAvailable()
+      input.addData(rows.slice(700, 701)); q.processAllAvailable() // 1-row batch
+      input.addData(rows.drop(701)); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_kmv").as[(Long, Seq[Long])].collect().toMap
+    val want = sketch(rows.toDF("g", "key")).as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(got == want && got.nonEmpty)
+  }
+}
