@@ -10,12 +10,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the loaders keep that swap localized.
   */
 object Tables {
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; we read it as raw nanosecond longs instead (exact, no
-    * truncation) and convert explicitly where needed. Runtime-settable conf.
+  /** Historically `events.ts` was parquet INT64 TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects — `nanosAsLong` reads it as raw
+    * nanosecond longs (exact, no truncation). Current testdata ships
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) instead, which Spark reads as
+    * TIMESTAMP_NTZ; [[events]] normalizes either encoding to the same BIGINT
+    * nanoseconds so every downstream query is schema-agnostic. The UTC pin
+    * makes the NTZ→epoch conversion deterministic (and matches DuckDB's
+    * epoch_ns/epoch_us on naive timestamps). Runtime-settable confs.
     */
-  def configure(spark: SparkSession): Unit =
+  def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -41,9 +48,24 @@ object Tables {
   def documentsSpread(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
 
-  /** events with `ts` as BIGINT nanoseconds since epoch (column name kept). */
+  /** events with `ts` as BIGINT nanoseconds since epoch (column name kept),
+    * whatever the on-disk timestamp encoding:
+    *   - INT64 TIMESTAMP(NANOS) → read as raw longs via `nanosAsLong` (exact);
+    *   - TIMESTAMP(MICROS/MILLIS), adjusted-to-UTC or NTZ → epoch micros
+    *     ×1000 (exact widening; the cast NTZ→TZ is identity under the UTC
+    *     session pin, mirroring DuckDB's epoch_* on naive timestamps).
+    * Scan-stage projection only — pushdown/pruning on the other columns is
+    * unaffected, and `ts` predicates still prune via the projected column.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     configure(spark)
-    load(spark, dir, "events")
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
   }
 }
