@@ -680,14 +680,46 @@ object Text {
           " ").as("clean_text"))
   }
 
+  /** Distributed dense global rank (row_number over a total order) WITHOUT
+    * the single-partition global window: range-repartition on the sort key,
+    * rank locally per partition, then add each partition's cumulative row
+    * offset. rank(x) = |rows before x's partition| + local row_number — the
+    * classic two-level composition, exact for any partition boundaries, so
+    * the output is independent of the sampled range splits. The driver sees
+    * only numPartitions (pid, count) scalars (the precedented bounded-stats
+    * pattern); both shuffles are linear and parallel (range exchange, then a
+    * pid-hash exchange for the local window — Catalyst can't see that the
+    * range exchange already clusters by pid). `order` keys must be a total
+    * order (no duplicate keys) for a deterministic result.
+    */
+  def globalRank(df: DataFrame, order: Seq[Column],
+                 rankCol: String = "rank", numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numParts > 0) numParts
+            else spark.sparkContext.defaultParallelism
+    val parts = df.repartitionByRange(n, order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val local = parts.withColumn("_lr",
+      row_number().over(Window.partitionBy(col("_pid")).orderBy(order: _*)))
+    val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
+    val offDf = spark.createDataFrame(offs.toSeq).toDF("_pid", "_off")
+    local.join(broadcast(offDf), "_pid")
+      .withColumn(rankCol, (col("_off") + col("_lr")).cast("int"))
+      .drop("_pid", "_lr", "_off")
+  }
+
   /** Corpus vocabulary induction (the tokenizer/vocab-build step): per
     * word, document frequency (docs containing it) and collection
     * frequency (total occurrences), cut at `minDf`, ranked by
     * (cf desc, word) — a deterministic total order. Shape: one explode,
     * groupBy (id, word) for the df term, then groupBy word — both
-    * shuffles keyed on the word; output is vocabulary-sized (≪ corpus),
-    * so the final global rank window runs over a bounded result, the
-    * same bounded-output class as the report renderers.
+    * shuffles keyed on the word. The rank is [[globalRank]]'s two-level
+    * composition, NOT a global window: a minDf=2 vocabulary over real web
+    * text is 10⁸-10⁹ rows of typos/URLs, and a single-partition WindowExec
+    * sort over that is the one task that never finishes at 100 TB.
     */
   def vocabulary(df: DataFrame, id: String, text: Column,
                  minDf: Int): DataFrame = {
@@ -696,8 +728,8 @@ object Text {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("df"), sum("_c").as("cf"))
       .where(col("df") >= minDf)
-    v.withColumn("rank",
-      row_number().over(Window.orderBy(col("cf").desc, col("word").asc)))
+    globalRank(v, Seq(col("cf").desc, col("word").asc))
+      .select(col("word"), col("df"), col("cf"), col("rank"))
   }
 
   /** The document's word n-gram array (occurrences, NOT deduped —

@@ -987,6 +987,24 @@ class AssemblySpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == Seq(("x", 2L, 3L, 1), ("y", 3L, 3L, 2)),
       s"cf ties break by word asc: ${out.toSeq}")
   }
+
+  test("globalRank == single-window row_number across forced partitions") {
+    val rnd = new scala.util.Random(7)
+    // duplicate-free total-order key (k unique), skewed v for range splits
+    val rows = rnd.shuffle((0L until 500L).toVector)
+      .map(k => (k, (k % 7) * (k % 13)))
+    val df = rows.toDF("k", "v").repartition(9)
+    val order = Seq(col("v").desc, col("k").asc)
+    val got = Text.globalRank(df, order, "rank", 5)
+      .select("k", "rank").as[(Long, Int)].collect().toMap
+    val want = df.withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+      .select("k", "rank").as[(Long, Int)].collect().toMap
+    assert(got == want)
+    // ranks are a dense 1..n permutation
+    assert(got.values.toVector.sorted == (1 to 500).toVector)
+  }
 }
 
 class GraphOpSpec extends AnyFunSuite with SparkFixture {
@@ -1017,15 +1035,44 @@ class GraphOpSpec extends AnyFunSuite with SparkFixture {
     assert(comp.keySet.size == 16)
   }
 
-  test("connectedComponents refuses a diameter past maxIter") {
-    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
-    intercept[IllegalArgumentException] {
-      Graph.connectedComponents(chain.toDF("a", "b"), "a", "b", maxIter = 3)
-    }
-    // and converges when given room
-    val ok = Graph.connectedComponents(chain.toDF("a", "b"), "a", "b")
+  test("star-contraction fallback converges on an adversarial chain") {
+    // diameter 60 ≫ maxIter 4: min-label propagation can't finish, the
+    // Kiveris large-star/small-star fallback must take over and still
+    // label the whole chain with its minimum
+    val chain = (0L until 60L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val comp = Graph.connectedComponents(chain.toDF("a", "b"), "a", "b",
+        maxIter = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.keySet == (0L until 60L).toSet)
+    assert(comp.values.toSet == Set(0L))
+    // and min-label alone converges when given room (no fallback path)
+    val ok = Graph.connectedComponents(chain.take(11).toDF("a", "b"), "a", "b")
       .as[(Long, Long)].collect().toMap
     assert(ok.values.toSet == Set(0L))
+  }
+
+  test("star-contraction result == min-label result on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("a", "b").repartition(7)
+    val viaMinLabel = Graph.connectedComponents(df, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // force the fallback by starving min-label of rounds
+    val viaStars = Graph.connectedComponents(df, "a", "b", maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars == viaMinLabel)
+  }
+
+  test("reliable checkpoint path labels identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val comp = Graph.connectedComponents(chain.toDF("a", "b"), "a", "b",
+        maxIter = 3, reliableCheckpoint = true)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(0L) && comp.keySet.size == 30)
   }
 }
 
