@@ -1929,6 +1929,120 @@ object QueriesText {
     SELECT event_type, n_sample, p50, p90, p99, exact_p50
     FROM sq JOIN ex USING (event_type)"""
 
+  /** §2.65b Mergeable quantile sketch (native bottom-k aggregate): the k
+    * smallest distinct (key-hash, value) pairs per event_type — a FIXED
+    * k-size coordinated sample (memory O(k) per group however large the
+    * group; the permille sample of q_quantile_sample grows with the
+    * corpus), merge-order-independent by the k-min semilattice property,
+    * with quantiles rank-selected from the sampled values in pure
+    * integer arithmetic (no float op touches the values — selected
+    * doubles hash-compare exactly). Exact full-data p50 alongside as the
+    * accuracy audit. Exchange: map-side partials carry ≤ k pairs/group.
+    */
+  private val QskK = 128
+
+  private def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val h = Sampling.sampleHash(col("event_id").cast("string"), "qsk")
+    val sk = ev.select(col("event_type"), h.as("_h"), col("value"))
+      .groupBy("event_type")
+      .agg(Sketch.quantileSketch(col("_h"), col("value"), QskK).as("sk"))
+      .select(col("event_type"), size(col("sk")).cast("long").as("n_sketch"),
+        Sketch.sketchQuantile("sk", 1, 2).as("p50"),
+        Sketch.sketchQuantile("sk", 9, 10).as("p90"),
+        Sketch.sketchQuantile("sk", 99, 100).as("p99"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val exact = ev.select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === expr("(n - 1) div 2 + 1"), col("value")))
+        .as("exact_p50"))
+    sk.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_sketch"), col("p50"), col("p90"),
+        col("p99"), col("exact_p50"))
+  }
+
+  private val oQuantileSketch = s"""
+    WITH p AS (SELECT event_type,
+                 ${duckPolyHash("CAST(event_id AS VARCHAR) || '#qsk'")} AS h,
+                 value AS v
+               FROM events),
+    d AS (SELECT DISTINCT event_type, h, v FROM p),
+    r AS (SELECT event_type, h, v,
+            row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+          FROM d),
+    s AS (SELECT event_type, v FROM r WHERE rn <= $QskK),
+    q AS (SELECT event_type, v,
+            row_number() OVER (PARTITION BY event_type ORDER BY v) AS vrn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM s),
+    sq AS (SELECT event_type,
+             CAST(any_value(n) AS BIGINT) AS n_sketch,
+             max(CASE WHEN vrn = (n - 1) // 2 + 1 THEN v END) AS p50,
+             max(CASE WHEN vrn = (n - 1) * 9 // 10 + 1 THEN v END) AS p90,
+             max(CASE WHEN vrn = (n - 1) * 99 // 100 + 1 THEN v END) AS p99
+           FROM q GROUP BY event_type),
+    fr AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+    ex AS (SELECT event_type,
+             max(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS exact_p50
+           FROM fr GROUP BY event_type)
+    SELECT event_type, n_sketch, p50, p90, p99, exact_p50
+    FROM sq JOIN ex USING (event_type)"""
+
+  /** §2.65c Quantile-sketch mergeability rollup (the 100 TB story, same
+    * shape as q_distinct_rollup): week-level quantiles computed by
+    * MERGING the persisted day-level bottom-k sketches — explode the day
+    * pairs and re-aggregate; EXACT by the semilattice property
+    * bottomk(A∪B) = bottomk(bottomk(A)∪bottomk(B)), so the week stage
+    * reads O(days·k) pairs and never rescans raw events. Any time-range
+    * rollup reuses the same daily sketches.
+    */
+  private def qQuantileRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val h = Sampling.sampleHash(col("event_id").cast("string"), "qsk")
+    val days = ev.select(expr(s"ts div $DayNs").as("day"), h.as("_h"), col("value"))
+      .groupBy("day")
+      .agg(Sketch.quantileSketch(col("_h"), col("value"), QskK).as("sk"))
+    val weeks = days
+      .select(expr("day div 7").as("week"), explode(col("sk")).as("p"))
+      .select(col("week"), col("p.h").as("_h"), col("p.v").as("_v"))
+      .groupBy("week")
+      .agg(Sketch.quantileSketch(col("_h"), col("_v"), QskK).as("sk"))
+    weeks.select(col("week"), size(col("sk")).cast("long").as("n_sketch"),
+      Sketch.sketchQuantile("sk", 1, 2).as("p50"),
+      Sketch.sketchQuantile("sk", 9, 10).as("p90"))
+  }
+
+  private val oQuantileRollup = s"""
+    WITH p AS (SELECT epoch_ns(ts) // $DayNs AS day,
+                 ${duckPolyHash("CAST(event_id AS VARCHAR) || '#qsk'")} AS h,
+                 value AS v
+               FROM events),
+    d0 AS (SELECT DISTINCT day, h, v FROM p),
+    dr AS (SELECT day, h, v,
+             row_number() OVER (PARTITION BY day ORDER BY h, v) AS rn
+           FROM d0),
+    ds AS (SELECT day, h, v FROM dr WHERE rn <= $QskK),
+    w0 AS (SELECT DISTINCT day // 7 AS week, h, v FROM ds),
+    wr AS (SELECT week, h, v,
+             row_number() OVER (PARTITION BY week ORDER BY h, v) AS rn
+           FROM w0),
+    ws AS (SELECT week, v FROM wr WHERE rn <= $QskK),
+    q AS (SELECT week, v,
+            row_number() OVER (PARTITION BY week ORDER BY v) AS vrn,
+            count(*) OVER (PARTITION BY week) AS n
+          FROM ws)
+    SELECT week, CAST(any_value(n) AS BIGINT) AS n_sketch,
+           max(CASE WHEN vrn = (n - 1) // 2 + 1 THEN v END) AS p50,
+           max(CASE WHEN vrn = (n - 1) * 9 // 10 + 1 THEN v END) AS p90
+    FROM q GROUP BY week"""
+
   /** §2.66 Sequence packing — the last assembly step before training:
     * assign each doc a (bucket, shard, offset) so concatenated docs fill
     * fixed token-budget shards (GPT-style packing at doc granularity).
@@ -2024,6 +2138,8 @@ object QueriesText {
     GraftQuery("q_heavy_hitters", qHeavyHitters, Some(oHeavyHitters)),
     GraftQuery("q_distinct_rollup", qDistinctRollup, Some(oDistinctRollup)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
+    GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
+    GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),
     GraftQuery("q_pack_sequences", qPackSequences, Some(oPackSequences))
   )
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnShim, KmvSketchAgg}
+import org.apache.spark.sql.graft.{BottomKPairsAgg, ColumnShim, KmvSketchAgg}
 
 /** Bounded-memory sketches for 100 TB aggregations, in the deterministic
   * cross-engine style: every hash is the polynomial fold ([[Text.polyHash]])
@@ -53,6 +53,45 @@ object Sketch {
     when(size(col(skName)) < k, size(col(skName)).cast("long"))
       .otherwise(expr(
         s"${(k - 1).toLong} * ${hashSpace}L div greatest(element_at($skName, $k), 1L)"))
+
+  /** Bottom-k quantile sketch column (native [[BottomKPairsAgg]]): the k
+    * lexicographically-smallest distinct (hash, value) pairs per group as
+    * `array<struct<h,v>>` in (h, v) order — a merge-order-independent
+    * coordinated sample of fixed size k (unlike a permille sample, whose
+    * memory grows with the group). `hash` must be the deterministic poly
+    * hash of the row's unique key so both engines draw the same sample.
+    */
+  def quantileSketch(hash: Column, value: Column, k: Int): Column =
+    ColumnShim.column(
+      BottomKPairsAgg(ColumnShim.expression(hash),
+        ColumnShim.expression(value), k).toAggregateExpression())
+
+  /** Relational twin of [[quantileSketch]] (oracle shape / bit-equality
+    * specs): distinct (hash, value) pairs, per-group (h, v) rank, bottom
+    * k collected in (h, v) order.
+    */
+  def quantileSketchTwin(df: DataFrame, group: Column, hash: Column,
+                         value: Column, k: Int): DataFrame = {
+    df.select(group.as("_g"), hash.as("_h"), value.as("_v")).distinct()
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_g")).orderBy(col("_h").asc, col("_v").asc)))
+      .where(col("_rn") <= k)
+      .groupBy(col("_g"))
+      .agg(array_sort(collect_list(struct(col("_h").as("h"), col("_v").as("v"))))
+        .as("sk"))
+  }
+
+  /** Rank-selected quantile from a sketch column's sampled values: sort
+    * the values, pick rank (n−1)·mult ÷ den + 1 — pure integer index
+    * arithmetic, the selected double passes through untouched (the
+    * q_quantile_sample discipline; interpolating estimators re-derive
+    * doubles and drift cross-engine).
+    */
+  def sketchQuantile(skName: String, mult: Int, den: Int): Column = {
+    val vals = array_sort(expr(s"transform($skName, s -> s.v)"))
+    element_at(vals,
+      expr(s"CAST((size($skName) - 1) * $mult div $den + 1 AS INT)"))
+  }
 
   /** Count-min counter grid over `token` occurrences: one exploded pass,
     * rows keyed (r, bucket) with bucket_r = polyHash(token # cms·r) mod w —

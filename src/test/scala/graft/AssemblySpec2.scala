@@ -113,6 +113,60 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
       .as[(String, Double, Double, Double)].head()
     assert(got == (("a", 50.0, 90.0, 99.0)))
   }
+
+  test("bottom-k quantile sketch is bit-equal to the relational twin") {
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 4000).map(i =>
+      (rnd.nextInt(3).toLong, i.toLong, rnd.nextInt(1000) / 8.0))
+      .toDF("g", "key", "v")
+      .repartition(7) // merge path must engage across partitions
+    val h = Text.polyHash(concat(col("key").cast("string"), lit("#qs")))
+    val native = df.groupBy(col("g"))
+      .agg(Sketch.quantileSketch(h, col("v"), 64).as("sk"))
+      .as[(Long, Seq[(Long, Double)])].collect().toMap
+    val twin = Sketch.quantileSketchTwin(df, col("g"), h, col("v"), 64)
+      .as[(Long, Seq[(Long, Double)])].collect().toMap
+    assert(native == twin)
+    assert(native.values.forall(_.size == 64))
+  }
+
+  test("bottom-k merge property: rollup of day sketches == direct sketch") {
+    // bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)) — persisted day
+    // sketches answer any time-range quantile without rescanning raw rows.
+    val rnd = new scala.util.Random(17)
+    val df = (0 until 6000).map(i =>
+      (rnd.nextInt(14).toLong, i.toLong, rnd.nextGaussian() * 10))
+      .toDF("day", "key", "v").repartition(5)
+    val h = Text.polyHash(concat(col("key").cast("string"), lit("#qs")))
+    val days = df.groupBy(col("day"))
+      .agg(Sketch.quantileSketch(h, col("v"), 48).as("sk"))
+    val rolled = days
+      .select((col("day") / 7).cast("long").as("week"), explode(col("sk")).as("p"))
+      .groupBy(col("week"))
+      .agg(Sketch.quantileSketch(col("p.h"), col("p.v"), 48).as("sk"))
+      .as[(Long, Seq[(Long, Double)])].collect().toMap
+    val direct = df.select((col("day") / 7).cast("long").as("week"), h.as("_h"), col("v"))
+      .groupBy(col("week"))
+      .agg(Sketch.quantileSketch(col("_h"), col("v"), 48).as("sk"))
+      .as[(Long, Seq[(Long, Double)])].collect().toMap
+    assert(rolled == direct)
+  }
+
+  test("sketchQuantile rank-selects exact order statistics of the sample") {
+    // k larger than the group -> the sketch IS the whole group, so the
+    // sketch quantiles must equal exact rank-selected quantiles.
+    val df = scala.util.Random.shuffle((0 until 101).toList)
+      .map(i => ("a", i.toLong, i.toDouble)).toDF("g", "key", "v")
+    val h = Text.polyHash(concat(col("key").cast("string"), lit("#qs")))
+    val got = df.groupBy(col("g"))
+      .agg(Sketch.quantileSketch(h, col("v"), 256).as("sk"))
+      .select(col("g"), size(col("sk")).as("n"),
+        Sketch.sketchQuantile("sk", 1, 2).as("p50"),
+        Sketch.sketchQuantile("sk", 9, 10).as("p90"),
+        Sketch.sketchQuantile("sk", 99, 100).as("p99"))
+      .as[(String, Int, Double, Double, Double)].head()
+    assert(got == (("a", 101, 50.0, 90.0, 99.0)))
+  }
 }
 
 class PackSequencesSpec extends AnyFunSuite with SparkFixture {
