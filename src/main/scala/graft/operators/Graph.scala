@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Connected components by iterative min-label propagation: every node
+  /** Connected components by iterative min-label propagation, with a
+    * star-contraction fallback for adversarial diameters: every node
     * starts labeled with its own id; each round a node takes the min of
     * its label and its neighbors' labels; at fixpoint every node carries
     * its component's minimum id. Returns `(id, comp)` for every node that
@@ -25,35 +26,43 @@ object Graph {
     * Scale shape: each round is one shuffle keyed on the edge dst (the
     * join with current labels + min-aggregate) and one label join — all
     * distributed, nothing driver-side except the per-round convergence
-    * count (a scalar action, the precedented driver-stat pattern). Labels
-    * and the symmetrized edge list are `localCheckpoint`ed so lineage
-    * stays flat across rounds (the iterative-plan trap: without
-    * truncation round k re-plans rounds 1..k-1). Round count is
-    * O(component diameter): near-dup components are clique-ish (every
-    * member shares most shingles with the seed), so 3-5 rounds in
-    * practice; `maxIter` guards the adversarial long-chain case, where
-    * the right move is the large-star/small-star contraction family
-    * (Kiveris et al. 2014, "Connected Components in MapReduce") — O(log
-    * n) rounds at higher per-round cost; not needed for dup graphs.
+    * count (a scalar action, the precedented driver-stat pattern). Round
+    * count is O(component diameter): near-dup components are clique-ish
+    * (every member shares most shingles with the seed), so 3-5 rounds in
+    * practice. If `maxIter` rounds pass without a fixpoint (adversarial
+    * long chains), the computation SWITCHES to large-star/small-star
+    * contraction (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond"): O(log² n) rounds at higher per-round cost,
+    * diameter-independent — see [[starContractComponents]].
+    *
+    * Lineage/durability: labels and the symmetrized edge list are
+    * checkpointed every round so lineage stays flat (the iterative-plan
+    * trap: without truncation round k re-plans rounds 1..k-1). Default is
+    * `localCheckpoint` — executor-local blocks, fine for bench/local
+    * runs; pass `reliableCheckpoint = true` for production cluster runs
+    * (requires `SparkContext.setCheckpointDir`): localCheckpoint blocks
+    * die with their executor, and at 100 TB an executor loss mid-iteration
+    * would abort the whole job with no lineage to recompute from.
     */
   def connectedComponents(edges: DataFrame, a: String, b: String,
-                          maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .union(edges.select(col(b).as("src"), col(a).as("dst")))
-      .localCheckpoint() // reused every round — materialize once
+                          maxIter: Int = 25,
+                          reliableCheckpoint: Boolean = false): DataFrame = {
+    val ckpt: DataFrame => DataFrame =
+      if (reliableCheckpoint) df => df.checkpoint() else df => df.localCheckpoint()
+    val sym = ckpt(edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst"))))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+    labels = ckpt(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min("comp").as("ncomp"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val next = ckpt(labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           least(labels("comp"), coalesce(col("ncomp"), labels("comp")))
-            .as("comp"))
-        .localCheckpoint()
+            .as("comp")))
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .where(col("n.comp") =!= col("o.comp")).count()
@@ -61,9 +70,65 @@ object Graph {
       converged = changed == 0
       round += 1
     }
+    if (converged) labels
+    else starContractComponents(sym, ckpt)
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al. 2014): diameter-INDEPENDENT convergence in O(log² n)
+    * alternations, the fallback for adversarial chain graphs where
+    * min-label propagation needs O(diameter) rounds.
+    *
+    * Per alternation, with m(u) = min(Γ(u) ∪ {u}):
+    *  - large-star: every edge (u, v), v > u rewires to (v, m(u)) — big
+    *    neighbors re-hang under u's local minimum;
+    *  - small-star: every edge (u, v), v < u rewires to (v, m(u)), plus
+    *    (u, m(u)) — u and its small neighbors collapse onto the minimum.
+    * Both preserve connectivity (each rewired node stays connected to
+    * m(u) through u's neighborhood); the unique fixpoint is a star
+    * forest centered on component minima, so the final labels are just
+    * m(u) per node. Every step is a groupBy(src) min + an edge join —
+    * same linear-shuffle class as the min-label rounds; the edge set is
+    * re-symmetrized + distinct'd each alternation (contraction only
+    * shrinks it). The convergence probe is an except-based set-equality
+    * check — one scalar to the driver per alternation.
+    */
+  def starContractComponents(symEdges: DataFrame,
+                             ckpt: DataFrame => DataFrame,
+                             maxIter: Int = 50): DataFrame = {
+    val allNodes = ckpt(symEdges.select(col("src").as("id")).distinct())
+    def mOf(ed: DataFrame): DataFrame =
+      ed.groupBy(col("src")).agg(min(col("dst")).as("_mn"))
+        .select(col("src").as("_u"), least(col("_mn"), col("src")).as("_m"))
+    def resym(ab: DataFrame): DataFrame =
+      ab.where(col("a") =!= col("b"))
+        .select(col("a").as("src"), col("b").as("dst"))
+        .union(ab.where(col("a") =!= col("b"))
+          .select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+    var e = ckpt(symEdges.where(col("src") =!= col("dst")).distinct())
+    var round = 0
+    var converged = e.isEmpty
+    while (!converged && round < maxIter) {
+      val ls = e.join(mOf(e), e("src") === col("_u"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("a"), col("_m").as("b"))
+      val e1 = ckpt(resym(ls))
+      val ss = e1.join(mOf(e1), e1("src") === col("_u"))
+        .where(col("dst") < col("src"))
+        .select(col("dst").as("a"), col("_m").as("b"))
+        .union(mOf(e1).select(col("_u").as("a"), col("_m").as("b")))
+      val e2 = ckpt(resym(ss))
+      converged = e2.except(e).union(e.except(e2)).head(1).isEmpty
+      e = e2
+      round += 1
+    }
     require(converged,
-      s"connectedComponents: no fixpoint after $maxIter rounds — " +
-        "pathological diameter; use a star-contraction variant")
-    labels
+      s"starContractComponents: no fixpoint after $maxIter alternations")
+    // star forest: every node's component is min(Γ(u) ∪ {u}); nodes whose
+    // edges fully contracted away (self-pair inputs) label themselves
+    val labels = mOf(e).select(col("_u").as("id"), col("_m").as("comp"))
+    allNodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 }
