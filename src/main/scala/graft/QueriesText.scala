@@ -1107,6 +1107,12 @@ object QueriesText {
   /** Shared sampling seed — in the query AND every oracle below. */
   private val SampleSeed = "s1"
 
+  /** Span width (words) shared by the span-dedup and span-decontam lanes
+    * (declared before first use: object vals initialize in declaration
+    * order, and an interpolation referencing a LATER val silently reads 0).
+    */
+  private val SpanWords = 8
+
   private def duckSampleHash(key: String): String =
     duckPolyHash(s"$key || '#$SampleSeed'")
 
@@ -1215,6 +1221,61 @@ object QueriesText {
     HAVING count(*) >= 5
        AND floor(count(*) * 10000.0 / any_value(tr.n_sh)) / 10000.0 >= 0.8"""
 
+  /** §2.50h Span-level decontamination (Lee et al. production form of
+    * §2.50d): remove only the contaminated SPANS and reassemble — a doc
+    * sharing one benchmark passage keeps its clean remainder instead of
+    * being dropped whole. Same benchmark split (doc_id % 17), 8-word
+    * spans, span flagged when ≥ 3 of its distinct trigram hashes hit the
+    * benchmark set at truncated ratio ≥ 0.8.
+    */
+  private def qDecontamSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = docsW(s, dir)
+    val hs = array_distinct(transform(Text.shingles(col("text"), 3),
+      Text.polyHash(_)))
+    Sampling.decontaminateSpans(
+      d.where(col("doc_id") % 17 =!= 0),
+      d.where(col("doc_id") % 17 === 0),
+      "doc_id", col("text"), hs, SpanWords, 3, 0.8)
+  }
+
+  private val oDecontamSpans = s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bh AS (
+      SELECT DISTINCT unnest(list_transform(
+               [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                for i in range(1, len(ws) - 1)],
+               s -> ${duckPolyHash("s")})) AS h
+      FROM w WHERE doc_id % 17 = 0),
+    sp AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(ws) / ${SpanWords}.0) AS BIGINT))) AS pos,
+             unnest([array_to_string(
+                       ws[(i * $SpanWords + 1):(i * $SpanWords + $SpanWords)], ' ')
+                     for i in range(CAST(ceil(len(ws) / ${SpanWords}.0) AS BIGINT))])
+               AS span
+      FROM w WHERE doc_id % 17 <> 0),
+    sh AS (
+      SELECT doc_id, pos, span,
+             list_distinct(list_transform(
+               [sw[i] || ' ' || sw[i+1] || ' ' || sw[i+2]
+                for i in range(1, len(sw) - 1)],
+               s -> ${duckPolyHash("s")})) AS th
+      FROM (SELECT doc_id, pos, span, string_split(span, ' ') AS sw FROM sp)),
+    ovx AS (SELECT doc_id, pos, len(th) AS n_th, unnest(th) AS h FROM sh),
+    contam AS (
+      SELECT doc_id, pos
+      FROM ovx JOIN bh USING (h)
+      GROUP BY doc_id, pos, n_th
+      HAVING count(*) >= 3
+         AND floor(count(*) * 10000.0 / n_th) / 10000.0 >= 0.8)
+    SELECT sp.doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           coalesce(string_agg(CASE WHEN c.doc_id IS NULL THEN sp.span END,
+                               ' ' ORDER BY sp.pos), '') AS clean_text
+    FROM sp LEFT JOIN contam c ON sp.doc_id = c.doc_id AND sp.pos = c.pos
+    GROUP BY sp.doc_id"""
+
   /** §2.50e Deterministic train/val/test split (90/5/5 on the hash of
     * doc_id): growth-stable split assignment — a doc never migrates between
     * splits when the corpus grows — summarized per (split, source).
@@ -1267,8 +1328,6 @@ object QueriesText {
     * documents are rebuilt from surviving spans. The span STRING is the
     * key on both engines — exact semantics, no hash-collision over-drop.
     */
-  private val SpanWords = 8
-
   private def qDedupSpans(s: SparkSession, dir: String): DataFrame =
     Text.dedupSpans(docs(s, dir), "doc_id", col("text"), SpanWords)
 
@@ -2118,6 +2177,7 @@ object QueriesText {
     GraftQuery("q_sample_stratified", qSampleStratified, Some(oSampleStratified)),
     GraftQuery("q_mix_budget", qMixBudget, Some(oMixBudget)),
     GraftQuery("q_decontam", qDecontam, Some(oDecontam)),
+    GraftQuery("q_decontam_spans", qDecontamSpans, Some(oDecontamSpans)),
     GraftQuery("q_sample_split", qSampleSplit, Some(oSampleSplit)),
     GraftQuery("q_text_repetition", qTextRepetition, Some(oTextRepetition)),
     GraftQuery("q_semdedup", qSemDedup, None, oracleGen = Some(oSemDedupGen)),

@@ -145,4 +145,64 @@ object Sampling {
       // threshold the TRUNCATED ratio so both engines cut the same set
       .where(col("overlap_ratio") >= minRatio)
   }
+
+  /** Span-level decontamination (the Lee et al. 2021 production form of
+    * [[decontaminate]]): instead of flagging WHOLE docs, remove only the
+    * contaminated SPANS and reassemble each doc's text from its clean
+    * remainder — a doc sharing one benchmark paragraph keeps everything
+    * else. Corpus docs split into fixed `spanWords`-word spans (the
+    * [[Text.dedupSpans]] segmentation); a span is contaminated when ≥
+    * `minOverlap` of its distinct word-`shingleN`-gram hashes hit the
+    * benchmark set AND the truncated overlap ratio ≥ `minRatio`
+    * (alignment-insensitive: the n-gram test fires however the benchmark
+    * passage straddles span boundaries). Returns one row per corpus doc:
+    * (id, n_spans, n_kept, clean_text) — untouched docs pass through with
+    * n_kept = n_spans.
+    *
+    * Scale shape: benchmark n-gram set broadcasts (eval suites are small
+    * by construction); the corpus side is one posexplode + one broadcast
+    * join + a partial count keyed (id, pos), then the doc-keyed
+    * reassembly shuffle — linear in corpus tokens, no corpus-wide
+    * shuffle beyond the final per-doc rollup. Spans shorter than
+    * `shingleN` words carry no n-grams and are never flagged.
+    */
+  def decontaminateSpans(corpus: DataFrame, bench: DataFrame, id: String,
+                         text: Column, benchShingleHashes: Column,
+                         spanWords: Int, minOverlap: Int,
+                         minRatio: Double, shingleN: Int = 3): DataFrame = {
+    require(spanWords >= 1, s"decontaminateSpans: spanWords >= 1, got $spanWords")
+    val bh = bench.select(explode(benchShingleHashes).as("h")).distinct()
+    val words = split(text, " ")
+    val nSpans = ceil(size(words).cast("double") / spanWords).cast("int")
+    val spans = transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " "))
+    val sp = corpus.select(col(id), posexplode(spans).as(Seq("pos", "span")))
+      .withColumn("_sh", array_distinct(
+        transform(Text.shingles(col("span"), shingleN), Text.polyHash(_))))
+    val contam = sp
+      .select(col(id), col("pos"), size(col("_sh")).as("_n"),
+        explode(col("_sh")).as("h"))
+      .join(broadcast(bh), "h")
+      .groupBy(col(id), col("pos"))
+      .agg(count(lit(1)).as("_n_ov"), first(col("_n")).as("_n"))
+      .where(col("_n_ov") >= minOverlap)
+      // threshold the TRUNCATED ratio so both engines cut the same set
+      .where(floor(col("_n_ov") * lit(10000.0) / col("_n")) / lit(10000.0)
+        >= minRatio)
+      .select(col(id), col("pos"), lit(true).as("_contam"))
+    sp.join(contam, Seq(id, "pos"), "left")
+      .withColumn("_keep", col("_contam").isNull)
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("_keep").as("keep"),
+                col("span")))),
+              s => s("keep")),
+            s => s("span")),
+          " ").as("clean_text"))
+  }
 }

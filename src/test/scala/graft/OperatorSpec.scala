@@ -805,6 +805,27 @@ class SamplingOpSpec extends AnyFunSuite with SparkFixture {
     .map(i => (i.toLong, s"src${i % 4}", s"tok${i % 7} tok${i % 5} tok${i % 3} word$i"))
     .toDF("doc_id", "source", "text")
 
+  test("decontaminateSpans keeps the clean remainder of a partly-shared doc") {
+    import graft.operators.Text
+    val benchPara = (0 until 16).map(i => s"bench$i").mkString(" ")
+    val cleanPart = (0 until 16).map(i => s"own$i").mkString(" ")
+    val bench = Seq((100L, benchPara)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"$benchPara $cleanPart"), // shares the benchmark passage
+      (2L, cleanPart)                 // fully clean
+    ).toDF("doc_id", "text")
+    val hs = array_distinct(transform(Text.shingles(col("text"), 3),
+      Text.polyHash(_)))
+    val out = Sampling.decontaminateSpans(corpus, bench, "doc_id",
+        col("text"), hs, 8, 3, 0.8)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // doc 1: spans 0-1 are pure benchmark text -> dropped; spans 2-3 are
+    // its own remainder -> kept verbatim, reassembled in order
+    assert(out(0) == ((1L, 4L, 2L, cleanPart)))
+    // doc 2 untouched
+    assert(out(1) == ((2L, 2L, 2L, cleanPart)))
+  }
+
   test("sampleByHash is partitioning-invariant and seed-decorrelated") {
     def ids(df: org.apache.spark.sql.DataFrame, seed: String) =
       Sampling.sampleByHash(df, col("doc_id"), seed, 250)
