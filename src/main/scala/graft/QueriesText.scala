@@ -1759,6 +1759,52 @@ object QueriesText {
            sum_bits * 100 // n_toks AS avg_centibits
     FROM s"""
 
+  /** §2.60b Bigram surprisal with whole-bit stupid backoff (CCNet-style
+    * perplexity filter, one order up): LM counts train on the 90%
+    * hash-split, every doc scores — held-out docs carry unseen bigrams,
+    * so the backoff path (1 extra bit + unigram) genuinely fires. All
+    * integer arithmetic end-to-end, replayed exactly by DuckDB.
+    */
+  private def qLmSurprisal2(s: SparkSession, dir: String): DataFrame =
+    Text.bigramSurprisal(docsW(s, dir), "doc_id", col("text"),
+      Sampling.sampleHash(col("doc_id").cast("string"), SampleSeed) % 1000 < 900)
+
+  private val oLmSurprisal2 = s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tr AS (SELECT ws FROM w
+           WHERE ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 < 900),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(ws) AS w FROM tr) GROUP BY w),
+    nb AS (SELECT length(format('{:b}', CAST(sum(c1) AS BIGINT))) - 1 AS nb
+           FROM uni),
+    big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+            FROM (SELECT unnest(ws[1:len(ws)-1]) AS w1,
+                         unnest(ws[2:len(ws)]) AS w2 FROM tr)
+            GROUP BY w1, w2),
+    p AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+                 unnest(ws[2:len(ws)]) AS w2 FROM w),
+    sc AS (SELECT p.doc_id,
+             CASE WHEN b.c2 IS NOT NULL
+                  THEN (length(format('{:b}', u1.c1)) - 1)
+                       - (length(format('{:b}', b.c2)) - 1)
+                  ELSE 1 + (SELECT nb FROM nb)
+                       - (length(format('{:b}', coalesce(u2.c1, 1))) - 1)
+             END AS bits
+           FROM p LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+                  LEFT JOIN uni u1 ON p.w1 = u1.w
+                  LEFT JOIN uni u2 ON p.w2 = u2.w),
+    ps AS (SELECT doc_id, CAST(sum(bits) AS BIGINT) AS bp
+           FROM sc GROUP BY doc_id),
+    f AS (SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+            CAST((SELECT nb FROM nb)
+                 - (length(format('{:b}', coalesce(u.c1, 1))) - 1) AS BIGINT)
+              AS b0
+          FROM w LEFT JOIN uni u ON ws[1] = u.w)
+    SELECT f.doc_id, f.n_toks,
+           f.b0 + coalesce(ps.bp, 0) AS sum_bits,
+           (f.b0 + coalesce(ps.bp, 0)) * 100 // f.n_toks AS avg_centibits
+    FROM f LEFT JOIN ps ON f.doc_id = ps.doc_id"""
+
   // ---------------------------------------------------------------------------
   // §2.61 Incremental (cross-corpus) dedup — the production ingest shape:
   // the corpus hash-splits into an existing BASE and an incoming batch;
@@ -2193,6 +2239,7 @@ object QueriesText {
     GraftQuery("q_pii_scan", qPiiScan, Some(oPiiScan)),
     GraftQuery("q_pii_redact", qPiiRedact, Some(oPiiRedact)),
     GraftQuery("q_lm_surprisal", qLmSurprisal, Some(oLmSurprisal)),
+    GraftQuery("q_lm_surprisal2", qLmSurprisal2, Some(oLmSurprisal2)),
     GraftQuery("q_dedup_incremental", qDedupIncremental, Some(oDedupIncremental)),
     GraftQuery("q_distinct_kmv", qDistinctKmv, Some(oDistinctKmv)),
     GraftQuery("q_heavy_hitters", qHeavyHitters, Some(oHeavyHitters)),

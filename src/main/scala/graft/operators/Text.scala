@@ -915,6 +915,66 @@ object Text {
         expr("sum_bits * 100 div n_toks"))
   }
 
+  /** Bigram LM surprisal with whole-bit stupid backoff (Brants et al.
+    * 2007 "Large Language Models in Machine Translation" backoff shape;
+    * the CCNet-style perplexity filter one order up from
+    * [[unigramSurprisal]]): train unigram + bigram counts on the docs
+    * matching `trainFilter`, score EVERY doc. Per token at position i≥2,
+    *   seen bigram:  bits(c1(w_{i-1})) − bits(c2(w_{i-1}, w_i))
+    *   backoff:      1 + bits(N) − bits(c1(w_i) | 1)
+    * with bits(x) = ⌊log2 x⌋ = length(bin(x)) − 1 and backoff α = 1/2
+    * folded into the whole-bit +1 (a power-of-2 α is exactly one bit —
+    * the trick that keeps the whole score in integer arithmetic; a float
+    * log sum would drift by ulps across engines). The first token scores
+    * as plain unigram surprisal; unseen words back into count 1. Doc
+    * score = mean surprisal in centibits via ONE integer division.
+    *
+    * Scale: explode → map-side-combined counts; scoring is one bigram
+    * join + two unigram joins, all keyed on token text (hot tokens split
+    * by AQE; tables broadcast when they fit). Train/score asymmetry is
+    * the point: scoring the training corpus with itself never backs off.
+    */
+  def bigramSurprisal(df: DataFrame, id: String, text: Column,
+                      trainFilter: Column): DataFrame = {
+    val words = split(text, " ")
+    val pairArr = when(size(words) >= 2,
+      transform(sequence(lit(1), size(words) - 1),
+        i => struct(element_at(words, i).as("w1"),
+          element_at(words, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val train = df.where(trainFilter)
+    val uni = train.select(explode(split(text, " ")).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_c1"))
+    val total = uni.agg(sum("_c1")).head.getLong(0)
+    require(total > 0, "bigramSurprisal: empty training split")
+    val totalBits = (63 - java.lang.Long.numberOfLeadingZeros(total)).toLong
+    val big = train.select(explode(pairArr).as("_pr"))
+      .select(col("_pr.w1").as("_w1"), col("_pr.w2").as("_w2"))
+      .groupBy("_w1", "_w2").agg(count(lit(1)).as("_c2"))
+    def bits(c: Column) = (length(bin(c)) - 1).cast("long")
+    val first = df.select(col(id), element_at(words, 1).as("_w"),
+        size(words).cast("long").as("n_toks"))
+      .join(uni, Seq("_w"), "left")
+      .select(col(id), col("n_toks"),
+        (lit(totalBits) - bits(coalesce(col("_c1"), lit(1L)))).as("_b0"))
+    val pairs = df.select(col(id), explode(pairArr).as("_pr"))
+      .select(col(id), col("_pr.w1").as("_w1"), col("_pr.w2").as("_w2"))
+      .join(big, Seq("_w1", "_w2"), "left")
+      .join(uni.select(col("_w").as("_w1"), col("_c1").as("_c1prev")),
+        Seq("_w1"), "left")
+      .join(uni.select(col("_w").as("_w2"), col("_c1").as("_c1cur")),
+        Seq("_w2"), "left")
+      .select(col(id),
+        when(col("_c2").isNotNull, bits(col("_c1prev")) - bits(col("_c2")))
+          .otherwise(lit(1L + totalBits) - bits(coalesce(col("_c1cur"), lit(1L))))
+          .as("_b"))
+      .groupBy(col(id)).agg(sum("_b").as("_bp"))
+    first.join(pairs, Seq(id), "left")
+      .select(col(id), col("n_toks"),
+        (col("_b0") + coalesce(col("_bp"), lit(0L))).as("sum_bits"))
+      .withColumn("avg_centibits", expr("sum_bits * 100 div n_toks"))
+  }
+
   /** Incremental (cross-corpus) exact dedup — the production ingest shape:
     * drop every incoming document whose dedup key already exists in the
     * BASE corpus, and collapse duplicates within the batch itself
