@@ -64,6 +64,36 @@ object Queries {
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus"""
 
+  /** §2.67 Salted equi-join behind the oracle gate: lineitem joined to a
+    * per-returnflag dim on a DELIBERATELY hot key (3 distinct values —
+    * every key is a hot key, the worst case for a plain hash shuffle:
+    * 3 reducers carry the corpus). `Skew.saltedEquiJoin` spreads the
+    * shuffle key to (key, salt) over 8 deterministic salts; the RESULT is
+    * salt-independent by construction, so the DuckDB oracle runs the
+    * plain unsalted join — the equivalence claim is exactly what the
+    * driver hash-checks. Reducer-spread demonstrated by
+    * tools.SaltSkewProbe (max/median partition rows, unsalted vs salted).
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val dim = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("flag_n"))
+    graft.operators.Skew.saltedEquiJoin(li, dim, "l_returnflag",
+        col("l_orderkey"), 8)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        max(col("flag_n")).as("flag_n"))
+  }
+
+  private val oSaltedJoin = """
+    WITH dim AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS flag_n
+                 FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag, l.l_linestatus, count(*) AS n_items,
+           round(sum(l.l_quantity), 2) AS sum_qty, max(d.flag_n) AS flag_n
+    FROM lineitem l JOIN dim d USING (l_returnflag)
+    GROUP BY 1, 2"""
+
   /** §2.2 Broadcast dimension join chain (identity ⋈ refdata).
     * Scale: nation/region are tiny dims — explicit broadcast keeps the big
     * side shuffle-free.
@@ -615,7 +645,8 @@ object Queries {
     GraftQuery("q_indicated_alt", qIndicatedAlt, Some(oIndicatedAlt)),
     GraftQuery("q_interval_overlap", qIntervalOverlap, Some(oIntervalOverlap), headline = true),
     GraftQuery("q_level_flight", qLevelFlight, Some(oLevelFlight)),
-    GraftQuery("q_sanity_filter", qSanityFilter, Some(oSanityFilter))
+    GraftQuery("q_sanity_filter", qSanityFilter, Some(oSanityFilter)),
+    GraftQuery("q_salted_join", qSaltedJoin, Some(oSaltedJoin))
   ) ++ QueriesGeo.all ++ QueriesText.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
