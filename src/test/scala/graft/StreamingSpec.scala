@@ -426,6 +426,53 @@ class StreamQualityGateSpec extends AnyFunSuite with SparkFixture {
     assert(got == want)
     assert(want == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
   }
+
+  test("composed scrub -> gate ingest pipeline streams with batch semantics") {
+    // the documented "scrub before train" order as ONE streaming
+    // projection: PII-redact the text, then quality-gate the REDACTED
+    // text — both are scan-stage projections, so the composition needs
+    // no state, no watermark, and agrees with batch exactly
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Pii, Text}
+
+    def scrubGate(df: org.apache.spark.sql.DataFrame) = {
+      val red = Pii.redact(df, col("text"))
+      val q = Text.qualityMetrics(red, col("redacted"), Seq("the", "a"))
+      q.select(col("doc_id"), col("redacted"),
+          ((col("n_words") >= 6).cast("int")).as("keep"))
+    }
+
+    val rows = Seq(
+      (1L, "mail me at bob@example.com about the quick brown fox plan"),
+      (2L, "call 555-123-4567 or 10.0.0.1 now"),
+      (3L, "too short")
+    )
+    val input = MemoryStream[(Long, String)]
+    val q = scrubGate(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_scrub_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(1)); q.processAllAvailable()
+      input.addData(rows.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_scrub_gate")
+      .as[(Long, String, Int)].collect().toMap2
+    val want = scrubGate(rows.toDF("doc_id", "text"))
+      .as[(Long, String, Int)].collect().toMap2
+    assert(got == want)
+    // the scrub actually fired before the gate saw the text
+    assert(got(1L)._1.contains("[EMAIL]") && !got(1L)._1.contains("@"))
+    assert(got(2L)._1.contains("[PHONE]") && got(2L)._1.contains("[IPV4]"))
+    assert(got(3L)._2 == 0 && got(1L)._2 == 1)
+  }
+
+  private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
 }
 
 /** Streaming ingest into the PERSISTED cell-partitioned index: each
