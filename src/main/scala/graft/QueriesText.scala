@@ -676,11 +676,20 @@ object QueriesText {
     val e = embs(s, dir)
     val n = e.count()
     val cells = Similarity.autoCells(n)
-    val nProbe = ivfProbes(cells)
-    val dsub = EmbDim / PqM
     val coarse = Similarity.ivfTrainDispatch(e, "embedding", cells)
     val codebooks = Similarity.pqTrain(e, "embedding", coarse, PqM, PqKs,
       corpusN = n)
+    ivfPqOracleSql("CAST(embedding AS DOUBLE[])", coarse, codebooks,
+      ivfProbes(cells))
+  }
+
+  /** Shared IVF-PQ oracle body (q_knn_ivf_pq and the OPQ lane differ only
+    * in how the `e` CTE derives `v` from the stored embedding and in the
+    * exported trained constants).
+    */
+  private def ivfPqOracleSql(vExpr: String, coarse: Seq[(Int, Seq[Float])],
+                             codebooks: Seq[Float], nProbe: Int): String = {
+    val dsub = EmbDim / PqM
     val ctrRows = coarse.map {
       case (i, c) => s"($i, [${c.map(_.toDouble).mkString(", ")}])"
     }
@@ -696,7 +705,7 @@ object QueriesText {
     cb(mm, j, cv) AS (VALUES
       ${cbRows.mkString(",\n      ")}),
     cbf(cv) AS (VALUES ([$cbFlat])),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, $vExpr AS v FROM embeddings),
     d AS (
       SELECT e.vec_id, e.v, ctr.cell,
              ${fdot("e.v", "e.v")}
@@ -754,6 +763,42 @@ object QueriesText {
              row_number() OVER (PARTITION BY q_id ORDER BY cr DESC, n_id) AS rk
       FROM cand) t
     WHERE rk <= $KnnK"""
+  }
+
+  /** §2.44j OPQ-permuted IVF-PQ (Ge et al. 2013's subspace-balance term
+    * as a pure dimension permutation): greedy variance allocation packs
+    * dimensions into subspaces with balanced variance before residual PQ;
+    * a permutation is orthonormal and applied by element INDEXING, so it
+    * costs zero float arithmetic, search distances are exact, and it
+    * exports to the oracle as integer literals (list_select) — trained
+    * once from the deterministic bounded sample, same discipline as the
+    * centroids. Identical geometry/thresholds to q_knn_ivf_pq otherwise.
+    */
+  private def qKnnIvfOpq(s: SparkSession, dir: String): DataFrame = {
+    val e0 = embs(s, dir)
+    val n = e0.count()
+    val perm = Similarity.opqPermutation(e0, "embedding", PqM, corpusN = n)
+    val e = e0.select(col("vec_id"),
+      Similarity.permuteVec(col("embedding"), perm).as("embedding"))
+    val cells = Similarity.autoCells(n)
+    Similarity.knnIvfPq(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+      KnnK, cells, ivfProbes(cells), PqM, PqKs, KnnRound, PqRerank)
+  }
+
+  private def oKnnIvfOpqGen(s: SparkSession, dir: String): String = {
+    val e0 = embs(s, dir)
+    val n = e0.count()
+    val perm = Similarity.opqPermutation(e0, "embedding", PqM, corpusN = n)
+    val e = e0.select(col("vec_id"),
+      Similarity.permuteVec(col("embedding"), perm).as("embedding"))
+    val cells = Similarity.autoCells(n)
+    val coarse = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val codebooks = Similarity.pqTrain(e, "embedding", coarse, PqM, PqKs,
+      corpusN = n)
+    val permSql = perm.map(_ + 1).mkString(", ")
+    ivfPqOracleSql(
+      s"list_select(CAST(embedding AS DOUBLE[]), [$permSql])",
+      coarse, codebooks, ivfProbes(cells))
   }
 
   /** §2.44g (new r6): TWO-LEVEL IVF + PQ composed (the IMI-family shape —
@@ -2214,6 +2259,7 @@ object QueriesText {
     GraftQuery("q_knn_ivf_batch", qKnnIvfBatch, None, oracleGen = Some(oKnnIvfBatchGen)),
     GraftQuery("q_knn_ivf2", qKnnIvf2, None, oracleGen = Some(oKnnIvf2Gen)),
     GraftQuery("q_knn_ivf_pq", qKnnIvfPq, None, oracleGen = Some(oKnnIvfPqGen)),
+    GraftQuery("q_knn_ivf_opq", qKnnIvfOpq, None, oracleGen = Some(oKnnIvfOpqGen)),
     GraftQuery("q_knn_ivf2_pq", qKnnIvf2Pq, None, oracleGen = Some(oKnnIvf2PqGen)),
     GraftQuery("q_text_lang", qTextLang, Some(oTextLang)),
     GraftQuery("q_text_quality", qTextQuality, Some(oTextQuality)),

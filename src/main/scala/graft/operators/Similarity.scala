@@ -875,6 +875,71 @@ object Similarity {
     }
   }
 
+  /** OPQ-style dimension permutation by greedy variance allocation (the
+    * permutation special case of Ge et al. 2013's OPQ — their parametric
+    * form runs eigenvalue allocation after PCA; a permutation captures the
+    * subspace-BALANCE term without any float transform): per-dimension
+    * variances from a bounded, deterministically-ordered sample (the
+    * pqTrain discipline: seeded sample, collect, total order by
+    * (murmur-of-vector, vector), sequential driver-side fold — model
+    * output must not depend on partitioning), then dims sorted by
+    * variance desc feed a greedy least-loaded-subspace packing (ties →
+    * lowest index; each subspace capped at dim/m slots). Subspace groups
+    * concatenate (each sorted ascending) into one permutation array.
+    *
+    * Because a permutation is orthonormal and applied by pure element
+    * INDEXING, it costs zero float arithmetic, preserves all distances
+    * exactly, and exports to the oracle as integer literals
+    * (`list_select`) — no cross-engine float reproducibility surface at
+    * all, unlike a dense rotation matrix whose per-coordinate fold order
+    * would need replaying.
+    */
+  def opqPermutation(corpus: DataFrame, vec: String, m: Int,
+                     corpusN: Long = -1L): Array[Int] = {
+    val n = if (corpusN >= 0) corpusN else corpus.count()
+    require(n > 0, "opqPermutation: empty corpus")
+    val targetRows = 4096L
+    val frac = math.min(1.0, targetRows * 1.2 / n)
+    val sampled = (if (frac < 1.0)
+        corpus.sample(withReplacement = false, frac, seed = 46)
+      else corpus).select(col(vec).as("_v"))
+    implicit val vecOrd: Ordering[Seq[Float]] =
+      math.Ordering.Implicits.seqOrdering
+    val rows = sampled.collect().map(_.getSeq[Float](0))
+      .sortBy(v => (util.hashing.MurmurHash3.seqHash(v), v))
+    val dim = rows.head.length
+    require(dim % m == 0, s"opqPermutation: m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val sum = new Array[Double](dim)
+    val sum2 = new Array[Double](dim)
+    rows.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        val x = v(i).toDouble; sum(i) += x; sum2(i) += x * x; i += 1
+      }
+    }
+    val nn = rows.length.toDouble
+    val varr = Array.tabulate(dim)(i =>
+      sum2(i) / nn - (sum(i) / nn) * (sum(i) / nn))
+    val order = (0 until dim).sortBy(i => (-varr(i), i))
+    val load = new Array[Double](m)
+    val cnt = new Array[Int](m)
+    val groups = Array.fill(m)(scala.collection.mutable.ArrayBuffer[Int]())
+    order.foreach { d =>
+      val s = (0 until m).filter(cnt(_) < dsub)
+        .minBy(s => (load(s), s))
+      load(s) += varr(d); cnt(s) += 1; groups(s) += d
+    }
+    groups.flatMap(_.sorted).toArray
+  }
+
+  /** Apply a dimension permutation to a vector column by pure element
+    * indexing (perm is 0-based; element_at is 1-based). Exact — no float
+    * op touches any value.
+    */
+  def permuteVec(v: Column, perm: Array[Int]): Column =
+    array(perm.map(p => element_at(v, p + 1)): _*)
+
   /** Add the packed PQ code word (`codes` BIGINT — one byte per subspace)
     * to a cell-assigned frame: the COMPRESSED index payload. At m=8 over
     * 64 floats the per-row vector payload drops 256 B → 8 B (32x), which

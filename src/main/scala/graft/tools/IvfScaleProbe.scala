@@ -154,6 +154,40 @@ object IvfScaleProbe {
       f"(flat IVF: $recall%.3f) | index payload ${dirMb(s"$out/pq_index.parquet")}%.1f MB " +
       f"vs raw ${dirMb(s"$out/raw_index.parquet")}%.1f MB")
 
+    // OPQ lane: variance-balanced dimension permutation (zero-float-op
+    // orthonormal transform) before the SAME residual-PQ pipeline — the
+    // subspace-balance term of Ge et al.'s OPQ. Brute baseline is
+    // unchanged (a permutation preserves every cosine exactly).
+    val perm = timed("opqPermutation (greedy alloc)") {
+      Similarity.opqPermutation(e, "embedding", pqM, corpusN = n)
+    }
+    val ep = e.select(col("vec_id"),
+      Similarity.permuteVec(col("embedding"), perm).as("embedding"))
+      .localCheckpoint()
+    val modelP = timed("coarse retrain (permuted)") {
+      Similarity.ivfCentroidsDistributed(ep, "embedding", cells)
+    }
+    val cbP = timed("pqTrain (permuted)") {
+      Similarity.pqTrain(ep, "embedding", modelP, pqM, pqKs, corpusN = n)
+    }
+    val indexedP = Similarity.ivfAssign(
+      ep.select(col("vec_id").as("n_id"), col("embedding").as("n_vec")),
+      "n_vec", modelP).localCheckpoint()
+    val encodedP = Similarity.pqEncode(indexedP, "n_vec", "cell", modelP,
+      cbP, pqM, pqKs).select("n_id", "cell", "codes")
+    val recallOpqByRf = (for (rf <- Seq(4, 16, 64)) yield {
+      val pq = timed(s"OPQ IVF-PQ search (rerank $rf*k)") {
+        Similarity.knnIvfPqSearch(encodedP, ep,
+            ep.where(col("vec_id") < 10), "vec_id", "embedding",
+            5, nProbe, pqM, pqKs, 6, modelP, cbP, rerankFactor = rf)
+          .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      rf -> brute.count(pq.contains).toDouble / brute.size
+    }).toMap
+    println(s"[ivfscale] OPQ-permuted IVF-PQ recall@5 by rerank factor: " +
+      recallOpqByRf.toSeq.sortBy(_._1).map { case (rf, r) => f"$rf*k -> $r%.3f" }.mkString(", ") +
+      f" (unpermuted: ${recallByRf(4)}%.3f/${recallByRf(16)}%.3f/${recallByRf(64)}%.3f)")
+
     // Composed two-level + PQ lane (the full 10^9-vector shape: compute
     // axis via hierarchical assignment, memory axis via packed codes)
     val imi = timed("two-level+PQ search (full pipeline)") {
