@@ -1396,6 +1396,55 @@ object QueriesText {
              AS clean_text
     FROM r GROUP BY doc_id"""
 
+  /** §2.53b Content-defined chunking dedup (the shift-robust span tier):
+    * boundaries where the rolling 8-char-gram poly hash ≡ 0 (mod 32) —
+    * local-content cuts, so an early insertion re-aligns instead of
+    * shifting every later span; first occurrence per distinct chunk
+    * survives, docs reassemble by concatenation.
+    */
+  private val CdcK = 8
+  private val CdcDiv = 32
+
+  private def qDedupCdc(s: SparkSession, dir: String): DataFrame =
+    Text.dedupChunksCdc(docsW(s, dir), "doc_id", col("text"), CdcK, CdcDiv)
+
+  private val oDedupCdc = s"""
+    WITH codes AS (
+      SELECT doc_id, text AS t,
+             list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                            c -> CAST(ascii(c) AS BIGINT)) AS cs
+      FROM documents),
+    h AS (
+      SELECT doc_id, t,
+             [list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i+1:i+$CdcK]),
+                          (acc, c) -> (acc * 31 + c) % ${graft.operators.Text.PolyP})
+              for i in range(0, greatest(len(cs) - $CdcK, 0) + 1)] AS hs
+      FROM codes),
+    cuts AS (
+      SELECT doc_id, t,
+             list_concat(list_concat(
+               [CAST(0 AS BIGINT)],
+               [CAST(i AS BIGINT) for i in range(1, len(hs))
+                if hs[i+1] % $CdcDiv = 0]),
+               [CAST(length(t) AS BIGINT)]) AS ct
+      FROM h),
+    ch AS (
+      SELECT doc_id,
+             unnest(range(len(ct) - 1)) AS pos,
+             unnest([substr(t, CAST(ct[j+1] + 1 AS INT),
+                            CAST(ct[j+2] - ct[j+1] AS INT))
+                     for j in range(0, len(ct) - 1)]) AS chunk
+      FROM cuts),
+    r AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM ch)
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ''
+                               ORDER BY pos), '') AS clean_text
+    FROM r GROUP BY doc_id"""
+
   /** §2.50f Score-weighted (importance) sampling: per-doc acceptance
     * threshold ∝ document length (capped) — the weighted-resampling
     * assembly step, integer thresholds so both engines cut identically.
@@ -2274,6 +2323,7 @@ object QueriesText {
     GraftQuery("q_text_repetition", qTextRepetition, Some(oTextRepetition)),
     GraftQuery("q_semdedup", qSemDedup, None, oracleGen = Some(oSemDedupGen)),
     GraftQuery("q_dedup_spans", qDedupSpans, Some(oDedupSpans)),
+    GraftQuery("q_dedup_cdc", qDedupCdc, Some(oDedupCdc)),
     GraftQuery("q_sample_weighted", qSampleWeighted, Some(oSampleWeighted)),
     GraftQuery("q_vocab", qVocab, Some(oVocab)),
     GraftQuery("q_sample_diverse", qSampleDiverse, None,

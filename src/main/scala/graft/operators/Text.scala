@@ -680,6 +680,79 @@ object Text {
           " ").as("clean_text"))
   }
 
+  /** Content-defined chunking (CDC) dedup + reassembly — the SHIFT-ROBUST
+    * complement to [[dedupSpans]] (whose fixed word boundaries all move
+    * when one word is inserted early in a doc, so nothing downstream
+    * dedups). Chunk boundaries cut where the rolling k-char-gram poly
+    * hash ≡ 0 (mod `divisor`) — a pure function of LOCAL content (the
+    * rsync/LBFS boundary rule, Muthitacharoen et al. 2001), so an
+    * insertion only reshapes the chunk it lands in and every later chunk
+    * re-aligns and dedups. Expected chunk length ≈ `divisor` chars.
+    * Dedup semantics match dedupSpans: each distinct chunk's global first
+    * occurrence (by (id, pos)) survives; docs reassemble from surviving
+    * chunks by direct concatenation (chunks are raw substrings).
+    *
+    * Shape: per-row HOF chunking (zero exchange), one shuffle keyed on
+    * the chunk text (first-occurrence window; hot boilerplate chunks are
+    * exactly the collapsing rows — AQE skew splitting covers them), one
+    * doc-keyed rollup. Linear in corpus chars; the k-gram hash column is
+    * the winnowFingerprints machinery, so DuckDB replays boundaries,
+    * chunks, dedup and reassembly exactly.
+    */
+  def dedupChunksCdc(df: DataFrame, id: String, text: Column,
+                     k: Int, divisor: Int): DataFrame = {
+    require(k >= 2, s"dedupChunksCdc: k must be >= 2, got $k")
+    require(divisor >= 2, s"dedupChunksCdc: divisor must be >= 2, got $divisor")
+    // The k-gram hashes are computed RELATIONALLY (chars exploded to rows,
+    // k leads per row summed with positional powers of 31, one mod at the
+    // end — congruent to the stepwise fold, so both engines agree), NOT as
+    // nested array HOFs over a shared `_h` column: a downstream lambda
+    // doing element_at over a multiply-referenced expensive array column
+    // can get the producing expression INLINED per element (measured: the
+    // HOF form re-derived the whole hash array per boundary test —
+    // O(len²·k) per doc, 745 s of one-task CPU on a 150 KB corpus).
+    // Boundary rows survive a scan-stage filter (≈ len/divisor of corpus
+    // chars reach the per-doc collect); everything per-doc after that is
+    // over the SMALL cuts array (len/divisor entries), where re-evaluation
+    // per access is O(cuts) and harmless.
+    val pow = Array.iterate(1L, k)(p => (p * 31) % PolyP)
+    val base = df.select(col(id), text.as("_t"))
+    val chars = base.select(col(id),
+      posexplode(charCodes(col("_t"))).as(Seq("_p", "_ch")))
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("_p").asc)
+    val terms: Column = (0 until k)
+      .map(j => lead(col("_ch"), j).over(wDoc) * lit(pow(k - 1 - j)))
+      .reduce((a: Column, b: Column) => a + b)
+    val cutRows = chars
+      .withColumn("_hv", pmod(terms, lit(PolyP)))
+      .where(col("_p") > 0 && col("_hv").isNotNull &&
+        pmod(col("_hv"), lit(divisor.toLong)) === 0)
+      .groupBy(col(id)).agg(array_sort(collect_list(col("_p"))).as("_mid"))
+    val w = Window.partitionBy(col("chunk")).orderBy(col(id).asc, col("pos").asc)
+    base.join(cutRows, Seq(id), "left")
+      .withColumn("_cuts", concat(array(lit(0)),
+        coalesce(col("_mid"), array().cast("array<int>")),
+        array(length(col("_t")))))
+      .select(col(id), posexplode(expr(
+        "transform(sequence(0, size(_cuts) - 2), j -> " +
+          "substr(_t, element_at(_cuts, j + 1) + 1, " +
+          "element_at(_cuts, j + 2) - element_at(_cuts, j + 1)))"))
+        .as(Seq("pos", "chunk")))
+      .withColumn("_keep", row_number().over(w) === 1)
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"),
+                col("_keep").as("keep"), col("chunk")))),
+              s => s("keep")),
+            s => s("chunk")),
+          "").as("clean_text"))
+  }
+
   /** Distributed dense global rank (row_number over a total order) WITHOUT
     * the single-partition global window: range-repartition on the sort key,
     * rank locally per partition, then add each partition's cumulative row

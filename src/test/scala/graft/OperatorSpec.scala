@@ -1009,6 +1009,29 @@ class AssemblySpec extends AnyFunSuite with SparkFixture {
       s"cf ties break by word asc: ${out.toSeq}")
   }
 
+  test("CDC chunk dedup is shift-robust where fixed spans are not") {
+    val rnd = new scala.util.Random(31)
+    val body = (0 until 60).map(_ => ('a' + rnd.nextInt(26)).toChar)
+      .mkString.grouped(4).mkString(" ") // pseudo-words, deterministic
+    val docs = Seq(
+      (1L, body),
+      (2L, "zzzz inserted prefix " + body) // early insertion shifts everything
+    ).toDF("doc_id", "text")
+    val cdc = Text.dedupChunksCdc(docs, "doc_id", col("text"), 4, 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // doc 1 keeps everything; doc 2's post-insertion chunks re-align on
+    // content-defined boundaries and dedup against doc 1's
+    assert(cdc(0)._2 == cdc(0)._3, "first doc keeps all chunks")
+    assert(cdc(1)._3 < cdc(1)._2, s"shifted copy must dedup chunks: ${cdc(1)}")
+    // reassembly is exact concatenation: doc 1 round-trips
+    assert(cdc(0)._4 == body)
+    // the fixed-span tier CANNOT dedup the shifted copy (boundaries moved)
+    val spans = Text.dedupSpans(docs, "doc_id", col("text"), 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(spans(1)._3 == spans(1)._2,
+      "fixed spans should NOT dedup under a word-misaligning prefix shift")
+  }
+
   test("globalRank == single-window row_number across forced partitions") {
     val rnd = new scala.util.Random(7)
     // duplicate-free total-order key (k unique), skewed v for range splits
