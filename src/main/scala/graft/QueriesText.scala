@@ -219,7 +219,8 @@ object QueriesText {
     * polynomial k-gram hash, oracle-checked.
     */
   private def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
-    Text.winnowFingerprints(docsW(s, dir), col("text"), 8, 4, crossEngine = true)
+    Text.winnowFingerprints(docsW(s, dir), "doc_id", col("text"), 8, 4,
+        crossEngine = true)
       .select(col("doc_id"), size(col("fps")).as("n_fps"),
         array_min(col("fps")).as("min_fp"))
 

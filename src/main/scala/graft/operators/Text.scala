@@ -572,26 +572,42 @@ object Text {
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     * k-gram hashes, sliding window of w, keep each window's minimum.
-    * Returns distinct fingerprints per doc as `fps`. With
-    * `crossEngine = true` the k-gram hash is the polynomial fold over char
-    * codes (DuckDB-reproducible → oracle-checkable); default is murmur3.
+    * Returns `(id, fps)` with the distinct fingerprints sorted ascending.
+    * With `crossEngine = true` the k-gram hash is the polynomial fold over
+    * char codes (DuckDB-reproducible → oracle-checkable); default murmur3.
+    *
+    * RELATIONAL shape (r8 rebuild): the hash array posexplodes once
+    * (Generate evaluates its producer once per row) and the winnow
+    * minimum is a rows-frame window min per doc — the earlier nested-HOF
+    * form sliced a multiply-referenced `_h` column inside a lambda, which
+    * can inline the producer and re-derive the whole hash array per
+    * window, O(len²·k) per doc (the dedupChunksCdc lesson; invisible on
+    * 300-char sf docs, fatal on 100 KB real ones). Per-position hashing
+    * indexes the STRING attribute (substr — O(k) even when inlined),
+    * never a derived array column.
     */
-  def winnowFingerprints(df: DataFrame, text: Column, k: Int, w: Int,
-                         crossEngine: Boolean = false): DataFrame = {
-    val hashes =
+  def winnowFingerprints(df: DataFrame, id: String, text: Column, k: Int,
+                         w: Int, crossEngine: Boolean = false): DataFrame = {
+    val hashArr =
       if (crossEngine)
-        transform(sequence(lit(0), greatest(size(col("_c")) - k, lit(0))),
-          i => aggregate(slice(col("_c"), i + 1, lit(k)), lit(0L),
-            (acc, c) => pmod(acc * 31 + c, lit(PolyP))))
+        expr(s"transform(sequence(0, greatest(length(_t) - $k, 0)), i -> " +
+          s"aggregate(transform(filter(split(substr(_t, i + 1, $k), ''), " +
+          s"c -> c <> ''), c -> cast(ascii(c) as bigint)), " +
+          s"cast(0 as bigint), (acc, c) -> pmod(acc * 31 + c, ${PolyP}L)))")
       else
-        expr(s"transform(sequence(0, greatest(length(_t) - $k, 0)), i -> abs(hash(substr(_t, i + 1, $k))))")
-    val windows = expr(
-      s"array_distinct(transform(sequence(0, greatest(size(_h) - $w, 0)), i -> array_min(slice(_h, i + 1, $w))))")
-    df.withColumn("_t", text)
-      .withColumn("_c", if (crossEngine) charCodes(col("_t")) else lit(null))
-      .withColumn("_h", hashes)
-      .withColumn("fps", windows)
-      .drop("_t", "_c", "_h")
+        expr(s"transform(sequence(0, greatest(length(_t) - $k, 0)), " +
+          s"i -> abs(hash(substr(_t, i + 1, $k))))")
+    val wMin = Window.partitionBy(col(id)).orderBy(col("_p").asc)
+      .rowsBetween(Window.currentRow, w - 1)
+    df.select(col(id), text.as("_t"))
+      .select(col(id), posexplode(hashArr).as(Seq("_p", "_hv")))
+      .withColumn("_min", min(col("_hv")).over(wMin))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(id))))
+      // full windows only; a doc with fewer than w k-grams keeps its one
+      // truncated window at position 0 (the slice semantics of the HOF form)
+      .where(col("_p") <= col("_n") - w || (col("_n") < w && col("_p") === 0))
+      .groupBy(col(id))
+      .agg(array_sort(collect_set(col("_min"))).as("fps"))
   }
 
   /** Language ID by marker-token counting — the n-gram/stopword heuristic

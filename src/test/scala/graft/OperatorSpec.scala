@@ -282,7 +282,7 @@ class TextOpSpec extends AnyFunSuite with SparkFixture {
   test("winnowing fingerprints are shift-robust: shared window minima survive edits") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog end"),
       (2L, "PREFIX the quick brown fox jumps over the lazy dog end")).toDF("id", "t")
-    val fps = Text.winnowFingerprints(df, col("t"), 8, 4)
+    val fps = Text.winnowFingerprints(df, "id", col("t"), 8, 4)
       .select("id", "fps").as[(Long, Seq[Long])].collect().toMap
     val common = fps(1L).toSet.intersect(fps(2L).toSet)
     assert(common.nonEmpty, "edited doc shares no fingerprints with original")
