@@ -91,23 +91,35 @@ object Render {
     * (DrawCaption) and band color key (DrawColorSchemeKeys). Letter-page
     * viewBox in mm, like the reference's gofpdf.New("P", "mm", "Letter").
     */
-  def descentSvg(segments: DataFrame, grid: graft.operators.Viz.Grid,
-                 caption: String = "", xTick: Double = 10.0,
-                 yTick: Double = 20.0, limit: Int = 10000): String = {
-    def uOf(x: Double): Double = {
-      val r = (x - grid.minX) / (grid.maxX - grid.minX)
-      grid.offU + (if (grid.invertX) 1.0 - r else r) * grid.w
-    }
-    def vOf(y: Double): Double =
-      grid.offV + (grid.h - (y - grid.minY) / (grid.maxY - grid.minY) * grid.h)
-    def f(d: Double): String = f"$d%.2f"
+  private def uOf(grid: graft.operators.Viz.Grid)(x: Double): Double = {
+    val r = (x - grid.minX) / (grid.maxX - grid.minX)
+    grid.offU + (if (grid.invertX) 1.0 - r else r) * grid.w
+  }
+  private def vOf(grid: graft.operators.Viz.Grid)(y: Double): Double =
+    grid.offV + (grid.h - (y - grid.minY) / (grid.maxY - grid.minY) * grid.h)
 
-    val rows = segments
+  /** One bounded page of in-bounds pre-projected segments
+    * (u1, v1, u2, v2, band) — shared by the SVG and PDF backends.
+    */
+  private def collectSegments(segments: DataFrame,
+                              limit: Int): Seq[(Double, Double, Double, Double, Int)] =
+    segments
       .where(col("oob").cast("int") === 0)
       .select(col("u1").cast("double"), col("v1").cast("double"),
         col("u2").cast("double"), col("v2").cast("double"),
         col("band").cast("int"))
-      .limit(limit).collect()
+      .limit(limit).collect().toSeq
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4)))
+
+  def descentSvg(segments: DataFrame, grid: graft.operators.Viz.Grid,
+                 caption: String = "", xTick: Double = 10.0,
+                 yTick: Double = 20.0, limit: Int = 10000): String = {
+    def f(d: Double): String = f"$d%.2f"
+    val uG = uOf(grid) _
+    val vG = vOf(grid) _
+
+    val rows = collectSegments(segments, limit)
 
     val sb = new StringBuilder
     sb ++= """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 216 279">"""
@@ -118,7 +130,7 @@ object Render {
     // gridlines + ticks
     var x = grid.minX
     while (x <= grid.maxX + 1e-9) {
-      val ux = uOf(x)
+      val ux = uG(x)
       sb ++= s"""<line x1="${f(ux)}" y1="${f(grid.offV)}" x2="${f(ux)}" """ +
         s"""y2="${f(grid.offV + grid.h)}" stroke="#ccc" stroke-width="0.15"/>""" + "\n"
       sb ++= s"""<text x="${f(ux)}" y="${f(grid.offV + grid.h + 4)}" """ +
@@ -127,7 +139,7 @@ object Render {
     }
     var y = grid.minY
     while (y <= grid.maxY + 1e-9) {
-      val vy = vOf(y)
+      val vy = vG(y)
       sb ++= s"""<line x1="${f(grid.offU)}" y1="${f(vy)}" x2="${f(grid.offU + grid.w)}" """ +
         s"""y2="${f(vy)}" stroke="#ccc" stroke-width="0.15"/>""" + "\n"
       sb ++= s"""<text x="${f(grid.offU - 2)}" y="${f(vy)}" """ +
@@ -136,9 +148,9 @@ object Render {
     }
     // segments
     for (r <- rows) {
-      val color = BandPalette(math.floorMod(r.getInt(4), BandPalette.size))
-      sb ++= s"""<line x1="${f(r.getDouble(0))}" y1="${f(r.getDouble(1))}" """ +
-        s"""x2="${f(r.getDouble(2))}" y2="${f(r.getDouble(3))}" """ +
+      val color = BandPalette(math.floorMod(r._5, BandPalette.size))
+      sb ++= s"""<line x1="${f(r._1)}" y1="${f(r._2)}" """ +
+        s"""x2="${f(r._3)}" y2="${f(r._4)}" """ +
         s"""stroke="$color" stroke-width="0.25"/>""" + "\n"
     }
     // caption + color key
@@ -153,5 +165,102 @@ object Render {
     }
     sb ++= "</svg>\n"
     sb.result()
+  }
+
+  // ---------------------------------------------------------------------------
+  // Track-plot PDF — the same page as descentSvg emitted as actual PDF
+  // bytes (the reference's output format: fpdf/fpdf.go:403 page
+  // composition, gofpdf.New("P", "mm", "Letter")). A minimal self-written
+  // PDF 1.4: one Letter page, one content stream of vector ops
+  // (re/S frame, m-l-S grid + segments, BT..Tj text for ticks/caption,
+  // re-f color key), Helvetica, correct xref byte offsets. No graphics
+  // dependency — the PDF format's text layer is enough for line art.
+  // ---------------------------------------------------------------------------
+
+  /** mm (SVG page space) → PDF points; PDF's y axis is bottom-up. */
+  private val MmToPt = 72.0 / 25.4
+  private def pdfEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+  private def hexRgb(hex: String): String = {
+    val v = Integer.parseInt(hex.stripPrefix("#"), 16)
+    f"${((v >> 16) & 255) / 255.0}%.3f ${((v >> 8) & 255) / 255.0}%.3f ${(v & 255) / 255.0}%.3f"
+  }
+
+  /** Render pre-projected grid segments as a one-page vector PDF —
+    * byte-level analog of [[descentSvg]] (same frame, gridlines, ticks,
+    * band-colored segments, caption and color key; same bounded page
+    * collect). Returns the complete PDF file bytes.
+    */
+  def descentPdf(segments: DataFrame, grid: graft.operators.Viz.Grid,
+                 caption: String = "", xTick: Double = 10.0,
+                 yTick: Double = 20.0, limit: Int = 10000): Array[Byte] = {
+    def px(mm: Double): Double = mm * MmToPt
+    def py(mm: Double): Double = (279.0 - mm) * MmToPt // Letter height in mm
+    def f(d: Double): String = f"$d%.2f"
+    val uG = uOf(grid) _
+    val vG = vOf(grid) _
+    val rows = collectSegments(segments, limit)
+
+    val c = new StringBuilder
+    def text(xMm: Double, yMm: Double, size: Double, s: String): Unit =
+      c ++= s"BT /F1 ${f(size * MmToPt)} Tf ${f(px(xMm))} ${f(py(yMm))} Td (${pdfEsc(s)}) Tj ET\n"
+    def line(x1: Double, y1: Double, x2: Double, y2: Double): Unit =
+      c ++= s"${f(px(x1))} ${f(py(y1))} m ${f(px(x2))} ${f(py(y2))} l S\n"
+    // frame
+    c ++= s"${f(0.4 * MmToPt)} w 0.2 0.2 0.2 RG\n"
+    c ++= s"${f(px(grid.offU))} ${f(py(grid.offV + grid.h))} " +
+      s"${f(grid.w * MmToPt)} ${f(grid.h * MmToPt)} re S\n"
+    // gridlines + ticks
+    c ++= s"${f(0.15 * MmToPt)} w 0.8 0.8 0.8 RG 0 0 0 rg\n"
+    var x = grid.minX
+    while (x <= grid.maxX + 1e-9) {
+      line(uG(x), grid.offV, uG(x), grid.offV + grid.h)
+      text(uG(x) - 3, grid.offV + grid.h + 4, 3, f(x))
+      x += xTick
+    }
+    var y = grid.minY
+    while (y <= grid.maxY + 1e-9) {
+      line(grid.offU, vG(y), grid.offU + grid.w, vG(y))
+      text(grid.offU - 12, vG(y), 3, f(y))
+      y += yTick
+    }
+    // segments by band color
+    c ++= s"${f(0.25 * MmToPt)} w\n"
+    for (r <- rows) {
+      c ++= s"${hexRgb(BandPalette(math.floorMod(r._5, BandPalette.size)))} RG\n"
+      line(r._1, r._2, r._3, r._4)
+    }
+    // caption + color key
+    if (caption.nonEmpty) text(grid.offU, grid.offV - 6, 4, caption)
+    for ((hex, i) <- BandPalette.zipWithIndex) {
+      val kx = grid.offU + i * 14
+      val ky = grid.offV + grid.h + 10
+      c ++= s"${hexRgb(hex)} rg ${f(px(kx))} ${f(py(ky + 3))} " +
+        s"${f(3 * MmToPt)} ${f(3 * MmToPt)} re f 0 0 0 rg\n"
+      text(kx + 4, ky + 3, 3, s"b$i")
+    }
+
+    // assemble the file: 5 objects + xref with exact byte offsets
+    val stream = c.result()
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+      s"<< /Length ${stream.length} >>\nstream\n${stream}endstream",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val out = new StringBuilder
+    out ++= "%PDF-1.4\n"
+    val offsets = objs.zipWithIndex.map { case (body, i) =>
+      val off = out.length
+      out ++= s"${i + 1} 0 obj\n$body\nendobj\n"
+      off
+    }
+    val xrefOff = out.length
+    out ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    offsets.foreach(o => out ++= f"$o%010d 00000 n \n")
+    out ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefOff\n%%EOF\n"
+    out.result().getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 }

@@ -503,4 +503,38 @@ class RenderSpec extends AnyFunSuite with SparkFixture {
     assert(svg.contains("descent &amp; profile")) // caption escaped
     for (c <- Render.BandPalette.take(3)) assert(svg.contains(c))
   }
+
+  test("descentPdf emits a structurally valid one-page vector PDF") {
+    import graft.operators.Viz
+    import org.apache.spark.sql.functions.col
+    val g = Viz.Grid(offU = 22.0, offV = 35.0, w = 170.0, h = 100.0,
+      minX = 0.0, maxX = 80.0, minY = 0.0, maxY = 100.0)
+    val segs = Queries.queries("q_descent_grid")(spark, sfDir)
+    val inBounds = segs.where(col("oob").cast("int") === 0).count()
+    val bytes = Render.descentPdf(segs, g, caption = "descent (test)")
+    val pdf = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    assert(pdf.startsWith("%PDF-1.4\n") && pdf.endsWith("%%EOF\n"))
+    // every xref offset points at its "N 0 obj" header
+    val xref = pdf.substring(pdf.indexOf("xref\n"))
+    val offsets = xref.linesIterator.drop(3).take(5)
+      .map(_.split(" ")(0).toInt).toSeq
+    offsets.zipWithIndex.foreach { case (off, i) =>
+      assert(pdf.startsWith(s"${i + 1} 0 obj", off), s"object ${i + 1} offset")
+    }
+    // startxref points at the xref table
+    val sx = pdf.substring(pdf.indexOf("startxref\n") + 10).trim
+      .linesIterator.next().toInt
+    assert(pdf.startsWith("xref", sx))
+    // declared stream length matches the actual stream bytes
+    val lenDecl = """/Length (\d+)""".r.findFirstMatchIn(pdf).get.group(1).toInt
+    val streamBody = pdf.substring(pdf.indexOf("stream\n") + 7,
+      pdf.indexOf("endstream"))
+    assert(streamBody.length === lenDecl)
+    // one m..l S op per in-bounds segment + 15 gridlines
+    assert(streamBody.split(" m ").length - 1 === inBounds + 15)
+    // caption text and the Helvetica resource are present
+    assert(streamBody.contains("(descent \\(test\\)) Tj"))
+    assert(pdf.contains("/BaseFont /Helvetica"))
+  }
 }

@@ -568,4 +568,45 @@ class StreamSketchSpec extends AnyFunSuite with SparkFixture {
       .collect().toMap
     assert(got == want && got.nonEmpty)
   }
+
+  test("streaming bottom-k quantile sketch == batch regardless of slicing") {
+    // same batch-slicing invariance for the rank member of the sketch
+    // suite: the bottom-k pair set is a semilattice, so micro-batch merge
+    // order can't change the final sketch or its rank-selected quantiles
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Sketch, Text}
+
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 1500).map(i =>
+      (rnd.nextInt(3).toLong, i.toLong, rnd.nextInt(500) / 4.0))
+    def sketch(df: org.apache.spark.sql.DataFrame) = {
+      val h = Text.polyHash(concat(col("key").cast("string"), lit("#sq")))
+      df.groupBy(col("g"))
+        .agg(Sketch.quantileSketch(h, col("v"), 48).as("sk"))
+        .select(col("g"), col("sk"),
+          Sketch.sketchQuantile("sk", 1, 2).as("p50"),
+          Sketch.sketchQuantile("sk", 9, 10).as("p90"))
+    }
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = sketch(input.toDS().toDF("g", "key", "v"))
+      .writeStream.format("memory").queryName("stream_bottomk")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(rows.take(500)); q.processAllAvailable()
+      input.addData(rows.slice(500, 501)); q.processAllAvailable()
+      input.addData(rows.drop(501)); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_bottomk")
+      .as[(Long, Seq[(Long, Double)], Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = sketch(rows.toDF("g", "key", "v"))
+      .as[(Long, Seq[(Long, Double)], Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want && got.nonEmpty)
+  }
 }
