@@ -58,6 +58,41 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(typed == untyped)
   }
 
+  test("Tables.events normalizes every on-disk ts encoding to BIGINT ns") {
+    // The r7 regression: the driver regenerated events.parquet with
+    // TIMESTAMP(MICROS, NTZ) where r1-r6 data was TIMESTAMP(NANOS), and
+    // 25 events queries silently vanished. The loader must read BOTH (and
+    // plain adjusted-to-UTC micros) to the same nanosecond longs.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_enc")
+    val base = Seq((1L, 1705320000000000L), (2L, 1705320060123456L))
+
+    // micros NTZ (the current testdata encoding)
+    base.map { case (id, us) =>
+      (id, java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
+        (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC))
+    }.toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/ntz/events.parquet")
+    // micros adjusted-to-UTC (TimestampType)
+    base.map { case (id, us) =>
+      (id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        us / 1000000L, (us % 1000000L) * 1000L)))
+    }.toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/tz/events.parquet")
+    // raw BIGINT ns (what nanosAsLong yields from TIMESTAMP(NANOS) files)
+    base.map { case (id, us) => (id, us * 1000L) }.toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/ns/events.parquet")
+
+    val want = base.map { case (id, us) => id -> us * 1000L }.toMap
+    for (enc <- Seq("ntz", "tz", "ns")) {
+      val got = Tables.events(spark, s"$dir/$enc")
+        .select("event_id", "ts").as[(Long, Long)].collect().toMap
+      assert(got == want, s"encoding $enc")
+      assert(Tables.events(spark, s"$dir/$enc").schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType, s"encoding $enc type")
+    }
+  }
+
   test("graft_dot is callable from SQL via SparkSessionExtensions") {
     val v = spark.sql(
       "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
