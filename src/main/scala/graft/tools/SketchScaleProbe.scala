@@ -84,6 +84,45 @@ object SketchScaleProbe {
       base.select(expr("day div 7").as("week"), col("user_id"))
         .groupBy("week").agg(countDistinct(col("user_id")).as("nd")).count()
     }
+
+    // bottom-k quantile sketch lane: same exchange claim for the RANK
+    // member — the window form sorts every row of a group through one
+    // reducer per group; the bottom-k aggregate's partials carry ≤ k
+    // pairs/group. Accuracy = rank-selected p90 vs the exact p90.
+    val hq = Text.polyHash(concat(col("event_id").cast("string"), lit("#qsk")))
+    val qbase = ev.select(expr(s"ts div $dayNs").as("day"), hq.as("_h"),
+      col("value"), col("event_id"))
+    time("exact p90 (window sort)") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("day").orderBy(col("value").asc, col("event_id").asc)
+      qbase.withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy("day")))
+        .groupBy("day")
+        .agg(max(when(col("rn") === expr("(nn - 1) * 9 div 10 + 1"),
+          col("value"))).as("p90")).count()
+    }
+    time("bottom-k sketch k=128") {
+      qbase.groupBy("day")
+        .agg(Sketch.quantileSketch(col("_h"), col("value"), 128).as("sk"))
+        .select(Sketch.sketchQuantile("sk", 9, 10).as("p90")).count()
+    }
+    val qacc = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("day").orderBy(col("value").asc, col("event_id").asc)
+      val exact = qbase.withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy("day")))
+        .groupBy("day")
+        .agg(max(when(col("rn") === expr("(nn - 1) * 9 div 10 + 1"),
+          col("value"))).as("exact_p90"))
+      qbase.groupBy("day")
+        .agg(Sketch.quantileSketch(col("_h"), col("value"), 128).as("sk"))
+        .select(col("day"), Sketch.sketchQuantile("sk", 9, 10).as("p90"))
+        .join(exact, "day")
+        .agg(avg(abs(col("p90") - col("exact_p90"))
+          / greatest(abs(col("exact_p90")), lit(1e-9))).as("mre"))
+        .head().getDouble(0)
+    }
+    println(f"[sketch] bottom-k k=128 p90 mean rel err $qacc%.4f")
     spark.stop()
   }
 }
