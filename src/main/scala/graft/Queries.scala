@@ -94,6 +94,24 @@ object Queries {
     FROM lineitem l JOIN dim d USING (l_returnflag)
     GROUP BY 1, 2"""
 
+  /** §2.67b Two-phase (salted) aggregation behind the oracle gate: sum of
+    * `value` per event_type (5 distinct keys — every key hot) through
+    * `Skew.twoPhaseSum`'s extra (key, salt) reduce tier; the result is
+    * salt-independent, so the oracle is the plain GROUP BY — like
+    * q_salted_join, the equivalence claim IS the hash check. Sums rounded
+    * to 2dp on both sides (the parallel-association discipline of
+    * q_agg_pricing).
+    */
+  private def qTwoPhaseSum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.twoPhaseSum(Tables.events(s, dir), "event_type",
+        col("value"), col("event_id"), 8, "sum_value")
+      .select(col("event_type"), round(col("sum_value"), 2).as("sum_value"),
+        col("sum_value_n").as("n"))
+
+  private val oTwoPhaseSum = """
+    SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS n
+    FROM events GROUP BY event_type"""
+
   /** §2.2 Broadcast dimension join chain (identity ⋈ refdata).
     * Scale: nation/region are tiny dims — explicit broadcast keeps the big
     * side shuffle-free.
@@ -646,7 +664,8 @@ object Queries {
     GraftQuery("q_interval_overlap", qIntervalOverlap, Some(oIntervalOverlap), headline = true),
     GraftQuery("q_level_flight", qLevelFlight, Some(oLevelFlight)),
     GraftQuery("q_sanity_filter", qSanityFilter, Some(oSanityFilter)),
-    GraftQuery("q_salted_join", qSaltedJoin, Some(oSaltedJoin))
+    GraftQuery("q_salted_join", qSaltedJoin, Some(oSaltedJoin)),
+    GraftQuery("q_twophase_sum", qTwoPhaseSum, Some(oTwoPhaseSum))
   ) ++ QueriesGeo.all ++ QueriesText.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
