@@ -1446,6 +1446,39 @@ object QueriesText {
                                ORDER BY pos), '') AS clean_text
     FROM r GROUP BY doc_id"""
 
+  /** §2.56b Span-level quality filtering (RefinedWeb/C4 line-filtering at
+    * span granularity): drop stopword-heavy or length-degenerate 8-word
+    * spans, reassemble the doc from the rest — a good doc with one
+    * boilerplate passage keeps its content. Pure scan-stage projection
+    * before the doc rollup.
+    */
+  private def qFilterSpans(s: SparkSession, dir: String): DataFrame =
+    Text.filterSpansQuality(docsW(s, dir), "doc_id", col("text"), SpanWords,
+      Seq("the", "a"), 0.2, 12.0)
+
+  private val oFilterSpans = s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sp AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(ws) / ${SpanWords}.0) AS BIGINT))) AS pos,
+             unnest([array_to_string(
+                       ws[(i * $SpanWords + 1):(i * $SpanWords + $SpanWords)], ' ')
+                     for i in range(CAST(ceil(len(ws) / ${SpanWords}.0) AS BIGINT))])
+               AS span
+      FROM w),
+    k AS (
+      SELECT doc_id, pos, span,
+             (floor(len(list_filter(sw, x -> x IN ('the', 'a'))) * 10000.0
+                    / len(sw)) / 10000.0 <= 0.2
+              AND floor((length(span) - (len(sw) - 1)) * 10000.0 / len(sw))
+                  / 10000.0 <= 12.0) AS keep
+      FROM (SELECT doc_id, pos, span, string_split(span, ' ') AS sw FROM sp))
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN span END, ' '
+                               ORDER BY pos), '') AS clean_text
+    FROM k GROUP BY doc_id"""
+
   /** §2.50f Score-weighted (importance) sampling: per-doc acceptance
     * threshold ∝ document length (capped) — the weighted-resampling
     * assembly step, integer thresholds so both engines cut identically.
@@ -2325,6 +2358,7 @@ object QueriesText {
     GraftQuery("q_semdedup", qSemDedup, None, oracleGen = Some(oSemDedupGen)),
     GraftQuery("q_dedup_spans", qDedupSpans, Some(oDedupSpans)),
     GraftQuery("q_dedup_cdc", qDedupCdc, Some(oDedupCdc)),
+    GraftQuery("q_filter_spans", qFilterSpans, Some(oFilterSpans)),
     GraftQuery("q_sample_weighted", qSampleWeighted, Some(oSampleWeighted)),
     GraftQuery("q_vocab", qVocab, Some(oVocab)),
     GraftQuery("q_sample_diverse", qSampleDiverse, None,

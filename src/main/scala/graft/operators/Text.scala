@@ -769,6 +769,48 @@ object Text {
           "").as("clean_text"))
   }
 
+  /** Span-level quality filtering (the RefinedWeb/C4 LINE-filtering stage
+    * at fixed-span granularity — drop boilerplate/degenerate passages,
+    * keep the document): each `spanWords`-word span is scored LOCALLY
+    * (truncated stopword ratio, truncated mean word length) and dropped
+    * when stopword-heavy or length-degenerate; the doc reassembles from
+    * surviving spans. Unlike whole-doc gating, a good document with one
+    * navigation-ish passage keeps its content.
+    *
+    * Scale: the span explode + scoring is pure scan-stage projection —
+    * ZERO joins, zero pre-rollup shuffles; the only exchange is the
+    * doc-keyed reassembly. Fractions truncate multiply-then-divide so
+    * both engines cut the same spans.
+    */
+  def filterSpansQuality(df: DataFrame, id: String, text: Column,
+                         spanWords: Int, stopwords: Seq[String],
+                         maxStopRatio: Double,
+                         maxMeanWordLen: Double): DataFrame = {
+    require(spanWords >= 1, s"filterSpansQuality: spanWords >= 1")
+    val words = split(text, " ")
+    val nSpans = ceil(size(words).cast("double") / spanWords).cast("int")
+    val spans = transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " "))
+    val sw = split(col("span"), " ")
+    val swr = fracTrunc4(
+      size(filter(sw, w => stopwords.map(w === _).reduce(_ || _))), size(sw))
+    val meanLen = fracTrunc4(length(col("span")) - (size(sw) - 1), size(sw))
+    df.select(col(id), posexplode(spans).as(Seq("pos", "span")))
+      .withColumn("_keep", swr <= maxStopRatio && meanLen <= maxMeanWordLen)
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"),
+                col("_keep").as("keep"), col("span")))),
+              s => s("keep")),
+            s => s("span")),
+          " ").as("clean_text"))
+  }
+
   /** Distributed dense global rank (row_number over a total order) WITHOUT
     * the single-partition global window: range-repartition on the sort key,
     * rank locally per partition, then add each partition's cumulative row
