@@ -2098,6 +2098,69 @@ object QueriesText {
            exact_nd
     FROM w JOIN ex USING (week)"""
 
+  /** §2.64b CMS mergeability rollup (new r8 — the third sketch family's
+    * reuse story, completing KMV/bottom-k symmetry): week-level frequency
+    * estimates by MERGING persisted day-level count-min grids — CMS cells
+    * are counters, so the merge is a plain cell-wise sum (linearity), the
+    * week stage reads O(days·d·w) cells and never rescans raw events.
+    * Candidates = the deterministic low-id user set; exact weekly counts
+    * audit the overcount in-result (CMS never undercounts).
+    */
+  private def qCmsRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val base = ev.select(expr(s"ts div $DayNs").as("day"),
+      col("user_id").cast("string").as("term"))
+    val dayGrids = base.select(col("day"), posexplode(array((0 until CmsD).map(r =>
+        pmod(Text.polyHash(concat(col("term"), lit(s"#cms$r"))),
+          lit(CmsW.toLong))): _*))
+      .as(Seq("r", "bucket")))
+      .groupBy("day", "r", "bucket").agg(count(lit(1)).as("c"))
+    val weekGrid = dayGrids
+      .select(expr("day div 7").as("week"), col("r"), col("bucket"), col("c"))
+      .groupBy("week", "r", "bucket").agg(sum("c").as("c"))
+    val cands = ev.where(col("user_id") < 5)
+      .select(col("user_id").cast("string").as("term")).distinct()
+    val probes = cands.select(col("term"), posexplode(array((0 until CmsD).map(r =>
+        pmod(Text.polyHash(concat(col("term"), lit(s"#cms$r"))),
+          lit(CmsW.toLong))): _*))
+      .as(Seq("r", "bucket")))
+    val est = weekGrid.join(broadcast(probes), Seq("r", "bucket"))
+      .groupBy(col("week"), col("term"))
+      .agg(min(col("c")).as("est"))
+    val exact = ev.where(col("user_id") < 5)
+      .select(expr(s"ts div $DayNs div 7").as("week"),
+        col("user_id").cast("string").as("term"))
+      .groupBy("week", "term").agg(count(lit(1)).as("exact_n"))
+    est.join(exact, Seq("week", "term"))
+      .select(col("week"), col("term"), col("est"), col("exact_n"),
+        (col("est") - col("exact_n")).as("overcount"))
+  }
+
+  private val oCmsRollup = s"""
+    WITH e AS (SELECT epoch_ns(ts) // $DayNs AS day,
+                 CAST(user_id AS VARCHAR) AS term, user_id
+               FROM events),
+    dg AS (SELECT day, r,
+             ${duckPolyHash("term || '#cms' || CAST(r AS VARCHAR)")}
+               % $CmsW AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+           FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr
+           GROUP BY 1, 2, 3),
+    wg AS (SELECT day // 7 AS week, r, bucket, CAST(sum(c) AS BIGINT) AS c
+           FROM dg GROUP BY 1, 2, 3),
+    cand AS (SELECT DISTINCT term FROM e WHERE user_id < 5),
+    probe AS (SELECT term, r,
+                ${duckPolyHash("term || '#cms' || CAST(r AS VARCHAR)")}
+                  % $CmsW AS bucket
+              FROM cand CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr),
+    est AS (SELECT wg.week, p.term, min(wg.c) AS est
+            FROM probe p JOIN wg ON p.r = wg.r AND p.bucket = wg.bucket
+            GROUP BY wg.week, p.term),
+    ex AS (SELECT day // 7 AS week, term, CAST(count(*) AS BIGINT) AS exact_n
+           FROM e WHERE user_id < 5 GROUP BY 1, 2)
+    SELECT week, term, est, exact_n, est - exact_n AS overcount
+    FROM est JOIN ex USING (week, term)"""
+
   /** §2.65 Deterministic sample quantiles: per-event-type p50/p90/p99 of
     * `value` from the 10% hash sample (key = event_id — partitioning/
     * retry-invariant membership), by pure RANK SELECTION: sort by
@@ -2375,6 +2438,7 @@ object QueriesText {
     GraftQuery("q_distinct_kmv", qDistinctKmv, Some(oDistinctKmv)),
     GraftQuery("q_heavy_hitters", qHeavyHitters, Some(oHeavyHitters)),
     GraftQuery("q_distinct_rollup", qDistinctRollup, Some(oDistinctRollup)),
+    GraftQuery("q_cms_rollup", qCmsRollup, Some(oCmsRollup)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),
