@@ -609,4 +609,48 @@ class StreamSketchSpec extends AnyFunSuite with SparkFixture {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(got == want && got.nonEmpty)
   }
+
+  test("event-time-windowed streaming KMV == batch per hour window") {
+    // the production monitor shape: distinct-count sketches per event-time
+    // hour window in a streaming aggregation — sketch set semantics make
+    // each window's result independent of micro-batch slicing and arrival
+    // order (late rows merge into their window's buffer like any partial)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Sketch, Text}
+
+    val rnd = new scala.util.Random(29)
+    val t0 = 1705320000L // epoch seconds, hour-aligned
+    val rows = (0 until 1200).map { i =>
+      val sec = t0 + rnd.nextInt(4 * 3600) // four hour windows
+      (new java.sql.Timestamp(sec * 1000L), rnd.nextInt(300).toLong)
+    }
+    def agg(df: org.apache.spark.sql.DataFrame) = {
+      val h = Text.polyHash(concat(col("key").cast("string"), lit("#wk")))
+      df.groupBy(window(col("ts"), "1 hour"))
+        .agg(Sketch.kmvAgg(h, 32).as("sk"))
+        .select(col("window.start").cast("long").as("w"), col("sk"),
+          Sketch.kmvEstimate("sk", 32, Text.PolyP).as("est"))
+    }
+
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = agg(input.toDS().toDF("ts", "key").withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("stream_kmv_win")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // out-of-order arrival: shuffled slices across three micro-batches
+      val shuffled = rnd.shuffle(rows)
+      input.addData(shuffled.take(400)); q.processAllAvailable()
+      input.addData(shuffled.slice(400, 401)); q.processAllAvailable()
+      input.addData(shuffled.drop(401)); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_kmv_win")
+      .as[(Long, Seq[Long], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = agg(rows.toDF("ts", "key"))
+      .as[(Long, Seq[Long], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want && got.size >= 4)
+  }
 }
