@@ -54,6 +54,15 @@ object Graph {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
     labels = ckpt(labels)
+    // Convergence probe: per-node labels are NON-INCREASING (least of own
+    // and neighbor minima), so the label total strictly decreases while
+    // anything changes — one exact DECIMAL(38,0) sum per round (a scalar
+    // agg over the new labels) replaces the labels⋈labels change-count
+    // join the earlier version paid per round.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
@@ -63,11 +72,10 @@ object Graph {
         .select(labels("id"),
           least(labels("comp"), coalesce(col("ncomp"), labels("comp")))
             .as("comp")))
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.comp") =!= col("o.comp")).count()
+      val newSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       round += 1
     }
     if (converged) labels
