@@ -966,8 +966,12 @@ object Text {
       .select(col(id),
         (floor(col("_raw") * lit(10000.0)) / lit(10000.0)).as("score"))
     val top = scored.orderBy(col("score").desc, col(id).asc).limit(k)
-    top.withColumn("rank", row_number().over(
-      Window.orderBy(col("score").desc, col(id).asc)))
+    // rank over the k-row result via the two-level globalRank: a global
+    // window over k rows is harmless, but this keeps the catalog free of
+    // "Moving all data to a single partition" warnings (every one left in
+    // a Verify log is one a reader must re-audit) and uniform in its rank
+    // discipline; on k rows the extra exchanges are negligible.
+    globalRank(top, Seq(col("score").desc, col(id).asc))
   }
 
   /** Built-ins bit-equality twin of `RepetitionStatsExpr`: sorted-fold
