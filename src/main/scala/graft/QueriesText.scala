@@ -1446,6 +1446,49 @@ object QueriesText {
                                ORDER BY pos), '') AS clean_text
     FROM r GROUP BY doc_id"""
 
+  /** §2.45b HTML boilerplate extraction (the WARC/HTML → text stage a C4
+    * web pipeline runs first): script/style blocks dropped, tags
+    * stripped, entities unescaped, whitespace collapsed. The synthetic
+    * corpus carries no markup, so both engines wrap the deterministic
+    * doc_id % 7 subset in identical HTML furniture first (the PII
+    * decorate-then-replay discipline); extraction must recover the
+    * original text plus the furniture's visible words byte-for-byte.
+    */
+  private val HtmlHead = "<html><head><title>t&amp;1</title>" +
+    "<style>p{color:red}</style></head><body><h1>Head</h1><p class=\"x\">"
+  private val HtmlTail = "</p><div>&lt;tail&gt;&nbsp;end</div>" +
+    "<script>var x=1;</script></body></html>"
+
+  private def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val wrapped = when(col("doc_id") % 7 === 0,
+      concat(lit(HtmlHead), col("text"), lit(HtmlTail)))
+      .otherwise(col("text"))
+    docsW(s, dir)
+      .select(col("doc_id"), Text.stripHtml(wrapped).as("clean"))
+      .select(col("doc_id"), length(col("clean")).as("n_chars"), col("clean"))
+  }
+
+  private val oHtmlExtract = {
+    val stripped = Seq(
+      ("<script[^>]*>[^<]*</script>", " "),
+      ("<style[^>]*>[^<]*</style>", " "),
+      ("<[^>]*>", " ")) ++
+      graft.operators.Text.HtmlEntities ++
+      Seq(("  *", " "))
+    val chain = stripped.foldLeft("wt") { case (e, (pat, rep)) =>
+      s"regexp_replace($e, '${pat.replace("'", "''")}', " +
+        s"'${rep.replace("'", "''")}', 'g')"
+    }
+    s"""
+    WITH w AS (SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN '$HtmlHead' || text || '$HtmlTail'
+                      ELSE text END AS wt
+               FROM documents)
+    SELECT doc_id, CAST(length(clean) AS INT) AS n_chars, clean
+    FROM (SELECT doc_id, trim($chain) AS clean FROM w)"""
+  }
+
   /** §2.56b Span-level quality filtering (RefinedWeb/C4 line-filtering at
     * span granularity): drop stopword-heavy or length-degenerate 8-word
     * spans, reassemble the doc from the rest — a good doc with one
@@ -2422,6 +2465,7 @@ object QueriesText {
     GraftQuery("q_dedup_spans", qDedupSpans, Some(oDedupSpans)),
     GraftQuery("q_dedup_cdc", qDedupCdc, Some(oDedupCdc)),
     GraftQuery("q_filter_spans", qFilterSpans, Some(oFilterSpans)),
+    GraftQuery("q_html_extract", qHtmlExtract, Some(oHtmlExtract)),
     GraftQuery("q_sample_weighted", qSampleWeighted, Some(oSampleWeighted)),
     GraftQuery("q_vocab", qVocab, Some(oVocab)),
     GraftQuery("q_sample_diverse", qSampleDiverse, None,

@@ -769,6 +769,36 @@ object Text {
           "").as("clean_text"))
   }
 
+  /** HTML entity table for [[stripHtml]], in APPLICATION order (`&amp;`
+    * last, the standard unescape discipline — otherwise `&amp;lt;` would
+    * double-decode). Patterns and replacements are in the Java∩RE2 regex
+    * subset (the Pii discipline) so DuckDB replays the rewritten text
+    * byte-for-byte with regexp_replace(..., 'g').
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML boilerplate stripping — the WARC/HTML → text extraction stage a
+    * C4-style web pipeline runs before every other text operator: drop
+    * `<script>`/`<style>` blocks (content included), strip all remaining
+    * tags, unescape the common entities, collapse whitespace runs, trim.
+    * Pure scan-stage regexp projection, zero shuffles, streams at ingest;
+    * block patterns use `[^<]*` (not non-greedy dot) so they stay in the
+    * shared regex subset and never span into sibling markup.
+    */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, "<script[^>]*>[^<]*</script>", " "),
+      "<style[^>]*>[^<]*</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val unescaped = HtmlEntities.foldLeft(noTags) {
+      case (c, (ent, ch)) =>
+        regexp_replace(c, ent, java.util.regex.Matcher.quoteReplacement(ch))
+    }
+    trim(regexp_replace(unescaped, "  *", " "))
+  }
+
   /** Span-level quality filtering (the RefinedWeb/C4 LINE-filtering stage
     * at fixed-span granularity — drop boilerplate/degenerate passages,
     * keep the document): each `spanWords`-word span is scored LOCALLY
