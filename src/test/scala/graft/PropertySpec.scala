@@ -113,6 +113,51 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
   * duplicate centers, tie distances) and the METAR raw decoder (round-trip
   * through randomly synthesized report strings).
   */
+class PropertySpecR8 extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.{Sketch, Text}
+
+  test("bottom-k sketch: randomized semilattice + partition invariance") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 6) {
+      val n = 200 + rnd.nextInt(800)
+      val k = Seq(8, 16, 48)(trial % 3)
+      val rows = (0 until n).map(i =>
+        (rnd.nextInt(3).toLong, i.toLong, rnd.nextInt(100) - 50.0))
+      val h = Text.polyHash(concat(col("key").cast("string"), lit("#pp")))
+      def sk(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("g")).agg(Sketch.quantileSketch(h, col("v"), k).as("sk"))
+          .as[(Long, Seq[(Long, Double)])].collect().toMap
+
+      val base = sk(rows.toDF("g", "key", "v"))
+      // partition invariance (merge path engages differently each layout)
+      for (p <- Seq(1, 3, 13)) {
+        assert(sk(rows.toDF("g", "key", "v").repartition(p)) == base,
+          s"trial $trial parts $p")
+      }
+      // semilattice: sketch(A ∪ B) == sketch(sketch(A) pairs ∪ sketch(B) pairs)
+      val (a, b) = rows.splitAt(rnd.nextInt(n))
+      val merged = {
+        val pa = sk(if (a.nonEmpty) a.toDF("g", "key", "v")
+                    else Seq.empty[(Long, Long, Double)].toDF("g", "key", "v"))
+        val pb = sk(if (b.nonEmpty) b.toDF("g", "key", "v")
+                    else Seq.empty[(Long, Long, Double)].toDF("g", "key", "v"))
+        val pairs = (pa.toSeq ++ pb.toSeq)
+          .flatMap { case (g, ps) => ps.map(p => (g, p._1, p._2)) }
+        pairs.toDF("g", "h", "v")
+          .groupBy(col("g"))
+          .agg(Sketch.quantileSketch(col("h"), col("v"), k).as("sk"))
+          .as[(Long, Seq[(Long, Double)])].collect().toMap
+      }
+      assert(merged == base, s"trial $trial semilattice")
+      // every sketch is (h, v)-sorted and at most k long
+      base.values.foreach { ps =>
+        assert(ps.size <= k && ps == ps.sorted, s"trial $trial shape")
+      }
+    }
+  }
+}
+
 class PropertySpecR5 extends AnyFunSuite with SparkFixture {
   import spark.implicits._
   import graft.operators.Similarity
