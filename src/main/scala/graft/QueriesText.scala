@@ -1796,6 +1796,44 @@ object QueriesText {
              row_number() OVER (ORDER BY score DESC, doc_id) AS rank
       FROM sc) r WHERE rank <= $KwK"""
 
+  /** §2.57b BM25 retrieval ranking (Text.bm25Rank): query-driven top-k in
+    * EXACT integer arithmetic — rational k1=6/5, b=3/4 multiplied out to
+    * one truncated integer division per term, scaled-integer idf, integer
+    * score sum (order-independent; none of the float-fold discipline the
+    * double lanes need). 'dup' is the one rare term (df 25/500), so the
+    * saturation + idf shape genuinely reorders vs raw tf·idf.
+    */
+  private val Bm25Terms = Seq("dup", "vector", "merge")
+  private val Bm25K = 10
+
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    Text.bm25Rank(docs(s, dir), "doc_id", col("text"), Bm25Terms, Bm25K)
+
+  private val oBm25 = s"""
+    WITH st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+                FROM documents),
+    a AS (SELECT n, t // n AS avg FROM st),
+    base AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS dlen,
+                    string_split(text, ' ') AS ws FROM documents),
+    tf AS (SELECT doc_id, dlen, w, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dlen, unnest(ws) AS w FROM base)
+           WHERE w IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+           GROUP BY doc_id, dlen, w),
+    dfs AS (SELECT w, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY w),
+    sc AS (SELECT doc_id, max(dlen) AS n_toks,
+             CAST(sum(((SELECT n FROM a) * 100 // dfc)
+                 * (44 * (SELECT avg FROM a) * tf * 1000 //
+                    (20 * (SELECT avg FROM a) * tf
+                     + 6 * (SELECT avg FROM a) + 18 * dlen))) AS BIGINT)
+               AS score
+           FROM tf JOIN dfs USING (w) GROUP BY doc_id)
+    SELECT doc_id, n_toks, score, rank FROM (
+      SELECT doc_id, n_toks, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM sc) r WHERE rank <= $Bm25K"""
+
   // ---------------------------------------------------------------------------
   // §2.54 PII detection + redaction (operators.Pii). The synthetic corpus
   // carries no PII, so both engines decorate a deterministic subset of
@@ -2473,6 +2511,7 @@ object QueriesText {
     GraftQuery("q_dedup_components", qDedupComponents, Some(oDedupComponents)),
     GraftQuery("q_quality_gate", qQualityGate, Some(oQualityGate)),
     GraftQuery("q_keyword_rank", qKeywordRank, Some(oKeywordRank)),
+    GraftQuery("q_bm25", qBm25, Some(oBm25)),
     GraftQuery("q_dataset_card", qDatasetCard, Some(oDatasetCard)),
     GraftQuery("q_pii_scan", qPiiScan, Some(oPiiScan)),
     GraftQuery("q_pii_redact", qPiiRedact, Some(oPiiRedact)),

@@ -1004,6 +1004,67 @@ object Text {
     globalRank(top, Seq(col("score").desc, col(id).asc))
   }
 
+  /** BM25 retrieval ranking (Robertson & Spärck Jones probabilistic
+    * family; the query-driven search lane — [[keywordRank]] is the raw
+    * tf·idf cousin without saturation or length normalization), kept in
+    * EXACT INTEGER arithmetic end-to-end so both engines compute the
+    * identical score with zero float-reproducibility surface:
+    *
+    *  - k1 = 6/5 and b = 3/4 are exact rationals; with A = T div N (the
+    *    floor average doc length — one integer driver scalar), the BM25
+    *    term-frequency saturation
+    *      tf·(k1+1) / (tf + k1·(1 − b + b·L/A))
+    *    multiplies out to 44·A·tf / (20·A·tf + 6·A + 18·L), and the
+    *    per-mille-scaled `tfsat = (44·A·tf·1000) div (20·A·tf+6·A+18·L)`
+    *    is ONE integer division (≤ 2200) — the single rounding, identical
+    *    on both engines.
+    *  - idf is the scaled rational `(N·100) div df` (integer): the
+    *    whole-bit log2 idf of the surprisal lanes loses ALL resolution on
+    *    common terms (idf < 1 bit whenever df > N/2), so the rational
+    *    form keeps ranking resolution while staying exact; the
+    *    log-shaped damping BM25 wants comes from the tf saturation term,
+    *    which is the part a plain tf·idf lacks.
+    *  - score = Σ_t idf·tfsat is an INTEGER sum — order-independent, so
+    *    no sorted-fold discipline is needed (the float lanes' one
+    *    fragility simply doesn't exist here). Bounds: idf ≤ 100·N,
+    *    tfsat ≤ 2200 ⇒ per-term ≤ 2.2·10⁵·N — BIGINT-safe past 10¹²
+    *    documents.
+    *
+    * Shape at 100 TB (same skeleton as [[keywordRank]]): explode + an
+    * IN-list filter that reaches the scan stage, per-(doc, term) tf agg,
+    * term-count-sized df agg broadcast back, one integer rollup per doc,
+    * then distributed top-k (sort+limit → TakeOrderedAndProject; the
+    * rank window runs on k rows via [[globalRank]]). No global window,
+    * no all-pairs term anywhere.
+    */
+  def bm25Rank(df: DataFrame, id: String, text: Column,
+               terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && k >= 1)
+    val stats = df.agg(count(lit(1)), sum(size(split(text, " ")).cast("long")))
+      .head
+    val n = stats.getLong(0)
+    val total = stats.getLong(1)
+    require(n > 0 && total > 0, "bm25Rank: empty corpus")
+    val avgLen = total / n // floor average doc length, integer
+    val base = df.select(col(id), size(split(text, " ")).cast("long").as("_len"),
+      split(text, " ").as("_ws"))
+    val tf = base.select(col(id), col("_len"), explode(col("_ws")).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy(col(id), col("_len"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
+    val scored = tf.join(broadcast(dfs), "w")
+      .withColumn("_idf", expr(s"${n}L * 100L div dfc"))
+      .withColumn("_tfsat", expr(
+        s"44L * ${avgLen}L * tf * 1000L div " +
+          s"(20L * ${avgLen}L * tf + 6L * ${avgLen}L + 18L * _len)"))
+      .groupBy(col(id))
+      .agg(max(col("_len")).as("n_toks"), // one row per doc in tf; max = the value
+        sum(col("_idf") * col("_tfsat")).as("score"))
+    val top = scored.orderBy(col("score").desc, col(id).asc).limit(k)
+    globalRank(top, Seq(col("score").desc, col(id).asc))
+  }
+
   /** Built-ins bit-equality twin of `RepetitionStatsExpr`: sorted-fold
     * run-length pass (equal grams are adjacent after `array_sort`; a run
     * boundary closes the previous gram's count into top/distinct/dup).

@@ -1226,3 +1226,33 @@ class KeywordRankSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_._3).toSeq == Seq(1, 2, 3))
   }
 }
+
+class Bm25Spec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.Text
+
+  test("bm25Rank: integer scores show tf saturation and length penalty") {
+    // N=4, T=20, A = T div N = 5; df(rare)=df(common)=2 -> idf = 400 div 2 = 200
+    // tfsat(tf, L) = 44*5*tf*1000 div (100*tf + 30 + 18*L)
+    val docs = Seq(
+      (1L, "rare common common pad pad"),                    // L=5
+      (2L, "common pad pad pad pad pad pad pad pad pad"),    // L=10
+      (3L, "rare rare pad"),                                 // L=3
+      (4L, "pad pad")                                        // no match
+    ).toDF("doc_id", "text")
+    val out = Text.bm25Rank(docs, "doc_id", col("text"),
+        Seq("rare", "common"), 10)
+      .select("doc_id", "n_toks", "score", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    // doc1: rare tfsat(1,5)=220000 div 220=1000; common tfsat(2,5)=440000 div 320=1375
+    //       score = 200*(1000+1375) = 475000
+    // doc3: rare tfsat(2,3)=440000 div 284=1549 -> 309800
+    // doc2: common tfsat(1,10)=220000 div 310=709 -> 141800
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 2L), s"got ${out.toSeq}")
+    assert(out.map(_._3).toSeq == Seq(475000L, 309800L, 141800L))
+    assert(out.map(_._2).toSeq == Seq(5L, 3L, 10L))
+    // saturation: doubling tf (1375 vs 2*1000) gains < 2x at equal length;
+    // length penalty: same tf scores lower in the longer doc (709 < 1000)
+    assert(1375L < 2000L && 709L < 1000L)
+  }
+}
