@@ -444,6 +444,58 @@ object QueriesText {
         WHERE q.vec_id < 10) t0) t
     WHERE rk <= $KnnK"""
 
+  /** §2.44k SQ8 scalar-quantized ANN (Similarity.knnSq8): packed-byte
+    * codes (4× smaller than float32), INTEGER code-dot shortlist (zero
+    * float surface — exactly replayed by the oracle), exact rounded-cosine
+    * rerank of the top k·64. The generated oracle exports the per-dim
+    * (min, scale) model as DOUBLE literals and rebuilds codes, shortlist
+    * and rerank; sub→mul→div→floor is the one fixed IEEE op order both
+    * engines share, and the code dot in DuckDB is exact because every
+    * partial sum is an integer below 2^53.
+    */
+  private def qKnnSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.knnSq8(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+      KnnK, EmbDim, KnnRound)
+  }
+
+  private def oKnnSq8Gen(s: SparkSession, dir: String): String = {
+    val model = Similarity.sq8Train(embs(s, dir), "embedding", EmbDim)
+    val mRows = model.zipWithIndex.map {
+      case ((mn, rng), i) => s"(${i + 1}, CAST($mn AS DOUBLE), CAST($rng AS DOUBLE))"
+    }
+    s"""
+    WITH m(d, mn, rng) AS (VALUES
+      ${mRows.mkString(",\n      ")}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    codes AS (
+      SELECT e.vec_id, list(CASE WHEN m.rng > 0
+          THEN least(255, greatest(0,
+                 CAST(floor((e.v[m.d] - m.mn) * 255.0 / m.rng) AS BIGINT)))
+          ELSE 0 END ORDER BY m.d) AS c
+      FROM e CROSS JOIN m GROUP BY e.vec_id),
+    cand AS (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             CAST(list_dot_product(CAST(q.c AS DOUBLE[]),
+                                   CAST(n.c AS DOUBLE[])) AS BIGINT) AS idot
+      FROM codes q JOIN codes n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id < 10),
+    short AS (SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY idot DESC, n_id)
+                 AS rn
+        FROM cand) t WHERE rn <= ${KnnK * 64}),
+    rr AS (
+      SELECT s.q_id, s.n_id,
+             round(list_cosine_similarity(q.v, n.v), $KnnRound) + 0 AS cr
+      FROM short s JOIN e q ON s.q_id = q.vec_id
+                   JOIN e n ON s.n_id = n.vec_id)
+    SELECT q_id, n_id, rk, cr AS cos FROM (
+      SELECT q_id, n_id, cr,
+             row_number() OVER (PARTITION BY q_id ORDER BY cr DESC, n_id) AS rk
+      FROM rr) t WHERE rk <= $KnnK"""
+  }
+
   /** §2.44 LSH-bucketed ANN (auto-scaled hyperplanes x 8 tables): exact
     * ranking inside the union of the query's buckets — the 100 TB path.
     * Plane count scales with log2(corpus) so bucket sizes (and per-query
@@ -1536,6 +1588,49 @@ object QueriesText {
     WHERE ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 <
           least(999, n_chars // 2)"""
 
+  /** §2.50i DSIR importance resampling (Sampling.dsirResample): select
+    * raw-corpus docs that look like the TARGET distribution (here:
+    * lang='en') under a hashed-unigram bucketed ratio model, log-weights
+    * in whole bits of the 1024-scaled ratio, acceptance by deterministic
+    * hash threshold. All integer arithmetic; the oracle replays the
+    * model, the per-doc score and the acceptance cut exactly.
+    */
+  private val DsirBuckets = 64
+
+  private def qDsir(s: SparkSession, dir: String): DataFrame =
+    Sampling.dsirResample(docs(s, dir), "doc_id", col("text"),
+      col("lang") === "en", DsirBuckets, SampleSeed)
+
+  private val oDsir = s"""
+    WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+                      unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    pd AS (SELECT doc_id, tgt, ${duckPolyHash("w")} % $DsirBuckets AS bk,
+                  CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY ALL),
+    m AS (SELECT bk,
+            CAST(sum(CASE WHEN tgt THEN tf ELSE 0 END) + 1 AS BIGINT) AS tgtc,
+            CAST(sum(CASE WHEN NOT tgt THEN tf ELSE 0 END) + 1 AS BIGINT) AS rawc
+          FROM pd GROUP BY bk),
+    tot AS (SELECT CAST(sum(tgtc) AS BIGINT) AS tgtt,
+                   CAST(sum(rawc) AS BIGINT) AS rawt FROM m),
+    c AS (SELECT bk, CAST(length(format('{:b}',
+            greatest(1, tgtc * (SELECT rawt FROM tot) * 1024 //
+                        (rawc * (SELECT tgtt FROM tot))))) - 1 AS BIGINT)
+            AS cb10
+          FROM m),
+    sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+                  CAST(sum(tf * cb10) AS BIGINT) AS s10
+           FROM pd JOIN c USING (bk) WHERE NOT tgt GROUP BY doc_id),
+    f AS (SELECT doc_id, n_toks,
+                 CAST(s10 * 100 // n_toks - 1000 AS BIGINT) AS score_cb
+          FROM sc)
+    SELECT doc_id, n_toks, score_cb,
+           CAST(greatest(0, least(1000, 500 + score_cb)) AS BIGINT) AS permille
+    FROM f
+    WHERE ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 <
+          greatest(0, least(1000, 500 + score_cb))"""
+
   /** §2.54 Vocabulary induction: per-word document frequency + collection
     * frequency over the corpus, minDf cut, ranked (cf desc, word).
     */
@@ -2480,6 +2575,7 @@ object QueriesText {
     GraftQuery("q_embed_dup", qEmbedDup, Some(oEmbedDup)),
     GraftQuery("q_embed_dup_lsh", qEmbedDupLsh, None, oracleGen = Some(oEmbedDupLshGen)),
     GraftQuery("q_knn_brute", qKnnBrute, Some(oKnnBrute), headline = true),
+    GraftQuery("q_knn_sq8", qKnnSq8, None, oracleGen = Some(oKnnSq8Gen)),
     GraftQuery("q_knn_lsh", qKnnLsh, None, oracleGen = Some(oKnnLshGen)),
     GraftQuery("q_knn_ivf", qKnnIvf, None, oracleGen = Some(oKnnIvfGen)),
     GraftQuery("q_knn_ivf_dist", qKnnIvfDist, None, oracleGen = Some(oKnnIvfDistGen)),
@@ -2505,6 +2601,7 @@ object QueriesText {
     GraftQuery("q_filter_spans", qFilterSpans, Some(oFilterSpans)),
     GraftQuery("q_html_extract", qHtmlExtract, Some(oHtmlExtract)),
     GraftQuery("q_sample_weighted", qSampleWeighted, Some(oSampleWeighted)),
+    GraftQuery("q_dsir", qDsir, Some(oDsir)),
     GraftQuery("q_vocab", qVocab, Some(oVocab)),
     GraftQuery("q_sample_diverse", qSampleDiverse, None,
       oracleGen = Some(oSampleDiverseGen)),

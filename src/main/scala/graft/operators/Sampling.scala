@@ -205,4 +205,69 @@ object Sampling {
             s => s("span")),
           " ").as("clean_text"))
   }
+
+  /** DSIR-family importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): select raw-corpus
+    * documents whose hashed-n-gram feature distribution looks like a
+    * TARGET corpus. Per token bucket b = polyHash(word) mod `nBuckets`,
+    * a Laplace-smoothed bucketed unigram ratio model gives the
+    * importance log-weight log2(p_target(b) / p_raw(b)); a document's
+    * score is its mean token log-weight, and acceptance is the
+    * deterministic [[sampleByScore]] hash threshold at
+    * `permille = clamp(500 + score_cb, 0, 1000)` — reproducible,
+    * partitioning-/retry-/growth-stable, replayed exactly by the oracle.
+    *
+    * Cross-engine integer discipline (the surprisal-family rules):
+    *  - the log-ratio is kept in WHOLE BITS of the 1024-scaled ratio:
+    *    `contrib+10 = bits(max(1, tgt_c·rawT·1024 div (raw_c·tgtT)))`
+    *    with bits(x) = length(bin(x))−1 — pure integer, exact on both
+    *    engines, ~1-bit resolution shifted 10 bits up so sub-bit ratios
+    *    don't all collapse to zero. Overflow bound: the product is ≤
+    *    tgtT·rawT·1024 — BIGINT-safe below ~2·10⁸ tokens per side; past
+    *    that drop to the difference form (bits(tgt_c)−bits(tgtT)) −
+    *    (bits(raw_c)−bits(rawT)), same family, coarser.
+    *  - the per-doc mean divides a NON-NEGATIVE numerator: contribs are
+    *    ≥ −10, so `(Σ tf·(contrib+10))·100 div n_toks − 1000` keeps both
+    *    engines' integer division on the same (nonnegative) operands —
+    *    negative `div`/`//` semantics differ across engines and never
+    *    enter.
+    *
+    * Scale shape: explode → per-(doc, bucket) counts (map-side combine
+    * absorbs in-doc repetition), bucket model is one nBuckets-row agg
+    * (broadcast back), one doc-keyed rollup; acceptance is a pure
+    * per-row filter. No corpus-wide window, no all-pairs anything.
+    * Returns kept raw-side docs: (id, n_toks, score_cb, permille).
+    */
+  def dsirResample(df: DataFrame, id: String, text: Column,
+                   isTarget: Column, nBuckets: Int,
+                   seed: String): DataFrame = {
+    require(nBuckets >= 2, s"dsirResample: nBuckets >= 2, got $nBuckets")
+    val toks = df.select(col(id), isTarget.as("_t"),
+      explode(split(text, " ")).as("_w"))
+    val perDoc = toks
+      .select(col(id), col("_t"), pmod(Text.polyHash(col("_w")),
+        lit(nBuckets.toLong)).as("_bk"))
+      .groupBy(col(id), col("_t"), col("_bk"))
+      .agg(count(lit(1)).as("_tf"))
+    val model = perDoc.groupBy(col("_bk")).agg(
+      (sum(when(col("_t"), col("_tf")).otherwise(lit(0L))) + 1L).as("_tgtc"),
+      (sum(when(!col("_t"), col("_tf")).otherwise(lit(0L))) + 1L).as("_rawc"))
+    val tot = model.agg(sum("_tgtc"), sum("_rawc")).head
+    val (tgtT, rawT) = (tot.getLong(0), tot.getLong(1))
+    val contrib = model.select(col("_bk"),
+      (length(bin(greatest(lit(1L),
+        expr(s"_tgtc * ${rawT}L * 1024L div (_rawc * ${tgtT}L)")))) - 1)
+        .cast("long").as("_cb10")) // = contrib + 10, always >= 0
+    perDoc.where(!col("_t"))
+      .join(broadcast(contrib), "_bk")
+      .groupBy(col(id))
+      .agg(sum(col("_tf")).as("n_toks"),
+        sum(col("_tf") * col("_cb10")).as("_s10"))
+      .withColumn("score_cb",
+        expr("_s10 * 100 div n_toks") - lit(1000L))
+      .withColumn("permille",
+        greatest(lit(0L), least(lit(1000L), lit(500L) + col("score_cb"))))
+      .where(sampleHash(col(id).cast("string"), seed) % 1000 < col("permille"))
+      .select(col(id), col("n_toks"), col("score_cb"), col("permille"))
+  }
 }

@@ -200,6 +200,117 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rk"), col("_cos").as("cos"))
   }
 
+  /** Per-dimension (min, scale) scalar-quantization (SQ8) model: corpus
+    * min/max per coordinate. min/max are EXACTLY order-independent (no
+    * float-fold discipline needed — unlike means), so the distributed
+    * aggregation is deterministic for free; the driver sees `dim` rows
+    * (the precedented bounded model collect). Returned as doubles
+    * (float→double is exact) ready to export as oracle literals.
+    */
+  def sq8Train(corpus: DataFrame, vec: String, dim: Int): Seq[(Double, Double)] = {
+    val rows = corpus
+      .select(posexplode(col(vec)).as(Seq("_d", "_x")))
+      .groupBy(col("_d"))
+      .agg(min(col("_x")).as("_mn"), max(col("_x")).as("_mx"))
+      .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble,
+        r.getFloat(2).toDouble))
+      .sortBy(_._1)
+    require(rows.length == dim, s"sq8Train: expected $dim dims, got ${rows.length}")
+    rows.map { case (_, mn, mx) => (mn, mx - mn) }.toSeq
+  }
+
+  /** SQ8 encode: per coordinate, `code = clamp(floor((v − min)·255/scale),
+    * 0, 255)` — sub, mul, div, floor, all IEEE-double ops in a fixed order,
+    * so both engines produce the identical INTEGER code (the model
+    * literals are the same doubles on both sides); from there on no float
+    * touches the index. Codes pack 8 per BIGINT (dim/8 longs — 8 B where
+    * the raw vector needs 32 B of float32: the 4× scan-compression that
+    * keeps a brute pass I/O-bound viable, and composable with IVF cell
+    * pruning for the 100 TB path). Zero-range dims encode 0.
+    */
+  def sq8Encode(vecCol: Column, model: Seq[(Double, Double)]): Column = {
+    val dim = model.length
+    require(dim % 8 == 0, s"sq8Encode: dim $dim must be a multiple of 8")
+    array((0 until dim / 8).map { g =>
+      (0 until 8).map { j =>
+        val i = g * 8 + j
+        val (mn, rng) = model(i)
+        val code =
+          if (rng > 0)
+            least(lit(255L), greatest(lit(0L),
+              floor((element_at(vecCol, i + 1).cast("double") - lit(mn))
+                * lit(255.0) / lit(rng)).cast("long")))
+          else lit(0L)
+        // shiftleft wraps two's-complement (the top byte lands in the sign
+        // bits) — a `code * 2^56` multiply would trip the ANSI overflow
+        // check; disjoint byte lanes combine with OR
+        shiftleft(code, 8 * j)
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+  }
+
+  /** Integer dot product of two packed SQ8 code arrays: unpack via
+    * shift/mask, multiply, sum — pure BIGINT arithmetic (≤ 255²·dim, far
+    * inside both engines' exact range), so candidate ranking has NO
+    * cross-engine float surface at all.
+    */
+  def sq8Dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (0 until 8).map { j =>
+          shiftright(x, 8 * j).bitwiseAND(lit(255L)) *
+            shiftright(y, 8 * j).bitwiseAND(lit(255L))
+        }.reduce(_ + _)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** SQ8 ANN: quantize the corpus to a packed-byte index (4× smaller than
+    * float32), rank candidates by the INTEGER code dot product, then
+    * exact-rerank the top k·rerankFactor shortlist against the raw
+    * vectors on the rounded cosine (the knnIvfPq discipline: approximate
+    * tier picks the shortlist, exact tier orders it; the shortlist fetch
+    * is id point-lookups). The approximate tier is exactly reproducible
+    * cross-engine by construction — integer scores, ties → n_id — so the
+    * oracle replays shortlist membership bit-for-bit.
+    *
+    * Scale shape: this is the compressed BRUTE lane (one corpus pass per
+    * query batch, like [[knnBrute]] but reading 8 B/vector instead of
+    * 260 B) — at 100 TB it composes with IVF: [[sq8Encode]] the residual
+    * inside each cell and probe as usual; the quantization layer is
+    * orthogonal to the pruning layer.
+    */
+  def knnSq8(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+             k: Int, dim: Int, roundTo: Int,
+             rerankFactor: Int = 64): DataFrame = {
+    val model = sq8Train(corpus, vec, dim)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val cEnc = corpus
+      .select(col(id).as("n_id"), sq8Encode(col(vec), model).as("n_codes"))
+      .repartition(par) // spread the streamed side (cosineDupPairs pattern)
+    val qEnc = queries
+      .select(col(id).as("q_id"), sq8Encode(col(vec), model).as("q_codes"))
+    val wApprox = Window.partitionBy("q_id")
+      .orderBy(col("_idot").desc, col("n_id").asc)
+    val shortlist = broadcast(qEnc).join(cEnc, col("q_id") =!= col("n_id"))
+      .withColumn("_idot", sq8Dot(col("q_codes"), col("n_codes")))
+      .withColumn("_rn", row_number().over(wApprox))
+      .where(col("_rn") <= k * rerankFactor)
+      .select(col("q_id"), col("n_id"))
+    // exact rerank: id point-lookups into the raw vector table
+    val cRaw = corpus.select(col(id).as("n_id"), col(vec).as("n_vec"))
+      .withColumn("n_norm", l2norm(col("n_vec")))
+    val qRaw = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
+      .withColumn("q_norm", l2norm(col("q_vec")))
+    val wExact = Window.partitionBy("q_id")
+      .orderBy(col("_cos").desc, col("n_id").asc)
+    shortlist.join(cRaw, "n_id").join(broadcast(qRaw), "q_id")
+      .withColumn("_cos",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")),
+          roundTo))
+      .withColumn("rk", row_number().over(wExact))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("rk"), col("_cos").as("cos"))
+  }
+
   /** Deterministic random-hyperplane LSH signature (Charikar): `nPlanes`
     * pseudo-random hyperplanes derived from sin() of (plane, dim) — fully
     * reproducible across runs and engines, no RNG state. Returns the input

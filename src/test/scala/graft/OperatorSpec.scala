@@ -417,6 +417,48 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.3, s"IVF recall@5 = $recall")
   }
 
+  test("SQ8: pack/unpack round-trips and knnSq8 recalls brute force") {
+    val e = Tables.embeddings(spark, sfDir)
+    val model = Similarity.sq8Train(e, "embedding", 64)
+    assert(model.length == 64 && model.forall(_._2 >= 0))
+    // packed integer dot == dot of the unpacked clamped codes (scala replay)
+    val enc = e.limit(20)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.sq8Encode(col("embedding"), model).as("codes"))
+      .as[(Long, Seq[Float], Seq[Long])].collect()
+    def codesOf(v: Seq[Float]): Array[Long] = v.toArray.zipWithIndex.map {
+      case (x, i) =>
+        val (mn, rng) = model(i)
+        if (rng > 0)
+          math.min(255L, math.max(0L,
+            math.floor((x.toDouble - mn) * 255.0 / rng).toLong))
+        else 0L
+    }
+    enc.foreach { case (_, v, packed) =>
+      val expect = codesOf(v)
+      val unpacked = packed.toArray.flatMap(l =>
+        (0 until 8).map(j => (l >> (8 * j)) & 255L))
+      assert(unpacked.toSeq == expect.toSeq)
+    }
+    val spark2 = spark; import spark2.implicits._
+    val a = enc(0)._3; val b = enc(1)._3
+    val sparkDot = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.sq8Dot(col("a"), col("b"))).as[Long].head()
+    val scalaDot = codesOf(enc(0)._2).zip(codesOf(enc(1)._2))
+      .map { case (x, y) => x * y }.sum
+    assert(sparkDot == scalaDot)
+    // end-to-end: integer-shortlist + exact rerank recalls brute force
+    val q = e.where(col("vec_id") < 10)
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", 5, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.knnSq8(e, q, "vec_id", "embedding", 5, 64, 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(sq8.contains).toDouble / brute.size
+    // 8-bit codes keep ~all of the cosine ordering; the 64x rerank
+    // shortlist restores the remainder
+    assert(recall >= 0.8, s"SQ8 recall@5 = $recall")
+  }
+
   test("autoCells follows sqrt(n) between its clamps") {
     assert(Similarity.autoCells(1L) === 8)      // min clamp
     assert(Similarity.autoCells(500L) === 22)   // round(sqrt(500))
@@ -824,6 +866,65 @@ class SamplingOpSpec extends AnyFunSuite with SparkFixture {
     assert(out(0) == ((1L, 4L, 2L, cleanPart)))
     // doc 2 untouched
     assert(out(1) == ((2L, 2L, 2L, cleanPart)))
+  }
+
+  test("dsirResample matches a brute-force reimplementation of the ratio model") {
+    val B = 16
+    // target docs are apple-heavy, raw docs split into apple-ish and
+    // zebra-ish — the apple-ish raws must outscore the zebra-ish ones
+    val docs = (
+      (0 until 10).map(i => (i.toLong, true, "apple apple pear apple")) ++
+      (10 until 20).map(i => (i.toLong, false, "apple pear apple plum")) ++
+      (20 until 30).map(i => (i.toLong, false, "zebra yak zebra qat"))
+    ).map { case (id, t, txt) => (id, if (t) "en" else "xx", txt) }
+      .toDF("doc_id", "lang", "text")
+    val out = Sampling.dsirResample(docs, "doc_id", col("text"),
+        col("lang") === "en", B, "t")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    // brute-force replay in plain Scala
+    val P = 1000000007L
+    def ph(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    val rows = (
+      (0 until 10).map(i => (i.toLong, true, "apple apple pear apple")) ++
+      (10 until 20).map(i => (i.toLong, false, "apple pear apple plum")) ++
+      (20 until 30).map(i => (i.toLong, false, "zebra yak zebra qat")))
+    val tgtC = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val rawC = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    rows.foreach { case (_, t, txt) =>
+      txt.split(" ").foreach { w =>
+        val bk = ph(w) % B
+        if (t) tgtC(bk) += 1 else rawC(bk) += 1
+      }
+    }
+    val buckets = (tgtC.keySet ++ rawC.keySet).toSeq
+    val tgtT = buckets.map(tgtC(_) + 1).sum
+    val rawT = buckets.map(rawC(_) + 1).sum
+    def bits(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    def cb10(bk: Long) = bits(math.max(1L,
+      (tgtC(bk) + 1) * rawT * 1024 / ((rawC(bk) + 1) * tgtT))).toLong
+    val scores = rows.filterNot(_._2).map { case (id, _, txt) =>
+      val bks = txt.split(" ").map(w => ph(w) % B)
+      val s10 = bks.map(cb10).sum
+      val score = s10 * 100 / bks.length - 1000
+      val perm = math.max(0L, math.min(1000L, 500 + score))
+      (id, bks.length.toLong, score, perm)
+    }
+    val expected = scores.flatMap { case r @ (id, _, _, perm) =>
+      if (ph(s"$id#t") % 1000 < perm) Some(id -> r) else None
+    }.toMap
+    assert(out == expected, s"got $out\nexpected $expected")
+    // and the model separates: every apple-ish raw doc outscores every
+    // zebra-ish one (kept or not), and only apple-ish docs survive the
+    // acceptance cut (zebra permille collapses toward 0)
+    val appleScores = scores.collect { case (id, _, s, _) if id < 20 => s }
+    val zebraScores = scores.collect { case (id, _, s, _) if id >= 20 => s }
+    assert(appleScores.min > zebraScores.max,
+      s"apple $appleScores vs zebra $zebraScores")
+    val keptApple = out.keySet.count(_ < 20)
+    val keptZebra = out.keySet.count(_ >= 20)
+    assert(keptApple > 0 && keptApple > keptZebra,
+      s"kept apple=$keptApple zebra=$keptZebra")
   }
 
   test("sampleByHash is partitioning-invariant and seed-decorrelated") {
