@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.TimeSeries
+import graft.operators.{Behavior, TimeSeries}
 
 /** One catalog entry: the Spark plan and (when SQL-expressible) the DuckDB
   * oracle that must hash-match it. Column names/aliases are kept identical on
@@ -636,6 +636,74 @@ object Queries {
     GROUP BY ROLLUP(event_type, user_id % 10)"""
 
   // ---------------------------------------------------------------------------
+  // Group F — event-behavior analytics (SURVEY §2 items 68–68b)
+  // ---------------------------------------------------------------------------
+
+  /** §2.68 Ordered funnel with a 2-day completion window: view → click →
+    * purchase, greedy earliest-match per user (Behavior.funnel). Every
+    * shuffle is user-keyed; per-step counts are unioned scalar aggregates.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    Behavior.funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), 2 * 24 * HourNs)
+
+  private val oFunnel = """
+    WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS t, event_type FROM events),
+    s1 AS (SELECT u, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY u),
+    s2 AS (
+      SELECT s1.u, s1.t1, min(e.t) AS t2
+      FROM s1 JOIN e ON e.u = s1.u AND e.event_type = 'click'
+        AND e.t > s1.t1 AND e.t - s1.t1 <= 172800000000000
+      GROUP BY s1.u, s1.t1),
+    s3 AS (
+      SELECT s2.u, min(e.t) AS t3
+      FROM s2 JOIN e ON e.u = s2.u AND e.event_type = 'purchase'
+        AND e.t > s2.t2 AND e.t - s2.t1 <= 172800000000000
+      GROUP BY s2.u)
+    SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step_type, count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'click', count(*) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', count(*) FROM s3"""
+
+  /** §2.68a Cohort retention matrix: cohort = day of first signup; a cell
+    * (cohort_day, day_offset) counts that cohort's users active (any event)
+    * that many days later (Behavior.retention). Day index is exact integer
+    * `div` on epoch-ns — never a double floor.
+    */
+  private def qRetention(s: SparkSession, dir: String): DataFrame =
+    Behavior.retention(Tables.events(s, dir), "user_id", "ts", "event_type",
+      "signup", maxOffsetDays = 30)
+
+  private val oRetention = """
+    WITH cohorts AS (
+      SELECT user_id AS u, min(epoch_ns(ts) // 86400000000000) AS cohort_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id AS u, epoch_ns(ts) // 86400000000000 AS day
+      FROM events)
+    SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
+    FROM cohorts JOIN active USING (u)
+    WHERE day - cohort_day BETWEEN 0 AND 30
+    GROUP BY 1, 2"""
+
+  /** §2.68b First-order transition matrix: per-user (ts, event_id)-ordered
+    * lead pairs, counted per (src, dst) edge (Behavior.transitions).
+    */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame =
+    Behavior.transitions(Tables.events(s, dir), "user_id", "ts", "event_id",
+      "event_type")
+
+  private val oTransitions = """
+    WITH seq AS (
+      SELECT event_type AS src_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst_type
+      FROM events)
+    SELECT src_type, dst_type, count(*) AS n
+    FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
 
@@ -665,7 +733,10 @@ object Queries {
     GraftQuery("q_level_flight", qLevelFlight, Some(oLevelFlight)),
     GraftQuery("q_sanity_filter", qSanityFilter, Some(oSanityFilter)),
     GraftQuery("q_salted_join", qSaltedJoin, Some(oSaltedJoin)),
-    GraftQuery("q_twophase_sum", qTwoPhaseSum, Some(oTwoPhaseSum))
+    GraftQuery("q_twophase_sum", qTwoPhaseSum, Some(oTwoPhaseSum)),
+    GraftQuery("q_funnel", qFunnel, Some(oFunnel)),
+    GraftQuery("q_retention", qRetention, Some(oRetention)),
+    GraftQuery("q_transitions", qTransitions, Some(oTransitions))
   ) ++ QueriesGeo.all ++ QueriesText.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

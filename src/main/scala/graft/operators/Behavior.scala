@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-behavior analytics over the long-format event stream: ordered
+  * funnels, cohort retention, and transition matrices — the report shapes a
+  * fleet/user analytics surface runs daily over its full event history.
+  *
+  * The reference computes per-entity reports by walking one entity at a time
+  * (report/report.go's per-flight reporters); these operators are the same
+  * "per-key ordered scan" family expressed as key-partitioned aggregations
+  * so 100 TB of events shuffles once per stage on the entity key and every
+  * stage is map-side combinable.
+  *
+  * Time is BIGINT nanoseconds throughout (see [[graft.Tables.events]]); day
+  * indices are exact integer division (`div`), never a double `floor` —
+  * epoch-ns magnitudes (~1.7e18) exceed a double's 53-bit mantissa, so a
+  * float path would corrupt day boundaries on both engines differently.
+  */
+object Behavior {
+
+  private val DayNs = 86400L * 1000000000L
+
+  /** Ordered multi-step funnel with a completion window (the "view → click →
+    * purchase within 7 days" report). Greedy earliest-match semantics — the
+    * standard funnel definition: step i's timestamp is the EARLIEST event of
+    * that type strictly after step i-1's timestamp, with every step within
+    * `windowNanos` of step 1.
+    *
+    * Output: one row per step — (step_idx, step_type, n_users), where
+    * n_users = users whose greedy chain reaches that step.
+    *
+    * Scale: stage i is a groupBy(user) min over the type-filtered scan
+    * (filter + 3-column pruning reach parquet) joined to the previous
+    * stage's per-user frontier on the SAME key — every shuffle in the plan
+    * is user-keyed, so AQE plans the stage-to-stage joins as co-partitioned
+    * (or broadcasts the frontier side, which only ever shrinks: each stage's
+    * rows ⊆ previous stage's). The k step counts are unioned tiny
+    * aggregates, one job. At 100 TB you'd additionally materialize the
+    * type-filtered projection once instead of re-scanning per step; that's a
+    * storage-layout decision (partition events by type/day), not a plan
+    * change.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String], windowNanos: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val user = col(userCol)
+
+    // stage frontier: (user, t_first, t_prev)
+    var frontier = events.where(col(typeCol) === steps.head)
+      .groupBy(user.as("u"))
+      .agg(min(col(tsCol)).as("t_first"))
+      .withColumn("t_prev", col("t_first"))
+
+    val counts = Seq.newBuilder[DataFrame]
+    counts += frontier.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("step_idx"), lit(steps.head).as("step_type"), col("n_users"))
+
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val ev = events.where(col(typeCol) === st)
+        .select(user.as("u"), col(tsCol).as("t"))
+      frontier = frontier.join(ev, "u")
+        .where(col("t") > col("t_prev") &&
+               col("t") - col("t_first") <= windowNanos)
+        .groupBy("u")
+        .agg(min(col("t_first")).as("t_first"), min(col("t")).as("t_prev"))
+      counts += frontier.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("step_idx"), lit(st).as("step_type"), col("n_users"))
+    }
+    counts.result().reduce(_ unionAll _)
+  }
+
+  /** Cohort retention matrix: users bucketed by the day of their first
+    * `cohortType` event; a cell (cohort_day, day_offset) counts the cohort's
+    * users active (any event) that many days later.
+    *
+    * Scale: the distinct (user, day) activity set is map-side combinable
+    * before its one user-keyed shuffle; the cohort side (one row per user)
+    * joins on the same key. Day indices are exact `div` on epoch-ns.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, cohortType: String, maxOffsetDays: Int): DataFrame = {
+    val day = expr(s"$tsCol div $DayNs")
+    val cohorts = events.where(col(typeCol) === cohortType)
+      .groupBy(col(userCol).as("u"))
+      .agg(min(day).as("cohort_day"))
+    val active = events.select(col(userCol).as("u"), day.as("day")).distinct()
+    cohorts.join(active, "u")
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .where(col("day_offset").between(0, maxOffsetDays))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-order transition matrix: per user, events in (ts, tie) order; the
+    * (event_type → next event_type) edge counts — the Markov-chain view of
+    * behavior, and the flightdb "what do aircraft do after waypoint X"
+    * question in event form.
+    *
+    * Scale: one user-keyed window pass (lead), then a map-side-combinable
+    * count on the (src, dst) pair. The deterministic (ts, tie) total order
+    * is what makes the edge multiset reproducible.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(typeCol).as("src_type"),
+        lead(col(typeCol), 1).over(w).as("dst_type"))
+      .where(col("dst_type").isNotNull)
+      .groupBy("src_type", "dst_type")
+      .agg(count(lit(1)).as("n"))
+  }
+}

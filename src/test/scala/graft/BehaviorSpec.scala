@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Behavior
+
+/** Semantics of the event-behavior operators on hand-built histories where
+  * the greedy-order and window edge cases are visible.
+  */
+class BehaviorSpec extends AnyFunSuite with SparkFixture {
+
+  private def ev(rows: Seq[(Long, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "ts", "event_type")
+      .withColumn("event_id", col("ts")) // tie-breaker
+  }
+
+  test("funnel: greedy order — a click BEFORE the first view does not count") {
+    val e = ev(Seq(
+      (1L, 100L, "click"),             // pre-view click: must not satisfy step 2
+      (1L, 200L, "view"),
+      (1L, 900L, "purchase"),          // purchase with no intervening click: no
+      (2L, 100L, "view"),
+      (2L, 150L, "click"),
+      (2L, 180L, "purchase"),          // full chain
+      (3L, 100L, "view"),
+      (3L, 150L, "click")))            // stops at step 2
+    val got = Behavior.funnel(e, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowNanos = 1000L)
+      .orderBy("step_idx").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L)))
+  }
+
+  test("funnel: completion window measured from step 1, not the previous step") {
+    val e = ev(Seq(
+      (1L, 0L, "view"),
+      (1L, 900L, "click"),
+      (1L, 1500L, "purchase")))        // 600 after click but 1500 > window from view
+    val got = Behavior.funnel(e, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowNanos = 1000L)
+      .orderBy("step_idx").collect().map(_.getLong(2))
+    assert(got.toSeq == Seq(1L, 1L, 0L))
+  }
+
+  test("retention: offsets clip to [0, max] and count distinct users per cell") {
+    val day = 86400L * 1000000000L
+    val e = ev(Seq(
+      (1L, 0 * day + 5L, "signup"),
+      (1L, 0 * day + 9L, "view"),      // same-day activity → offset 0 once
+      (1L, 2 * day + 1L, "view"),      // offset 2
+      (2L, 0 * day + 7L, "signup"),
+      (2L, 2 * day + 3L, "click"),     // offset 2 (second user, same cell)
+      (3L, 1 * day + 1L, "view"),      // active BEFORE signup: offset < 0 dropped
+      (3L, 2 * day + 1L, "signup")))
+    val got = Behavior.retention(e, "user_id", "ts", "event_type", "signup", 30)
+      .orderBy("cohort_day", "day_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 0L, 2L), (0L, 2L, 2L), (2L, 0L, 1L)))
+  }
+
+  test("transitions: per-user (ts, tie)-ordered lead edges") {
+    val e = ev(Seq(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "view"),
+      (2L, 100L, "view"), (2L, 200L, "click")))
+    val got = Behavior.transitions(e, "user_id", "ts", "event_id", "event_type")
+      .orderBy("src_type", "dst_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("click", "view", 1L), ("view", "click", 2L)))
+  }
+}
