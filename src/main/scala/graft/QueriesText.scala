@@ -2274,6 +2274,84 @@ object QueriesText {
            exact_nd
     FROM w JOIN ex USING (week)"""
 
+  /** §2.62b HyperLogLog distinct-count sketch (Flajolet et al. 2007):
+    * per-day user-cardinality estimates from a 2^p-register grid —
+    * O(groups · m) state vs KMV's O(groups · k) sorted arrays, and the
+    * classic at-scale cardinality sketch. Registers are trailing-zero
+    * ranks in pure integer bit ops; the harmonic sum is an exact BIGINT;
+    * the only float surface is one fixed cast→divide→multiply→floor
+    * sequence (see Sketch.hllRegisters/hllEstimate) — so the DuckDB
+    * oracle replays the ESTIMATE bit-identically. No linear-counting
+    * branch (needs ln(), not cross-engine-safe): at ~100 distinct/day
+    * over m=64 the raw estimator's bias is visible against the exact
+    * count carried alongside — that transparency is the point.
+    */
+  private val HllP = 6
+  private val HllCap = 26
+
+  private def qHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val h = Text.polyHash(concat(col("user_id").cast("string"), lit("#hll")))
+    val base = ev.select(expr(s"ts div $DayNs").as("day"), h.as("_h0"), col("user_id"))
+    val regs = Sketch.hllRegisters(base, col("day"), col("_h0"), HllP, HllCap)
+    val est = Sketch.hllEstimate(regs, HllP, HllCap, Sketch.hllNumScaled(HllP, HllCap))
+    val exact = base.groupBy(col("day")).agg(countDistinct(col("user_id")).as("exact_nd"))
+    est.withColumnRenamed("_g", "day").join(exact, Seq("day"))
+      .select("day", "est_nd", "n_buckets", "exact_nd")
+  }
+
+  private def oHllCore(dayExpr: String): String = s"""
+    WITH e0 AS (SELECT epoch_ns(ts) // $DayNs AS day,
+                 ${duckPolyHash("CAST(user_id AS VARCHAR) || '#hll'")} AS h0,
+                 user_id
+               FROM events),
+    e1 AS (SELECT day, user_id, (h0 * 668265261) % 4294967296 AS m1 FROM e0),
+    e2 AS (SELECT day, user_id, xor(m1, m1 // 32768) AS x1 FROM e1),
+    e3 AS (SELECT day, user_id, (x1 * 374761393) % 4294967296 AS m2 FROM e2),
+    e  AS (SELECT day, user_id, xor(m2, m2 // 8192) AS h FROM e3),
+    r0 AS (SELECT day, h % 64 AS bucket,
+             max(CASE WHEN h // 64 = 0 THEN 26
+                 ELSE bit_count(((h // 64) & (-(h // 64))) - 1) + 1 END) AS reg
+           FROM e GROUP BY 1, 2),
+    r AS (SELECT $dayExpr AS g, bucket, max(reg) AS reg FROM r0 GROUP BY 1, 2),
+    s AS (SELECT g,
+             CAST(sum(1::BIGINT << (26 - reg)) AS BIGINT)
+               + (64 - count(*)) * (1::BIGINT << 26) AS hsum,
+             CAST(count(*) AS BIGINT) AS n_buckets
+          FROM r GROUP BY g),
+    x AS (SELECT $dayExpr AS g, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_nd
+          FROM e GROUP BY 1)
+    SELECT g, floor(${Sketch.hllNumScaled(6, 26)} / CAST(hsum AS DOUBLE) * 1000.0)
+              / 1000.0 AS est_nd,
+           n_buckets, exact_nd
+    FROM s JOIN x USING (g)"""
+
+  private val oHll =
+    s"SELECT g AS day, est_nd, n_buckets, exact_nd FROM (${oHllCore("day")})"
+
+  /** §2.62c HLL mergeability rollup: week registers = cell-wise MAX of
+    * the persisted day registers (max is the sketch's merge, exactly as
+    * sum is CMS's and k-smallest-union is KMV's) — the week stage reads
+    * O(days · m) register rows, never raw events.
+    */
+  private def qHllRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val h = Text.polyHash(concat(col("user_id").cast("string"), lit("#hll")))
+    val base = ev.select(expr(s"ts div $DayNs").as("day"), h.as("_h0"), col("user_id"))
+    val dayRegs = Sketch.hllRegisters(base, col("day"), col("_h0"), HllP, HllCap)
+    val weekRegs = dayRegs
+      .select(expr("_g div 7").as("_g"), col("bucket"), col("reg"))
+      .groupBy("_g", "bucket").agg(max("reg").as("reg"))
+    val est = Sketch.hllEstimate(weekRegs, HllP, HllCap, Sketch.hllNumScaled(HllP, HllCap))
+    val exact = base.select(expr("day div 7").as("week"), col("user_id"))
+      .groupBy("week").agg(countDistinct(col("user_id")).as("exact_nd"))
+    est.withColumnRenamed("_g", "week").join(exact, Seq("week"))
+      .select("week", "est_nd", "n_buckets", "exact_nd")
+  }
+
+  private val oHllRollup =
+    s"SELECT g AS week, est_nd, n_buckets, exact_nd FROM (${oHllCore("day // 7")})"
+
   /** §2.64b CMS mergeability rollup (new r8 — the third sketch family's
     * reuse story, completing KMV/bottom-k symmetry): week-level frequency
     * estimates by MERGING persisted day-level count-min grids — CMS cells
@@ -2619,6 +2697,8 @@ object QueriesText {
     GraftQuery("q_heavy_hitters", qHeavyHitters, Some(oHeavyHitters)),
     GraftQuery("q_distinct_rollup", qDistinctRollup, Some(oDistinctRollup)),
     GraftQuery("q_cms_rollup", qCmsRollup, Some(oCmsRollup)),
+    GraftQuery("q_hll", qHll, Some(oHll)),
+    GraftQuery("q_hll_rollup", qHllRollup, Some(oHllRollup)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),

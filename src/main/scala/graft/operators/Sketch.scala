@@ -119,4 +119,106 @@ object Sketch {
       .groupBy(col("term"))
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
+
+  // -------------------------------------------------------------------------
+  // HyperLogLog (Flajolet et al. 2007), cross-engine-deterministic variant
+  // -------------------------------------------------------------------------
+
+  /** HLL register table per group: bucket = hash mod 2^p, and the register
+    * is max over the group of rho(hash div 2^p), where rho = (trailing
+    * zeros + 1) of the remaining hash bits, capped at `rhoCap` (the w = 0
+    * case). Trailing-zero rank is the PCSA/HLL observable computed with
+    * pure integer bit ops — `bit_count((w & -w) - 1)` — identical in Spark
+    * and DuckDB, unlike leading-zero builtins (Spark has none) or float
+    * log2 (engine-dependent rounding at boundaries).
+    *
+    * Scale: `max` is map-side combinable, so the exchange carries at most
+    * groups · 2^p register rows no matter how many raw rows feed it — the
+    * same O(groups · k) property as [[kmvAgg]], here with k = m fixed
+    * cells. State IS the register grid; merging two epochs' grids is a
+    * further max-groupBy (see the rollup query), which is what makes the
+    * sketch day→week composable without re-reading raw data.
+    *
+    * The raw [[Text.polyHash]] is value-uniform but BIT-structured on
+    * sequential keys (it's affine in the key, so a bucket's members lie
+    * on an integer lattice and their trailing-zero ranks cap at the
+    * lattice step's 2-adic valuation — observed: est 1133 for n=5000).
+    * Order statistics (KMV, sampling) don't care; bit observables do, so
+    * HLL first passes the hash through [[hllMix]], an xxhash-style
+    * avalanche in overflow-safe integer ops both engines replay exactly.
+    * Mixed x < 2^32 → w = x div 2^p < 2^(32-p), rho ≤ 33-p, and any
+    * rhoCap ≥ 33-p is unreachable-safe.
+    */
+  def hllRegisters(df: DataFrame, group: Column, hash: Column,
+                   p: Int, rhoCap: Int): DataFrame = {
+    val m = 1L << p
+    df.select(group.as("_g"), hllMix(hash).as("_h"))
+      .select(col("_g"), pmod(col("_h"), lit(m)).as("bucket"),
+        expr(s"_h div $m").as("_w"))
+      .withColumn("rho",
+        when(col("_w") === 0L, lit(rhoCap.toLong))
+          .otherwise(expr(s"cast(bit_count((_w & -_w) - 1) + 1 as bigint)")))
+      .groupBy(col("_g"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Raw HLL estimate from a register table (one row per present bucket):
+    * alpha_m · m² / Σ_b 2^(−M_b), with absent buckets contributing 2^0.
+    * The harmonic sum is computed as the EXACT integer
+    * S = Σ 2^(rhoCap − M_b) + (m − n_present) · 2^rhoCap (every term a
+    * power of two ≤ 2^rhoCap; at p ≥ 5, rhoCap ≤ 26 the sum stays far
+    * under 2^63), and the only float ops are one BIGINT→DOUBLE cast of S,
+    * one divide, one multiply, one floor — a fixed IEEE sequence both
+    * engines replay bit-identically (the Viz.trunc discipline). `numScaled`
+    * must be the SAME double literal on both sides: alpha_m · m² · 2^rhoCap
+    * rendered via Double.toString (round-trips exactly).
+    *
+    * No small-range (linear-counting) branch: that needs ln(), which is
+    * not cross-engine-reproducible — the raw estimator's small-n bias is
+    * documented at the call site and the exact count is carried alongside.
+    */
+  def hllEstimate(regs: DataFrame, p: Int, rhoCap: Int,
+                  numScaled: Double): DataFrame = {
+    val m = 1L << p
+    regs.groupBy(col("_g"))
+      .agg(
+        sum(expr(s"shiftleft(cast(1 as bigint), cast($rhoCap - reg as int))")).as("_sp"),
+        count(lit(1)).as("n_buckets"))
+      .withColumn("_s",
+        col("_sp") + (lit(m) - col("n_buckets")) * lit(1L << rhoCap))
+      .select(col("_g"),
+        (floor(lit(numScaled) / col("_s").cast("double") * lit(1000.0)) / lit(1000.0))
+          .as("est_nd"),
+        col("n_buckets"))
+  }
+
+  /** Integer avalanche over [0, 2^32): two odd-constant multiplies mod
+    * 2^32 interleaved with xor-shifts (the xxhash finalizer shape, with
+    * sub-2^30 constants so every product stays under 2^62 — DuckDB RAISES
+    * on BIGINT overflow rather than wrapping, so 64-bit finalizers are
+    * not portable). Destroys the poly hash's affine structure so bit-level
+    * observables (trailing-zero ranks) are bucket-independent.
+    */
+  def hllMix(hash: Column): Column = {
+    val M32 = lit(4294967296L)
+    val m1 = pmod(hash * lit(668265261L), M32)
+    val x1 = m1.bitwiseXOR(shiftright(m1, 15))
+    val m2 = pmod(x1 * lit(374761393L), M32)
+    m2.bitwiseXOR(shiftright(m2, 13))
+  }
+
+  /** The numScaled literal for [[hllEstimate]]: alpha_m · m² · 2^rhoCap.
+    * alpha for m ≥ 128 is 0.7213/(1 + 1.079/m); the small-m constants are
+    * Flajolet's table values.
+    */
+  def hllNumScaled(p: Int, rhoCap: Int): Double = {
+    val m = (1L << p).toDouble
+    val alpha = (1L << p) match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m * m * math.pow(2.0, rhoCap)
+  }
 }

@@ -96,6 +96,40 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
     assert(rolled == direct)
   }
 
+  test("HLL merge property: max-merged day registers == direct week registers") {
+    // register-wise max is the sketch's merge — the semilattice law that
+    // makes persisted day grids reusable for any rollup range.
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 6000).map(_ =>
+      (rnd.nextInt(14).toLong, rnd.nextInt(1200).toLong)).toDF("day", "key")
+      .repartition(5)
+    val h = Text.polyHash(concat(col("key").cast("string"), lit("#t")))
+    val base = df.select(col("day"), h.as("_h0"), col("key"))
+    val dayRegs = Sketch.hllRegisters(base, col("day"), col("_h0"), 6, 26)
+    val rolled = dayRegs
+      .select(expr("_g div 7").as("_g"), col("bucket"), col("reg"))
+      .groupBy("_g", "bucket").agg(max("reg").as("reg"))
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = Sketch.hllRegisters(
+        base.select(expr("day div 7").as("week"), col("_h0")),
+        col("week"), col("_h0"), 6, 26)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rolled == direct)
+  }
+
+  test("HLL estimate lands within 30% of truth once registers saturate") {
+    // 5000 distinct keys over m=64 registers (~78/bucket): the raw
+    // estimator's small-range bias is gone; HLL's theoretical rel-err at
+    // m=64 is 1.04/sqrt(64) = 13%, so 30% is a loose determinism-safe gate.
+    val df = (0L until 5000L).map(i => (0L, i)).toDF("g", "key")
+    val h = Text.polyHash(concat(col("key").cast("string"), lit("#t")))
+    val regs = Sketch.hllRegisters(
+      df.select(col("g"), h.as("_h0")), col("g"), col("_h0"), 6, 26)
+    val est = Sketch.hllEstimate(regs, 6, 26, Sketch.hllNumScaled(6, 26))
+      .select(col("est_nd")).as[Double].head()
+    assert(est > 3500.0 && est < 6500.0, s"estimate $est far from 5000")
+  }
+
   test("rank-selection quantiles pick exact order statistics") {
     // 101 known values, one group: p50 = rank 51, p90 = rank 91,
     // p99 = rank 100 under (n-1)*q div qden + 1.
