@@ -2274,6 +2274,53 @@ object QueriesText {
            exact_nd
     FROM w JOIN ex USING (week)"""
 
+  /** §2.63b CMS join-cardinality estimation (Cormode & Muthukrishnan 2005
+    * §4.2): |orders ⋈ lineitem| on orderkey estimated as min over rows of
+    * the grid inner product — the planner-assist primitive that answers
+    * join-size questions from d·w cells without shuffling either fact
+    * table. Never undercounts; the exact join count alongside audits the
+    * |A|·|B|/w collision bias in-result. All-integer → oracle replays the
+    * ESTIMATE exactly.
+    */
+  private val JcD = 4
+  private val JcW = 16384
+
+  private def qJoinCard(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir).select(col("o_orderkey").cast("string").as("term"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey").cast("string").as("term"))
+    val est = Sketch.cmsJoinEstimate(
+      Sketch.cmsCounters(ord, col("term"), JcD, JcW),
+      Sketch.cmsCounters(li, col("term"), JcD, JcW))
+    val exact = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey").as("k")), "k")
+      .agg(count(lit(1)).as("exact_join_size"))
+    est.crossJoin(exact)
+      .select(col("est_join_size"), col("exact_join_size"),
+        (col("est_join_size") - col("exact_join_size")).as("overcount"))
+  }
+
+  private val oJoinCard = s"""
+    WITH rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    ga AS (SELECT r,
+             ${duckPolyHash("CAST(o_orderkey AS VARCHAR) || '#cms' || CAST(r AS VARCHAR)")}
+               % $JcW AS bucket,
+             CAST(count(*) AS BIGINT) AS ca
+           FROM orders CROSS JOIN rr GROUP BY 1, 2),
+    gb AS (SELECT r,
+             ${duckPolyHash("CAST(l_orderkey AS VARCHAR) || '#cms' || CAST(r AS VARCHAR)")}
+               % $JcW AS bucket,
+             CAST(count(*) AS BIGINT) AS cb
+           FROM lineitem CROSS JOIN rr GROUP BY 1, 2),
+    ip AS (SELECT ga.r, CAST(sum(ca * cb) AS BIGINT) AS ip
+           FROM ga JOIN gb ON ga.r = gb.r AND ga.bucket = gb.bucket
+           GROUP BY ga.r),
+    est AS (SELECT min(ip) AS est_join_size FROM ip),
+    ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+    SELECT est_join_size, exact_join_size,
+           est_join_size - exact_join_size AS overcount
+    FROM est CROSS JOIN ex"""
+
   /** §2.62b HyperLogLog distinct-count sketch (Flajolet et al. 2007):
     * per-day user-cardinality estimates from a 2^p-register grid —
     * O(groups · m) state vs KMV's O(groups · k) sorted arrays, and the
@@ -2699,6 +2746,7 @@ object QueriesText {
     GraftQuery("q_cms_rollup", qCmsRollup, Some(oCmsRollup)),
     GraftQuery("q_hll", qHll, Some(oHll)),
     GraftQuery("q_hll_rollup", qHllRollup, Some(oHllRollup)),
+    GraftQuery("q_join_card", qJoinCard, Some(oJoinCard)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),

@@ -120,6 +120,26 @@ object Sketch {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** Join-cardinality estimate from two CMS grids built with the SAME
+    * (d, w) hash family: |A ⋈_key B| = Σ_key fA(key)·fB(key) is estimated
+    * by min over rows r of the bucket inner product Σ_b cA[r][b]·cB[r][b]
+    * (Cormode & Muthukrishnan 2005 §4.2). Collisions only ADD, so the
+    * estimate never undercounts; expected overcount is |A|·|B|/w — size w
+    * for the product of the TABLE cardinalities, not the join output.
+    *
+    * The planner-assist shape: once per-table grids exist (one
+    * map-side-combined pass each, mergeable across partitions/days by
+    * cell-wise sum), a join-size question touches d·w cells — no fact
+    * shuffle. Counts here are BIGINT; at extreme scale (cell counts
+    * ~2^31+) the products approach 2^63 — shrink cells by sharding the
+    * grid by key-range before that, don't switch to doubles (the exact
+    * integer estimate is what the oracle replays).
+    */
+  def cmsJoinEstimate(gridA: DataFrame, gridB: DataFrame): DataFrame =
+    gridA.join(gridB.withColumnRenamed("c", "cb"), Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("c") * col("cb")).as("_ip"))
+      .agg(min("_ip").as("est_join_size"))
+
   // -------------------------------------------------------------------------
   // HyperLogLog (Flajolet et al. 2007), cross-engine-deterministic variant
   // -------------------------------------------------------------------------

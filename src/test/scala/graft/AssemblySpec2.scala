@@ -96,6 +96,21 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
     assert(rolled == direct)
   }
 
+  test("CMS join estimate never undercounts; tight when buckets are sparse") {
+    // true |A join B| = sum_k fa(k)*fb(k) = 10 shared keys * 2 * 3 = 60;
+    // 30 distinct keys over w=4096 buckets -> collisions are rare, so the
+    // min-over-rows estimate sits at or just above the truth. Determinism:
+    // the poly hash is fixed, so this value is stable run-to-run.
+    val a = (0 until 20).flatMap(k => Seq.fill(2)(s"k$k")).toDF("term")
+    val b = (0 until 10).flatMap(k => Seq.fill(3)(s"k$k")).toDF("term")
+    val est = Sketch.cmsJoinEstimate(
+        Sketch.cmsCounters(a, col("term"), 3, 4096),
+        Sketch.cmsCounters(b, col("term"), 3, 4096))
+      .as[Long].head()
+    assert(est >= 60L, s"undercount: $est")
+    assert(est <= 80L, s"collision overcount too large for sparse grid: $est")
+  }
+
   test("HLL merge property: max-merged day registers == direct week registers") {
     // register-wise max is the sketch's merge — the semilattice law that
     // makes persisted day grids reusable for any rollup range.
