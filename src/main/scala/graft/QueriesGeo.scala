@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Geo
+import graft.operators.{Geo, Layout}
 
 /** Group C — spatial restrictors + analysis reports + parsing
   * (SURVEY §2 items 21–34). The 2-D position of an event is
@@ -792,7 +792,80 @@ object QueriesGeo {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
     WHERE pc IS NOT NULL"""
 
+  // ---------------------------------------------------------------------------
+  // §2.69 Z-order layout keys (operators.Layout)
+  // ---------------------------------------------------------------------------
+
+  private val ZDay = 86400000000000L
+  private def zX: Column = pmod(col("user_id"), lit(256L))
+  private def zY: Column = pmod(expr(s"ts div $ZDay"), lit(256L))
+  private val zXSql = "user_id % 256"
+  private val zYSql = s"(epoch_ns(ts) // $ZDay) % 256"
+
+  /** The Morton interleave as DuckDB SQL — same bit placement as
+    * Layout.zorder (bit b of dim d → output bit 2b+d).
+    */
+  private def duckZ(x: String, y: String, bits: Int): String =
+    ((0 until bits).map(b => s"(((($x) >> $b) & 1) << ${2 * b})") ++
+     (0 until bits).map(b => s"(((($y) >> $b) & 1) << ${2 * b + 1})"))
+      .mkString(" + ")
+
+  /** §2.69 Z-order layout key: the clustering column a 100 TB events
+    * table sorts by at write time so parquet row-group stats prune BOTH
+    * user and time predicates (a single-column sort only prunes its
+    * leading column). Keyed histogram per zkey div 64 block — the
+    * "what does the layout look like" inspection query; the write path
+    * itself is `repartitionByRange(zkey).sortWithinPartitions(zkey)`
+    * (row-group pruning measured by tools.ZorderProbe).
+    */
+  private def qZorderKey(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(Layout.zorder(Seq(zX, zY), 8).as("zkey"))
+      .groupBy(expr("zkey div 64").as("zblock"))
+      .agg(count(lit(1)).as("n"), min("zkey").as("zmin"), max("zkey").as("zmax"))
+
+  private val oZorderKey = s"""
+    WITH z AS (SELECT ${duckZ(zXSql, zYSql, 8)} AS zkey FROM events)
+    SELECT zkey // 64 AS zblock, count(*) AS n,
+           min(zkey) AS zmin, max(zkey) AS zmax
+    FROM z GROUP BY 1"""
+
+  /** §2.69a Z-range box serving: an axis-aligned (user, day) box is
+    * served from the contiguous [z(ll), z(ur)] key range (valid because
+    * the Morton key is per-coordinate monotone — Layout.zRangeBound),
+    * then refined by the exact predicate. n_zrange / n_box is the
+    * looseness of the coarse range — the fraction a zkey-sorted layout
+    * would scan vs deliver; sel_permille makes the driver compare it.
+    */
+  private def qZorderRange(s: SparkSession, dir: String): DataFrame = {
+    val (zlo, zhi) = Layout.zRangeBound(Seq(32L, 15L), Seq(96L, 35L), 8)
+    val base = ev(s, dir).select(zX.as("xq"), zY.as("yq"),
+      Layout.zorder(Seq(zX, zY), 8).as("zkey"))
+    base.agg(
+      sum(when(col("xq").between(32, 96) && col("yq").between(15, 35), 1L)
+        .otherwise(0L)).as("n_box"),
+      sum(when(col("zkey").between(zlo, zhi), 1L).otherwise(0L)).as("n_zrange"))
+      .select(col("n_box"), col("n_zrange"),
+        expr("n_box * 1000 div n_zrange").as("sel_permille"))
+  }
+
+  private val oZorderRange: String = {
+    val (zlo, zhi) = graft.operators.Layout.zRangeBound(Seq(32L, 15L), Seq(96L, 35L), 8)
+    s"""
+    WITH z AS (SELECT $zXSql AS xq, $zYSql AS yq,
+                 ${duckZ(zXSql, zYSql, 8)} AS zkey FROM events),
+    agg AS (SELECT
+        CAST(sum(CASE WHEN xq BETWEEN 32 AND 96 AND yq BETWEEN 15 AND 35
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_box,
+        CAST(sum(CASE WHEN zkey BETWEEN $zlo AND $zhi
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_zrange
+      FROM z)
+    SELECT n_box, n_zrange, n_box * 1000 // n_zrange AS sel_permille FROM agg"""
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q_zorder_key", qZorderKey, Some(oZorderKey)),
+    GraftQuery("q_zorder_range", qZorderRange, Some(oZorderRange)),
     GraftQuery("q_descent_grid", qDescentGrid, Some(oDescentGrid)),
     GraftQuery("q_sideview_path", qSideviewPath, Some(oSideviewPath)),
     GraftQuery("q_geo_box", qGeoBox, Some(oGeoBox)),
