@@ -2274,6 +2274,109 @@ object QueriesText {
            exact_nd
     FROM w JOIN ex USING (week)"""
 
+  // ---------------------------------------------------------------------------
+  // §2.70 BPE tokenizer training (Sennrich et al. 2016)
+  // ---------------------------------------------------------------------------
+
+  private val BpeN = 24
+
+  /** The unrolled BPE training chain as DuckDB SQL: vocab states, then
+    * BpeN levels of (pair count → argmax → replace), each level's replace
+    * pattern a scalar subquery on the previous argmax. Every level is
+    * MATERIALIZED — m_k is referenced 3× by v_{k+1}, so inlining would
+    * re-evaluate the whole prefix chain exponentially (the
+    * q_dedup_components CTE lesson).
+    */
+  private def bpeOracleChain(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+    WITH wds AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT lower(u.w) AS w FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+        WHERE regexp_matches(lower(u.w), '^[a-z]+$$')) t
+      GROUP BY w),
+    v0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', chr(1) || '\\1', 'g') AS state, cnt FROM wds)"""
+    for (k <- 0 until n) {
+      sb ++= s""",
+    p$k AS MATERIALIZED (
+      SELECT pair[1] AS a, pair[2] AS b, CAST(sum(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt,
+              unnest([[toks[i], toks[i+1]] for i in generate_series(2, len(toks) - 1)]) AS pair
+            FROM (SELECT string_split(state, chr(1)) AS toks, cnt FROM v$k) t0) t1
+      GROUP BY 1, 2),
+    m$k AS MATERIALIZED (SELECT a, b, c FROM p$k ORDER BY c DESC, a, b LIMIT 1),
+    v${k + 1} AS MATERIALIZED (
+      SELECT replace(state,
+               chr(1) || (SELECT a FROM m$k) || chr(1) || (SELECT b FROM m$k),
+               chr(1) || (SELECT a FROM m$k) || (SELECT b FROM m$k)) AS state, cnt
+      FROM v$k)"""
+    }
+    sb.toString
+  }
+
+  /** §2.70 Distributed BPE training — the tokenizer-construction stage of
+    * a training-data pipeline as a first-class operator. The driver query
+    * checks the ENTIRE training trajectory: all 24 (left, right, freq)
+    * merge decisions must match DuckDB's independent replay of the loop
+    * (statically unrolled CTE levels — no oracleGen, nothing exported).
+    */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Text.bpeTrain(docs(s, dir), col("text"), BpeN)
+      .zipWithIndex
+      .map { case ((a, b, c), i) => ((i + 1).toLong, a, b, c) }
+      .toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
+  private val oBpeMerges: String =
+    bpeOracleChain(BpeN) + "\n    " +
+      (0 until BpeN).map { k =>
+        if (k == 0)
+          s"SELECT CAST(1 AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, c AS freq FROM m0"
+        else s"SELECT ${k + 1}, a, b, c FROM m$k"
+      }.mkString("\n    UNION ALL ")
+
+  /** §2.70a BPE application: tokenize the corpus with the trained merges
+    * (retrained in-query — the merge table is vocabulary-sized) and count
+    * per-doc subword tokens. The apply path is the same replace cascade as
+    * training, one codegen'd projection over corpus words; a production
+    * variant joins words against the trained vocab's final states instead
+    * (lookup beats cascade once the vocab is frozen) — the cascade is the
+    * OOV/cold path and the one exercised here.
+    */
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = Text.bpeTrain(d, col("text"), BpeN).map { case (a, b, _) => (a, b) }
+    d.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .select(col("doc_id"), Text.bpeTokenCount(
+        Text.bpeApplyMerges(Text.bpeState(col("w")), merges)).as("nt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("nt").as("n_tokens"))
+  }
+
+  private val oBpeTokens: String = {
+    val apply = (0 until BpeN).map { k =>
+      s""",
+    s${k + 1} AS (
+      SELECT doc_id, replace(state,
+               chr(1) || (SELECT a FROM m$k) || chr(1) || (SELECT b FROM m$k),
+               chr(1) || (SELECT a FROM m$k) || (SELECT b FROM m$k)) AS state
+      FROM s$k)"""
+    }.mkString
+    bpeOracleChain(BpeN) + s""",
+    dw AS (SELECT doc_id, lower(u.w) AS w FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) u
+           WHERE regexp_matches(lower(u.w), '^[a-z]+$$')),
+    s0 AS (SELECT doc_id, regexp_replace(w, '(.)', chr(1) || '\\1', 'g') AS state
+           FROM dw)""" + apply + s"""
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(state) - len(replace(state, chr(1), ''))) AS BIGINT) AS n_tokens
+    FROM s$BpeN GROUP BY doc_id"""
+  }
+
   /** §2.63b CMS join-cardinality estimation (Cormode & Muthukrishnan 2005
     * §4.2): |orders ⋈ lineitem| on orderkey estimated as min over rows of
     * the grid inner product — the planner-assist primitive that answers
@@ -2747,6 +2850,8 @@ object QueriesText {
     GraftQuery("q_hll", qHll, Some(oHll)),
     GraftQuery("q_hll_rollup", qHllRollup, Some(oHllRollup)),
     GraftQuery("q_join_card", qJoinCard, Some(oJoinCard)),
+    GraftQuery("q_bpe_merges", qBpeMerges, Some(oBpeMerges)),
+    GraftQuery("q_bpe_tokens", qBpeTokens, Some(oBpeTokens)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),

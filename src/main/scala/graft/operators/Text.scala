@@ -1228,4 +1228,101 @@ object Text {
     val baseKeys = base.select(key.as("_k")).distinct()
     Skew.bloomAntiJoin(firstWins, baseKeys, "_k", estBaseKeys).drop("_k")
   }
+
+  // ---------------------------------------------------------------------------
+  // BPE tokenizer training (Sennrich et al. 2016, "Neural Machine Translation
+  // of Rare Words with Subword Units")
+  // ---------------------------------------------------------------------------
+
+  /** Separator for BPE word states. Words are restricted to [a-z]+, so a
+    * control character can never collide with token content.
+    */
+  val BpeSep = "\u0001"
+
+  /** A word as a BPE state string: every token PREFIX-marked with the
+    * separator (`·h·e·l·l·o`). The prefix (not infix) form is load-bearing:
+    * applying a merge (a,b) is then the plain left-to-right non-overlapping
+    * `replace(state, ·a·b, ·ab)`, whose scan-forward semantics IS greedy
+    * BPE ("aaaa" + (a,a) → aa|aa, not aa|a|a — an infix-separator pattern
+    * would consume the shared delimiter and miss the second merge; verified
+    * identical in Spark's UTF8String.replace and DuckDB's replace).
+    */
+  def bpeState(word: Column): Column =
+    regexp_replace(word, "(.)", BpeSep + "$1")
+
+  /** Lowercased [a-z]+ words of the corpus — the normalization both
+    * engines share before any BPE step (non-ASCII tokens would make
+    * lexicographic tie-breaks collation-dependent cross-engine).
+    */
+  def bpeWords(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(split(lower(text), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+
+  /** Distributed BPE training: `nMerges` rounds of (count adjacent token
+    * pairs weighted by word frequency → argmax → merge everywhere).
+    * Returns the ranked merge table (left, right, pair frequency).
+    *
+    * Scale shape: the ONE corpus-sized operation is the initial word
+    * count (map-side combined); every round after that touches only the
+    * VOCABULARY table — pair explode + sum is O(vocab · word-length) and
+    * map-side combinable, the argmax reaches the driver as a single row
+    * (the bounded-scalar discipline), and the merge application is one
+    * `replace` projection with `localCheckpoint` flattening the
+    * 24-round lineage (the connectedComponents iteration pattern; use
+    * reliable checkpoint on a real cluster). Nothing re-reads raw text
+    * after round 0.
+    *
+    * Determinism: argmax ties break on (count DESC, left ASC, right ASC)
+    * — pure ASCII lexicographic, identical in both engines — and there
+    * is deliberately NO frequency floor or early stop (a data-dependent
+    * round count could not be replayed by a statically unrolled oracle).
+    * The DuckDB oracle replays the ENTIRE training loop as nMerges
+    * unrolled MATERIALIZED CTE levels whose replace patterns are scalar
+    * subqueries on the previous level's argmax.
+    */
+  def bpeTrain(df: DataFrame, text: Column, nMerges: Int): Seq[(String, String, Long)] = {
+    var vocab = bpeWords(df, text)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(bpeState(col("w")).as("state"), col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var exhausted = false
+    for (_ <- 0 until nMerges if !exhausted) {
+      val best = vocab
+        .withColumn("toks", split(col("state"), BpeSep))
+        .where(size(col("toks")) >= 3)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(2, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((a, b, c))
+        vocab = vocab
+          .withColumn("state", replace(col("state"),
+            lit(BpeSep + a + BpeSep + b), lit(BpeSep + a + b)))
+          .localCheckpoint()
+      }
+    }
+    merges.result()
+  }
+
+  /** Apply a trained merge list to a word-state column: the `replace`
+    * cascade, one codegen'd projection (nMerges nested calls, constant
+    * depth). Token count of the final state = its separator count.
+    */
+  def bpeApplyMerges(state: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(state) { case (s, (a, b)) =>
+      replace(s, lit(BpeSep + a + BpeSep + b), lit(BpeSep + a + b))
+    }
+
+  /** Tokens in a BPE state = separators in it (each token is
+    * prefix-marked exactly once).
+    */
+  def bpeTokenCount(state: Column): Column =
+    (length(state) - length(replace(state, lit(BpeSep), lit("")))).cast("long")
 }
