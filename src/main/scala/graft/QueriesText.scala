@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Sampling, Similarity, Sketch, Text}
+import graft.operators.{Link, Sampling, Similarity, Sketch, Text}
 
 /** Group F — LLM-data-pipeline operators (SURVEY §2 items 35, 38–49):
   * dedup tiers, similarity search, text analysis, multimodal metadata.
@@ -2274,6 +2274,50 @@ object QueriesText {
            exact_nd
     FROM w JOIN ex USING (week)"""
 
+  /** §2.71 Record linkage via multi-pass blocking (operators.Link): dirty
+    * identifiers — every single-char deletion variant of the registry
+    * vocabulary, derived deterministically (the q_metar_parse
+    * synthesized-envelope precedent) — linked back to canon by first-2 +
+    * last-2 blocking joins and a levenshtein ≤ 1 refine that runs only on
+    * candidates. One deletion can't disturb both ends of a ≥4-char word,
+    * so the two-pass union is exhaustive for single-edit matches here.
+    */
+  private def qFuzzyLink(s: SparkSession, dir: String): DataFrame = {
+    val vocab = docs(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 4)
+      .distinct()
+    val dirty = vocab.select(explode(expr(
+        "transform(sequence(1, length(w)), " +
+          "i -> concat(substr(w, 1, i - 1), substr(w, i + 1, length(w))))")).as("d"))
+      .distinct()
+      .join(vocab.withColumnRenamed("w", "d"), Seq("d"), "left_anti")
+    Link.fuzzyLink(dirty, "d", vocab, "w", 1)
+      .select(col("d").as("dirty"), col("w").as("canon"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  private val oFuzzyLink = """
+    WITH vocab AS (
+      SELECT DISTINCT lower(w) AS w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      WHERE regexp_matches(lower(w), '^[a-z]+$') AND len(lower(w)) >= 4),
+    dirty AS (
+      SELECT DISTINCT d FROM (
+        SELECT unnest([substr(w, 1, i - 1) || substr(w, i + 1, len(w))
+                       for i in generate_series(1, len(w))]) AS d
+        FROM vocab) t
+      WHERE d NOT IN (SELECT w FROM vocab)),
+    cand AS (
+      SELECT DISTINCT d, w FROM (
+        SELECT dd.d, v.w FROM dirty dd JOIN vocab v
+          ON substr(dd.d, 1, 2) = substr(v.w, 1, 2)
+        UNION ALL
+        SELECT dd.d, v.w FROM dirty dd JOIN vocab v
+          ON substr(dd.d, -2, 2) = substr(v.w, -2, 2)) u)
+    SELECT d AS dirty, w AS canon, CAST(levenshtein(d, w) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(d, w) <= 1"""
+
   // ---------------------------------------------------------------------------
   // §2.70 BPE tokenizer training (Sennrich et al. 2016)
   // ---------------------------------------------------------------------------
@@ -2852,6 +2896,7 @@ object QueriesText {
     GraftQuery("q_join_card", qJoinCard, Some(oJoinCard)),
     GraftQuery("q_bpe_merges", qBpeMerges, Some(oBpeMerges)),
     GraftQuery("q_bpe_tokens", qBpeTokens, Some(oBpeTokens)),
+    GraftQuery("q_fuzzy_link", qFuzzyLink, Some(oFuzzyLink)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),
