@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Link, Sampling, Similarity, Sketch, Text}
+import graft.operators.{Graph, Link, Sampling, Similarity, Sketch, Text}
 
 /** Group F — LLM-data-pipeline operators (SURVEY §2 items 35, 38–49):
   * dedup tiers, similarity search, text analysis, multimodal metadata.
@@ -2274,6 +2274,70 @@ object QueriesText {
            exact_nd
     FROM w JOIN ex USING (week)"""
 
+  // ---------------------------------------------------------------------------
+  // §2.72 TextRank (Mihalcea & Tarau 2004) via integer PageRank
+  // ---------------------------------------------------------------------------
+
+  private val TrIters = 10
+
+  /** §2.72 TextRank keyword scoring: weighted PageRank over the word
+    * co-occurrence graph (adjacent [a-z]+ word pairs, symmetrized), in
+    * SCALED-INTEGER arithmetic (Graph.pageRankInt — float PageRank
+    * re-associates sums and drifts cross-engine; here the oracle replays
+    * all 10 rounds bit-identically as unrolled MATERIALIZED CTEs).
+    */
+  private def qTextRank(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(expr(
+      "filter(split(lower(text), ' '), x -> x rlike '^[a-z]+$')").as("tk"))
+    val pairs = toks.where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val ed = pairs.select(col("a").as("src"), col("b").as("dst"), col("c").as("w"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("c").as("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    Graph.pageRankInt(ed, _.localCheckpoint(), TrIters)
+      .select(col("id").as("word"), col("pr"))
+  }
+
+  private val oTextRank: String = {
+    val base = 1000000L - 17L * 1000000L / 20L
+    val rounds = (1 to TrIters).map { k =>
+      s""",
+    c$k AS MATERIALIZED (
+      SELECT e.dst, CAST(sum(r.pr * e.w // o.W) AS BIGINT) AS s
+      FROM ed e JOIN r${k - 1} r ON e.src = r.id JOIN ow o ON o.src = e.src
+      GROUP BY e.dst),
+    r$k AS MATERIALIZED (
+      SELECT nd.id, $base + (17 * coalesce(c.s, 0)) // 20 AS pr
+      FROM nd LEFT JOIN c$k c ON c.dst = nd.id)"""
+    }.mkString
+    s"""
+    WITH toks AS (
+      SELECT list_filter(string_split(lower(text), ' '),
+               x -> regexp_matches(x, '^[a-z]+$$')) AS tk
+      FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT pair[1] AS a, pair[2] AS b, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest([[tk[i], tk[i+1]]
+                           for i in generate_series(1, len(tk) - 1)]) AS pair
+            FROM toks WHERE len(tk) >= 2) t
+      WHERE pair[1] <> pair[2]
+      GROUP BY 1, 2),
+    ed AS MATERIALIZED (
+      SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+        SELECT a AS src, b AS dst, c AS w FROM pairs
+        UNION ALL SELECT b, a, c FROM pairs) u
+      GROUP BY 1, 2),
+    ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS W FROM ed GROUP BY src),
+    nd AS MATERIALIZED (SELECT DISTINCT src AS id FROM ed),
+    r0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nd)$rounds
+    SELECT id AS word, CAST(pr AS BIGINT) AS pr FROM r$TrIters"""
+  }
+
   /** §2.71 Record linkage via multi-pass blocking (operators.Link): dirty
     * identifiers — every single-char deletion variant of the registry
     * vocabulary, derived deterministically (the q_metar_parse
@@ -2897,6 +2961,7 @@ object QueriesText {
     GraftQuery("q_bpe_merges", qBpeMerges, Some(oBpeMerges)),
     GraftQuery("q_bpe_tokens", qBpeTokens, Some(oBpeTokens)),
     GraftQuery("q_fuzzy_link", qFuzzyLink, Some(oFuzzyLink)),
+    GraftQuery("q_textrank", qTextRank, Some(oTextRank)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),

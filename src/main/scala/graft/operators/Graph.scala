@@ -139,4 +139,44 @@ object Graph {
     allNodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
+
+  /** Weighted PageRank in SCALED-INTEGER arithmetic — the cross-engine-
+    * reproducible variant (float PageRank re-associates sums and drifts
+    * by ulps across engines; here every operation is exact, so a DuckDB
+    * oracle replays all `iters` rounds bit-identically).
+    *
+    * Ranks live in units of `scale` (default 1e-6); damping is the
+    * rational dampNum/dampDen (default 17/20 = 0.85). One round:
+    *   contrib(v) = Σ_{u→v} (pr(u) · w_uv) div W_u      (per-edge floor)
+    *   pr'(v)     = (scale − scale·d) + (dampNum · contrib(v)) div dampDen
+    * Integer sums are order-independent, and the per-edge floor is the
+    * deterministic price of exactness (mass leaks ≤ outdeg ulps per node
+    * per round — irrelevant at rank scale 1e6).
+    *
+    * Scale shape: `edges(src, dst, w)` with out-weights joined once;
+    * each round is one src-keyed rank join + one dst-keyed sum shuffle,
+    * lineage flattened via `ckpt` every round (the [[connectedComponents]]
+    * discipline). Driver sees nothing — fixed `iters`, no convergence
+    * probe (a data-dependent round count couldn't be replayed by a
+    * statically unrolled oracle).
+    */
+  def pageRankInt(edges: DataFrame, ckpt: DataFrame => DataFrame,
+                  iters: Int, scale: Long = 1000000L,
+                  dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
+    val nodes = ckpt(edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct())
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("_W"))
+    val ew = ckpt(edges.join(outW, "src"))
+    val base = scale - dampNum * scale / dampDen
+    var ranks = nodes.withColumn("pr", lit(scale))
+    for (_ <- 0 until iters) {
+      val contribs = ew.join(ranks, ew("src") === ranks("id"))
+        .select(col("dst"), expr("pr * w div _W").as("_c"))
+        .groupBy(col("dst")).agg(sum(col("_c")).as("_s"))
+      ranks = ckpt(nodes.join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampNum * coalesce(_s, 0L)) div $dampDen")).as("pr")))
+    }
+    ranks
+  }
 }

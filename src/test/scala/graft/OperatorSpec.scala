@@ -1219,6 +1219,38 @@ class GraphOpSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long)].collect().toMap
     assert(comp.values.toSet == Set(0L) && comp.keySet.size == 30)
   }
+
+  test("integer PageRank: hub of a star outranks leaves, exactly reproducibly") {
+    // star: center 0 <-> leaves 1..6, unit weights, symmetrized
+    val raw = (1L to 6L).flatMap(i => Seq((0L, i, 1L), (i, 0L, 1L)))
+    val edges = raw.toDF("src", "dst", "w")
+    val pr = Graph.pageRankInt(edges, _.localCheckpoint(), 10)
+      .as[(Long, Long)].collect().toMap
+    assert(pr(0L) > pr(1L) * 3, s"hub ${pr(0L)} vs leaf ${pr(1L)}")
+    assert((1L to 6L).map(pr).toSet.size == 1, "symmetric leaves must tie exactly")
+    // exact replay of the integer recurrence: leaves each send pr_u div 1
+    // (their whole rank) to the hub; hub splits evenly by 6
+    var hub = 1000000L; var leaf = 1000000L
+    for (_ <- 0 until 10) {
+      val nh = 150000L + 17L * (6L * leaf) / 20L
+      val nl = 150000L + 17L * (hub / 6L) / 20L
+      hub = nh; leaf = nl
+    }
+    assert(pr(0L) == hub && pr(1L) == leaf)
+  }
+
+  test("integer PageRank is partition-invariant") {
+    val rnd = new scala.util.Random(5)
+    val raw = (0 until 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val sym = raw.flatMap(p => Seq(p, p.swap)).groupBy(identity)
+      .map { case ((a, b), g) => (a, b, g.size.toLong) }.toSeq
+    val a = Graph.pageRankInt(sym.toDF("src", "dst", "w"),
+        _.localCheckpoint(), 6).as[(Long, Long)].collect().toMap
+    val b = Graph.pageRankInt(sym.toDF("src", "dst", "w").repartition(13),
+        _.localCheckpoint(), 6).as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
 }
 
 class RepetitionStatsSpec extends AnyFunSuite with SparkFixture {
