@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Link, Sampling, Similarity, Sketch, Text}
+import graft.operators.{Graph, Link, Robust, Sampling, Similarity, Sketch, Text}
 
 /** Group F — LLM-data-pipeline operators (SURVEY §2 items 35, 38–49):
   * dedup tiers, similarity search, text analysis, multimodal metadata.
@@ -2274,6 +2274,54 @@ object QueriesText {
            exact_nd
     FROM w JOIN ex USING (week)"""
 
+  /** §2.73 Robust outlier screen (operators.Robust): per-type (median,
+    * MAD) learned by rank selection on the 10% hash sample, cuts applied
+    * to the FULL stream (|x − med| > 3·MAD) — the sample bounds the sort,
+    * the scan-stage flag costs nothing, and a single corrupt feed value
+    * can't drag the cut the way a mean/stddev screen lets it.
+    */
+  private def qOutliersMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val samp = ev
+      .where(Sampling.sampleHash(col("event_id").cast("string"), "mad") % 1000 < 100)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val cuts = Robust.madCuts(samp, "event_type", "value", "event_id")
+    ev.select(col("event_type"), col("value"))
+      .join(broadcast(cuts), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(min("med").as("med"), min("mad").as("mad"),
+        sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_out"),
+        count(lit(1)).as("n"))
+  }
+
+  private val oOutliersMad = s"""
+    WITH s AS (SELECT event_type, value, event_id FROM events
+               WHERE ${duckPolyHash("CAST(event_id AS VARCHAR) || '#mad'")}
+                     % 1000 < 100),
+    r1 AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM s),
+    med AS (SELECT event_type,
+              max(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS med
+            FROM r1 GROUP BY event_type),
+    r2 AS (SELECT s.event_type, abs(s.value - m.med) AS d, m.med,
+             row_number() OVER (PARTITION BY s.event_type
+                                ORDER BY abs(s.value - m.med), s.event_id) AS rn,
+             count(*) OVER (PARTITION BY s.event_type) AS n
+           FROM s JOIN med m USING (event_type)),
+    cuts AS (SELECT event_type, min(med) AS med,
+               max(CASE WHEN rn = (n - 1) // 2 + 1 THEN d END) AS mad
+             FROM r2 GROUP BY event_type)
+    SELECT e.event_type, min(c.med) AS med, min(c.mad) AS mad,
+           CAST(sum(CASE WHEN abs(e.value - c.med) > 3.0 * c.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+           count(*) AS n
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type"""
+
   // ---------------------------------------------------------------------------
   // §2.72 TextRank (Mihalcea & Tarau 2004) via integer PageRank
   // ---------------------------------------------------------------------------
@@ -2962,6 +3010,7 @@ object QueriesText {
     GraftQuery("q_bpe_tokens", qBpeTokens, Some(oBpeTokens)),
     GraftQuery("q_fuzzy_link", qFuzzyLink, Some(oFuzzyLink)),
     GraftQuery("q_textrank", qTextRank, Some(oTextRank)),
+    GraftQuery("q_outliers_mad", qOutliersMad, Some(oOutliersMad)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),
