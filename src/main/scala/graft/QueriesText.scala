@@ -2274,6 +2274,57 @@ object QueriesText {
            exact_nd
     FROM w JOIN ex USING (week)"""
 
+  /** §2.75 Range-partition planning: the boundary-picking step behind
+    * `repartitionByRange`/range-bucketed layouts, made DETERMINISTIC
+    * (Spark's own RangePartitioner samples nondeterministically — fine
+    * for execution, useless for reproducible layouts): 7 cut points =
+    * exact rank-selected order statistics at ranks (n−1)·i div 8 + 1 on
+    * the 10% hash sample, then every row of the full table is assigned
+    * the first bucket whose cut exceeds its value and the per-bucket
+    * counts audit the balance in-result. Sorting cost is bounded by the
+    * sample; assignment is a broadcast of 7 doubles + a scan-stage
+    * comparison chain.
+    */
+  private def qRangePlan(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val nB = 8
+    val samp = ev
+      .where(Sampling.sampleHash(col("event_id").cast("string"), "rp") % 1000 < 100)
+      .select(col("value"), col("event_id"))
+    val w = Window.orderBy(col("value").asc, col("event_id").asc)
+    val ranked = samp.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over())
+    val cutCols = (1 until nB).map(i =>
+      max(when(col("rn") === expr(s"(n - 1) * $i div $nB + 1"), col("value")))
+        .as(s"c$i"))
+    val cuts = ranked.groupBy().agg(cutCols.head, cutCols.tail: _*)
+    val assigned = ev.select(col("value")).crossJoin(broadcast(cuts))
+      .withColumn("pid",
+        (1 until nB).foldLeft(lit(nB - 1)) { (acc, i) =>
+          when(col("value") < col(s"c${nB - i}"), lit(nB - 1 - i)).otherwise(acc)
+        })
+    assigned.groupBy("pid").agg(count(lit(1)).as("n_rows"))
+  }
+
+  private val oRangePlan = s"""
+    WITH s AS (SELECT value, event_id FROM events
+               WHERE ${duckPolyHash("CAST(event_id AS VARCHAR) || '#rp'")}
+                     % 1000 < 100),
+    r AS (SELECT value,
+            row_number() OVER (ORDER BY value, event_id) AS rn,
+            count(*) OVER () AS n
+          FROM s),
+    cuts AS (SELECT
+        ${(1 until 8).map(i =>
+          s"max(CASE WHEN rn = (n - 1) * $i // 8 + 1 THEN value END) AS c$i")
+          .mkString(",\n        ")}
+      FROM r),
+    a AS (SELECT CASE
+            ${(1 until 8).map(i => s"WHEN e.value < c.c$i THEN ${i - 1}").mkString("\n            ")}
+            ELSE 7 END AS pid
+          FROM events e CROSS JOIN cuts c)
+    SELECT pid, count(*) AS n_rows FROM a GROUP BY pid"""
+
   /** §2.73 Robust outlier screen (operators.Robust): per-type (median,
     * MAD) learned by rank selection on the 10% hash sample, cuts applied
     * to the FULL stream (|x − med| > 3·MAD) — the sample bounds the sort,
@@ -3011,6 +3062,7 @@ object QueriesText {
     GraftQuery("q_fuzzy_link", qFuzzyLink, Some(oFuzzyLink)),
     GraftQuery("q_textrank", qTextRank, Some(oTextRank)),
     GraftQuery("q_outliers_mad", qOutliersMad, Some(oOutliersMad)),
+    GraftQuery("q_range_plan", qRangePlan, Some(oRangePlan)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),

@@ -536,6 +536,85 @@ class StreamStoredIndexSpec extends AnyFunSuite with SparkFixture {
   * make the result batch-slicing-invariant: however arrivals split into
   * micro-batches, the final per-group sketch equals the batch twin's.
   */
+/** Streaming funnel frontier == batch funnel, per user and in aggregate. */
+class StreamFunnelSpec extends AnyFunSuite with SparkFixture {
+
+  test("streamed funnel progression matches the batch operator's counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.Ev
+    import graft.operators.Behavior
+
+    val steps = Seq("view", "click", "purchase")
+    val win = 1000L
+    val rows = Seq(
+      Ev(1L, 100L, "click"),             // pre-view click must not count
+      Ev(1L, 200L, "view"),
+      Ev(1L, 900L, "purchase"),          // no intervening click
+      Ev(2L, 100L, "view"),
+      Ev(2L, 150L, "click"),
+      Ev(2L, 180L, "purchase"),
+      Ev(3L, 100L, "view"),
+      Ev(3L, 150L, "click"),
+      Ev(3L, 2000L, "purchase"))         // outside the window from t_first
+
+    val input = MemoryStream[Ev]
+    val q = FunnelStream.funnelProgress(input.toDS(), steps, win)
+      .toDF("user_id", "step")
+      .writeStream.format("memory").queryName("stream_funnel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(rows.take(4)); q.processAllAvailable()
+      input.addData(rows.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+
+    // Update mode: last row per user is the current frontier
+    val streamed = spark.table("stream_funnel")
+      .groupBy("user_id").agg(max("step").as("step"))
+      .as[(Long, Int)].collect().toMap
+    assert(streamed == Map(1L -> 1, 2L -> 3, 3L -> 2))
+
+    // aggregate equivalence with the batch operator
+    val batch = Behavior.funnel(
+        rows.toDS().toDF("user_id", "ts", "event_type")
+          .withColumn("event_id", col("ts")),
+        "user_id", "ts", "event_type", steps, win)
+      .select("step_idx", "n_users").as[(Long, Long)].collect().toMap
+    val fromStream = (1 to steps.size).map(i =>
+      i.toLong -> streamed.values.count(_ >= i).toLong).toMap
+    assert(fromStream == batch)
+  }
+
+  test("cross-batch arrival order within a user preserves greedy semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.Ev
+
+    // the qualifying click arrives in a LATER batch than a too-early one:
+    // state must keep waiting rather than lock in the wrong event
+    val input = MemoryStream[Ev]
+    val q = FunnelStream.funnelProgress(input.toDS(),
+        Seq("view", "click"), 1000L)
+      .toDF("user_id", "step")
+      .writeStream.format("memory").queryName("stream_funnel2")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Seq(Ev(7L, 500L, "click"))); q.processAllAvailable()
+      input.addData(Seq(Ev(7L, 600L, "view"))); q.processAllAvailable()
+      input.addData(Seq(Ev(7L, 700L, "click"))); q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("stream_funnel2")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("step").as("s"))
+      .as[(Long, Int)].collect().toMap
+    assert(last == Map(7L -> 2))
+  }
+}
+
 class StreamSketchSpec extends AnyFunSuite with SparkFixture {
 
   test("streaming KMV sketch == batch sketch regardless of batch slicing") {
