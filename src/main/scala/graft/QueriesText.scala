@@ -2274,6 +2274,51 @@ object QueriesText {
            exact_nd
     FROM w JOIN ex USING (week)"""
 
+  /** §2.76 Cross-source overlap matrix — the corpus-diagnostic that tells
+    * you which sources are near-copies BEFORE paying for pairwise doc
+    * dedup: per source the distinct word-trigram set; per source pair the
+    * shared-shingle count and integer Jaccard permille. Scale: the
+    * (shingle, source) distinct set is map-side combinable; the pair join
+    * fans out per shingle only to the sources CONTAINING it (≤ nsrc, not
+    * docs), and the output is nsrc² rows. All integer — exact replay.
+    */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ss = docsW(s, dir)
+      .select(col("source"), explode(Text.shingles(col("text"), 3)).as("g"))
+      .distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = ss.select(col("source").as("source_a"), col("g"))
+      .join(ss.select(col("source").as("source_b"), col("g")), "g")
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        expr("n_shared * 1000 div (na + nb - n_shared)").as("jac_permille"))
+  }
+
+  private val oSourceOverlap = """
+    WITH sh AS (
+      SELECT DISTINCT source, g FROM (
+        SELECT source,
+               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                       for i in range(1, len(words) - 1)]) AS g
+        FROM (SELECT source, string_split(text, ' ') AS words
+              FROM documents) t) u),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, n_shared,
+           n_shared * 1000 // (na.n + nb.n - n_shared) AS jac_permille
+    FROM shared
+    JOIN sizes na ON na.source = shared.source_a
+    JOIN sizes nb ON nb.source = shared.source_b"""
+
   /** §2.75 Range-partition planning: the boundary-picking step behind
     * `repartitionByRange`/range-bucketed layouts, made DETERMINISTIC
     * (Spark's own RangePartitioner samples nondeterministically — fine
@@ -2529,9 +2574,18 @@ object QueriesText {
     * merge decisions must match DuckDB's independent replay of the loop
     * (statically unrolled CTE levels — no oracleGen, nothing exported).
     */
+  // Training is deterministic per corpus, so q_bpe_merges and
+  // q_bpe_tokens share ONE run per sf dir within a session — the
+  // ivfIndex build-once discipline applied across catalog entries
+  // (fresh JVMs, e.g. bench isolation children, each pay one run).
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String, Long)]]()
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+    bpeMemo.computeIfAbsent(dir, _ => Text.bpeTrain(docs(s, dir), col("text"), BpeN))
+
   private def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Text.bpeTrain(docs(s, dir), col("text"), BpeN)
+    bpeMerges(s, dir)
       .zipWithIndex
       .map { case ((a, b, c), i) => ((i + 1).toLong, a, b, c) }
       .toDF("merge_rank", "lhs", "rhs", "freq")
@@ -2555,7 +2609,7 @@ object QueriesText {
     */
   private def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val merges = Text.bpeTrain(d, col("text"), BpeN).map { case (a, b, _) => (a, b) }
+    val merges = bpeMerges(s, dir).map { case (a, b, _) => (a, b) }
     d.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .where(col("w").rlike("^[a-z]+$"))
       .select(col("doc_id"), Text.bpeTokenCount(
@@ -3063,6 +3117,7 @@ object QueriesText {
     GraftQuery("q_textrank", qTextRank, Some(oTextRank)),
     GraftQuery("q_outliers_mad", qOutliersMad, Some(oOutliersMad)),
     GraftQuery("q_range_plan", qRangePlan, Some(oRangePlan)),
+    GraftQuery("q_source_overlap", qSourceOverlap, Some(oSourceOverlap)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),
