@@ -703,6 +703,84 @@ object Queries {
     SELECT src_type, dst_type, count(*) AS n
     FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2"""
 
+  /** §2.68d Top session paths: the event-type sequence of each session
+    * (deterministic (ts, event_id) order via sorted-fold collect) counted
+    * and top-10'd — the "path/sankey" report over the sessionized stream.
+    * Scale: path assembly is per-session (one user-keyed shuffle shared
+    * with sessionization); the top-k is sort+limit (TakeOrderedAndProject),
+    * never a global window.
+    */
+  private def qTopPaths(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.sessionize(Tables.events(s, dir), "user_id", "ts", "event_id",
+        SessionGapNs)
+      .groupBy("user_id", "session_id")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, event_type)))," +
+          " x -> x.event_type)"), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc).limit(10)
+
+  private val oTopPaths = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 21600000000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sessions GROUP BY 1, 2),
+    pc AS (SELECT path, count(*) AS n FROM paths GROUP BY path)
+    SELECT path, n FROM pc ORDER BY n DESC, path LIMIT 10"""
+
+  /** §2.68e Funnel conversion latency: over the completion frontier
+    * (Behavior.funnelFrontiers' last stage), t_done − t_first per
+    * converted user; p50/p90 as exact rank-selected order statistics
+    * (the q_quantile_sample rule — completions are funnel-bounded, so
+    * the global rank runs on a small set).
+    */
+  private def qFunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val done = Behavior.funnelFrontiers(Tables.events(s, dir), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), 2 * 24 * HourNs).last
+    val lat = done.select(col("u"), (col("t_prev") - col("t_first")).as("l"))
+    val w = Window.orderBy(col("l").asc, col("u").asc)
+    lat.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over())
+      .agg(max(col("n")).as("n_conv"),
+        max(when(col("rn") === expr("(n - 1) div 2 + 1"), col("l"))).as("p50_ns"),
+        max(when(col("rn") === expr("(n - 1) * 9 div 10 + 1"), col("l"))).as("p90_ns"))
+  }
+
+  private val oFunnelLatency = """
+    WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS t, event_type FROM events),
+    s1 AS (SELECT u, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY u),
+    s2 AS (
+      SELECT s1.u, s1.t1, min(e.t) AS t2
+      FROM s1 JOIN e ON e.u = s1.u AND e.event_type = 'click'
+        AND e.t > s1.t1 AND e.t - s1.t1 <= 172800000000000
+      GROUP BY s1.u, s1.t1),
+    s3 AS (
+      SELECT s2.u, s2.t1, min(e.t) AS t3
+      FROM s2 JOIN e ON e.u = s2.u AND e.event_type = 'purchase'
+        AND e.t > s2.t2 AND e.t - s2.t1 <= 172800000000000
+      GROUP BY s2.u, s2.t1),
+    lat AS (SELECT u, t3 - t1 AS l FROM s3),
+    r AS (SELECT u, l,
+            row_number() OVER (ORDER BY l, u) AS rn,
+            count(*) OVER () AS n
+          FROM lat)
+    SELECT CAST(max(n) AS BIGINT) AS n_conv,
+           max(CASE WHEN rn = (n - 1) // 2 + 1 THEN l END) AS p50_ns,
+           max(CASE WHEN rn = (n - 1) * 9 // 10 + 1 THEN l END) AS p90_ns
+    FROM r"""
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -736,7 +814,9 @@ object Queries {
     GraftQuery("q_twophase_sum", qTwoPhaseSum, Some(oTwoPhaseSum)),
     GraftQuery("q_funnel", qFunnel, Some(oFunnel)),
     GraftQuery("q_retention", qRetention, Some(oRetention)),
-    GraftQuery("q_transitions", qTransitions, Some(oTransitions))
+    GraftQuery("q_transitions", qTransitions, Some(oTransitions)),
+    GraftQuery("q_top_paths", qTopPaths, Some(oTopPaths)),
+    GraftQuery("q_funnel_latency", qFunnelLatency, Some(oFunnelLatency))
   ) ++ QueriesGeo.all ++ QueriesText.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

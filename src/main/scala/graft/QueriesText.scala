@@ -2740,6 +2740,67 @@ object QueriesText {
   private val oHll =
     s"SELECT g AS day, est_nd, n_buckets, exact_nd FROM (${oHllCore("day")})"
 
+  /** §2.62d Rolling 7-day active users — the windowed form of the HLL
+    * merge: for every day, the trailing-week estimate is the cell-wise
+    * MAX of that window's persisted day registers. The window join
+    * touches days·7·m register rows (a broadcast day-spine range join),
+    * never raw events — the sketch answer to "rolling distinct", which
+    * exactly is a full re-scan per window. Exact windowed distinct
+    * alongside audits the estimator per window.
+    */
+  private def qRollingActive(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val h = Text.polyHash(concat(col("user_id").cast("string"), lit("#hll")))
+    val base = ev.select(expr(s"ts div $DayNs").as("day"), h.as("_h0"), col("user_id"))
+    val regs = Sketch.hllRegisters(base, col("day"), col("_h0"), HllP, HllCap)
+    val spine = base.select(col("day").as("d")).distinct()
+    val winRegs = regs
+      .join(broadcast(spine), col("_g").between(col("d") - 6, col("d")))
+      .select(col("d"), col("bucket"), col("reg"))
+      .groupBy("d", "bucket").agg(max("reg").as("reg"))
+      .select(col("d").as("_g"), col("bucket"), col("reg"))
+    val est = Sketch.hllEstimate(winRegs, HllP, HllCap, Sketch.hllNumScaled(HllP, HllCap))
+    val act = base.select(col("day"), col("user_id")).distinct()
+    val exact = act
+      .join(broadcast(spine), col("day").between(col("d") - 6, col("d")))
+      .groupBy("d").agg(countDistinct(col("user_id")).as("exact_nd"))
+    est.withColumnRenamed("_g", "day")
+      .join(exact.withColumnRenamed("d", "day"), "day")
+      .select("day", "est_nd", "n_buckets", "exact_nd")
+  }
+
+  private val oRollingActive = s"""
+    WITH e0 AS (SELECT epoch_ns(ts) // $DayNs AS day,
+                 ${duckPolyHash("CAST(user_id AS VARCHAR) || '#hll'")} AS h0,
+                 user_id
+               FROM events),
+    e1 AS (SELECT day, user_id, (h0 * 668265261) % 4294967296 AS m1 FROM e0),
+    e2 AS (SELECT day, user_id, xor(m1, m1 // 32768) AS x1 FROM e1),
+    e3 AS (SELECT day, user_id, (x1 * 374761393) % 4294967296 AS m2 FROM e2),
+    e  AS (SELECT day, user_id, xor(m2, m2 // 8192) AS h FROM e3),
+    spine AS (SELECT DISTINCT day AS d FROM e),
+    r0 AS (SELECT day, h % 64 AS bucket,
+             max(CASE WHEN h // 64 = 0 THEN 26
+                 ELSE bit_count(((h // 64) & (-(h // 64))) - 1) + 1 END) AS reg
+           FROM e GROUP BY 1, 2),
+    win AS (SELECT s.d AS g, r0.bucket, max(r0.reg) AS reg
+            FROM r0 JOIN spine s ON r0.day BETWEEN s.d - 6 AND s.d
+            GROUP BY 1, 2),
+    hs AS (SELECT g,
+             CAST(sum(1::BIGINT << (26 - reg)) AS BIGINT)
+               + (64 - count(*)) * (1::BIGINT << 26) AS hsum,
+             CAST(count(*) AS BIGINT) AS n_buckets
+           FROM win GROUP BY g),
+    act AS (SELECT DISTINCT day, user_id FROM e),
+    ex AS (SELECT s.d AS g, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_nd
+           FROM act JOIN spine s ON act.day BETWEEN s.d - 6 AND s.d
+           GROUP BY 1)
+    SELECT g AS day,
+           floor(${Sketch.hllNumScaled(6, 26)} / CAST(hsum AS DOUBLE) * 1000.0)
+             / 1000.0 AS est_nd,
+           n_buckets, exact_nd
+    FROM hs JOIN ex USING (g)"""
+
   /** §2.62c HLL mergeability rollup: week registers = cell-wise MAX of
     * the persisted day registers (max is the sketch's merge, exactly as
     * sum is CMS's and k-smallest-union is KMV's) — the week stage reads
@@ -3110,6 +3171,7 @@ object QueriesText {
     GraftQuery("q_cms_rollup", qCmsRollup, Some(oCmsRollup)),
     GraftQuery("q_hll", qHll, Some(oHll)),
     GraftQuery("q_hll_rollup", qHllRollup, Some(oHllRollup)),
+    GraftQuery("q_rolling_active", qRollingActive, Some(oRollingActive)),
     GraftQuery("q_join_card", qJoinCard, Some(oJoinCard)),
     GraftQuery("q_bpe_merges", qBpeMerges, Some(oBpeMerges)),
     GraftQuery("q_bpe_tokens", qBpeTokens, Some(oBpeTokens)),

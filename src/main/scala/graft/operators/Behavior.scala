@@ -45,20 +45,35 @@ object Behavior {
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String], windowNanos: Long): DataFrame = {
+    val counts = funnelFrontiers(events, userCol, tsCol, typeCol, steps, windowNanos)
+      .zip(steps).zipWithIndex.map { case ((frontier, st), i) =>
+        frontier.agg(count(lit(1)).as("n_users"))
+          .select(lit((i + 1).toLong).as("step_idx"), lit(st).as("step_type"),
+            col("n_users"))
+      }
+    counts.reduce(_ unionAll _)
+  }
+
+  /** The per-stage frontiers behind [[funnel]]: element i is the set of
+    * users whose greedy chain reaches step i+1, as (u, t_first, t_prev)
+    * with t_prev = that step's event time. The LAST element is the
+    * completion set — conversion-latency analyses read t_prev − t_first
+    * off it directly.
+    */
+  def funnelFrontiers(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, steps: Seq[String],
+                      windowNanos: Long): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val user = col(userCol)
 
-    // stage frontier: (user, t_first, t_prev)
     var frontier = events.where(col(typeCol) === steps.head)
       .groupBy(user.as("u"))
       .agg(min(col(tsCol)).as("t_first"))
       .withColumn("t_prev", col("t_first"))
+    val out = Seq.newBuilder[DataFrame]
+    out += frontier
 
-    val counts = Seq.newBuilder[DataFrame]
-    counts += frontier.agg(count(lit(1)).as("n_users"))
-      .select(lit(1L).as("step_idx"), lit(steps.head).as("step_type"), col("n_users"))
-
-    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+    steps.drop(1).foreach { st =>
       val ev = events.where(col(typeCol) === st)
         .select(user.as("u"), col(tsCol).as("t"))
       frontier = frontier.join(ev, "u")
@@ -66,10 +81,9 @@ object Behavior {
                col("t") - col("t_first") <= windowNanos)
         .groupBy("u")
         .agg(min(col("t_first")).as("t_first"), min(col("t")).as("t_prev"))
-      counts += frontier.agg(count(lit(1)).as("n_users"))
-        .select(lit((i + 1).toLong).as("step_idx"), lit(st).as("step_type"), col("n_users"))
+      out += frontier
     }
-    counts.result().reduce(_ unionAll _)
+    out.result()
   }
 
   /** Cohort retention matrix: users bucketed by the day of their first
