@@ -703,6 +703,77 @@ object Queries {
     SELECT src_type, dst_type, count(*) AS n
     FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2"""
 
+  /** §2.3b TPC-H Q3 shape (shipping priority): segment-filtered customers
+    * ⋈ date-bounded orders ⋈ post-date lineitems, revenue per order,
+    * top-10 by (rounded revenue, orderkey) via sort+limit. Scale: both
+    * selective filters reach their scans; customer side broadcasts after
+    * the segment cut; the orders⋈lineitem equi-join is the one shuffle.
+    */
+  private def qShipPriority(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir)
+        .where("o_orderdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+        .where("l_shipdate > TIMESTAMP_NTZ'1998-01-01 00:00:00'"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  private val oShipPriority = """
+    SELECT l_orderkey, o_orderpriority,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** §2.3c TPC-H Q5 shape (local supplier volume): the 6-way join with
+    * the c_nationkey = s_nationkey locality condition, revenue per
+    * nation in one region-year. Scale: nation/region broadcast; the
+    * locality predicate rides the supplier join; orders⋈lineitem is the
+    * large shuffle, AQE-rebalanced.
+    */
+  private def qLocalVolume(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+        .where("o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND " +
+               "o_orderdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val oLocalVolume = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name"""
+
   /** §2.68d Top session paths: the event-type sequence of each session
     * (deterministic (ts, event_id) order via sorted-fold collect) counted
     * and top-10'd — the "path/sankey" report over the sessionized stream.
@@ -789,6 +860,8 @@ object Queries {
     GraftQuery("q_agg_pricing", qAggPricing, Some(oAggPricing), headline = true),
     GraftQuery("q_join_broadcast", qJoinBroadcast, Some(oJoinBroadcast)),
     GraftQuery("q_join_shuffle", qJoinShuffle, Some(oJoinShuffle), headline = true),
+    GraftQuery("q_ship_priority", qShipPriority, Some(oShipPriority)),
+    GraftQuery("q_local_volume", qLocalVolume, Some(oLocalVolume)),
     GraftQuery("q_topk_per_group", qTopkPerGroup, Some(oTopkPerGroup)),
     GraftQuery("q_range_filter", qRangeFilter, Some(oRangeFilter)),
     GraftQuery("q_time_bucket", qTimeBucket, Some(oTimeBucket)),

@@ -2274,6 +2274,57 @@ object QueriesText {
            exact_nd
     FROM w JOIN ex USING (week)"""
 
+  /** §2.77 ANALYZE-style table statistics — the CBO input that the
+    * join-cardinality estimator (§2.63b) and broadcast decisions feed
+    * on: per column, row/null counts, KMV-estimated NDV (the bounded-
+    * memory path — the exchange carries ≤ k longs per column however
+    * many distinct values exist) with exact NDV as the audit. ONE scan:
+    * rows melt into (column, value-string) pairs and every stat is
+    * map-side combinable on the 6-key column dimension.
+    */
+  private def qAnalyzeStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    val melted = li.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.c").as("col_name"), col("p.v").as("v"))
+    melted.groupBy("col_name")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        Sketch.kmvAgg(
+          Text.polyHash(concat(coalesce(col("v"), lit("<null>")), lit("#an"))),
+          KmvK).as("sk"),
+        countDistinct(col("v")).as("ndv_exact"))
+      .select(col("col_name"), col("n"), col("n_null"),
+        Sketch.kmvEstimate("sk", KmvK, Text.PolyP).as("ndv_est"),
+        col("ndv_exact"))
+  }
+
+  private val oAnalyzeStats = s"""
+    WITH u AS (
+      SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+      UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+      UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+      UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+      UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem),
+    h AS (SELECT col_name, v,
+            ${duckPolyHash("coalesce(v, '<null>') || '#an'")} AS hh
+          FROM u),
+    g AS (SELECT col_name, count(*) AS n,
+            CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            list_sort(list(DISTINCT hh))[1:$KmvK] AS sk,
+            CAST(count(DISTINCT v) AS BIGINT) AS ndv_exact
+          FROM h GROUP BY col_name)
+    SELECT col_name, n, n_null,
+           CASE WHEN len(sk) < $KmvK THEN CAST(len(sk) AS BIGINT)
+                ELSE CAST(${(KmvK - 1).toLong} AS BIGINT)
+                     * CAST(${graft.operators.Text.PolyP} AS BIGINT)
+                     // greatest(sk[$KmvK], 1) END AS ndv_est,
+           ndv_exact
+    FROM g"""
+
   /** §2.76 Cross-source overlap matrix — the corpus-diagnostic that tells
     * you which sources are near-copies BEFORE paying for pairwise doc
     * dedup: per source the distinct word-trigram set; per source pair the
@@ -3180,6 +3231,7 @@ object QueriesText {
     GraftQuery("q_outliers_mad", qOutliersMad, Some(oOutliersMad)),
     GraftQuery("q_range_plan", qRangePlan, Some(oRangePlan)),
     GraftQuery("q_source_overlap", qSourceOverlap, Some(oSourceOverlap)),
+    GraftQuery("q_analyze_stats", qAnalyzeStats, Some(oAnalyzeStats)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),
