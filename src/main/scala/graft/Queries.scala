@@ -774,6 +774,63 @@ object Queries {
       AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name"""
 
+  /** §2.10c Window-function suite: rank, dense_rank, ntile, lag/lead and
+    * a running sum in ONE user-partitioned window pass — the breadth of
+    * the SQL window surface on the deterministic (ts, event_id) order
+    * (ntile/rank are integers; the running sum is rounded like every
+    * parallel float fold).
+    */
+  private def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .where(col("user_id") < 30)
+      .select(col("user_id"), col("event_id"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        round(sum(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("run_sum"))
+  }
+
+  private val oWindowSuite = """
+    SELECT user_id, event_id,
+           rank() OVER w AS rk,
+           dense_rank() OVER w AS drk,
+           ntile(4) OVER w AS quartile,
+           lag(event_id) OVER w AS prev_id,
+           lead(event_id) OVER w AS next_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS run_sum
+    FROM events WHERE user_id < 30
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+  /** §2.10d GROUPING SETS with grouping_id — the generalized rollup
+    * surface (report metadata tables want arbitrary grouping combos, not
+    * just the rollup chain). NULL markers coalesced so the compare is
+    * null-free; grouping_id disambiguates genuinely-null-looking groups.
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_events_gs")
+    s.sql("""
+      SELECT coalesce(event_type, 'ALL') AS event_type,
+             coalesce(CAST(user_id % 7 AS STRING), 'ALL') AS cohort,
+             CAST(grouping_id(event_type, user_id % 7) AS BIGINT) AS gid,
+             count(*) AS n, round(sum(value), 2) AS value_sum
+      FROM graft_events_gs
+      GROUP BY GROUPING SETS ((event_type, user_id % 7), (event_type), (user_id % 7), ())""")
+  }
+
+  private val oGroupingSets = """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(user_id % 7 AS VARCHAR), 'ALL') AS cohort,
+           CAST(grouping(event_type) * 2 + grouping(user_id % 7) AS BIGINT) AS gid,
+           count(*) AS n, round(sum(value), 2) AS value_sum
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, user_id % 7), (event_type), (user_id % 7), ())"""
+
   /** §2.68d Top session paths: the event-type sequence of each session
     * (deterministic (ts, event_id) order via sorted-fold collect) counted
     * and top-10'd — the "path/sankey" report over the sessionized stream.
@@ -871,6 +928,8 @@ object Queries {
     GraftQuery("q_anti_tags", qAntiTags, Some(oAntiTags)),
     GraftQuery("q_pivot_types", qPivotTypes, Some(oPivotTypes)),
     GraftQuery("q_rollup", qRollup, Some(oRollup)),
+    GraftQuery("q_window_suite", qWindowSuite, Some(oWindowSuite)),
+    GraftQuery("q_grouping_sets", qGroupingSets, Some(oGroupingSets)),
     GraftQuery("q_session_gap", qSessionGap, Some(oSessionGap), headline = true),
     GraftQuery("q_kinematics", qKinematics, Some(oKinematics)),
     GraftQuery("q_cumdist", qCumdist, Some(oCumdist)),
