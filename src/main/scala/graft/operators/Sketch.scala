@@ -170,7 +170,22 @@ object Sketch {
     * rhoCap ≥ 33-p is unreachable-safe.
     */
   def hllRegisters(df: DataFrame, group: Column, hash: Column,
-                   p: Int, rhoCap: Int): DataFrame = {
+                   p: Int, rhoCap: Int): DataFrame =
+    df.select(group.as("_g"),
+        ColumnShim.column(org.apache.spark.sql.graft.HllPackExpr(
+          ColumnShim.expression(hash), p, rhoCap)).as("_pk"))
+      .select(col("_g"), expr("_pk div 32").as("bucket"),
+        pmod(col("_pk"), lit(32L)).as("rho"))
+      .groupBy(col("_g"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+
+  /** Built-ins twin of [[hllRegisters]] (the mix chain as Column ops) —
+    * kept for the bit-equality spec; the native pack exists because the
+    * Column chain re-evaluates inside the aggregate's grouping key
+    * (measured 1.80 s vs the 0.65 s cheap-key baseline at 10M rows).
+    */
+  def hllRegistersTwin(df: DataFrame, group: Column, hash: Column,
+                       p: Int, rhoCap: Int): DataFrame = {
     val m = 1L << p
     df.select(group.as("_g"), hllMix(hash).as("_h"))
       .select(col("_g"), pmod(col("_h"), lit(m)).as("bucket"),

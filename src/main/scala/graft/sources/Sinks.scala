@@ -19,6 +19,21 @@ object Sinks {
       .partitionBy("day")
       .parquet(path)
 
+  /** Incremental refresh of a day-partitioned table: overwrite ONLY the
+    * day partitions present in `df`, leaving every other partition's
+    * files untouched (per-write `partitionOverwriteMode=dynamic`; the
+    * static default would truncate the whole table). This is the daily
+    * backfill/correction shape — at 100 TB the recompute cost tracks the
+    * CHANGED days, not the table, and downstream readers see unchanged
+    * files (and their caches/row-group stats) for every other day.
+    */
+  def refreshDays(df: DataFrame, tsNanosCol: String, path: String): Unit =
+    df.withColumn("day", to_date(timestamp_micros(expr(s"$tsNanosCol div 1000"))))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(path)
+
   /** Schema'd CSV ingest (app/backend/foia.go analog): explicit schema — no
     * inference pass over 100 TB — permissive mode with a corrupt-record
     * column, so bad rows are quarantined, not dropped.

@@ -85,6 +85,24 @@ object SketchScaleProbe {
         .groupBy("week").agg(countDistinct(col("user_id")).as("nd")).count()
     }
 
+    // HLL lane: the fixed-grid member — m=64 register rows per group
+    // after map-side combine, whatever the cardinality; estimate quality
+    // alongside (no linear-counting branch, so small groups read low by
+    // design — at probe scale every register saturates).
+    time("HLL registers m=64") {
+      Sketch.hllRegisters(base.select(col("day"), col("_h").as("_h0")),
+        col("day"), col("_h0"), 6, 26).count()
+    }
+    val hllAcc = Sketch.hllEstimate(
+        Sketch.hllRegisters(base.select(col("day"), col("_h").as("_h0")),
+          col("day"), col("_h0"), 6, 26), 6, 26, Sketch.hllNumScaled(6, 26))
+      .withColumnRenamed("_g", "day")
+      .join(base.groupBy("day").agg(countDistinct(col("user_id")).as("exact")), "day")
+      .agg(avg(abs(col("est_nd") - col("exact")) / col("exact")).as("mre"),
+        max(abs(col("est_nd") - col("exact")) / col("exact")).as("maxre"))
+      .head()
+    println(f"[sketch] HLL m=64 mean rel err ${hllAcc.getDouble(0)}%.4f  max ${hllAcc.getDouble(1)}%.4f")
+
     // bottom-k quantile sketch lane: same exchange claim for the RANK
     // member — the window form sorts every row of a group through one
     // reducer per group; the bottom-k aggregate's partials carry ≤ k

@@ -515,3 +515,67 @@ object IvfArgmin2Expr {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[IvfArgmin2Expr].getName, "graft_ivf_argmin2")
 }
+
+/** HLL observable in ONE codegen pass: avalanche-mix the (nonnegative,
+  * < 2^32-product-safe) poly hash, then pack `bucket · 32 + rho` into a
+  * single long — bucket = mixed mod 2^p, rho = trailing zeros of
+  * (mixed div 2^p) + 1, capped at `rhoCap` for the w = 0 case.
+  *
+  * Exists because the Column-built mix chain (kept as
+  * `Sketch.hllMixTwin` for bit-equality specs) gets RE-EVALUATED by the
+  * aggregate when it feeds the grouping key — measured 1.80 s vs the
+  * 0.65 s cheap-key baseline for the same groupBy at 10M rows; with the
+  * pack projected once, bucket/rho derive from a plain column. Mirrors
+  * `Sketch`'s DuckDB oracle arithmetic exactly (sub-2^30 multiplies mod
+  * 2^32 — DuckDB raises on BIGINT overflow; >> on values < 2^32 equals
+  * the oracle's integer division).
+  */
+case class HllPackExpr(child: Expression, p: Int, rhoCap: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(p >= 1 && p <= 26, s"p must be in [1, 26], got $p")
+  require(rhoCap >= 1 && rhoCap <= 31, s"rhoCap must be in [1, 31], got $rhoCap")
+
+  override def nullIntolerant: Boolean = true
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hll_pack"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val h0 = input.asInstanceOf[Long]
+    var x = (h0 * 668265261L) % 4294967296L
+    x ^= (x >> 15)
+    x = (x * 374761393L) % 4294967296L
+    x ^= (x >> 13)
+    val m = 1L << p
+    val w = x / m
+    val rho = if (w == 0L) rhoCap.toLong
+              else java.lang.Long.numberOfTrailingZeros(w) + 1L
+    (x % m) * 32L + rho
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h0 => {
+      val x = ctx.freshName("x")
+      val w = ctx.freshName("w")
+      val rho = ctx.freshName("rho")
+      s"""
+         |long $x = ($h0 * 668265261L) % 4294967296L;
+         |$x ^= ($x >> 15);
+         |$x = ($x * 374761393L) % 4294967296L;
+         |$x ^= ($x >> 13);
+         |long $w = $x / ${1L << p}L;
+         |long $rho = ($w == 0L) ? ${rhoCap}L
+         |            : (long) java.lang.Long.numberOfTrailingZeros($w) + 1L;
+         |${ev.value} = ($x % ${1L << p}L) * 32L + $rho;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HllPackExpr =
+    copy(child = newChild)
+}
+
+object HllPackExpr {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[HllPackExpr].getName, "graft_hll_pack")
+}

@@ -111,6 +111,20 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
     assert(est <= 80L, s"collision overcount too large for sparse grid: $est")
   }
 
+  test("native HLL pack is bit-equal to the Column-built mix chain") {
+    val rnd = new scala.util.Random(21)
+    val df = (0 until 4000).map(_ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(2000).toLong)).toDF("g", "key")
+      .repartition(7)
+    val h = Text.polyHash(concat(col("key").cast("string"), lit("#hn")))
+    val base = df.select(col("g"), h.as("_h0"))
+    val native = Sketch.hllRegisters(base, col("g"), col("_h0"), 6, 26)
+      .as[(Long, Long, Long)].collect().toSet
+    val twin = Sketch.hllRegistersTwin(base, col("g"), col("_h0"), 6, 26)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(native == twin && native.nonEmpty)
+  }
+
   test("HLL merge property: max-merged day registers == direct week registers") {
     // register-wise max is the sketch's merge — the semilattice law that
     // makes persisted day grids reusable for any rollup range.

@@ -26,6 +26,43 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(!scan.contains("PartitionFilters: []"), "expected partition filters to apply")
   }
 
+  test("incremental day refresh rewrites only the changed partitions") {
+    val out = Files.createTempDirectory("graft_refresh").toString
+    val ev = Tables.events(spark, sfDir)
+    Sinks.writePartitionedByDay(ev, "ts", out)
+
+    def files(day: String): Set[String] = {
+      val d = new java.io.File(s"$out/day=$day")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val day5Before = files("2024-01-05")
+    val day6Before = files("2024-01-06")
+    assert(day5Before.nonEmpty && day6Before.nonEmpty)
+
+    // "corrected" feed for day 6 only: values doubled
+    val corrected = ev
+      .where(expr("ts div 86400000000000") === expr(
+        "cast(to_unix_timestamp(to_timestamp('2024-01-06'), 'yyyy-MM-dd') as long) div 86400"))
+      .withColumn("value", col("value") * 2)
+    assert(corrected.count() > 0)
+    Sinks.refreshDays(corrected, "ts", out)
+
+    // untouched day keeps its exact files; refreshed day has new ones
+    assert(files("2024-01-05") == day5Before, "day 5 files must be untouched")
+    assert(files("2024-01-06") != day6Before, "day 6 must be rewritten")
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == ev.count(), "row count preserved across refresh")
+    val sumBefore = ev
+      .where(expr("ts div 86400000000000") === expr(
+        "cast(to_unix_timestamp(to_timestamp('2024-01-06'), 'yyyy-MM-dd') as long) div 86400"))
+      .agg(org.apache.spark.sql.functions.sum("value")).as[Double].head()
+    val sumAfter = back.where(col("day") === "2024-01-06")
+      .agg(org.apache.spark.sql.functions.sum("value")).as[Double].head()
+    assert(math.abs(sumAfter - 2 * sumBefore) < 1e-6)
+  }
+
   test("CSV ingest quarantines corrupt rows instead of dropping the batch") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"),

@@ -648,6 +648,40 @@ class StreamSketchSpec extends AnyFunSuite with SparkFixture {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming HLL registers == batch registers regardless of slicing") {
+    // register max is a semilattice, so the register GRID is a plain
+    // streaming aggregation — live cardinality with m longs of state per
+    // group, the third sketch family's streaming story
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Sketch, Text}
+
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 3000).map(_ =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(800).toLong))
+    def regs(df: org.apache.spark.sql.DataFrame) = {
+      val h = Text.polyHash(concat(col("key").cast("string"), lit("#sh")))
+      Sketch.hllRegisters(df.select(col("g"), h.as("_h0")),
+        col("g"), col("_h0"), 6, 26)
+    }
+
+    val input = MemoryStream[(Long, Long)]
+    val q = regs(input.toDS().toDF("g", "key"))
+      .writeStream.format("memory").queryName("stream_hll")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(rows.take(1000)); q.processAllAvailable()
+      input.addData(rows.slice(1000, 1001)); q.processAllAvailable()
+      input.addData(rows.drop(1001)); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_hll").as[(Long, Long, Long)].collect().toSet
+    val want = regs(rows.toDF("g", "key")).as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming bottom-k quantile sketch == batch regardless of slicing") {
     // same batch-slicing invariance for the rank member of the sketch
     // suite: the bottom-k pair set is a semilattice, so micro-batch merge
