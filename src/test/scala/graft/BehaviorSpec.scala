@@ -59,6 +59,31 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == Seq((0L, 0L, 2L), (0L, 2L, 2L), (2L, 0L, 1L)))
   }
 
+  test("madCuts: exact order-statistic median and MAD on known data") {
+    import spark.implicits._
+    import graft.operators.Robust
+    // values 1..9 in group a: median = 5 (rank (9-1) div 2 + 1 = 5);
+    // |x-5| = {4,3,2,1,0,1,2,3,4} sorted -> rank 5 = 2
+    val df = (1 to 9).map(i => ("a", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val got = Robust.madCuts(df, "g", "v", "id")
+      .select("med", "mad").collect().head
+    assert(got.getDouble(0) == 5.0 && got.getDouble(1) == 2.0)
+  }
+
+  test("madCuts: a single wild outlier cannot drag the cut") {
+    import spark.implicits._
+    import graft.operators.Robust
+    val clean = (1 to 20).map(i => ("a", i.toDouble, i.toLong))
+    val dirty = clean :+ (("a", 1.0e12, 99L))
+    val c1 = Robust.madCuts(clean.toDF("g", "v", "id"), "g", "v", "id")
+      .select("med", "mad").collect().head
+    val c2 = Robust.madCuts(dirty.toDF("g", "v", "id"), "g", "v", "id")
+      .select("med", "mad").collect().head
+    // mean/stddev would explode; median moves by at most one rank, MAD by one
+    assert(math.abs(c2.getDouble(0) - c1.getDouble(0)) <= 1.0)
+    assert(math.abs(c2.getDouble(1) - c1.getDouble(1)) <= 1.0)
+  }
+
   test("transitions: per-user (ts, tie)-ordered lead edges") {
     val e = ev(Seq(
       (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "view"),
