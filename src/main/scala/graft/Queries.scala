@@ -878,12 +878,19 @@ object Queries {
     val done = Behavior.funnelFrontiers(Tables.events(s, dir), "user_id", "ts",
       "event_type", Seq("view", "click", "purchase"), 2 * 24 * HourNs).last
     val lat = done.select(col("u"), (col("t_prev") - col("t_first")).as("l"))
-    val w = Window.orderBy(col("l").asc, col("u").asc)
-    lat.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over())
-      .agg(max(col("n")).as("n_conv"),
-        max(when(col("rn") === expr("(n - 1) div 2 + 1"), col("l"))).as("p50_ns"),
-        max(when(col("rn") === expr("(n - 1) * 9 div 10 + 1"), col("l"))).as("p90_ns"))
+    // rank via the two-level globalRank composition, NOT a global window —
+    // completions can be user-cardinality-sized at 100 TB and a
+    // single-partition WindowExec sort is the q_vocab scale-killer class.
+    // The count is the precedented driver scalar.
+    val n = lat.count()
+    val ranked = graft.operators.Text.globalRank(
+      lat, Seq(col("l").asc, col("u").asc), "rk")
+    val r50 = (n - 1) / 2 + 1
+    val r90 = (n - 1) * 9 / 10 + 1
+    ranked.agg(
+        max(when(col("rk") === r50, col("l"))).as("p50_ns"),
+        max(when(col("rk") === r90, col("l"))).as("p90_ns"))
+      .select(lit(n).as("n_conv"), col("p50_ns"), col("p90_ns"))
   }
 
   private val oFunnelLatency = """

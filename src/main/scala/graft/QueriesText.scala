@@ -2387,12 +2387,14 @@ object QueriesText {
     val samp = ev
       .where(Sampling.sampleHash(col("event_id").cast("string"), "rp") % 1000 < 100)
       .select(col("value"), col("event_id"))
-    val w = Window.orderBy(col("value").asc, col("event_id").asc)
-    val ranked = samp.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over())
+    // boundary ranks via globalRank (two-level, no single-partition
+    // window): a 10% sample of 100 TB is still 10 TB — the q_vocab
+    // scale-killer class if sorted through one task.
+    val n = samp.count()
+    val ranked = Text.globalRank(samp,
+      Seq(col("value").asc, col("event_id").asc), "rk")
     val cutCols = (1 until nB).map(i =>
-      max(when(col("rn") === expr(s"(n - 1) * $i div $nB + 1"), col("value")))
-        .as(s"c$i"))
+      max(when(col("rk") === ((n - 1) * i / nB + 1), col("value"))).as(s"c$i"))
     val cuts = ranked.groupBy().agg(cutCols.head, cutCols.tail: _*)
     val assigned = ev.select(col("value")).crossJoin(broadcast(cuts))
       .withColumn("pid",

@@ -34,6 +34,35 @@ object Sinks {
       .partitionBy("day")
       .parquet(path)
 
+  /** Small-file compaction (the OPTIMIZE job) for a day-partitioned
+    * table: rewrite the selected day partitions with one shuffle task
+    * per day and `maxRecordsPerFile` as the split rule, so each day ends
+    * up with ceil(rows/target) right-sized files. Every ingest cadence
+    * eventually needs this — streaming and incremental refreshes
+    * accumulate files whose per-file overhead (footers, open costs, task
+    * scheduling) dominates scans long before data size does.
+    *
+    * `days` empty = whole table. Only the selected partitions are
+    * rewritten (dynamic overwrite); everything else keeps its files
+    * byte-identical. The read is materialized (`localCheckpoint`) before
+    * the overwrite because Spark refuses to overwrite a path its plan
+    * still reads; a production table format would instead write new
+    * files and swap atomically in metadata — this is the data-plane
+    * demo of that job.
+    */
+  def compactDays(spark: SparkSession, path: String,
+                  targetRecordsPerFile: Long, days: Seq[String] = Nil): Unit = {
+    val all = spark.read.parquet(path)
+    val selected = if (days.isEmpty) all
+                   else all.where(col("day").isin(days: _*))
+    selected.repartition(col("day")).localCheckpoint()
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", targetRecordsPerFile.toString)
+      .partitionBy("day")
+      .parquet(path)
+  }
+
   /** Schema'd CSV ingest (app/backend/foia.go analog): explicit schema — no
     * inference pass over 100 TB — permissive mode with a corrupt-record
     * column, so bad rows are quarantined, not dropped.

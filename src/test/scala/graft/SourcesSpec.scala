@@ -63,6 +63,37 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(sumAfter - 2 * sumBefore) < 1e-6)
   }
 
+  test("compaction merges a day's small files; untouched days keep theirs") {
+    val out = Files.createTempDirectory("graft_compact").toString + "/tbl"
+    val ev = Tables.events(spark, sfDir)
+    // ingest shape that leaves many small files per day
+    ev.repartition(24)
+      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+      .write.partitionBy("day").parquet(out)
+
+    def files(day: String): Set[String] = {
+      val d = new java.io.File(s"$out/day=$day")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val before5 = files("2024-01-05"); val before6 = files("2024-01-06")
+    assert(before5.size > 3, s"expected many small files, got ${before5.size}")
+    val totalBefore = spark.read.parquet(out).count()
+
+    Sinks.compactDays(spark, out, targetRecordsPerFile = 1000000L,
+      days = Seq("2024-01-05"))
+
+    val after5 = files("2024-01-05")
+    assert(after5.size == 1, s"expected one compacted file, got ${after5.size}")
+    assert(files("2024-01-06") == before6, "day 6 files must be byte-identical")
+    assert(spark.read.parquet(out).count() == totalBefore)
+    // compacted partition content unchanged
+    val d5 = spark.read.parquet(out).where(col("day") === "2024-01-05")
+    val orig5 = ev.where(expr("ts div 86400000000000") === expr(
+      "cast(to_unix_timestamp(to_timestamp('2024-01-05'), 'yyyy-MM-dd') as long) div 86400"))
+    assert(d5.count() == orig5.count() && d5.count() > 0)
+  }
+
   test("CSV ingest quarantines corrupt rows instead of dropping the batch") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"),
