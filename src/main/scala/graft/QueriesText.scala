@@ -2274,6 +2274,51 @@ object QueriesText {
            exact_nd
     FROM w JOIN ex USING (week)"""
 
+  /** §2.60c Naive-Bayes domain discriminator (Text.nbDomainScore) — the
+    * learned quality-filter tier in the GPT-3/CCNet shape: curated
+    * sources (src0–src4) vs the rest, trained on the 90% hash split in
+    * closed form (count aggregations), scored over ALL docs as a
+    * whole-bit integer LLR. is_curated rides along so the output IS the
+    * confusion matrix; on this synthetic shared-vocabulary corpus the
+    * separability is honestly weak — the determinism and shape are what
+    * the gate checks.
+    */
+  private def qNbFilter(s: SparkSession, dir: String): DataFrame = {
+    val curated = col("source").isin("src0", "src1", "src2", "src3", "src4")
+    val train = Sampling.sampleHash(col("doc_id").cast("string"), "nb") % 1000 < 900
+    Text.nbDomainScore(docs(s, dir), "doc_id", col("text"), curated, train)
+      .join(docs(s, dir).select(col("doc_id"),
+        curated.cast("int").as("is_curated")), "doc_id")
+  }
+
+  private val oNbFilter = s"""
+    WITH tr AS (SELECT * FROM documents
+                WHERE ${duckPolyHash("CAST(doc_id AS VARCHAR) || '#nb'")} % 1000 < 900),
+    pc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM tr
+             WHERE source IN ('src0','src1','src2','src3','src4')) t
+           GROUP BY w),
+    nc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM tr
+             WHERE source NOT IN ('src0','src1','src2','src3','src4')) t
+           GROUP BY w),
+    npb AS (SELECT length(format('{:b}', CAST(sum(c) AS BIGINT))) - 1 AS b FROM pc),
+    nnb AS (SELECT length(format('{:b}', CAST(sum(c) AS BIGINT))) - 1 AS b FROM nc),
+    t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    sc AS (SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(
+               (length(format('{:b}', coalesce(pc.c, 0) + 1)) - 1 - (SELECT b FROM npb))
+             - (length(format('{:b}', coalesce(nc.c, 0) + 1)) - 1 - (SELECT b FROM nnb))
+             ) AS BIGINT) AS score_bits
+           FROM t LEFT JOIN pc ON t.w = pc.w LEFT JOIN nc ON t.w = nc.w
+           GROUP BY t.doc_id)
+    SELECT sc.doc_id, n_toks, score_bits,
+           CASE WHEN score_bits >= 0 THEN 1 ELSE 0 END AS nb_keep,
+           CASE WHEN d.source IN ('src0','src1','src2','src3','src4')
+                THEN 1 ELSE 0 END AS is_curated
+    FROM sc JOIN documents d ON d.doc_id = sc.doc_id"""
+
   /** §2.77 ANALYZE-style table statistics — the CBO input that the
     * join-cardinality estimator (§2.63b) and broadcast decisions feed
     * on: per column, row/null counts, KMV-estimated NDV (the bounded-
@@ -3234,6 +3279,7 @@ object QueriesText {
     GraftQuery("q_range_plan", qRangePlan, Some(oRangePlan)),
     GraftQuery("q_source_overlap", qSourceOverlap, Some(oSourceOverlap)),
     GraftQuery("q_analyze_stats", qAnalyzeStats, Some(oAnalyzeStats)),
+    GraftQuery("q_nb_filter", qNbFilter, Some(oNbFilter)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),

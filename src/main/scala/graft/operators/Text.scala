@@ -1229,6 +1229,53 @@ object Text {
     Skew.bloomAntiJoin(firstWins, baseKeys, "_k", estBaseKeys).drop("_k")
   }
 
+  /** Naive-Bayes domain discriminator in WHOLE-BIT integer arithmetic —
+    * the learned quality-filter tier (the GPT-3 / CCNet shape: train a
+    * classifier to tell curated sources from the raw crawl, keep raw
+    * docs that look curated). Multinomial NB trains in closed form —
+    * just token counts per class, so the distributed "training" is one
+    * map-side-combined aggregation — and scores as a log-likelihood
+    * ratio, here truncated to whole bits so every quantity is an exact
+    * integer both engines reproduce:
+    *   llr(w) = (bits(cP(w)+1) − bits(NP)) − (bits(cN(w)+1) − bits(NN))
+    * with bits(x) = ⌊log2 x⌋ = length(bin(x)) − 1 and plus-one smoothing
+    * (unseen words fall to bits(1) = 0). Doc score = Σ llr over tokens;
+    * keep = score ≥ 0. A float log-sum would drift by ulps cross-engine —
+    * the whole-bit discipline of [[unigramSurprisal]].
+    *
+    * Counts train on `trainFilter` docs only (hash split — score-time
+    * docs the model never saw genuinely exercise smoothing); class
+    * membership is `posFilter`. Scale: two count aggregations + two
+    * vocabulary joins keyed on token text — the model IS the two count
+    * tables, broadcastable at any corpus size since they're
+    * vocabulary-sized.
+    */
+  def nbDomainScore(df: DataFrame, id: String, text: Column,
+                    posFilter: Column, trainFilter: Column): DataFrame = {
+    val bits: Column => Column = c => (length(bin(c)) - 1).cast("long")
+    val train = df.where(trainFilter)
+    def classCounts(cls: Column): (DataFrame, Long) = {
+      val c = train.where(cls).select(explode(split(text, " ")).as("_w"))
+        .groupBy("_w").agg(count(lit(1)).as("_c"))
+      val n = c.agg(coalesce(sum("_c"), lit(0L))).head.getLong(0)
+      (c, n)
+    }
+    val (posC, np) = classCounts(posFilter)
+    val (negC, nn) = classCounts(!posFilter)
+    require(np > 0 && nn > 0, s"nbDomainScore: empty class (np=$np nn=$nn)")
+    val npBits = 63 - java.lang.Long.numberOfLeadingZeros(np)
+    val nnBits = 63 - java.lang.Long.numberOfLeadingZeros(nn)
+    df.select(col(id), explode(split(text, " ")).as("_w"))
+      .join(posC.withColumnRenamed("_c", "_cp"), Seq("_w"), "left")
+      .join(negC.withColumnRenamed("_c", "_cn"), Seq("_w"), "left")
+      .select(col(id),
+        ((bits(coalesce(col("_cp"), lit(0L)) + 1) - lit(npBits.toLong)) -
+         (bits(coalesce(col("_cn"), lit(0L)) + 1) - lit(nnBits.toLong))).as("_llr"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_toks"), sum("_llr").as("score_bits"))
+      .withColumn("nb_keep", (col("score_bits") >= 0).cast("int"))
+  }
+
   // ---------------------------------------------------------------------------
   // BPE tokenizer training (Sennrich et al. 2016, "Neural Machine Translation
   // of Rare Words with Subword Units")

@@ -44,6 +44,25 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert(got == state)
   }
 
+  test("NB domain discriminator separates disjoint-vocabulary classes") {
+    // curated speaks {alpha beta gamma}, raw speaks {noise junk spam}:
+    // whole-bit LLR must classify every held-out doc correctly, and an
+    // unseen token must fall through smoothing without error
+    val docs = (
+      (0 until 20).map(i => (i.toLong, "curated", "alpha beta gamma alpha")) ++
+      (0 until 20).map(i => ((100 + i).toLong, "raw", "noise junk spam junk")) ++
+      Seq((500L, "curated", "alpha beta zzz-unseen"),
+          (501L, "raw", "spam noise zzz-unseen"))
+    ).toDF("doc_id", "source", "text")
+    val got = Text.nbDomainScore(docs, "doc_id", col("text"),
+        col("source") === "curated",
+        col("doc_id") < 200) // train split excludes 500/501
+      .select("doc_id", "nb_keep").as[(Long, Int)].collect().toMap
+    assert(got(500L) == 1 && got(501L) == 0)
+    assert((0 until 20).forall(i => got(i.toLong) == 1))
+    assert((0 until 20).forall(i => got((100 + i).toLong) == 0))
+  }
+
   test("training is invariant to input partitioning") {
     val words = (0 until 400).map(i => s"doc text alpha beta gamma t$i")
     val a = Text.bpeTrain(words.toDF("text"), col("text"), 6)
