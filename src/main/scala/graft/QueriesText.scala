@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1761,10 +1761,11 @@ object QueriesText {
     * Docs with < 2 words have no bigrams: their repetition fracs gate as
     * 1.0 (flagged), matching the oracle's left-join coalesce.
     */
-  private def withGateVerdict(d: DataFrame): DataFrame = {
-    val q = Text.qualityMetrics(d, col("text"), Seq("the", "a"))
+  private def withGateVerdict(d: DataFrame,
+                              textCol: Column = col("text")): DataFrame = {
+    val q = Text.qualityMetrics(d, textCol, Seq("the", "a"))
     q.withColumn("_sw", round(col("stopword_ratio"), 4))
-      .withColumn("_s", Text.repetitionStats(col("text"), 2))
+      .withColumn("_s", Text.repetitionStats(textCol, 2))
       .withColumn("f_short", (col("n_words") < 20).cast("int"))
       .withColumn("f_stopword", (col("_sw") > 0.12).cast("int"))
       .withColumn("f_top_gram",
@@ -2273,6 +2274,77 @@ object QueriesText {
                      // greatest(sk[$KmvK], 1) END AS est_nd,
            exact_nd
     FROM w JOIN ex USING (week)"""
+
+  /** §2.79 End-to-end pipeline composition — the "a user runs the WHOLE
+    * cleaning pipeline as one plan" proof: PII-scrub → quality-gate (on
+    * the REDACTED text) → exact-dedup (first-8-words key, min-id keeper)
+    * → deterministic split → dataset card, one DataFrame chain whose
+    * single DuckDB oracle replays every stage. Each stage is
+    * individually gated elsewhere; this entry gates their COMPOSITION —
+    * stage boundary semantics (which text feeds the gate, which key the
+    * dedup, which ids the split) are exactly what piecewise checks miss.
+    */
+  private def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val scrubbed = graft.operators.Pii.redact(piiDocs(s, dir), col("ptext"))
+    val gated = withGateVerdict(scrubbed, col("redacted"))
+      .where(col("keep") === 1)
+    val normKey = concat_ws(" ", slice(split(col("redacted"), " "), 1, 8))
+    val drop = Text.exactDupGroups(gated, "doc_id", normKey)
+      .select(explode(col("members")).as("doc_id"), col("keeper"))
+      .where(col("doc_id") =!= col("keeper"))
+      .select("doc_id")
+    val ded = gated.join(broadcast(drop), Seq("doc_id"), "left_anti")
+    Sampling.splitByHash(ded, col("doc_id"), SampleSeed, SplitCuts)
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_toks"))
+  }
+
+  private val oPipelineE2e: String = {
+    val masked = graft.operators.Pii.Patterns.foldLeft("ptext") {
+      case (e, (kind, pat)) =>
+        s"regexp_replace($e, '$pat', '[${kind.toUpperCase}]', 'g')"
+    }
+    s"""
+    WITH p AS (SELECT doc_id, source, $duckPiiText AS ptext FROM documents),
+    r AS (SELECT doc_id, source, $masked AS red FROM p),
+    w AS (SELECT doc_id, source, red, string_split(red, ' ') AS ws,
+            ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 AS h
+          FROM r),
+    g AS (SELECT doc_id,
+                 unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+          FROM w WHERE len(ws) >= 2),
+    c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    rep AS (SELECT doc_id,
+              floor(max(c) * 10000.0 / sum(c)) / 10000.0 AS topf,
+              floor(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10000.0 / sum(c))
+                / 10000.0 AS dupf
+            FROM c GROUP BY doc_id),
+    kept AS (
+      SELECT q.doc_id, q.source, q.h, q.nw, q.ws
+      FROM (SELECT doc_id, source, h, ws, len(ws) AS nw,
+              round(len(list_filter(ws, x -> x IN ('the', 'a'))) * 1.0
+                    / len(ws), 4) AS sw
+            FROM w) q
+      LEFT JOIN rep r2 USING (doc_id)
+      WHERE q.nw >= 20 AND q.sw <= 0.12 AND coalesce(r2.topf, 1.0) < 0.1
+        AND coalesce(r2.dupf, 1.0) < 0.15),
+    nk AS (SELECT doc_id, source, h, nw,
+             array_to_string(ws[1:8], ' ') AS k
+           FROM kept),
+    dd AS (SELECT doc_id, source, h, nw FROM (
+             SELECT doc_id, source, h, nw,
+                    min(doc_id) OVER (PARTITION BY k) AS kp
+             FROM nk) t
+           WHERE doc_id = kp),
+    sp AS (SELECT source,
+             CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val'
+                  ELSE 'test' END AS split,
+             nw
+           FROM dd)
+    SELECT source, split, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_toks
+    FROM sp GROUP BY source, split"""
+  }
 
   /** §2.60c Naive-Bayes domain discriminator (Text.nbDomainScore) — the
     * learned quality-filter tier in the GPT-3/CCNet shape: curated
@@ -3280,6 +3352,7 @@ object QueriesText {
     GraftQuery("q_source_overlap", qSourceOverlap, Some(oSourceOverlap)),
     GraftQuery("q_analyze_stats", qAnalyzeStats, Some(oAnalyzeStats)),
     GraftQuery("q_nb_filter", qNbFilter, Some(oNbFilter)),
+    GraftQuery("q_pipeline_e2e", qPipelineE2e, Some(oPipelineE2e)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),
