@@ -648,6 +648,36 @@ class StreamSketchSpec extends AnyFunSuite with SparkFixture {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming CMS grid == batch grid regardless of slicing") {
+    // counter cells are plain sums (CMS's merge is linearity), so the
+    // grid is a streaming aggregation too — completes the streaming
+    // story for all four sketch families (KMV, bottom-k, HLL, CMS)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketch
+
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 2500).map(_ => s"tok${rnd.nextInt(300)}")
+    def grid(df: org.apache.spark.sql.DataFrame) =
+      Sketch.cmsCounters(df, col("term"), 3, 64)
+
+    val input = MemoryStream[String]
+    val q = grid(input.toDS().toDF("term"))
+      .writeStream.format("memory").queryName("stream_cms")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(rows.take(900)); q.processAllAvailable()
+      input.addData(rows.slice(900, 901)); q.processAllAvailable()
+      input.addData(rows.drop(901)); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_cms").as[(Int, Long, Long)].collect().toSet
+    val want = grid(rows.toDF("term")).as[(Int, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming HLL registers == batch registers regardless of slicing") {
     // register max is a semilattice, so the register GRID is a plain
     // streaming aggregation — live cardinality with m longs of state per
