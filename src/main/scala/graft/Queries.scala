@@ -774,6 +774,88 @@ object Queries {
       AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name"""
 
+  /** §2.3d TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    * scalar subquery `l_quantity < 0.2 * avg(l_quantity per part)`
+    * DECORRELATED into a per-part aggregate joined back — the rewrite a
+    * per-row subquery plan cannot survive at scale. Scale: the per-part
+    * avg table is |part|-sized (broadcastable); lineitem is scanned twice
+    * but shuffles once on l_partkey for the agg and joins broadcast-side
+    * after. Cross-engine: the 20 %-of-average cut is the INTEGER
+    * cross-multiply `5 * qty * cnt < sum_qty` (l_quantity is
+    * integer-valued, so sum_qty is an exact integer in double — zero
+    * float threshold surface; reference analog: report-framework scalar
+    * rollups, report/report.go:224).
+    */
+  private def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val partAvg = li.groupBy(col("l_partkey").as("pa_partkey"))
+      .agg(sum("l_quantity").cast("bigint").as("sum_qty"),
+        count(lit(1)).as("cnt_qty"))
+    li.join(broadcast(Tables.part(s, dir).where(col("p_brand") === "Brand#4")),
+        col("l_partkey") === col("p_partkey"))
+      .join(partAvg, col("l_partkey") === col("pa_partkey"))
+      .where(col("l_quantity").cast("bigint") * lit(5L) * col("cnt_qty") < col("sum_qty"))
+      .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  private val oTpchQ17 = """
+    WITH pa AS (
+      SELECT l_partkey AS pa_partkey,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             count(*) AS cnt_qty
+      FROM lineitem GROUP BY 1)
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN pa ON l_partkey = pa_partkey
+    WHERE p_brand = 'Brand#4'
+      AND CAST(l_quantity AS BIGINT) * 5 * cnt_qty < sum_qty"""
+
+  /** §2.3e TPC-H Q22 shape (global-customer-relationship): customers whose
+    * balance beats the positive-balance average but placed NO order in the
+    * final half-year — scalar subquery + anti-join, grouped per nation.
+    * Scale: the scalar threshold is one agg row broadcast into a
+    * scan-stage filter; the anti-join shuffles on the customer key (or
+    * bloom-routes past it — §2.61's lane). Cross-engine: balances are
+    * 2-decimal, so the threshold is the exact integer-CENTS cross-multiply
+    * `cents(bal) * cnt > sum_cents` — avg() never materializes, no float
+    * fold crosses an engine boundary.
+    */
+  private def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .withColumn("bal_cents", round(col("c_acctbal") * 100).cast("bigint"))
+    val thr = cust.where(col("c_acctbal") > 0)
+      .agg(sum("bal_cents").as("sum_cents"), count(lit(1)).as("cnt_bal"))
+    val recent = Tables.orders(s, dir)
+      .where("o_orderdate >= TIMESTAMP_NTZ'1997-10-01 00:00:00'")
+      .select("o_custkey")
+    cust.crossJoin(broadcast(thr))
+      .where(col("bal_cents") * col("cnt_bal") > col("sum_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum("bal_cents") / 100.0, 2).as("total_bal"))
+  }
+
+  private val oTpchQ22 = """
+    WITH c AS (
+      SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer),
+    thr AS (
+      SELECT sum(bal_cents) AS sum_cents, count(*) AS cnt_bal
+      FROM c WHERE c_acctbal > 0)
+    SELECT c_nationkey, count(*) AS n_cust,
+           round(sum(bal_cents) / 100.0, 2) AS total_bal
+    FROM c, thr
+    WHERE bal_cents * cnt_bal > sum_cents
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00')
+    GROUP BY c_nationkey"""
+
   /** §2.10c Window-function suite: rank, dense_rank, ntile, lag/lead and
     * a running sum in ONE user-partitioned window pass — the breadth of
     * the SQL window surface on the deterministic (ts, event_id) order
@@ -926,6 +1008,8 @@ object Queries {
     GraftQuery("q_join_shuffle", qJoinShuffle, Some(oJoinShuffle), headline = true),
     GraftQuery("q_ship_priority", qShipPriority, Some(oShipPriority)),
     GraftQuery("q_local_volume", qLocalVolume, Some(oLocalVolume)),
+    GraftQuery("q_small_qty_rev", qTpchQ17, Some(oTpchQ17)),
+    GraftQuery("q_dormant_cust", qTpchQ22, Some(oTpchQ22)),
     GraftQuery("q_topk_per_group", qTopkPerGroup, Some(oTopkPerGroup)),
     GraftQuery("q_range_filter", qRangeFilter, Some(oRangeFilter)),
     GraftQuery("q_time_bucket", qTimeBucket, Some(oTimeBucket)),

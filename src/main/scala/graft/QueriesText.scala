@@ -1195,6 +1195,222 @@ object QueriesText {
                 ELSE 64 * ((nch + 1) // 2) END AS frame_bytes_total
     FROM c WHERE nch > 0"""
 
+  /** §2.49d Perceptual-hash image near-dup (aHash family): 64-sample
+    * "decoded" tile → integer mean-threshold 64-bit fingerprint (two 32-bit
+    * halves) → exact-collapse → 8×8-bit band blocking → Hamming ≤ 6 pairs.
+    * The decode is the declared stub (codepoint luminance); everything
+    * downstream is the production image-dedup pipeline and DuckDB replays
+    * it bit-for-bit (all-integer arithmetic).
+    */
+  private def qPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.aHashPairs(
+      Multimodal.aHash64(docsW(s, dir), "doc_id", col("text")), 6)
+  }
+
+  private val oPhashPairs = """
+    WITH base AS (
+      SELECT doc_id, text,
+             greatest(1, (length(text) - 1) // 63) AS stride
+      FROM documents WHERE length(text) >= 64),
+    px AS (
+      SELECT doc_id, i,
+             CAST(ord(substr(text, CAST(1 + i * stride AS INT), 1)) AS BIGINT) AS p
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) idx),
+    hm AS (
+      SELECT doc_id, CAST(floor(sum(p) / 64) AS BIGINT) AS mean
+      FROM px GROUP BY doc_id),
+    bits AS (
+      SELECT px.doc_id, i,
+             CASE WHEN p > mean THEN (CAST(1 AS BIGINT) << CAST(i % 32 AS INT))
+                  ELSE 0 END AS bit
+      FROM px JOIN hm USING (doc_id)),
+    h AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN i < 32 THEN bit ELSE 0 END) AS BIGINT) AS h0,
+             CAST(sum(CASE WHEN i >= 32 THEN bit ELSE 0 END) AS BIGINT) AS h1
+      FROM bits GROUP BY doc_id),
+    reps AS (SELECT h0, h1, min(doc_id) AS rep FROM h GROUP BY h0, h1),
+    bands AS (
+      SELECT rep, h0, h1, j,
+             CASE WHEN j < 4 THEN (h0 >> CAST(8*j AS INT)) & 255
+                  ELSE (h1 >> CAST(8*(j-4) AS INT)) & 255 END AS band
+      FROM reps CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) jj),
+    cand AS (
+      SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b,
+             a.h0 AS h0a, a.h1 AS h1a, b.h0 AS h0b, b.h1 AS h1b
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.band = b.band AND a.rep < b.rep)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 6"""
+
+  /** §2.49e Audio snippet retrieval via constellation fingerprints (Wang
+    * 2003 Shazam shape): corpus payloads fingerprint into an inverted index
+    * keyed on consecutive-frame peak-pair hashes; query snippets (clipped
+    * extracts, here frame-aligned — the stub decode has no overlapping
+    * frames) fingerprint the same way, hash-join into the index, and score
+    * by OFFSET COHERENCE: count matches per (query, doc, frame-delta), a
+    * doc's score = its best single delta — random hash collisions scatter
+    * over deltas, true matches pile on one. Top-1 per query via a
+    * per-query window (bounded by candidate count, never corpus-wide).
+    * Scale: the index is (fhash)-keyed, the query side broadcasts.
+    */
+  private def qAudioMatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val corpus = Multimodal.audioFingerprints(docsW(s, dir), "doc_id", col("text"))
+      .toDF("doc", "cf", "fhash")
+    val snips = docs(s, dir)
+      .where(col("doc_id") % 50 === 3 && length(col("text")) >= 224)
+      .select(col("doc_id").as("qid"), substring(col("text"), 65, 160).as("snip"))
+    val qfp = Multimodal.audioFingerprints(snips, "qid", col("snip"))
+      .toDF("qid", "qf", "fhash")
+    val best = broadcast(qfp).join(corpus, Seq("fhash"))
+      .groupBy(col("qid"), col("doc"), (col("cf") - col("qf")).as("delta"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("qid", "doc").agg(max("n").as("score"))
+    best
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("doc"))))
+      .where(col("rn") === 1)
+      .select(col("qid"), col("doc").as("match_doc"), col("score"))
+  }
+
+  private val oAudioMatch = """
+    WITH src AS (
+      SELECT 'c' AS side, doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT 'q', doc_id, substr(text, 65, 160) FROM documents
+      WHERE doc_id % 50 = 3 AND length(text) >= 224),
+    base AS (
+      SELECT side, id, text, length(text) // 32 AS nf
+      FROM src WHERE length(text) >= 64),
+    ix AS (
+      SELECT side, id, text,
+             unnest(generate_series(0, nf * 32 - 1)) AS i
+      FROM base),
+    px AS (
+      SELECT side, id, i // 32 AS f,
+             CAST(ord(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) * 32
+               + (31 - (i % 32)) AS pk_key
+      FROM ix),
+    pk AS (
+      SELECT side, id, f, CAST(max(pk_key) // 32 AS BIGINT) AS peak
+      FROM px GROUP BY side, id, f),
+    fp0 AS (
+      SELECT side, id, f, peak,
+             lead(peak) OVER (PARTITION BY side, id ORDER BY f) AS nxt
+      FROM pk),
+    fp AS (
+      SELECT side, id, f, peak * 128 + nxt AS fhash
+      FROM fp0 WHERE nxt IS NOT NULL),
+    hits AS (
+      SELECT q.id AS qid, c.id AS doc, c.f - q.f AS delta
+      FROM fp q JOIN fp c ON q.fhash = c.fhash
+      WHERE q.side = 'q' AND c.side = 'c'),
+    sc AS (SELECT qid, doc, delta, count(*) AS n FROM hits GROUP BY 1, 2, 3),
+    best AS (SELECT qid, doc, max(n) AS score FROM sc GROUP BY 1, 2),
+    r AS (
+      SELECT qid, doc, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rn
+      FROM best)
+    SELECT qid, doc AS match_doc, CAST(score AS BIGINT) AS score
+    FROM r WHERE rn = 1"""
+
+  /** §2.45c URL canonicalization + per-host caps (the crawl-hygiene stage):
+    * dirty URLs (case junk, default ports, trailing slashes, utm tracking
+    * params, fragments) canonicalize via scan-stage regexps, duplicates
+    * collapse on the canonical form (min doc_id keeps), and each host is
+    * capped at a doc quota in deterministic hash order (host-level spam
+    * control — `Sampling.stratifiedQuota` with host as the stratum). The
+    * synthetic corpus carries no URLs, so both engines decorate the same
+    * deterministic dirty URL per doc first (the PII discipline); the
+    * report is per-host counts at each stage. Scale: canonicalize is a
+    * pure projection; the collapse and the quota shuffle on (host, url) /
+    * (host) — crawl-natural keys.
+    */
+  private def qUrlHostCap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Web
+    // Decoration arithmetic: host = doc_id % 15 (15 hosts), path group
+    // g = doc_id div 45 — ids {x, x+15, x+30} inside each 45-block share
+    // host AND path, so their three dirty variants collapse 3:1 on the
+    // canonical form; the per-doc junk (case, port, slash, utm, fragment)
+    // is what canonicalization must strip to find them.
+    val d = docs(s, dir)
+      .withColumn("g", expr("doc_id div 45"))
+      .withColumn("dirty", concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        lit("H"), (col("doc_id") % 15).cast("string"),
+        when(col("doc_id") % 4 < 2, lit(".Example.COM")).otherwise(lit(".example.com")),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), col("g").cast("string"),
+        when(col("doc_id") % 3 === 1, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0 && col("g") % 5 === 0,
+          concat(lit("?utm_source=feed&id="), (col("g") % 7).cast("string")))
+          .when(col("doc_id") % 5 === 0, lit("?utm_source=feed"))
+          .when(col("g") % 5 === 0, concat(lit("?id="), (col("g") % 7).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("#sec-"), (col("doc_id") % 4).cast("string")))
+          .otherwise(lit(""))))
+    val canon = d
+      .withColumn("url", Web.canonicalUrl(col("dirty")))
+      .withColumn("host", Web.hostOf(col("url")))
+    val keepers = canon.groupBy("host", "url").agg(min("doc_id").as("keep_id"))
+    val capped = Sampling.stratifiedQuota(keepers, col("host"), col("keep_id"),
+      SampleSeed, 8)
+    canon.groupBy("host").agg(count(lit(1)).as("n_docs"))
+      .join(keepers.groupBy("host").agg(count(lit(1)).as("n_urls")), "host")
+      .join(capped.groupBy("host").agg(count(lit(1)).as("n_kept")), "host")
+  }
+
+  private val oUrlHostCap = s"""
+    WITH d AS (
+      SELECT doc_id, doc_id // 45 AS g,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        'H' || CAST(doc_id % 15 AS VARCHAR) ||
+        (CASE WHEN doc_id % 4 < 2 THEN '.Example.COM' ELSE '.example.com' END) ||
+        (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
+        '/p/' || CAST(doc_id // 45 AS VARCHAR) ||
+        (CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END) ||
+        (CASE WHEN doc_id % 5 = 0 AND (doc_id // 45) % 5 = 0
+                THEN '?utm_source=feed&id=' || CAST((doc_id // 45) % 7 AS VARCHAR)
+              WHEN doc_id % 5 = 0 THEN '?utm_source=feed'
+              WHEN (doc_id // 45) % 5 = 0
+                THEN '?id=' || CAST((doc_id // 45) % 7 AS VARCHAR)
+              ELSE '' END) ||
+        (CASE WHEN doc_id % 11 = 0
+                THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END) AS dirty
+      FROM documents),
+    c AS (
+      SELECT doc_id, host,
+             'https://' || host || path ||
+             CASE WHEN qid = '' THEN '' ELSE '?' || qid END AS url
+      FROM (
+        SELECT doc_id,
+          regexp_replace(lower(regexp_extract(nofrag, '^[a-zA-Z]+://([^/?#]+)', 1)),
+                         ':(443|80)$$', '') AS host,
+          regexp_replace(regexp_extract(nofrag, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1),
+                         '/+$$', '') AS path,
+          regexp_extract(nofrag, '[?&](id=[0-9]+)', 1) AS qid
+        FROM (SELECT doc_id, regexp_replace(dirty, '#.*$$', '') AS nofrag FROM d) t0
+      ) t1),
+    k AS (SELECT host, url, min(doc_id) AS keep_id FROM c GROUP BY host, url),
+    cap AS (
+      SELECT host, keep_id FROM (
+        SELECT host, keep_id,
+               row_number() OVER (
+                 PARTITION BY host
+                 ORDER BY ${duckSampleHash("CAST(keep_id AS VARCHAR)")}, keep_id)
+                 AS rank
+        FROM k) q WHERE rank <= 8),
+    s1 AS (SELECT host, count(*) AS n_docs FROM c GROUP BY host),
+    s2 AS (SELECT host, count(*) AS n_urls FROM k GROUP BY host),
+    s3 AS (SELECT host, count(*) AS n_kept FROM cap GROUP BY host)
+    SELECT host, n_docs, n_urls, n_kept
+    FROM s1 JOIN s2 USING (host) JOIN s3 USING (host)"""
+
   // ---------------------------------------------------------------------------
   // Dataset assembly (SURVEY §2 items 50–50c): deterministic sampling,
   // stratified quotas, token-budget mixing, benchmark decontamination —
@@ -1318,6 +1534,230 @@ object QueriesText {
     GROUP BY tr.doc_id
     HAVING count(*) >= 5
        AND floor(count(*) * 10000.0 / any_value(tr.n_sh)) / 10000.0 >= 0.8"""
+
+  /** §2.58b Dataset snapshot diff (corpus versioning — what changed
+    * between dataset v1 and v2): FULL OUTER join on the doc key classifies
+    * every doc as added / removed / changed (text differs) / unchanged;
+    * the report keeps the non-unchanged rows. Versions are deterministic
+    * decorations of the synthetic corpus (v1 drops doc_id % 23 = 1, v2
+    * drops % 29 = 2 and rewrites % 13 = 3), so both engines build
+    * identical snapshots. Scale: one doc_id-keyed shuffle join — and on
+    * bucketed-by-key tables (§2.74) zero exchanges; comparing a content
+    * hash instead of the text keeps the shuffle narrow at 100 TB.
+    */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val v1 = d.where(col("doc_id") % 23 =!= 1)
+      .select(col("doc_id"), col("source"), col("text").as("t1"))
+    val v2 = d.where(col("doc_id") % 29 =!= 2)
+      .select(col("doc_id"), col("source").as("source2"),
+        when(col("doc_id") % 13 === 3, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("t2"))
+    v1.join(v2, Seq("doc_id"), "full")
+      .withColumn("status",
+        when(col("t1").isNull, "added")
+          .when(col("t2").isNull, "removed")
+          .when(col("t1") =!= col("t2"), "changed")
+          .otherwise("unchanged"))
+      .where(col("status") =!= "unchanged")
+      .select(col("doc_id"),
+        coalesce(col("source"), col("source2")).as("source"), col("status"))
+  }
+
+  private val oSnapshotDiff = """
+    WITH v1 AS (
+      SELECT doc_id, source, text AS t1 FROM documents WHERE doc_id % 23 <> 1),
+    v2 AS (
+      SELECT doc_id, source AS source2,
+             CASE WHEN doc_id % 13 = 3 THEN text || ' [rev2]' ELSE text END AS t2
+      FROM documents WHERE doc_id % 29 <> 2)
+    SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           coalesce(v1.source, v2.source2) AS source,
+           CASE WHEN t1 IS NULL THEN 'added'
+                WHEN t2 IS NULL THEN 'removed'
+                WHEN t1 <> t2 THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE CASE WHEN t1 IS NULL THEN 'added'
+               WHEN t2 IS NULL THEN 'removed'
+               WHEN t1 <> t2 THEN 'changed'
+               ELSE 'unchanged' END <> 'unchanged'"""
+
+  /** §2.54b Tokenizer vocabulary coverage / OOV audit: a FIXED-SIZE
+    * vocabulary (top-K train-split words by (cf desc, word) — the §2.54
+    * induction family under a tokenizer budget) scores every HELD-OUT
+    * doc's word occurrences, per source — the held-out coverage number a
+    * tokenizer change is judged by (train-set coverage flatters by
+    * construction; eval-set OOV predicts runtime fertility) — the coverage number a tokenizer change is judged
+    * by. One explode → (word)-keyed broadcast-able vocab join (the vocab
+    * is the minDf-cut table, orders smaller than the corpus) → per-source
+    * rollup; OOV share is ONE truncated integer division (permille).
+    */
+  private def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    val d = docsW(s, dir).withColumn("_train",
+      Sampling.sampleHash(col("doc_id"), SampleSeed) % 1000 < 900)
+    def words(df: DataFrame) = df
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+    // Fixed-SIZE vocabulary (the tokenizer reality: a budget, not a
+    // frequency floor): top-K train words by (cf desc, word) via
+    // sort+limit — TakeOrderedAndProject, never a global window. K = 24
+    // against the synthetic 31-word vocabulary so a real OOV tail exists;
+    // production K is the tokenizer budget.
+    val vocab = words(d.where(col("_train")))
+      .groupBy("word").agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("word"))
+      .limit(24)
+      .select("word").withColumn("_in", lit(1))
+    words(d.where(!col("_train")))
+      .join(vocab, Seq("word"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_pm",
+        floor(col("n_oov") * 1000 / col("n_tokens")).cast("long"))
+      .select("source", "n_tokens", "n_oov", "oov_pm")
+  }
+
+  private val oOovRate = s"""
+    WITH d AS (
+      SELECT source, text,
+             ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 < 900 AS tr
+      FROM documents),
+    trw AS (
+      SELECT w AS word FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM d WHERE tr) t
+      WHERE w <> ''),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, count(*) AS cf FROM trw GROUP BY word
+        ORDER BY cf DESC, word LIMIT 24) v),
+    evw AS (
+      SELECT source, w AS word FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM d WHERE NOT tr) t
+      WHERE w <> '')
+    SELECT source, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(floor(sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END)
+                      * 1000.0 / count(*)) AS BIGINT) AS oov_pm
+    FROM evw LEFT JOIN vocab USING (word)
+    GROUP BY source"""
+
+  /** §2.40b Containment similarity (quote/subset detection — Broder's
+    * asymmetric resemblance): |Sa ∩ Sb| / |S_smaller| over distinct
+    * word-trigram sets, the measure that finds a short doc QUOTED inside a
+    * long one where symmetric Jaccard stays low. Pipeline order per the
+    * DupSkewProbe rule: exact-collapse first (identical texts → one rep,
+    * or every clique pairs quadratically in the inverted index), then an
+    * (h)-keyed inverted-index join with a document-frequency cut (df ≤ 64:
+    * ubiquitous boilerplate shingles would fan out df² — dropping them can
+    * only MISS matches built solely from boilerplate, the standard
+    * prefix-filter trade, and the cut rides the same df table the join
+    * needs anyway). Containment = ONE truncated integer division per pair;
+    * denominators are the PRE-cut set sizes so the semantics stay "share
+    * of the smaller doc's shingles", not "share of its rare shingles".
+    */
+  private def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val reps = docsW(s, dir)
+      .groupBy(col("text")).agg(min("doc_id").as("id"))
+      .withColumn("sh", array_distinct(
+        transform(Text.shingles(col("text"), 3), Text.polyHash(_))))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("h"))
+      .localCheckpoint() // shared by both join sides + the df rollup
+    val dfCut = reps.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= 64).select("h")
+    val kept = reps.join(dfCut, "h")
+    val a = kept.select(col("h"), col("id").as("doc_a"), col("n_sh").as("na"))
+    val b = kept.select(col("h"), col("id").as("doc_b"), col("n_sh").as("nb"))
+    a.join(b, Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("cont_pm",
+        floor(col("n_shared") * 1000 / least(col("na"), col("nb"))).cast("long"))
+      .where(col("cont_pm") >= 700)
+      .select("doc_a", "doc_b", "n_shared", "cont_pm")
+  }
+
+  private val oContainment = s"""
+    WITH reps AS (
+      SELECT min(doc_id) AS id, text FROM documents GROUP BY text),
+    hs AS (
+      SELECT id,
+             list_distinct(list_transform(
+               [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                for i in range(1, len(words) - 1)],
+               s -> ${duckPolyHash("s")})) AS th
+      FROM (SELECT id, string_split(text, ' ') AS words FROM reps)),
+    sh AS (
+      SELECT id, len(th) AS n_sh, unnest(th) AS h
+      FROM hs WHERE len(th) > 0),
+    cut AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 64),
+    kept AS (SELECT sh.id, sh.n_sh, sh.h FROM sh JOIN cut USING (h))
+    SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS n_shared,
+           CAST(floor(count(*) * 1000.0 /
+                      least(any_value(a.n_sh), any_value(b.n_sh))) AS BIGINT)
+             AS cont_pm
+    FROM kept a JOIN kept b ON a.h = b.h AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING CAST(floor(count(*) * 1000.0 /
+                      least(any_value(a.n_sh), any_value(b.n_sh))) AS BIGINT)
+           >= 700"""
+
+  /** §2.45d N-gram novelty scoring (the memorization/overlap audit run on
+    * every eval set): for each held-out doc (hash-split 10 %), the share of
+    * its distinct word-trigrams that NEVER occur in the train split — low
+    * novelty = the eval doc is effectively memorized training text. The
+    * train shingle set is corpus-sized (NOT broadcastable at 100 TB), so
+    * the membership check is a shingle-keyed LEFT join (mark + count-null
+    * keeps fully-seen docs, where an anti-join would silently drop their
+    * zero rows); novelty is ONE truncated integer division (permille), the
+    * single-rounding rule. Scale: one (h)-keyed shuffle, AQE splits hot
+    * boilerplate shingles; everything else is scan-stage.
+    */
+  private def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    val d = docsW(s, dir)
+      .withColumn("sh", array_distinct(
+        transform(Text.shingles(col("text"), 3), Text.polyHash(_))))
+      .withColumn("_train",
+        Sampling.sampleHash(col("doc_id"), SampleSeed) % 1000 < 900)
+    val train = d.where(col("_train"))
+      .select(explode(col("sh")).as("h")).distinct()
+      .withColumn("_seen", lit(1))
+    d.where(!col("_train") && size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("h"))
+      .join(train, Seq("h"), "left")
+      .groupBy("doc_id", "n_sh")
+      .agg(sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_pm",
+        floor(col("n_novel") * 1000 / col("n_sh")).cast("long"))
+      .select("doc_id", "n_sh", "n_novel", "novelty_pm")
+  }
+
+  private val oNovelty = s"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                for i in range(1, len(words) - 1)],
+               s -> ${duckPolyHash("s")})) AS th,
+             ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 < 900 AS tr
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+    train AS (SELECT DISTINCT unnest(th) AS h FROM hs WHERE tr),
+    ev AS (
+      SELECT doc_id, len(th) AS n_sh, unnest(th) AS h
+      FROM hs WHERE NOT tr AND len(th) > 0)
+    SELECT ev.doc_id, any_value(ev.n_sh) AS n_sh,
+           CAST(sum(CASE WHEN train.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(floor(sum(CASE WHEN train.h IS NULL THEN 1 ELSE 0 END)
+                      * 1000.0 / any_value(ev.n_sh)) AS BIGINT) AS novelty_pm
+    FROM ev LEFT JOIN train ON ev.h = train.h
+    GROUP BY ev.doc_id"""
 
   /** §2.50h Span-level decontamination (Lee et al. production form of
     * §2.50d): remove only the contaminated SPANS and reassemble — a doc
@@ -2285,9 +2725,23 @@ object QueriesText {
     * dedup, which ids the split) are exactly what piecewise checks miss.
     */
   private def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    // Stage boundaries MATERIALIZE (localCheckpoint): `redacted` is a
+    // 4-deep regexp_replace chain over the decorated text, and the gate
+    // references its text column ~10 times (quality metrics, repetition
+    // struct fields, dedup key) — CollapseProject inlines the chain into
+    // every reference, and the multiplied expression tree put per-action
+    // Catalyst optimization at ~100 s for a 5k-doc corpus (the r8 bench
+    // caught it; same family as the literal-plane trap in CLAUDE.md).
+    // Checkpointing the scrubbed and gated frames is also the production
+    // shape — a 100 TB pipeline persists the scrubbed corpus once and
+    // every downstream stage reads DATA, not a regex lineage.
     val scrubbed = graft.operators.Pii.redact(piiDocs(s, dir), col("ptext"))
+      .select(col("doc_id"), col("source"), col("redacted"))
+      .localCheckpoint()
     val gated = withGateVerdict(scrubbed, col("redacted"))
       .where(col("keep") === 1)
+      .select(col("doc_id"), col("source"), col("redacted"), col("n_words"))
+      .localCheckpoint() // reused by both the drop-list and the keep side
     val normKey = concat_ws(" ", slice(split(col("redacted"), " "), 1, 8))
     val drop = Text.exactDupGroups(gated, "doc_id", normKey)
       .select(explode(col("members")).as("doc_id"), col("keeper"))
@@ -3287,6 +3741,13 @@ object QueriesText {
     GraftQuery("q_dedup_pipeline", qDedupPipeline, Some(oDedupPipeline), headline = true),
     GraftQuery("q_mm_features", qMmFeatures, Some(oMmFeatures)),
     GraftQuery("q_mm_frames", qMmFrames, Some(oMmFrames)),
+    GraftQuery("q_phash_pairs", qPhashPairs, Some(oPhashPairs)),
+    GraftQuery("q_audio_match", qAudioMatch, Some(oAudioMatch)),
+    GraftQuery("q_url_host_cap", qUrlHostCap, Some(oUrlHostCap)),
+    GraftQuery("q_novelty", qNovelty, Some(oNovelty)),
+    GraftQuery("q_containment", qContainment, Some(oContainment)),
+    GraftQuery("q_snapshot_diff", qSnapshotDiff, Some(oSnapshotDiff)),
+    GraftQuery("q_oov_rate", qOovRate, Some(oOovRate)),
     GraftQuery("q_doc_ngram_jaccard", qDocNgramJaccard, Some(oDocNgramJaccard), headline = true),
     GraftQuery("q_doc_minhash_lsh", qDocMinhashLsh, Some(oDocMinhashLsh), headline = true),
     GraftQuery("q_doc_simhash", qDocSimhash, Some(oDocSimhash)),

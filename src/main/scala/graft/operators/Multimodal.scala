@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
@@ -53,6 +54,111 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.repartition(partitions, col("id"))
       .mapPartitions(_.map(fakeDecode))
+  }
+
+  /** Perceptual average-hash (aHash) over an 8×8 "decoded" grayscale tile —
+    * the image near-dup fingerprint (pHash family). The decode step is the
+    * declared stub boundary: luminance i = the code point sampled at
+    * position 1 + i·stride of the payload (stride = (len−1) div 63, the
+    * deterministic "resize to 64 samples"); a real pipeline swaps in
+    * decode+resize and everything downstream — mean threshold, bit pack,
+    * band blocking, Hamming join — is unchanged.
+    *
+    * Shape: relational at the sample boundary (explode 64 index rows per
+    * payload, window-mean, bit-pack by aggregation) — NOT nested HOF
+    * lambdas, where the 64-element mean expression would inline into the
+    * per-bit lambda and re-derive the whole sample array per bit (the
+    * O(len²·k) trap documented in CLAUDE.md). One doc-keyed window shuffle;
+    * the bit-pack groupBy reuses the same partitioning.
+    *
+    * All arithmetic is integer (codepoints, floor-div mean, bit shifts), so
+    * a SQL engine replays the hash bit-identically. The 64-bit hash is
+    * returned as two 32-bit halves (h0 bits 0–31, h1 bits 32–63): packing
+    * 64 bits into one BIGINT would overflow the sign bit, which DuckDB
+    * RAISES on rather than wrapping.
+    */
+  def aHash64(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
+    val base = df
+      .select(col(idCol).as("ah_id"), textCol.as("ah_txt"))
+      .where(length(col("ah_txt")) >= 64)
+      .withColumn("ah_stride", expr("greatest(1, (length(ah_txt) - 1) div 63)"))
+    val px = base
+      .withColumn("i", explode(sequence(lit(0), lit(63))))
+      .select(col("ah_id"), col("i"),
+        ascii(col("ah_txt").substr(lit(1) + col("i") * col("ah_stride"), lit(1)))
+          .cast("long").as("p"))
+    val w = Window.partitionBy("ah_id")
+    px
+      .withColumn("mean", floor(sum("p").over(w) / 64).cast("long"))
+      .withColumn("bit",
+        when(col("p") > col("mean"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 32 AS INT))"))
+          .otherwise(lit(0L)))
+      .groupBy(col("ah_id").as("id"))
+      .agg(sum(when(col("i") < 32, col("bit")).otherwise(lit(0L))).as("h0"),
+        sum(when(col("i") >= 32, col("bit")).otherwise(lit(0L))).as("h1"))
+  }
+
+  /** Near-dup pairs over aHash fingerprints: exact-collapse FIRST (identical
+    * hashes → one representative, min id — the 20 %-dup corpus makes any
+    * band tier quadratic otherwise, the DupSkewProbe rule), then 8 bands of
+    * 8 bits block the candidates (pigeonhole: a pair within Hamming ≤ 7
+    * agrees on ≥ 1 band, so the ≤ 6 cut below loses nothing), exact Hamming
+    * filter on the survivors. Shuffle keys are (band_id, band_value) —
+    * bounded buckets, never all-pairs.
+    */
+  def aHashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val reps = hashes.groupBy("h0", "h1").agg(min("id").as("rep"))
+      .localCheckpoint() // both join sides share the scan; see qDocSimhashPairs
+    val bands = reps
+      .withColumn("j", explode(sequence(lit(0), lit(7))))
+      .withColumn("band",
+        expr("IF(j < 4, shiftright(h0, CAST(8*j AS INT)) & 255, " +
+             "shiftright(h1, CAST(8*(j-4) AS INT)) & 255)"))
+    val a = bands.select(col("j"), col("band"), col("rep").as("doc_a"),
+      col("h0").as("h0a"), col("h1").as("h1a"))
+    val b = bands.select(col("j"), col("band"), col("rep").as("doc_b"),
+      col("h0").as("h0b"), col("h1").as("h1b"))
+    a.join(b, Seq("j", "band"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "h0a", "h1a", "h0b", "h1b").distinct()
+      .withColumn("hamming",
+        (bit_count(expr("h0a ^ h0b")) + bit_count(expr("h1a ^ h1b"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Audio constellation fingerprints (Shazam-family landmark hashing,
+    * Wang 2003): the payload "decodes" to a sample stream (stub: one
+    * codepoint per position), frames of 32 samples each contribute their
+    * PEAK (argmax, lowest index on ties — via the integer key
+    * p·32 + (31−j) so no second pass), and consecutive-frame peak pairs
+    * hash to `peak·128 + next_peak` — the landmark the inverted index is
+    * keyed on. All integer arithmetic; a SQL engine replays every hash.
+    *
+    * Relational shape: ONE explode to sample rows (i → frame i div 32,
+    * offset i mod 32), a (id, frame)-keyed aggregation for peaks, a lead
+    * window on the same id partitioning for the pair hash — corpus-sized
+    * rows, keys are always (id) or (id, frame), never all-pairs.
+    */
+  def audioFingerprints(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
+    val base = df.select(col(idCol).as("af_id"), textCol.as("af_txt"))
+      .where(length(col("af_txt")) >= 64) // need >= 2 full frames for a pair
+      .withColumn("af_nf", expr("length(af_txt) div 32"))
+    val peaks = base
+      .withColumn("i", explode(sequence(lit(0), col("af_nf") * 32 - 1)))
+      .select(col("af_id"),
+        (col("i") / 32).cast("long").as("f"),
+        (ascii(col("af_txt").substr(col("i") + 1, lit(1))).cast("long") * 32 +
+          (lit(31) - col("i") % 32)).as("pk_key"))
+      .groupBy("af_id", "f")
+      .agg(expr("CAST(max(pk_key) AS BIGINT) div 32").as("peak"))
+    peaks
+      .withColumn("nxt",
+        lead("peak", 1).over(Window.partitionBy("af_id").orderBy("f")))
+      .where(col("nxt").isNotNull)
+      .select(col("af_id").as("id"), col("f"),
+        (col("peak") * 128 + col("nxt")).as("fhash"))
   }
 
   /** Frame-sampling plumbing for video-like payloads: emit every k-th chunk

@@ -30,7 +30,10 @@ object SparkFixture {
 class CatalogSpec extends AnyFunSuite with SparkFixture {
   // Density-dependent queries are legitimately empty at sf0.001 (15 users,
   // ~1 event per 43 min globally); smoke them at sf0.01 instead.
-  private val needsDensity = Set("q_level_flight", "q_trains")
+  private val needsDensity = Set("q_level_flight", "q_trains",
+    // sf0.001's corpus/customer draw legitimately yields zero rows for
+    // these (no <=6-Hamming phash pair; no above-average dormant customer)
+    "q_phash_pairs", "q_dormant_cust")
 
   for (q <- Queries.all) {
     test(s"${q.name} runs and returns rows") {
