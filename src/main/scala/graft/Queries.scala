@@ -283,6 +283,83 @@ object Queries {
         expr("min(ts) div 1000").as("start_us"),
         expr("max(ts) div 1000").as("end_us"))
 
+  /** §2.11b Sessionization via Spark's NATIVE `session_window` operator
+    * (the built-in path beside §2.11's relational lag/cumsum — the
+    * equivalence is the point: one declarative operator, one oracle).
+    * Semantics nit the oracle must mirror: `session_window` merges
+    * OVERLAPPING [t, t+gap) windows, so a gap of EXACTLY `gap` starts a
+    * new session (`>=`), where the lag form uses strict `>`. Window end =
+    * last event + gap by definition. Scale: one user-keyed aggregation
+    * exchange, the same key the relational form shuffles on.
+    */
+  private def qSessionNative(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("tst", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"), session_window(col("tst"), "6 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+
+  private val oSessionNative = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 21600000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id, epoch_us(min(ts)) AS start_us,
+           epoch_us(max(ts)) + 21600000000 AS end_us,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid"""
+
+  /** §2.12b SCD2 dimension build (warehouse temporal-history shape): the
+    * per-user attribute stream (event_type as the tracked attribute)
+    * collapses to its CHANGE POINTS, each carrying an effective range
+    * [from, to) and a current flag — the slowly-changing-dimension table
+    * an as-of join (§2.16) then serves lookups from. Two window passes on
+    * the SAME user partitioning (detect changes, then number + close
+    * ranges over the filtered change rows); all-integer ns timestamps.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val w1 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(s, dir)
+      .withColumn("_prev", lag(col("event_type"), 1).over(w1))
+      .where(col("_prev").isNull || col("_prev") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("version", row_number().over(w2))
+      .withColumn("to_ns", lead(col("ts"), 1).over(w2))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("from_ns"), col("to_ns"),
+        col("to_ns").isNull.cast("int").as("is_current"))
+  }
+
+  private val oScd2 = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type FROM marked
+      WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id,
+           CAST(row_number() OVER w AS INT) AS version,
+           event_type,
+           epoch_ns(ts) AS from_ns,
+           epoch_ns(lead(ts) OVER w) AS to_ns,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
   private val oSessionGap = """
     WITH flagged AS (
       SELECT user_id, ts, event_id,
@@ -1022,6 +1099,8 @@ object Queries {
     GraftQuery("q_window_suite", qWindowSuite, Some(oWindowSuite)),
     GraftQuery("q_grouping_sets", qGroupingSets, Some(oGroupingSets)),
     GraftQuery("q_session_gap", qSessionGap, Some(oSessionGap), headline = true),
+    GraftQuery("q_session_native", qSessionNative, Some(oSessionNative)),
+    GraftQuery("q_scd2", qScd2, Some(oScd2)),
     GraftQuery("q_kinematics", qKinematics, Some(oKinematics)),
     GraftQuery("q_cumdist", qCumdist, Some(oCumdist)),
     GraftQuery("q_sample_every", qSampleEvery, Some(oSampleEvery)),

@@ -2142,6 +2142,69 @@ object QueriesText {
     * transitive step pairwise keep rules miss. The oracle replays the
     * closure with a recursive CTE (min reachable label == component min).
     */
+  /** §2.55b Triangle counting on the near-dup graph (degree-ordered wedge
+    * join — Schank/Wagner, the MapReduce-standard orientation): every edge
+    * orients from its (degree, id)-smaller endpoint, each triangle is then
+    * counted EXACTLY ONCE as a wedge at its minimum vertex closed by one
+    * oriented edge — out-degrees are bounded by √(2m), so the wedge join
+    * is Σ outdeg² ≤ m^1.5, never the naive Σ deg² that a hub vertex
+    * explodes. Output: per-doc triangle membership counts (the dup-graph
+    * density diagnostic — cliquish near-dup clusters vs chains decide the
+    * §2.55 convergence path). The oracle replays the count from the
+    * id-ordered 3-join (orientation changes the WORK, not the triangle
+    * set). Edges: the §2.40 PTJ pairs at Jaccard ≥ 0.8 on bigrams.
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = Text.jaccardPairs(docs(s, dir), "doc_id",
+        Text.shingles(col("text"), 2), 0.8)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint() // feeds the degree rollup + both orientation sides
+    val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"),
+        greatest(col("du"), col("dv")).as("ddst"),
+        least(col("du"), col("dv")).as("dsrc"))
+    // wedge at src; canonicalize the closing pair by the SAME (deg, id)
+    // order the orientation uses, then close with one oriented edge
+    val e1 = oriented.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
+    val e2 = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+    val wedges = e1.join(e2, Seq("src"))
+      .where(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+    val tri = wedges.join(
+      oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+    tri.select(explode(array(col("src"), col("x"), col("y"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  private val oTriangles = """
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([words[i] || ' ' || words[i+1]
+                            for i in range(1, len(words))]) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+    p AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.bg, b.bg)) * 1.0 /
+            (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.8),
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM p e1
+      JOIN p e2 ON e2.doc_a = e1.doc_b
+      JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+    SELECT doc_id, count(*) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri) t
+    GROUP BY doc_id"""
+
   private def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val edges = Text.jaccardPairs(d, "doc_id",
@@ -3015,6 +3078,64 @@ object QueriesText {
         count(lit(1)).as("n"))
   }
 
+  /** §2.73b Seasonal-baseline anomaly screen: robust (median, MAD) cuts
+    * learned PER (event_type, hour-of-day) on the 10 % hash sample — the
+    * time-conditioned version of §2.73, separating "unusual for 3 am"
+    * from "unusual ever" — then applied to the full stream as a
+    * scan-stage flag; report = per-slot outlier counts. Same exact
+    * rank-selection discipline (no derived float crosses engines).
+    */
+  private def qSeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Robust
+    val ev = Tables.events(s, dir)
+      .withColumn("hour", expr("(ts div 3600000000000) % 24"))
+      .withColumn("grp",
+        concat(col("event_type"), lit("#"), col("hour").cast("string")))
+    val samp = ev
+      .where(Sampling.sampleHash(col("event_id").cast("string"), "mad") % 1000 < 100)
+      .select(col("grp"), col("value"), col("event_id"))
+    val cuts = Robust.madCuts(samp, "grp", "value", "event_id")
+    ev.select(col("event_type"), col("hour"), col("grp"), col("value"))
+      .join(broadcast(cuts), Seq("grp"))
+      .groupBy("event_type", "hour")
+      .agg(min("med").as("med"), min("mad").as("mad"),
+        sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_out"),
+        count(lit(1)).as("n"))
+  }
+
+  private val oSeasonalAnomaly = s"""
+    WITH ev AS (
+      SELECT event_type, value, event_id,
+             (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+             event_type || '#' ||
+               CAST((epoch_ns(ts) // 3600000000000) % 24 AS VARCHAR) AS grp
+      FROM events),
+    s AS (SELECT grp, value, event_id FROM ev
+          WHERE ${duckPolyHash("CAST(event_id AS VARCHAR) || '#mad'")}
+                % 1000 < 100),
+    r1 AS (SELECT grp, value,
+             row_number() OVER (PARTITION BY grp ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+           FROM s),
+    med AS (SELECT grp,
+              max(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS med
+            FROM r1 GROUP BY grp),
+    r2 AS (SELECT s.grp, abs(s.value - m.med) AS d, m.med,
+             row_number() OVER (PARTITION BY s.grp
+                                ORDER BY abs(s.value - m.med), s.event_id) AS rn,
+             count(*) OVER (PARTITION BY s.grp) AS n
+           FROM s JOIN med m USING (grp)),
+    cuts AS (SELECT grp, min(med) AS med,
+               max(CASE WHEN rn = (n - 1) // 2 + 1 THEN d END) AS mad
+             FROM r2 GROUP BY grp)
+    SELECT e.event_type, e.hour, min(c.med) AS med, min(c.mad) AS mad,
+           CAST(sum(CASE WHEN abs(e.value - c.med) > 3.0 * c.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+           count(*) AS n
+    FROM ev e JOIN cuts c USING (grp)
+    GROUP BY e.event_type, e.hour"""
+
   private val oOutliersMad = s"""
     WITH s AS (SELECT event_type, value, event_id FROM events
                WHERE ${duckPolyHash("CAST(event_id AS VARCHAR) || '#mad'")}
@@ -3809,6 +3930,8 @@ object QueriesText {
     GraftQuery("q_fuzzy_link", qFuzzyLink, Some(oFuzzyLink)),
     GraftQuery("q_textrank", qTextRank, Some(oTextRank)),
     GraftQuery("q_outliers_mad", qOutliersMad, Some(oOutliersMad)),
+    GraftQuery("q_seasonal_anomaly", qSeasonalAnomaly, Some(oSeasonalAnomaly)),
+    GraftQuery("q_triangles", qTriangles, Some(oTriangles)),
     GraftQuery("q_range_plan", qRangePlan, Some(oRangePlan)),
     GraftQuery("q_source_overlap", qSourceOverlap, Some(oSourceOverlap)),
     GraftQuery("q_analyze_stats", qAnalyzeStats, Some(oAnalyzeStats)),
