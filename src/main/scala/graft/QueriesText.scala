@@ -444,6 +444,38 @@ object QueriesText {
         WHERE q.vec_id < 10) t0) t
     WHERE rk <= $KnnK"""
 
+  /** §2.44l ANN recall evaluation harness (the QA surface every index
+    * change is judged by — recall@k of the LSH lane against brute-force
+    * ground truth, per query, as ONE query): both lanes run under their
+    * existing cross-engine disciplines, the comparison is a LEFT join
+    * from the truth side (mark + count — zero-hit queries keep their
+    * row), recall = one truncated integer division. The oracle is
+    * GENERATED (the LSH side's plane count derives from the corpus) and
+    * simply composes the two lanes' oracle SQL as CTEs — the recall the
+    * engines agree on is computed over bit-identical neighbor sets.
+    */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = qKnnBrute(s, dir).select(col("q_id"), col("n_id"))
+    val cand = qKnnLsh(s, dir).select(col("q_id"), col("n_id"))
+      .withColumn("_m", lit(1))
+    truth.join(cand, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(when(col("_m").isNull, 0L).otherwise(1L)).as("n_hit"))
+      .withColumn("recall_pm",
+        floor(col("n_hit") * 1000 / lit(KnnK)).cast("long"))
+  }
+
+  private def oAnnRecallGen(s: SparkSession, dir: String): String = s"""
+    WITH brute AS (${oKnnBrute}),
+    lsh AS (${oKnnLshGen(s, dir)})
+    SELECT b.q_id,
+           CAST(sum(CASE WHEN l.n_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_hit,
+           CAST(floor(sum(CASE WHEN l.n_id IS NULL THEN 0 ELSE 1 END)
+                      * 1000.0 / $KnnK) AS BIGINT) AS recall_pm
+    FROM brute b LEFT JOIN lsh l ON b.q_id = l.q_id AND b.n_id = l.n_id
+    GROUP BY b.q_id"""
+
   /** §2.44k SQ8 scalar-quantized ANN (Similarity.knnSq8): packed-byte
     * codes (4× smaller than float32), INTEGER code-dot shortlist (zero
     * float surface — exactly replayed by the oracle), exact rounded-cosine
@@ -3879,6 +3911,7 @@ object QueriesText {
     GraftQuery("q_knn_brute", qKnnBrute, Some(oKnnBrute), headline = true),
     GraftQuery("q_knn_sq8", qKnnSq8, None, oracleGen = Some(oKnnSq8Gen)),
     GraftQuery("q_knn_lsh", qKnnLsh, None, oracleGen = Some(oKnnLshGen)),
+    GraftQuery("q_ann_recall", qAnnRecall, None, oracleGen = Some(oAnnRecallGen)),
     GraftQuery("q_knn_ivf", qKnnIvf, None, oracleGen = Some(oKnnIvfGen)),
     GraftQuery("q_knn_ivf_dist", qKnnIvfDist, None, oracleGen = Some(oKnnIvfDistGen)),
     GraftQuery("q_knn_ivf_batch", qKnnIvfBatch, None, oracleGen = Some(oKnnIvfBatchGen)),

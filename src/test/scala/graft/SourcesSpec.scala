@@ -606,3 +606,30 @@ class RenderSpec extends AnyFunSuite with SparkFixture {
     assert(pdf.contains("/BaseFont /Helvetica"))
   }
 }
+
+/** Additive schema evolution on the parquet layout — the long-lived-table
+  * reality a 100 TB store accrues across producer versions.
+  */
+class SchemaEvolutionSpec extends AnyFunSuite with SparkFixture {
+
+  test("schema evolution: widened appends merge, old rows null-fill, pruning intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // v1 writer: two columns; v2 writer appends a third (the additive
+    // evolution a long-lived 100 TB table accrues across producers)
+    Seq((1L, "a")).toDF("id", "val1").write.mode("append").parquet(dir)
+    Seq((2L, "b", 9L)).toDF("id", "val1", "val2").write.mode("append").parquet(dir)
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.sorted.toSeq == Seq("id", "val1", "val2"))
+    val rows = merged.select("id", "val1", "val2")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", Some(9L))))
+
+    // evolution must not cost pruning: a 1-column projection still reads
+    // a 1-column schema at the scan
+    val formatted = merged.select("id").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("ReadSchema: struct<id:bigint>"), formatted)
+  }
+}

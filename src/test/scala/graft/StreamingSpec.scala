@@ -797,3 +797,54 @@ class StreamSketchSpec extends AnyFunSuite with SparkFixture {
     assert(got == want && got.size >= 4)
   }
 }
+
+/** The BUILT-IN streaming sessionization path: `session_window` under a
+  * watermark (§2.11b's operator), beside SessionStream's custom-state
+  * flatMapGroupsWithState path — two implementations, one semantics.
+  */
+class StreamSessionWindowSpec extends AnyFunSuite with SparkFixture {
+
+  test("native session_window streaming agg: watermark closes sessions, batch twin agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    // (user_id, ts_us); gap 30 s, watermark 10 s — the built-in streaming
+    // sessionization path (§2.11b's operator under a watermark), beside
+    // SessionStream's flatMapGroupsWithState custom-state path.
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("tst", timestamp_micros(col("ts_us")))
+      .withWatermark("tst", "10 seconds")
+      .groupBy(col("user_id"), session_window(col("tst"), "30 seconds").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"), col("n"))
+
+    val input = MemoryStream[(Long, Long)]
+    val query = agg(input.toDF().toDF("user_id", "ts_us")).writeStream
+      .format("memory").queryName("native_sw")
+      .outputMode(OutputMode.Append())
+      .start()
+    val us = 1000000L
+    try {
+      // user 1: two events 10 s apart -> one open session [0, 10+30)
+      input.addData((1L, 0L), (1L, 10L * us))
+      query.processAllAvailable()
+      assert(spark.table("native_sw").count() == 0, "session emitted before watermark")
+
+      // user 2 far ahead advances the watermark past user 1's session end
+      input.addData((2L, 100L * us))
+      query.processAllAvailable()
+      val closed = spark.table("native_sw")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(closed == Set((1L, 0L, 40L * us, 2L)),
+        s"closed sessions: $closed")
+
+      // batch twin over the same rows produces the same closed session
+      val batch = agg(Seq((1L, 0L), (1L, 10L * us), (2L, 100L * us))
+          .toDF("user_id", "ts_us"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(batch.contains((1L, 0L, 40L * us, 2L)))
+    } finally query.stop()
+  }
+}
