@@ -320,6 +320,51 @@ object Queries {
            count(*) AS n_events
     FROM sessions GROUP BY user_id, sid"""
 
+  /** §2.16f Last-touch attribution (the marketing-analytics report on the
+    * §2.16 as-of machinery, self-table form): each purchase attributes to
+    * the user's latest click/view within a 2-day lookback — one
+    * user-partitioned IGNORE-NULLS running window over the unioned event
+    * stream (the q_asof_join plan: single shuffle, no per-row subquery),
+    * then a scan-stage lookback cut and a channel rollup. All-integer ns
+    * arithmetic; ties at equal ts resolve by event_id on both engines.
+    */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col("event_type").isin("click", "view")
+    Tables.events(s, dir)
+      .withColumn("last_touch",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_ts",
+        last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("last_touch_ts").isNull ||
+          col("ts") - col("last_touch_ts") > lit(48L * HourNs), "none")
+          .otherwise(col("last_touch")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"))
+  }
+
+  private val oAttribution = """
+    WITH t AS (
+      SELECT event_type, ts,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS last_touch,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN epoch_ns(ts) END IGNORE NULLS)
+               OVER w AS last_touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT CASE WHEN last_touch_ts IS NULL
+                  OR epoch_ns(ts) - last_touch_ts > 172800000000000
+                THEN 'none' ELSE last_touch END AS channel,
+           count(*) AS n_purchases
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY 1"""
+
   /** §2.12b SCD2 dimension build (warehouse temporal-history shape): the
     * per-user attribute stream (event_type as the tracked attribute)
     * collapses to its CHANGE POINTS, each carrying an effective range
@@ -1101,6 +1146,7 @@ object Queries {
     GraftQuery("q_session_gap", qSessionGap, Some(oSessionGap), headline = true),
     GraftQuery("q_session_native", qSessionNative, Some(oSessionNative)),
     GraftQuery("q_scd2", qScd2, Some(oScd2)),
+    GraftQuery("q_attribution", qAttribution, Some(oAttribution)),
     GraftQuery("q_kinematics", qKinematics, Some(oKinematics)),
     GraftQuery("q_cumdist", qCumdist, Some(oCumdist)),
     GraftQuery("q_sample_every", qSampleEvery, Some(oSampleEvery)),

@@ -2720,6 +2720,92 @@ object QueriesText {
            exact_nd
     FROM s"""
 
+  /** §2.62e KMV set-operation estimates (theta-sketch style union /
+    * intersection — Beyer et al. 2007 family): per-source bottom-k
+    * sketches of the distinct-trigram space answer pairwise
+    * |A∪B| and |A∩B| questions WITHOUT the exact pair join §2.76 pays —
+    * union sketch = bottomk(Sa ∪ Sb) (exact by the k-min semilattice),
+    * est_union = (k−1)·P div h_k, est_int = |U ∩ Sa ∩ Sb| · est_union
+    * div k — all integer arithmetic, bit-replayable; unsaturated sketches
+    * degrade to EXACT counts by construction. Exact union/intersection
+    * ride along as the audit (the sketch-suite convention). Scale: the
+    * sketch exchange is O(sources·k); only the AUDIT pays the
+    * (h)-keyed pair join.
+    */
+  private def qDistinctSetops(s: SparkSession, dir: String): DataFrame = {
+    val K = 256
+    val srcs = Seq("src0", "src1", "src2", "src3", "src4", "src5")
+    val sh = docsW(s, dir).where(col("source").isin(srcs: _*))
+      .select(col("source"), explode(array_distinct(
+        transform(Text.shingles(col("text"), 3), Text.polyHash(_)))).as("h"))
+      .distinct()
+      .localCheckpoint() // feeds the sketch agg + both sides of the audit join
+    val sk = sh.groupBy("source")
+      .agg(Sketch.kmvAgg(col("h"), K).as("sk"), count(lit(1)).as("nd"))
+    val a = sk.select(col("source").as("src_a"), col("sk").as("ska"),
+      col("nd").as("nda"))
+    val b = sk.select(col("source").as("src_b"), col("sk").as("skb"),
+      col("nd").as("ndb"))
+    val exInt = sh.select(col("source").as("src_a"), col("h"))
+      .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("exact_int"))
+    a.join(b, col("src_a") < col("src_b"))
+      .join(exInt, Seq("src_a", "src_b"), "left")
+      .withColumn("u_full", array_sort(array_distinct(concat(col("ska"), col("skb")))))
+      .withColumn("nu", size(col("u_full")))
+      .withColumn("est_union", when(col("nu") < K, col("nu").cast("long"))
+        .otherwise(expr(
+          s"${(K - 1).toLong}L * ${Text.PolyP}L div greatest(element_at(u_full, $K), 1L)")))
+      .withColumn("c", size(array_intersect(slice(col("u_full"), 1, K),
+        array_intersect(col("ska"), col("skb")))).cast("long"))
+      .withColumn("est_int", when(col("nu") < K, col("c"))
+        .otherwise(expr(s"c * est_union div $K")))
+      .select(col("src_a"), col("src_b"), col("nda"), col("ndb"),
+        col("est_union"), col("est_int"),
+        (col("nda") + col("ndb") - coalesce(col("exact_int"), lit(0L)))
+          .as("exact_union"),
+        coalesce(col("exact_int"), lit(0L)).as("exact_int"))
+  }
+
+  private val oDistinctSetops = s"""
+    WITH sh AS MATERIALIZED (
+      SELECT DISTINCT source, h FROM (
+        SELECT source,
+               unnest(list_distinct(list_transform(
+                 [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                  for i in range(1, len(words) - 1)],
+                 s -> ${duckPolyHash("s")}))) AS h
+        FROM (SELECT source, string_split(text, ' ') AS words FROM documents
+              WHERE source IN ('src0','src1','src2','src3','src4','src5')) w)),
+    sk AS (SELECT source, list_sort(list(DISTINCT h))[1:256] AS sk,
+             CAST(count(*) AS BIGINT) AS nd
+           FROM sh GROUP BY source),
+    exi AS (SELECT a.source AS src_a, b.source AS src_b,
+              CAST(count(*) AS BIGINT) AS exact_int
+            FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2),
+    p AS (SELECT a.source AS src_a, a.sk AS ska, a.nd AS nda,
+            b.source AS src_b, b.sk AS skb, b.nd AS ndb
+          FROM sk a JOIN sk b ON a.source < b.source),
+    calc AS (
+      SELECT src_a, src_b, nda, ndb, ska, skb,
+             list_sort(list_distinct(list_concat(ska, skb))) AS u_full
+      FROM p),
+    e1 AS (
+      SELECT src_a, src_b, nda, ndb, len(u_full) AS nu,
+             CASE WHEN len(u_full) < 256 THEN CAST(len(u_full) AS BIGINT)
+                  ELSE CAST(255 AS BIGINT) * ${Text.PolyP}
+                       // greatest(u_full[256], 1) END AS est_union,
+             CAST(len(list_intersect(u_full[1:256],
+                                     list_intersect(ska, skb))) AS BIGINT) AS c
+      FROM calc)
+    SELECT e1.src_a, e1.src_b, nda, ndb, est_union,
+           CASE WHEN nu < 256 THEN c ELSE c * est_union // 256 END AS est_int,
+           nda + ndb - coalesce(exact_int, 0) AS exact_union,
+           coalesce(exact_int, 0) AS exact_int
+    FROM e1 LEFT JOIN exi ON e1.src_a = exi.src_a AND e1.src_b = exi.src_b"""
+
   /** §2.62a Count-min heavy hitters: candidates from the exact top-10 on
     * the deterministic 10% doc sample, frequencies estimated over the
     * FULL corpus from the d×w counter grid (never undercounts), exact
@@ -3964,6 +4050,7 @@ object QueriesText {
     GraftQuery("q_textrank", qTextRank, Some(oTextRank)),
     GraftQuery("q_outliers_mad", qOutliersMad, Some(oOutliersMad)),
     GraftQuery("q_seasonal_anomaly", qSeasonalAnomaly, Some(oSeasonalAnomaly)),
+    GraftQuery("q_distinct_setops", qDistinctSetops, Some(oDistinctSetops)),
     GraftQuery("q_triangles", qTriangles, Some(oTriangles)),
     GraftQuery("q_range_plan", qRangePlan, Some(oRangePlan)),
     GraftQuery("q_source_overlap", qSourceOverlap, Some(oSourceOverlap)),
