@@ -2905,17 +2905,20 @@ object QueriesText {
     * stage boundary semantics (which text feeds the gate, which key the
     * dedup, which ids the split) are exactly what piecewise checks miss.
     */
-  private def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
-    // Stage boundaries MATERIALIZE (localCheckpoint): `redacted` is a
-    // 4-deep regexp_replace chain over the decorated text, and the gate
-    // references its text column ~10 times (quality metrics, repetition
-    // struct fields, dedup key) — CollapseProject inlines the chain into
-    // every reference, and the multiplied expression tree put per-action
-    // Catalyst optimization at ~100 s for a 5k-doc corpus (the r8 bench
-    // caught it; same family as the literal-plane trap in CLAUDE.md).
-    // Checkpointing the scrubbed and gated frames is also the production
-    // shape — a 100 TB pipeline persists the scrubbed corpus once and
-    // every downstream stage reads DATA, not a regex lineage.
+  /** Shared scrub → gate → dedup chain for the e2e pipeline queries.
+    * Stage boundaries MATERIALIZE (localCheckpoint): `redacted` is a
+    * 4-deep regexp_replace chain over the decorated text, and the gate
+    * references its text column ~10 times (quality metrics, repetition
+    * struct fields, dedup key) — CollapseProject inlines the chain into
+    * every reference, and the multiplied expression tree put per-action
+    * Catalyst optimization at ~100 s for a 5k-doc corpus (the r8 bench
+    * caught it; same family as the literal-plane trap in CLAUDE.md).
+    * Checkpointing the scrubbed and gated frames is also the production
+    * shape — a 100 TB pipeline persists the scrubbed corpus once and
+    * every downstream stage reads DATA, not a regex lineage.
+    */
+  private def pipelineStages(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val scrubbed = graft.operators.Pii.redact(piiDocs(s, dir), col("ptext"))
       .select(col("doc_id"), col("source"), col("redacted"))
       .localCheckpoint()
@@ -2929,19 +2932,43 @@ object QueriesText {
       .where(col("doc_id") =!= col("keeper"))
       .select("doc_id")
     val ded = gated.join(broadcast(drop), Seq("doc_id"), "left_anti")
+    (scrubbed, gated, ded)
+  }
+
+  private def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, ded) = pipelineStages(s, dir)
     Sampling.splitByHash(ded, col("doc_id"), SampleSeed, SplitCuts)
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words").cast("long")).as("n_toks"))
   }
 
-  private val oPipelineE2e: String = {
+  /** §2.79b Pipeline stage audit (observability for §2.79): one result
+    * with the surviving-doc count at every stage boundary — the
+    * funnel-style number a data-pipeline dashboard plots per run and
+    * alerts on (a gate change that silently drops 40 % of the corpus
+    * shows here first). Relational union of three aggregates — no
+    * driver-side counts.
+    */
+  private def qPipelineAudit(s: SparkSession, dir: String): DataFrame = {
+    val (scrubbed, gated, ded) = pipelineStages(s, dir)
+    def st(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs")).withColumn("stage", lit(name))
+    st("1_scrubbed", scrubbed)
+      .unionByName(st("2_gated", gated))
+      .unionByName(st("3_deduped", ded))
+      .select("stage", "n_docs")
+  }
+
+  /** Shared oracle CTE chain (through the deduped `dd` stage) for the e2e
+    * pipeline queries — WITH body only, finals differ per query.
+    */
+  private def pipelineOracleCtes: String = {
     val masked = graft.operators.Pii.Patterns.foldLeft("ptext") {
       case (e, (kind, pat)) =>
         s"regexp_replace($e, '$pat', '[${kind.toUpperCase}]', 'g')"
     }
-    s"""
-    WITH p AS (SELECT doc_id, source, $duckPiiText AS ptext FROM documents),
+    s"""p AS (SELECT doc_id, source, $duckPiiText AS ptext FROM documents),
     r AS (SELECT doc_id, source, $masked AS red FROM p),
     w AS (SELECT doc_id, source, red, string_split(red, ' ') AS ws,
             ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 AS h
@@ -2971,7 +2998,11 @@ object QueriesText {
              SELECT doc_id, source, h, nw,
                     min(doc_id) OVER (PARTITION BY k) AS kp
              FROM nk) t
-           WHERE doc_id = kp),
+           WHERE doc_id = kp)"""
+  }
+
+  private def oPipelineE2e: String = s"""
+    WITH $pipelineOracleCtes,
     sp AS (SELECT source,
              CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val'
                   ELSE 'test' END AS split,
@@ -2979,7 +3010,12 @@ object QueriesText {
            FROM dd)
     SELECT source, split, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_toks
     FROM sp GROUP BY source, split"""
-  }
+
+  private def oPipelineAudit: String = s"""
+    WITH $pipelineOracleCtes
+    SELECT '1_scrubbed' AS stage, count(*) AS n_docs FROM r
+    UNION ALL SELECT '2_gated', count(*) FROM kept
+    UNION ALL SELECT '3_deduped', count(*) FROM dd"""
 
   /** §2.60c Naive-Bayes domain discriminator (Text.nbDomainScore) — the
     * learned quality-filter tier in the GPT-3/CCNet shape: curated
@@ -4057,6 +4093,7 @@ object QueriesText {
     GraftQuery("q_analyze_stats", qAnalyzeStats, Some(oAnalyzeStats)),
     GraftQuery("q_nb_filter", qNbFilter, Some(oNbFilter)),
     GraftQuery("q_pipeline_e2e", qPipelineE2e, Some(oPipelineE2e)),
+    GraftQuery("q_pipeline_audit", qPipelineAudit, Some(oPipelineAudit)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),

@@ -124,6 +124,13 @@ object DocScaleProbe {
     // SAME replicated corpus (LSH should win past ~10k vectors)
     time("q_embed_dup") { q("q_embed_dup")(spark, out).count() }
     time("q_embed_dup_lsh") { q("q_embed_dup_lsh")(spark, out).count() }
+    // r9 multimodal lanes: rep-suffixed words shift the sampled codepoints,
+    // so replica hashes/fingerprints differ — phash band buckets and audio
+    // landmark postings must spread (~linear output), not collide by
+    // replication the way identical copies would
+    time("q_phash_pairs") { q("q_phash_pairs")(spark, out).count() }
+    time("q_audio_match") { q("q_audio_match")(spark, out).count() }
+    time("q_containment") { q("q_containment")(spark, out).count() }
 
     // keep the replicated corpus for follow-up profiling (ProfileJaccard
     // et al.) when asked; default cleans up

@@ -848,3 +848,59 @@ class StreamSessionWindowSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 }
+
+/** Streaming last-touch attribution: keyed two-scalar state, purchases
+  * emit their channel on arrival; the batch twin is q_attribution's
+  * IGNORE-NULLS running window over the same rows.
+  */
+class StreamAttributionSpec extends AnyFunSuite with SparkFixture {
+  import graft.streaming.AttributionStream
+  import AttributionStream.{Attributed, Ev}
+
+  test("streamed attribution equals the batch window, incl. lookback and ties") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val input = MemoryStream[Ev]
+    val query = AttributionStream.attribute(input.toDS(), lookbackNs = 100L)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    val rows = Seq(
+      Ev(1L, 10L, 1L, "view"), Ev(1L, 20L, 2L, "click"), Ev(1L, 30L, 3L, "purchase"),
+      Ev(1L, 200L, 4L, "purchase"),           // 180 ns past the click: outside lookback
+      Ev(2L, 50L, 5L, "purchase"),            // never touched
+      Ev(1L, 210L, 6L, "view"), Ev(1L, 210L, 7L, "click"), // tie: higher event_id wins
+      Ev(1L, 220L, 8L, "purchase"))
+    try {
+      input.addData(rows.take(3)); query.processAllAvailable()
+      input.addData(rows.slice(3, 5)); query.processAllAvailable()
+      input.addData(rows.drop(5)); query.processAllAvailable()
+      val got = spark.table("attr").as[Attributed].collect().toSet
+      assert(got == Set(
+        Attributed(1L, 30L, "click"),
+        Attributed(1L, 200L, "none"),
+        Attributed(2L, 50L, "none"),
+        Attributed(1L, 220L, "click")), s"got $got")
+
+      // batch twin: the q_attribution window over the same rows
+      val df = rows.map(e => (e.userId, e.tsNs, e.eventId, e.eventType))
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val isTouch = col("event_type").isin("click", "view")
+      val batch = df
+        .withColumn("lt", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("lts", last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          when(col("lts").isNull || col("ts") - col("lts") > 100L, "none")
+            .otherwise(col("lt")).as("channel"))
+        .as[(Long, Long, String)].collect()
+        .map(t => Attributed(t._1, t._2, t._3)).toSet
+      assert(batch == got, s"stream $got vs batch $batch")
+    } finally query.stop()
+  }
+}
