@@ -80,7 +80,23 @@ object Bench {
     }
     val bestJson = best.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = best.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$isoField,"best":$bestJson,"sf":"$sfDir"}""")
+    // Full-detail artifact: every lane, full precision. The harness that
+    // collects our stdout keeps only the LAST ~2000 characters — a per-query
+    // map over the whole catalog (150+ entries) blew past that from r5 on
+    // and the collected BENCH JSON line became unparseable (r5-r7 all read
+    // `parsed: null`). So the detail goes to a file and the final printed
+    // line stays compact: totals + the top slowest queries by `best`.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$isoField,"best":$bestJson,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    catch { case _: Throwable => () }
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val nFail = best.count(_._2 < 0)
+    val top = best.filter(_._2 >= 0).sortBy(-_._2).take(30)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${best.size},"fail":$nFail,"queries":$top,"detail":"BENCH_FULL.json","sf":"$sfDir"}"""
+    println(compact)
     if (!isolate) spark.stop()
   }
 

@@ -1970,6 +1970,72 @@ object QueriesText {
                                ORDER BY pos), '') AS clean_text
     FROM r GROUP BY doc_id"""
 
+  /** §2.53c Exact-substring dedup (Lee et al. 2022 ExactSubstr, the
+    * suffix-array tier): every `SubstrL`-char window occurring >1 time in
+    * the corpus marks its non-first occurrences as duplicate; overlapping
+    * marks union into maximal intervals (maximal-repeat semantics) and
+    * docs reassemble from the uncovered ranges. The Spark plan routes the
+    * corpus-wide stages through int64 gram hashes (k-term lead() sum) and
+    * materializes strings only for the duplicated-candidate sliver; the
+    * oracle skips that performance prefilter (semantically inert — a
+    * duplicated string always has a duplicated hash, collisions only add
+    * candidates the exact grouping ranks rn=1) and groups windows by the
+    * string directly.
+    */
+  private val SubstrL = 32
+
+  private def qSubstrDedup(s: SparkSession, dir: String): DataFrame =
+    Text.dedupSubstrings(docsW(s, dir), "doc_id", col("text"), SubstrL)
+
+  private val oSubstrDedup = s"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS n
+      FROM documents),
+    g AS (
+      SELECT doc_id, n,
+             unnest(range(n - $SubstrL + 1)) AS p,
+             unnest([substr(t, CAST(i + 1 AS INT), $SubstrL)
+                     for i in range(n - $SubstrL + 1)]) AS gram
+      FROM d WHERE n >= $SubstrL),
+    r AS MATERIALIZED (
+      SELECT doc_id, p,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+      FROM g),
+    cov AS (SELECT doc_id, p AS s, p + $SubstrL AS e FROM r WHERE rn > 1),
+    m AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+                    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) THEN 1 ELSE 0 END AS ng
+      FROM cov),
+    mg AS (
+      SELECT doc_id, s, e,
+             sum(ng) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m),
+    mi AS MATERIALIZED (
+      SELECT doc_id, min(s) AS ms, max(e) AS me FROM mg GROUP BY doc_id, grp),
+    gaps AS (
+      SELECT doc_id,
+             coalesce(lag(me) OVER (PARTITION BY doc_id ORDER BY ms), 0) AS ks,
+             ms AS ke
+      FROM mi
+      UNION ALL
+      SELECT mi.doc_id, max(mi.me) AS ks, any_value(d.n) AS ke
+      FROM mi JOIN d USING (doc_id) GROUP BY mi.doc_id
+      UNION ALL
+      SELECT d.doc_id, 0 AS ks, d.n AS ke
+      FROM d WHERE NOT EXISTS (SELECT 1 FROM mi WHERE mi.doc_id = d.doc_id)),
+    segs AS (SELECT doc_id, ks, ke FROM gaps WHERE ke > ks)
+    SELECT d.doc_id,
+           d.n AS n_chars,
+           d.n - CAST(coalesce(sum(s.ke - s.ks), 0) AS BIGINT) AS n_dup_chars,
+           coalesce(string_agg(substr(d.t, CAST(s.ks + 1 AS INT),
+                                      CAST(s.ke - s.ks AS INT)), ''
+                               ORDER BY s.ks), '') AS clean_text
+    FROM d LEFT JOIN segs s USING (doc_id)
+    GROUP BY d.doc_id, d.n"""
+
   /** §2.45b HTML boilerplate extraction (the WARC/HTML → text stage a C4
     * web pipeline runs first): script/style blocks dropped, tags
     * stripped, entities unescaped, whitespace collapsed. The synthetic
@@ -2464,6 +2530,76 @@ object QueriesText {
       SELECT doc_id, n_toks, score,
              row_number() OVER (ORDER BY score DESC, doc_id) AS rank
       FROM sc) r WHERE rank <= $Bm25K"""
+
+  /** §2.57c Hybrid retrieval — RRF fusion of the lexical (BM25) and
+    * semantic (embedding-cosine) lanes (Cormack et al. 2009; the
+    * production hybrid-search combiner). Lexical top-50 by integer BM25
+    * over `documents`, semantic top-50 by rounded cosine vs the query
+    * vector (`vec_id = 7`, the id-aligned embedding table), fused by
+    * exact integer `1000000 div (60 + rank)` per lane, top-20 by (fused
+    * desc, doc_id). Docs with only one signal (no embedding row / not in
+    * the lexical top-k) score from the lane that saw them — the partial
+    * coverage RRF exists for. All arithmetic integer; the only float
+    * surface is the cosine, already under the rounded-rank discipline.
+    */
+  private val HybQ = 7L
+  private val HybK0 = 50
+  private val HybK = 20
+  private val RrfC = 60
+  private val RrfScale = 1000000L
+
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val lex = Text.bm25Rank(docs(s, dir), "doc_id", col("text"), Bm25Terms, HybK0)
+      .select(col("doc_id"), col("rank"))
+    val sem = Similarity.knnBrute(e, e.where(col("vec_id") === HybQ),
+        "vec_id", "embedding", HybK0, KnnRound)
+      .select(col("n_id").as("doc_id"), col("rk").as("rank"))
+    Text.hybridRrf(lex, sem, "doc_id", RrfC, RrfScale, HybK)
+  }
+
+  private val oHybridRrf = s"""
+    WITH st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+                FROM documents),
+    a AS (SELECT n, t // n AS avg FROM st),
+    tf AS (SELECT doc_id, dlen, w, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS dlen,
+                        unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+           GROUP BY doc_id, dlen, w),
+    dfs AS (SELECT w, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY w),
+    sc AS (SELECT doc_id,
+             CAST(sum(((SELECT n FROM a) * 100 // dfc)
+                 * (44 * (SELECT avg FROM a) * tf * 1000 //
+                    (20 * (SELECT avg FROM a) * tf
+                     + 6 * (SELECT avg FROM a) + 18 * dlen))) AS BIGINT)
+               AS score
+           FROM tf JOIN dfs USING (w) GROUP BY doc_id),
+    lex AS (SELECT doc_id, lex_rank FROM (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+              FROM sc) r WHERE lex_rank <= $HybK0),
+    sem AS (SELECT doc_id, sem_rank FROM (
+              SELECT n.vec_id AS doc_id,
+                     row_number() OVER (ORDER BY
+                       round(list_cosine_similarity(
+                         CAST((SELECT embedding FROM embeddings
+                               WHERE vec_id = $HybQ) AS DOUBLE[]),
+                         CAST(n.embedding AS DOUBLE[])), $KnnRound) + 0 DESC,
+                       n.vec_id) AS sem_rank
+              FROM embeddings n WHERE n.vec_id <> $HybQ) r
+            WHERE sem_rank <= $HybK0),
+    f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                 l.lex_rank, s.sem_rank,
+                 coalesce($RrfScale // ($RrfC + l.lex_rank), 0)
+                   + coalesce($RrfScale // ($RrfC + s.sem_rank), 0) AS rrf
+          FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+    SELECT doc_id, lex_rank, sem_rank, rrf, rank FROM (
+      SELECT doc_id, lex_rank, sem_rank, rrf,
+             row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+      FROM f) r WHERE rank <= $HybK"""
 
   // ---------------------------------------------------------------------------
   // §2.54 PII detection + redaction (operators.Pii). The synthetic corpus
@@ -4055,6 +4191,7 @@ object QueriesText {
     GraftQuery("q_semdedup", qSemDedup, None, oracleGen = Some(oSemDedupGen)),
     GraftQuery("q_dedup_spans", qDedupSpans, Some(oDedupSpans)),
     GraftQuery("q_dedup_cdc", qDedupCdc, Some(oDedupCdc)),
+    GraftQuery("q_substr_dedup", qSubstrDedup, Some(oSubstrDedup)),
     GraftQuery("q_filter_spans", qFilterSpans, Some(oFilterSpans)),
     GraftQuery("q_html_extract", qHtmlExtract, Some(oHtmlExtract)),
     GraftQuery("q_sample_weighted", qSampleWeighted, Some(oSampleWeighted)),
@@ -4066,6 +4203,7 @@ object QueriesText {
     GraftQuery("q_quality_gate", qQualityGate, Some(oQualityGate)),
     GraftQuery("q_keyword_rank", qKeywordRank, Some(oKeywordRank)),
     GraftQuery("q_bm25", qBm25, Some(oBm25)),
+    GraftQuery("q_hybrid_rrf", qHybridRrf, Some(oHybridRrf)),
     GraftQuery("q_dataset_card", qDatasetCard, Some(oDatasetCard)),
     GraftQuery("q_pii_scan", qPiiScan, Some(oPiiScan)),
     GraftQuery("q_pii_redact", qPiiRedact, Some(oPiiRedact)),

@@ -769,6 +769,113 @@ object Text {
           "").as("clean_text"))
   }
 
+  /** Exact-substring dedup — the suffix-array tier of the dedup family
+    * (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better", the ExactSubstr tool re-expressed relationally): any
+    * `minLen`-char window of text that occurs MORE than once in the corpus
+    * is a duplicated substring; every occurrence except the global first
+    * (ordered by (doc id, char position)) marks its `minLen` characters as
+    * duplicate, overlapping marks union into maximal covered intervals
+    * (so a repeated passage of ANY length ≥ minLen is covered end-to-end
+    * by its overlapping windows — the maximal-repeat semantics the suffix
+    * array gives, without building one), and each document reassembles
+    * from its uncovered character ranges. Fixed spans ([[dedupSpans]])
+    * miss re-aligned repeats, CDC ([[dedupChunksCdc]]) is probabilistic in
+    * where it cuts; this tier is exact: a shared passage dedups wherever
+    * it sits, at exact byte boundaries.
+    *
+    * Shape (the 100 TB argument): positions become rows ONCE
+    * (corpus-chars rows, the [[dedupChunksCdc]] machinery); each row's
+    * window hash is a k-term lead() sum in ONE per-doc window pass (never
+    * the string — the exchange carries (id, pos, int64) at every corpus-
+    * sized stage). A gram-hash-keyed window count then keeps only
+    * positions whose hash occurs > 1 time — the duplicated-candidate
+    * SLIVER (boilerplate + true repeats + rare collisions); only that
+    * sliver joins back to the doc table to materialize real `minLen`-char
+    * strings for the exact first-occurrence ranking, so string bytes never
+    * amplify the corpus-wide shuffle. The prefilter is semantically
+    * inert: a duplicated string always has a duplicated hash (no false
+    * negatives), collisions only add candidates that the exact string
+    * grouping then ranks rn=1 each. Interval union + gap extraction are
+    * the classic prev-max-end window over the covered sliver; AQE skew
+    * handling covers mega-hot boilerplate grams, and exact-dup-heavy
+    * corpora should run exact-collapse-first (DupSkewProbe rule) like
+    * every other sketch tier.
+    */
+  def dedupSubstrings(df: DataFrame, id: String, text: Column,
+                      minLen: Int): DataFrame = {
+    require(minLen >= 2, s"dedupSubstrings: minLen must be >= 2, got $minLen")
+    val pow = Array.iterate(1L, minLen)(p => (p * 31) % PolyP)
+    val base = df.select(col(id), text.as("_t"),
+      length(text).cast("long").as("_n"))
+    val chars = base.select(col(id),
+      posexplode(charCodes(col("_t"))).as(Seq("_p", "_ch")))
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("_p").asc)
+    val terms: Column = (0 until minLen)
+      .map(j => lead(col("_ch"), j).over(wDoc) * lit(pow(minLen - 1 - j)))
+      .reduce((a: Column, b: Column) => a + b)
+    val grams = chars
+      .withColumn("_gh", pmod(terms, lit(PolyP)))
+      .where(col("_gh").isNotNull) // positions 0 .. len-minLen
+      .select(col(id), col("_p").cast("long").as("_p"), col("_gh"))
+    // candidate sliver: positions whose window hash occurs more than once
+    val wHash = Window.partitionBy(col("_gh"))
+    val cand = grams
+      .withColumn("_hc", count(lit(1)).over(wHash))
+      .where(col("_hc") > 1)
+      .select(col(id), col("_p"))
+    // exact pass on the sliver only: materialize the real strings, rank
+    val exact = cand.join(base, Seq(id))
+      .select(col(id), col("_p"),
+        expr(s"substr(_t, cast(_p as int) + 1, $minLen)").as("_gram"))
+    val wGram = Window.partitionBy(col("_gram")).orderBy(col(id).asc, col("_p").asc)
+    val covered = exact
+      .withColumn("_rn", row_number().over(wGram))
+      .where(col("_rn") > 1)
+      .select(col(id), col("_p").as("_s"), (col("_p") + minLen).as("_e"))
+    // union overlapping covers into maximal intervals (prev-max-end trick)
+    val wSeq = Window.partitionBy(col(id)).orderBy(col("_s").asc)
+    val wPrev = wSeq.rowsBetween(Window.unboundedPreceding, -1)
+    val merged = covered
+      .withColumn("_ng",
+        when(col("_s") > coalesce(max(col("_e")).over(wPrev), lit(-1L)), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("_grp", sum(col("_ng")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(id), col("_grp"))
+      .agg(min(col("_s")).as("_ms"), max(col("_e")).as("_me"))
+    // kept ranges = gaps between merged intervals + tail + untouched docs
+    val wGap = Window.partitionBy(col(id)).orderBy(col("_ms").asc)
+    val gaps = merged.select(col(id),
+      coalesce(lag(col("_me"), 1).over(wGap), lit(0L)).as("_ks"),
+      col("_ms").as("_ke"))
+    val tails = merged.groupBy(col(id)).agg(max(col("_me")).as("_ks"))
+      .join(base.select(col(id), col("_n")), Seq(id))
+      .select(col(id), col("_ks"), col("_n").as("_ke"))
+    val untouched = base.join(merged.select(col(id)).distinct(), Seq(id),
+        "left_anti")
+      .select(col(id), lit(0L).as("_ks"), col("_n").as("_ke"))
+    val segs = gaps.unionByName(tails).unionByName(untouched)
+      .where(col("_ke") > col("_ks"))
+    base.join(segs, Seq(id), "left")
+      .select(col(id), col("_n"), col("_ks"),
+        when(col("_ks").isNull, lit(null).cast("string"))
+          .otherwise(expr("substr(_t, cast(_ks as int) + 1, cast(_ke - _ks as int))"))
+          .as("_seg"))
+      .groupBy(col(id))
+      .agg(
+        max(col("_n")).as("n_chars"),
+        (max(col("_n")) - coalesce(sum(length(col("_seg")).cast("long")), lit(0L)))
+          .as("n_dup_chars"),
+        coalesce(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("_ks"), col("_seg")))),
+              s => s("_seg")),
+            ""),
+          lit("")).as("clean_text"))
+  }
+
   /** HTML entity table for [[stripHtml]], in APPLICATION order (`&amp;`
     * last, the standard unescape discipline — otherwise `&amp;lt;` would
     * double-decode). Patterns and replacements are in the Java∩RE2 regex
@@ -1063,6 +1170,34 @@ object Text {
         sum(col("_idf") * col("_tfsat")).as("score"))
     val top = scored.orderBy(col("score").desc, col(id).asc).limit(k)
     globalRank(top, Seq(col("score").desc, col(id).asc))
+  }
+
+  /** Reciprocal-rank-fusion of two ranked retrieval lists — the HYBRID
+    * search combiner (Cormack et al. 2009 RRF; the lexical ⊕ semantic
+    * fusion every production retrieval stack runs): each list contributes
+    * `scale div (c + rank)` for the items it ranked, items missing from a
+    * list contribute 0 from it, and the fused top-k re-ranks by
+    * (fused score desc, id). The classic 1/(60+r) is kept EXACT as ONE
+    * truncated integer division per (item, list) — the bm25Rank
+    * discipline: integer sums are order-independent, so there is no
+    * float-fold surface and both engines compute identical scores.
+    *
+    * Inputs carry (id, rank); ranks are dense 1..k per list. Scale: the
+    * lists are top-k results (k rows each — bounded by construction), so
+    * the full-outer join and final rank are k-sized no matter the corpus;
+    * the heavy lifting happened inside the lanes being fused.
+    */
+  def hybridRrf(lex: DataFrame, sem: DataFrame, id: String,
+                c: Int, scale: Long, k: Int): DataFrame = {
+    require(c >= 0 && scale >= 1 && k >= 1)
+    val l = lex.select(col(id), col("rank").as("lex_rank"))
+    val s = sem.select(col(id), col("rank").as("sem_rank"))
+    val fused = l.join(s, Seq(id), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"${scale}L div (${c}L + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"${scale}L div (${c}L + sem_rank)"), lit(0L)))
+    val top = fused.orderBy(col("rrf").desc, col(id).asc).limit(k)
+    globalRank(top, Seq(col("rrf").desc, col(id).asc))
   }
 
   /** Built-ins bit-equality twin of `RepetitionStatsExpr`: sorted-fold

@@ -1133,6 +1133,29 @@ class AssemblySpec extends AnyFunSuite with SparkFixture {
       "fixed spans should NOT dedup under a word-misaligning prefix shift")
   }
 
+  test("exact-substring dedup: shift-robust coverage, self-repeat collapse, exact-dup emptied") {
+    val rnd = new scala.util.Random(47)
+    val body = (0 until 80).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val prefix = "zzzz inserted prefix "
+    val rep = (0 until 40).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, body),              // first occurrence — untouched
+      (2L, prefix + body),     // shifted copy — body region covered exactly
+      (3L, body),              // exact dup — fully emptied
+      (4L, rep + rep)          // self-repeat — second copy covered exactly
+    ).toDF("doc_id", "text")
+    val out = Text.dedupSubstrings(docs, "doc_id", col("text"), 16)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, body.length.toLong, 0L, body)), s"first doc untouched: ${out(0)}")
+    assert(out(1)._4 == prefix.stripSuffix(" ") + " ",
+      s"shifted copy keeps only its prefix: '${out(1)._4}'")
+    assert(out(1)._3 == body.length.toLong)
+    assert(out(2)._3 == body.length.toLong && out(2)._4 == "", s"exact dup emptied: ${out(2)}")
+    assert(out(3)._4 == rep, s"self-repeat collapses to one copy: '${out(3)._4}'")
+    // invariant: kept chars + covered chars = doc chars
+    out.foreach { r => assert(r._2 - r._3 == r._4.length.toLong, s"char accounting: $r") }
+  }
+
   test("globalRank == single-window row_number across forced partitions") {
     val rnd = new scala.util.Random(7)
     // duplicate-free total-order key (k unique), skewed v for range splits
@@ -1387,5 +1410,20 @@ class Bm25Spec extends AnyFunSuite with SparkFixture {
     // saturation: doubling tf (1375 vs 2*1000) gains < 2x at equal length;
     // length penalty: same tf scores lower in the longer doc (709 < 1000)
     assert(1375L < 2000L && 709L < 1000L)
+  }
+
+  test("hybridRrf: exact integer fusion, partial coverage, deterministic ties") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("doc_id", "rank")
+    val out = Text.hybridRrf(lex, sem, "doc_id", 60, 1000000L, 10)
+      .select("doc_id", "rrf", "rank").as[(Long, Long, Int)].collect().sortBy(_._3)
+    // 1000000 div 61 = 16393, 62 = 16129, 63 = 15873
+    val m = out.map(r => r._1 -> r._2).toMap
+    assert(m(10L) == 16393L + 15873L) // lex#1 + sem#3
+    assert(m(20L) == 16129L + 16393L) // lex#2 + sem#1
+    assert(m(30L) == 15873L)          // lexical only
+    assert(m(40L) == 16129L)          // semantic only
+    // both-lane items outrank single-lane; tie between 30 (15873) vs none
+    assert(out.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
   }
 }
