@@ -863,7 +863,43 @@ object QueriesGeo {
     SELECT n_box, n_zrange, n_box * 1000 // n_zrange AS sel_permille FROM agg"""
   }
 
+  /** §2.23b Proximity pairs — the airprox/near-miss report (the safety
+    * query a trackpoint store is built for): pairs of events from
+    * different users in the same 6 h timeslot within 2-D distance 5,
+    * rolled up per unordered user pair (n_close + truncated closest
+    * squared distance). The Spark plan grid-buckets space into d-sized
+    * cells and equi-joins (slot, cell±1) — density-local work instead of
+    * the per-slot all-pairs the oracle runs (semantically identical: a
+    * pair within d differs by ≤ 1 cell per axis, and each pair is found
+    * against exactly one home cell).
+    */
+  private val ProxSlotNs = 21600000000000L // 6 h
+  private val ProxD = 5.0
+
+  private def qProximityPairs(s: SparkSession, dir: String): DataFrame =
+    Geo.proximityPairs(ev(s, dir), "user_id", "event_id", xCol, yCol,
+      expr(s"ts div $ProxSlotNs"), ProxD)
+
+  private val oProximityPairs = s"""
+    WITH e AS (
+      SELECT event_id, user_id, value AS x, CAST($ySql AS DOUBLE) AS y,
+             epoch_ns(ts) // $ProxSlotNs AS slot
+      FROM events),
+    p AS (
+      SELECT least(a.user_id, b.user_id) AS u1,
+             greatest(a.user_id, b.user_id) AS u2,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dsq
+      FROM e a JOIN e b
+        ON a.slot = b.slot AND a.event_id < b.event_id
+           AND a.user_id <> b.user_id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= ${ProxD * ProxD})
+    SELECT u1, u2, CAST(count(*) AS BIGINT) AS n_close,
+           floor(min(dsq) * 10000.0) / 10000.0 AS min_dsq
+    FROM p GROUP BY u1, u2"""
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q_proximity_pairs", qProximityPairs, Some(oProximityPairs)),
     GraftQuery("q_zorder_key", qZorderKey, Some(oZorderKey)),
     GraftQuery("q_zorder_range", qZorderRange, Some(oZorderRange)),
     GraftQuery("q_descent_grid", qDescentGrid, Some(oDescentGrid)),

@@ -132,4 +132,59 @@ object Geo {
     val len = math.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
     abs(lit(x2 - x1) * (y - y1) - lit(y2 - y1) * (x - x1)) / len
   }
+
+  /** Proximity pairs — the "airprox / near-miss" report (the safety
+    * analysis a trackpoint database exists for; flightdb indexes by
+    * timeslot for exactly this class of query): pairs of events from
+    * DIFFERENT keys in the SAME timeslot whose 2-D distance is ≤ `d`,
+    * rolled up per unordered key pair (times seen close + closest
+    * squared distance, truncated — floor on identical doubles is
+    * engine-exact, the Viz.trunc discipline).
+    *
+    * Scale shape: the naive form is a per-slot all-pairs join (quadratic
+    * in slot population — hot slots explode at 100 TB). This plan
+    * grid-buckets space into d-sized cells and equi-joins on
+    * (slot, cellx, celly): the probe side replicates to its 3×3 cell
+    * neighborhood (a bounded 9×, in the scan stage), the build side
+    * stays on its home cell, and any pair within d necessarily differs
+    * by ≤ 1 cell per axis — so every qualifying pair is found against
+    * exactly ONE (probe-emission, home-cell) combination (no
+    * found-twice dedup beyond the id ordering) and the join work is
+    * density-local, not slot-global. Equi-keys mean a plain shuffle
+    * hash join; AQE skew splitting covers dense cells.
+    */
+  def proximityPairs(df: DataFrame, key: String, id: String,
+                     x: Column, y: Column, slot: Column,
+                     d: Double): DataFrame = {
+    require(d > 0, s"proximityPairs: d must be positive, got $d")
+    val pts = df.select(col(key).as("_u"), col(id).as("_eid"),
+      x.cast("double").as("_x"), y.cast("double").as("_y"),
+      slot.as("_slot"),
+      floor(x.cast("double") / d).cast("long").as("_cx"),
+      floor(y.cast("double") / d).cast("long").as("_cy"))
+    val offs = array((for { i <- -1 to 1; j <- -1 to 1 }
+      yield struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"))): _*)
+    val probe = pts
+      .withColumn("_o", explode(offs))
+      .select(col("_u").as("_u1"), col("_eid").as("_e1"),
+        col("_x").as("_x1"), col("_y").as("_y1"), col("_slot"),
+        (col("_cx") + col("_o.i")).as("_jcx"),
+        (col("_cy") + col("_o.j")).as("_jcy"))
+    val build = pts.select(col("_u").as("_u2"), col("_eid").as("_e2"),
+      col("_x").as("_x2"), col("_y").as("_y2"),
+      col("_slot").as("_slot2"), col("_cx"), col("_cy"))
+    val dsq = (col("_x1") - col("_x2")) * (col("_x1") - col("_x2")) +
+      (col("_y1") - col("_y2")) * (col("_y1") - col("_y2"))
+    probe.join(build,
+        col("_slot") === col("_slot2") &&
+          col("_jcx") === col("_cx") && col("_jcy") === col("_cy") &&
+          col("_e1") < col("_e2") && col("_u1") =!= col("_u2"))
+      .where(dsq <= d * d)
+      .select(least(col("_u1"), col("_u2")).as("u1"),
+        greatest(col("_u1"), col("_u2")).as("u2"),
+        dsq.as("_dsq"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n_close"),
+        (floor(min(col("_dsq")) * 10000.0) / 10000.0).as("min_dsq"))
+  }
 }

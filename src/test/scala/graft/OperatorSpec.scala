@@ -153,6 +153,32 @@ class GeoOpSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(knots - 1.0) < 1e-12)
   }
 
+  test("proximityPairs grid join == naive per-slot all-pairs on random data") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      (s"u${rnd.nextInt(20)}", i.toLong, rnd.nextDouble() * 40.0,
+        rnd.nextDouble() * 40.0, rnd.nextInt(3).toLong)
+    }
+    val df = rows.toDF("user_id", "event_id", "x", "y", "slot").repartition(7)
+    val d = 3.0
+    val got = Geo.proximityPairs(df, "user_id", "event_id", col("x"), col("y"),
+        col("slot"), d)
+      .as[(String, String, Long, Double)].collect().toSet
+    // naive reference: per-slot all-pairs, same rollup
+    val want = rows.flatMap { a =>
+      rows.filter(b => b._5 == a._5 && a._2 < b._2 && a._1 != b._1)
+        .map(b => (a, b))
+    }.map { case (a, b) =>
+      val dsq = (a._3 - b._3) * (a._3 - b._3) + (a._4 - b._4) * (a._4 - b._4)
+      (if (a._1 < b._1) (a._1, b._1) else (b._1, a._1), dsq)
+    }.filter(_._2 <= d * d)
+      .groupBy(_._1).map { case ((u1, u2), ps) =>
+        (u1, u2, ps.size.toLong, math.floor(ps.map(_._2).min * 10000.0) / 10000.0)
+      }.toSet
+    assert(got == want, s"grid=${got.size} naive=${want.size}")
+    assert(want.nonEmpty, "degenerate test: no close pairs generated")
+  }
+
   test("lineCrossings detects sign changes only") {
     val ns = 1000000000L
     val df = Seq((1L, 1L * ns, 1L, 30.0), (1L, 2L * ns, 2L, 50.0),
