@@ -978,6 +978,70 @@ object Queries {
           AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00')
     GROUP BY c_nationkey"""
 
+  /** §2.3f TPC-H Q18 shape (large-volume customers): the HAVING-semi-join
+    * — orders whose lineitem quantity sum beats a threshold, joined back
+    * to orders + customer for the report columns. Scale: the lineitem agg
+    * shuffles once on l_orderkey (map-side partials); the surviving
+    * "big" set is a tiny fraction (≈1 % here) so AQE broadcasts it into
+    * the orders join, and the orders⋈big result (same tiny cardinality)
+    * broadcasts into the customer join — neither base table shuffles.
+    * Cross-engine: l_quantity is integer-valued, so the sum is an exact
+    * integer in double and the cut is an exact BIGINT compare (zero
+    * float-threshold surface).
+    */
+  private val Q18Thresh = 250L
+
+  private def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("bo_orderkey"))
+      .agg(sum("l_quantity").cast("bigint").as("sum_qty"))
+      .where(col("sum_qty") > Q18Thresh)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("bo_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        round(col("o_totalprice"), 2).as("total_price"), col("sum_qty"))
+  }
+
+  private val oTpchQ18 = s"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING CAST(sum(l_quantity) AS BIGINT) > $Q18Thresh)
+    SELECT o_orderkey, c_custkey, c_name,
+           round(o_totalprice, 2) AS total_price, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey"""
+
+  /** §2.3g TPC-H Q4 shape (order-priority checking): orders with at least
+    * one late-shipping lineitem (EXISTS → left-semi join on the order key
+    * with a non-equi date-arithmetic residual), counted per priority.
+    * Scale: both sides shuffle once on the order key; the semi join
+    * short-circuits per order (no fan-out), and the final rollup is
+    * priority-cardinality-sized with map-side partials. The date cut is
+    * timestamp + literal interval on both engines — exact.
+    */
+  private def qTpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 80 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  private val oTpchQ4 = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 80 DAY)
+    GROUP BY o_orderpriority"""
+
   /** §2.10c Window-function suite: rank, dense_rank, ntile, lag/lead and
     * a running sum in ONE user-partitioned window pass — the breadth of
     * the SQL window surface on the deterministic (ts, event_id) order
@@ -1132,6 +1196,8 @@ object Queries {
     GraftQuery("q_local_volume", qLocalVolume, Some(oLocalVolume)),
     GraftQuery("q_small_qty_rev", qTpchQ17, Some(oTpchQ17)),
     GraftQuery("q_dormant_cust", qTpchQ22, Some(oTpchQ22)),
+    GraftQuery("q_big_orders", qTpchQ18, Some(oTpchQ18)),
+    GraftQuery("q_late_priority", qTpchQ4, Some(oTpchQ4)),
     GraftQuery("q_topk_per_group", qTopkPerGroup, Some(oTopkPerGroup)),
     GraftQuery("q_range_filter", qRangeFilter, Some(oRangeFilter)),
     GraftQuery("q_time_bucket", qTimeBucket, Some(oTimeBucket)),
