@@ -825,6 +825,37 @@ object Queries {
     SELECT src_type, dst_type, count(*) AS n
     FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2"""
 
+  /** §2.68d Market-basket co-occurrence (Agrawal & Srikant two-itemset
+    * support counting — the "related items" table): items = the props-k
+    * channel, baskets = 6 h timeslots (co-trending within a window);
+    * support and lift kept EXACT as one truncated scaled-integer
+    * division each. Scale: pair work is Σ|basket|², never corpus²;
+    * marginals broadcast; n_sess is a bounded driver scalar.
+    */
+  private def qCooccur(s: SparkSession, dir: String): DataFrame =
+    Behavior.cooccurrence(Tables.events(s, dir),
+      expr(s"ts div ${6 * HourNs}"),
+      expr("CAST(substr(props, 7, length(props) - 7) AS INT)"), 3L)
+
+  private val oCooccur = s"""
+    WITH b AS (
+      SELECT DISTINCT epoch_ns(ts) // ${6 * HourNs} AS sess,
+             CAST(substr(props, 7, length(props) - 7) AS INT) AS item
+      FROM events),
+    ns AS (SELECT CAST(count(DISTINCT sess) AS BIGINT) AS n_sess FROM b),
+    marg AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b2.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM b a JOIN b b2 ON a.sess = b2.sess AND a.item < b2.item
+      GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT item_a, item_b, n_ab, ma.n AS n_a, mb.n AS n_b,
+           n_ab * (SELECT n_sess FROM ns) * 10000 // (ma.n * mb.n) AS lift_x10k,
+           n_ab * 1000000 // (SELECT n_sess FROM ns) AS support_ppm
+    FROM pairs
+    JOIN marg ma ON ma.item = item_a
+    JOIN marg mb ON mb.item = item_b"""
+
   /** §2.3b TPC-H Q3 shape (shipping priority): segment-filtered customers
     * ⋈ date-bounded orders ⋈ post-date lineitems, revenue per order,
     * top-10 by (rounded revenue, orderkey) via sort+limit. Scale: both
@@ -1229,6 +1260,7 @@ object Queries {
     GraftQuery("q_funnel", qFunnel, Some(oFunnel)),
     GraftQuery("q_retention", qRetention, Some(oRetention)),
     GraftQuery("q_transitions", qTransitions, Some(oTransitions)),
+    GraftQuery("q_cooccur", qCooccur, Some(oCooccur)),
     GraftQuery("q_top_paths", qTopPaths, Some(oTopPaths)),
     GraftQuery("q_funnel_latency", qFunnelLatency, Some(oFunnelLatency))
   ) ++ QueriesGeo.all ++ QueriesText.all

@@ -127,4 +127,44 @@ object Behavior {
       .groupBy("src_type", "dst_type")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Market-basket co-occurrence mining — association "rules" as the
+    * (support, lift) table over item pairs seen in the same session
+    * (Agrawal & Srikant's A-priori support counting, the two-itemset
+    * level every recommender / "related items" pipeline starts from).
+    * Sessions are whatever `sessCol` encodes (slot, gap session id);
+    * items dedup within a session first (presence, not multiplicity —
+    * the standard basket model). All derived measures are EXACT scaled
+    * integers (one truncated division each, the bm25Rank discipline):
+    * `lift_x10k = n_ab·n_sess·10000 div (n_a·n_b)`,
+    * `support_ppm = n_ab·1000000 div n_sess` — cross-engine identical,
+    * no float surface.
+    *
+    * Scale: basket dedup is one (session, item) distinct; pair
+    * generation self-joins baskets on the session key — work is
+    * Σ|basket|² bounded by per-session item diversity, never corpus²;
+    * item marginals are item-vocabulary-sized and broadcast back into
+    * the pair table; n_sess is one driver scalar (the precedented
+    * bounded-stats head). Giant baskets are the skew case: cap or salt
+    * upstream if a session can hold the whole vocabulary.
+    */
+  def cooccurrence(events: DataFrame, sessCol: Column, itemCol: Column,
+                   minPairCount: Long): DataFrame = {
+    val baskets = events.select(sessCol.as("_sess"), itemCol.as("_item"))
+      .where(col("_item").isNotNull).distinct()
+    val nSess = baskets.select(col("_sess")).distinct().count()
+    require(nSess > 0, "cooccurrence: no sessions")
+    val marg = baskets.groupBy(col("_item")).agg(count(lit(1)).as("_n"))
+    val a = baskets.select(col("_sess"), col("_item").as("item_a"))
+    val b = baskets.select(col("_sess").as("_sess2"), col("_item").as("item_b"))
+    a.join(b, col("_sess") === col("_sess2") && col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+      .join(broadcast(marg.select(col("_item").as("item_a"), col("_n").as("n_a"))), "item_a")
+      .join(broadcast(marg.select(col("_item").as("item_b"), col("_n").as("n_b"))), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr(s"n_ab * ${nSess}L * 10000L div (n_a * n_b)").as("lift_x10k"),
+        expr(s"n_ab * 1000000L div ${nSess}L").as("support_ppm"))
+  }
 }

@@ -84,6 +84,27 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(c2.getDouble(1) - c1.getDouble(1)) <= 1.0)
   }
 
+  test("cooccurrence: exact integer support/lift over deduped baskets") {
+    import spark.implicits._
+    // 4 sessions; items dedup within a session (s1 has item 1 twice)
+    val rows = Seq(
+      (1L, 1), (1L, 1), (1L, 2),        // basket {1,2}
+      (2L, 1), (2L, 2), (2L, 3),        // basket {1,2,3}
+      (3L, 1), (3L, 3),                 // basket {1,3}
+      (4L, 4)                           // singleton
+    ).toDF("sess", "item")
+    val got = Behavior.cooccurrence(rows, col("sess"), col("item"), 1L)
+      .orderBy("item_a", "item_b")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(5), r.getLong(6)))
+    // n_sess=4; n(1)=3 n(2)=2 n(3)=2; (1,2): n_ab=2 lift=2*4*10000/6=13333
+    // (1,3): 2*4*10000/6=13333; (2,3): 1*4*10000/4=10000
+    assert(got.toSeq == Seq(
+      (1, 2, 2L, 13333L, 500000L),
+      (1, 3, 2L, 13333L, 500000L),
+      (2, 3, 1L, 10000L, 250000L)))
+  }
+
   test("transitions: per-user (ts, tie)-ordered lead edges") {
     val e = ev(Seq(
       (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "view"),
