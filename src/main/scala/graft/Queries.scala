@@ -856,6 +856,72 @@ object Queries {
     JOIN marg ma ON ma.item = item_a
     JOIN marg mb ON mb.item = item_b"""
 
+  /** §2.55b Weighted label-propagation communities (Raghavan et al. 2007
+    * LPA, determinized): over the positively-associated co-occurrence
+    * graph (edges = §2.68f pairs with lift ≥ 1, weight = n_ab), 4
+    * synchronized rounds, each node adopting the label with the greatest
+    * incident-weight sum (ties → smaller label). Unlike connected
+    * components, LPA splits connected graphs along weight structure.
+    * Fixed rounds + integer weights = the replayable-trainer discipline;
+    * the oracle unrolls all 4 rounds as MATERIALIZED CTEs.
+    */
+  private val LpaRounds = 4
+
+  private def qLpaCommunities(s: SparkSession, dir: String): DataFrame = {
+    val edges = Behavior.cooccurrence(Tables.events(s, dir),
+        expr(s"ts div ${6 * HourNs}"),
+        expr("CAST(substr(props, 7, length(props) - 7) AS INT)"), 3L)
+      .where(col("lift_x10k") >= 10000L)
+      .select(col("item_a").as("src"), col("item_b").as("dst"),
+        col("n_ab").as("w"))
+    val labels = graft.operators.Graph.labelPropagation(
+      edges, df => df.localCheckpoint(), LpaRounds)
+    val sizes = labels.groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "lab")
+      .select(col("id").as("item"), col("lab").as("community"),
+        col("n_members"))
+  }
+
+  private val oLpaCommunities: String = {
+    val base = s"""
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT epoch_ns(ts) // ${6 * HourNs} AS sess,
+             CAST(substr(props, 7, length(props) - 7) AS INT) AS item
+      FROM events),
+    ns AS (SELECT CAST(count(DISTINCT sess) AS BIGINT) AS n_sess FROM b),
+    marg AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY item),
+    ed AS MATERIALIZED (
+      SELECT item_a AS u, item_b AS v, n_ab AS w FROM (
+        SELECT a.item AS item_a, b2.item AS item_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM b a JOIN b b2 ON a.sess = b2.sess AND a.item < b2.item
+        GROUP BY 1, 2 HAVING count(*) >= 3) p
+      JOIN marg ma ON ma.item = item_a
+      JOIN marg mb ON mb.item = item_b
+      WHERE n_ab * (SELECT n_sess FROM ns) * 10000 // (ma.n * mb.n) >= 10000),
+    sym AS MATERIALIZED (
+      SELECT u AS src, v AS dst, w FROM ed
+      UNION ALL SELECT v AS src, u AS dst, w FROM ed),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lab FROM sym)"""
+    val roundCtes = (1 to LpaRounds).map { r =>
+      s"""
+    v$r AS (SELECT s.dst AS n, l.lab, CAST(sum(s.w) AS BIGINT) AS sw
+           FROM sym s JOIN l${r - 1} l ON l.id = s.src GROUP BY 1, 2),
+    l$r AS MATERIALIZED (
+      SELECT n AS id, lab FROM (
+        SELECT n, lab,
+               row_number() OVER (PARTITION BY n ORDER BY sw DESC, lab) AS rn
+        FROM v$r) t WHERE rn = 1)"""
+    }.mkString(",")
+    base + "," + roundCtes + s"""
+    SELECT l.id AS item, l.lab AS community,
+           CAST(sz.n_members AS BIGINT) AS n_members
+    FROM l$LpaRounds l
+    JOIN (SELECT lab, count(*) AS n_members FROM l$LpaRounds GROUP BY lab) sz
+      USING (lab)"""
+  }
+
   /** §2.3b TPC-H Q3 shape (shipping priority): segment-filtered customers
     * ⋈ date-bounded orders ⋈ post-date lineitems, revenue per order,
     * top-10 by (rounded revenue, orderkey) via sort+limit. Scale: both
@@ -1261,6 +1327,7 @@ object Queries {
     GraftQuery("q_retention", qRetention, Some(oRetention)),
     GraftQuery("q_transitions", qTransitions, Some(oTransitions)),
     GraftQuery("q_cooccur", qCooccur, Some(oCooccur)),
+    GraftQuery("q_lpa_communities", qLpaCommunities, Some(oLpaCommunities)),
     GraftQuery("q_top_paths", qTopPaths, Some(oTopPaths)),
     GraftQuery("q_funnel_latency", qFunnelLatency, Some(oFunnelLatency))
   ) ++ QueriesGeo.all ++ QueriesText.all

@@ -179,4 +179,46 @@ object Graph {
     }
     ranks
   }
+
+  /** Weighted label propagation — community detection (Raghavan et al.
+    * 2007 LPA), DETERMINIZED so a SQL oracle can replay every round
+    * exactly: synchronized updates for a FIXED round count (no
+    * convergence probe — the replayable-trainer discipline of
+    * pageRankInt/BPE), each node adopting the label with the greatest
+    * incident edge-weight sum, ties broken by the smaller label. Unlike
+    * [[connectedComponents]] (connectivity — one label per connected
+    * blob), LPA splits a connected graph along its weight structure:
+    * dense neighborhoods capture their members, weak bridges don't
+    * propagate. Labels start as node ids; weights are integers (exact
+    * sums, order-independent).
+    *
+    * Scale: per round, one shuffle keyed on the message dst (join
+    * labels on src over the symmetrized edge list + (dst, label) weight
+    * rollup) and one argmax window partitioned by dst — partition
+    * cardinality = node count, frame = that node's distinct neighbor
+    * labels (bounded by degree, never graph-sized). Lineage is
+    * checkpointed per round via `ckpt` (same contract as pageRankInt:
+    * localCheckpoint for bench, reliable checkpoint for clusters).
+    */
+  def labelPropagation(edges: DataFrame, ckpt: DataFrame => DataFrame,
+                       rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = ckpt(edges.select(col("src"), col("dst"), col("w"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w"))))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+    labels = ckpt(labels)
+    val wArg = Window.partitionBy(col("_n"))
+      .orderBy(col("_s").desc, col("_lab").asc)
+    for (_ <- 0 until rounds) {
+      val votes = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("_n"), col("lab").as("_lab"), col("w"))
+        .groupBy(col("_n"), col("_lab")).agg(sum(col("w")).as("_s"))
+      labels = ckpt(votes
+        .withColumn("_rn", row_number().over(wArg))
+        .where(col("_rn") === 1)
+        .select(col("_n").as("id"), col("_lab").as("lab")))
+    }
+    labels
+  }
 }

@@ -1205,6 +1205,26 @@ class GraphOpSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
   import graft.operators.Graph
 
+  test("labelPropagation splits weight-structure that connectedComponents merges") {
+    // two 4-cliques (heavy internal edges) joined by ONE weak bridge:
+    // connectivity says one blob; LPA's weight argmax keeps them apart
+    val cliqueA = Seq(1L, 2L, 3L, 4L)
+    val cliqueB = Seq(11L, 12L, 13L, 14L)
+    def clique(ns: Seq[Long]) =
+      for { a <- ns; b <- ns if a < b } yield (a, b, 10L)
+    val edges = (clique(cliqueA) ++ clique(cliqueB) :+ ((4L, 11L, 1L)))
+      .toDF("src", "dst", "w")
+    val labs = Graph.labelPropagation(edges, df => df.localCheckpoint(), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(cliqueA.map(labs).toSet.size == 1, s"clique A not one community: $labs")
+    assert(cliqueB.map(labs).toSet.size == 1, s"clique B not one community: $labs")
+    assert(labs(1L) != labs(11L), s"weak bridge merged the communities: $labs")
+    val cc = Graph.connectedComponents(edges.select("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert((cliqueA ++ cliqueB).map(cc).toSet.size == 1,
+      "CC should see one connected blob")
+  }
+
   test("connectedComponents labels chains, cliques and leaves singletons out") {
     // chain 1-2-3-4 (diameter 3: needs >1 round), clique {10,11,12}, pair {20,21}
     val edges = Seq(
