@@ -491,6 +491,40 @@ object Queries {
                                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS smooth
     FROM events"""
 
+  /** §2.15b Time-based (RANGE-frame) trailing window — the event-TIME
+    * sibling of §2.15's row-frame smoothing: per event, count/sum/avg of
+    * the same user's events in the trailing 24 h. RANGE frame contents
+    * are defined by ORDER-BY VALUES (all ts-peers included on both
+    * engines), so the frame is a SET — order-independent by
+    * construction; with values as exact integer cents the sum is exact
+    * under ANY accumulation order (Spark's running accumulation vs
+    * DuckDB's segment trees would re-associate a double sum — the one
+    * cross-engine hazard a ROWS-frame float avg tiptoes around). avg is
+    * one truncated integer division. One user-keyed window pass.
+    */
+  private def qTrailing24h(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"))
+      .rangeBetween(-24L * HourNs, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("_cents"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_cents", sum(col("_cents")).over(w))
+      .select(col("event_id"), col("user_id"), col("n_24h"),
+        col("sum_cents"), expr("sum_cents div n_24h").as("avg_cents"))
+  }
+
+  private val oTrailing24h = s"""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             // CAST(count(*) OVER w AS BIGINT) AS avg_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                 RANGE BETWEEN ${24L * HourNs} PRECEDING AND CURRENT ROW)"""
+
   /** §2.16 As-of lookup (METAR Lookup / ComputeIndicatedAltitudes): each
     * purchase gets the most recent preceding click value of the same user.
     */
@@ -1314,6 +1348,7 @@ object Queries {
     GraftQuery("q_cumdist", qCumdist, Some(oCumdist)),
     GraftQuery("q_sample_every", qSampleEvery, Some(oSampleEvery)),
     GraftQuery("q_windowed_avg", qWindowedAvg, Some(oWindowedAvg)),
+    GraftQuery("q_trailing_24h", qTrailing24h, Some(oTrailing24h)),
     GraftQuery("q_asof_join", qAsofJoin, Some(oAsofJoin), headline = true),
     GraftQuery("q_asof_table", qAsofTable, Some(oAsofTable), headline = true),
     GraftQuery("q_asof_native", qAsofNative, Some(oAsofTable), headline = true),

@@ -26,6 +26,30 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(!scan.contains("PartitionFilters: []"), "expected partition filters to apply")
   }
 
+  test("dynamic partition pruning: a filtered dim join prunes fact partitions at runtime") {
+    val out = Files.createTempDirectory("graft_dpp").toString
+    val ev = Tables.events(spark, sfDir)
+    Sinks.writePartitionedByDay(ev, "ts", out)
+    val fact = spark.read.parquet(out)
+    // dim carries the partition key; only the filtered days should be read.
+    // The dim must live in OPAQUE storage: built inline, Catalyst
+    // constant-folds `tag = 'keep'` straight into `day = ...` and prunes
+    // STATICALLY (verified — the first draft of this test). Round-tripping
+    // it through parquet makes the qualifying days unknowable at plan
+    // time, which is exactly the case DPP exists for.
+    val dimPath = Files.createTempDirectory("graft_dpp_dim").toString
+    fact.select("day").distinct()
+      .withColumn("tag",
+        when(col("day") === "2024-01-05", lit("keep")).otherwise(lit("drop")))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(dim.where(col("tag") === "keep"), "day")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n${plan.take(2000)}")
+    assert(joined.count() == fact.where(col("day") === "2024-01-05").count())
+  }
+
   test("incremental day refresh rewrites only the changed partitions") {
     val out = Files.createTempDirectory("graft_refresh").toString
     val ev = Tables.events(spark, sfDir)
