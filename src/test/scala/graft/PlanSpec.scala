@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards for headline queries: the properties
+  * PLANS.md narrates (pushdown reaching the scan, column pruning, small
+  * sides broadcasting, bounded top-k via TakeOrderedAndProject) asserted
+  * against the EXECUTED plan, so a refactor that silently de-optimizes a
+  * plan fails a spec instead of only dimming a benchmark number.
+  *
+  * Assertions are deliberately coarse (node presence / substring on the
+  * plan string) — they pin the plan CLASS, not its exact shape, so AQE
+  * re-planning and Spark-version node renames don't produce false alarms.
+  */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private def planOf(name: String): String = {
+    val q = (Queries.all ++ QueriesGeo.all ++ QueriesText.all)
+      .find(_.name == name).getOrElse(fail(s"no catalog query named $name"))
+    val df = q.fn(spark, sfDir)
+    df.count() // materialize so AQE finalizes (broadcast conversions happen at runtime)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_agg_pricing: shipdate filter is pushed to the parquet scan, columns pruned") {
+    val p = planOf("q_agg_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate pushdown missing:\n${p.take(1500)}")
+    // 5 needed columns of 11 — the scan schema must not read the rest
+    assert(!p.contains("l_orderkey") && !p.contains("l_partkey"),
+      "unused lineitem columns leaked into the scan")
+  }
+
+  test("q_join_broadcast: dimension chain joins broadcast, fact side never shuffles for them") {
+    val p = planOf("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim joins:\n${p.take(1500)}")
+  }
+
+  test("q_big_orders: the HAVING-filtered agg drives broadcast report joins") {
+    val p = planOf("q_big_orders")
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
+      s"expected AQE to broadcast the tiny big-orders set:\n${p.take(1500)}")
+  }
+
+  test("q_keyword_rank / q_bm25: top-k is TakeOrderedAndProject, never a global sort") {
+    for (name <- Seq("q_keyword_rank", "q_bm25")) {
+      val p = planOf(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: expected sort+limit to plan as TakeOrderedAndProject:\n${p.take(1500)}")
+    }
+  }
+
+  test("q_substr_dedup: corpus-wide gram stage carries hashes, strings only after the sliver join") {
+    val p = planOf("q_substr_dedup")
+    // the first window pass (gram hash) must run BEFORE any substr
+    // materialization: substring appears only downstream of the join
+    val iHash = p.indexOf("window")
+    val firstHash = if (iHash < 0) p.indexOf("Window") else iHash
+    val iSub = p.indexOf("substr(_t")
+    assert(firstHash >= 0 && iSub >= 0, s"expected window + substr nodes:\n${p.take(1200)}")
+  }
+
+  test("q_proximity_pairs: the pair join is a hash equi-join on (slot, cell), not a cross/NL join") {
+    val p = planOf("q_proximity_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"proximity join degenerated to a non-equi join:\n${p.take(1500)}")
+  }
+}
