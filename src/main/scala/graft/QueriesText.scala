@@ -2601,6 +2601,91 @@ object QueriesText {
              row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
       FROM f) r WHERE rank <= $HybK"""
 
+  /** §2.67b Entity clustering + golden-record survivorship (the step
+    * after pairwise linkage — Fellegi-Sunter pipelines end with exactly
+    * this): the §2.67 fuzzy-link match graph closes transitively
+    * (a dirty variant at distance 1 of TWO canons bridges their
+    * clusters), each cluster elects a deterministic golden record (the
+    * lexicographically-least canonical member), and reports membership
+    * counts. Node ids for the numeric component pass come from
+    * `globalRank` over the sorted node strings (dense, deterministic,
+    * no global window); the oracle replays the same ids with
+    * row_number() and closes the graph with the recursive-CTE min-label
+    * pattern (MATERIALIZED discipline — see q_dedup_components).
+    */
+  private def qEntityClusters(s: SparkSession, dir: String): DataFrame = {
+    val link = qFuzzyLink(s, dir).select(col("dirty"), col("canon"))
+      .localCheckpoint() // feeds node ids, edges AND the canon flag
+    val nodes = link.select(col("dirty").as("wrd"))
+      .union(link.select(col("canon").as("wrd"))).distinct()
+    val ids = Text.globalRank(nodes, Seq(col("wrd").asc), "nid")
+    val e = link
+      .join(ids.select(col("wrd").as("dirty"), col("nid").as("na")), "dirty")
+      .join(ids.select(col("wrd").as("canon"), col("nid").as("nb")), "canon")
+      .select(col("na"), col("nb"))
+    val comp = graft.operators.Graph.connectedComponents(e, "na", "nb")
+    val canons = link.select(col("canon").as("wrd")).distinct()
+      .withColumn("is_canon", lit(1L))
+    ids.join(comp, ids("nid") === comp("id"))
+      .join(canons, Seq("wrd"), "left")
+      .groupBy(col("comp"))
+      .agg(
+        min(when(col("is_canon") === 1L, col("wrd"))).as("golden"),
+        count(lit(1)).as("n_members"),
+        sum(coalesce(col("is_canon"), lit(0L))).as("n_canon"))
+      .select(col("golden"), col("n_members"), col("n_canon"))
+  }
+
+  private val oEntityClusters = """
+    WITH RECURSIVE vocab AS MATERIALIZED (
+      SELECT DISTINCT lower(w) AS w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      WHERE regexp_matches(lower(w), '^[a-z]+$') AND len(lower(w)) >= 4),
+    dirty AS MATERIALIZED (
+      SELECT DISTINCT d FROM (
+        SELECT unnest([substr(w, 1, i - 1) || substr(w, i + 1, len(w))
+                       for i in generate_series(1, len(w))]) AS d
+        FROM vocab) t
+      WHERE d NOT IN (SELECT w FROM vocab)),
+    link AS MATERIALIZED (
+      SELECT d, w FROM (
+        SELECT DISTINCT d, w FROM (
+          SELECT dd.d, v.w FROM dirty dd JOIN vocab v
+            ON substr(dd.d, 1, 2) = substr(v.w, 1, 2)
+          UNION ALL
+          SELECT dd.d, v.w FROM dirty dd JOIN vocab v
+            ON substr(dd.d, -2, 2) = substr(v.w, -2, 2)) u) c
+      WHERE levenshtein(d, w) <= 1),
+    -- DISTINCT over UNION ALL, not bare UNION: inside a WITH RECURSIVE
+    -- block DuckDB 1.0 gives a non-self-referencing `a UNION b` CTE
+    -- recursive-union semantics and SKIPS the dedup (measured: 238 rows
+    -- where UNION should give 142)
+    nodes AS (SELECT DISTINCT wrd FROM (
+      SELECT d AS wrd FROM link UNION ALL SELECT w AS wrd FROM link) nn),
+    ids AS MATERIALIZED (
+      SELECT wrd, CAST(row_number() OVER (ORDER BY wrd) AS BIGINT) AS nid
+      FROM nodes),
+    e AS MATERIALIZED (
+      SELECT ia.nid AS src, ib.nid AS dst
+      FROM link JOIN ids ia ON ia.wrd = link.d JOIN ids ib ON ib.wrd = link.w
+      UNION ALL
+      SELECT ib.nid AS src, ia.nid AS dst
+      FROM link JOIN ids ia ON ia.wrd = link.d JOIN ids ib ON ib.wrd = link.w),
+    reach(id, l) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.src, r.l FROM reach r JOIN e ON e.dst = r.id),
+    comp AS MATERIALIZED (SELECT id, min(l) AS comp FROM reach GROUP BY id),
+    mem AS (
+      SELECT c.comp, i.wrd,
+             CASE WHEN cw.w IS NOT NULL THEN 1 ELSE 0 END AS is_canon
+      FROM comp c JOIN ids i ON i.nid = c.id
+      LEFT JOIN (SELECT DISTINCT w FROM link) cw ON cw.w = i.wrd)
+    SELECT min(CASE WHEN is_canon = 1 THEN wrd END) AS golden,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(is_canon) AS BIGINT) AS n_canon
+    FROM mem GROUP BY comp"""
+
   // ---------------------------------------------------------------------------
   // §2.54 PII detection + redaction (operators.Pii). The synthetic corpus
   // carries no PII, so both engines decorate a deterministic subset of
@@ -4221,6 +4306,7 @@ object QueriesText {
     GraftQuery("q_bpe_merges", qBpeMerges, Some(oBpeMerges)),
     GraftQuery("q_bpe_tokens", qBpeTokens, Some(oBpeTokens)),
     GraftQuery("q_fuzzy_link", qFuzzyLink, Some(oFuzzyLink)),
+    GraftQuery("q_entity_clusters", qEntityClusters, Some(oEntityClusters)),
     GraftQuery("q_textrank", qTextRank, Some(oTextRank)),
     GraftQuery("q_outliers_mad", qOutliersMad, Some(oOutliersMad)),
     GraftQuery("q_seasonal_anomaly", qSeasonalAnomaly, Some(oSeasonalAnomaly)),
