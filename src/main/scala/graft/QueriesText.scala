@@ -2601,6 +2601,72 @@ object QueriesText {
              row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
       FROM f) r WHERE rank <= $HybK"""
 
+  /** §2.44m Retrieval-quality nDCG@10 (Järvelin & Kekäläinen 2002) — the
+    * graded-relevance eval sibling of §2.44l's recall harness, with the
+    * log2 discount kept in WHOLE BITS (`bits(i+1) = length(bin(i+1))-1`,
+    * the surprisal-lane trick) so DCG, ideal DCG and their ratio are
+    * pure integer arithmetic — cross-engine ln()/log2() ulps never touch
+    * the score. Relevance = query/neighbor label agreement on the
+    * id-aligned embeddings table; IDCG comes in closed form from n_rel
+    * (binary gains sort ideally to a prefix), as a bounded HOF fold over
+    * sequence(1, n_rel). Ranking is the §2.43 rounded-cosine discipline.
+    */
+  private val NdcgK = 10
+
+  private def qRetrievalNdcg(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val top = Similarity.knnBrute(e, e.where(col("vec_id") < 10),
+      "vec_id", "embedding", NdcgK, KnnRound)
+    val lbl = e.select(col("vec_id"), col("label"))
+    top
+      .join(lbl.select(col("vec_id").as("q_id"), col("label").as("_ql")), "q_id")
+      .join(lbl.select(col("vec_id").as("n_id"), col("label").as("_nl")), "n_id")
+      .withColumn("_rel",
+        when(col("_ql") === col("_nl"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("_den", (length(bin(col("rk") + 1)) - 1).cast("long"))
+      .groupBy(col("q_id"))
+      .agg(sum(col("_rel")).as("n_rel"),
+        sum(expr("_rel * (10000L div _den)")).as("dcg_x10k"))
+      .withColumn("ndcg_x10k", expr(
+        """CASE WHEN n_rel = 0 THEN 0L
+                ELSE dcg_x10k * 10000L div
+                     aggregate(sequence(1L, n_rel), 0L,
+                       (acc, i) -> acc + 10000L div (length(bin(i + 1)) - 1))
+           END"""))
+  }
+
+  private val oRetrievalNdcg = s"""
+    WITH t AS (
+      SELECT q_id, n_id, rk FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cr DESC, n_id) AS rk
+        FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                 round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(n.embedding AS DOUBLE[])),
+                       $KnnRound) + 0 AS cr
+          FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+          WHERE q.vec_id < 10) t0) tt
+      WHERE rk <= $NdcgK),
+    r AS (
+      SELECT t.q_id, t.rk,
+             CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+      FROM t
+      JOIN embeddings ql ON ql.vec_id = t.q_id
+      JOIN embeddings nl ON nl.vec_id = t.n_id),
+    d AS (
+      SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+             CAST(sum(rel * (10000 // (len(bin(rk + 1)) - 1))) AS BIGINT)
+               AS dcg_x10k
+      FROM r GROUP BY q_id)
+    SELECT q_id, n_rel, dcg_x10k,
+           CASE WHEN n_rel = 0 THEN 0
+                ELSE dcg_x10k * 10000 // CAST(list_sum(
+                       [10000 // (len(bin(i + 1)) - 1)
+                        for i in range(1, n_rel + 1)]) AS BIGINT)
+           END AS ndcg_x10k
+    FROM d"""
+
   /** §2.67b Entity clustering + golden-record survivorship (the step
     * after pairwise linkage — Fellegi-Sunter pipelines end with exactly
     * this): the §2.67 fuzzy-link match graph closes transitively
@@ -4255,6 +4321,7 @@ object QueriesText {
     GraftQuery("q_knn_sq8", qKnnSq8, None, oracleGen = Some(oKnnSq8Gen)),
     GraftQuery("q_knn_lsh", qKnnLsh, None, oracleGen = Some(oKnnLshGen)),
     GraftQuery("q_ann_recall", qAnnRecall, None, oracleGen = Some(oAnnRecallGen)),
+    GraftQuery("q_retrieval_ndcg", qRetrievalNdcg, Some(oRetrievalNdcg)),
     GraftQuery("q_knn_ivf", qKnnIvf, None, oracleGen = Some(oKnnIvfGen)),
     GraftQuery("q_knn_ivf_dist", qKnnIvfDist, None, oracleGen = Some(oKnnIvfDistGen)),
     GraftQuery("q_knn_ivf_batch", qKnnIvfBatch, None, oracleGen = Some(oKnnIvfBatchGen)),
