@@ -23,13 +23,32 @@ object Link {
 
   /** Union of per-pass blocking joins, deduplicated. Each element of
     * `keys` is (left key expr, right key expr) over `lcol`/`rcol`.
+    *
+    * BLOCKING-KEY SKEW is the failure mode of this whole family: a key
+    * value shared by a large fraction of one side turns its block into a
+    * near-cross-join (measured: a corpus whose words all end in the same
+    * 2-char suffix ran the last-2 pass away at 10x — DocScaleProbe notes
+    * it). `maxBlockSize > 0` drops blocks whose RIGHT-side population
+    * exceeds the cap — an explicit recall-for-cost cut (candidates in an
+    * oversized block are only lost from THAT pass; other passes still
+    * surface them), the standard production guard. The cut is a broadcast
+    * ANTI-join against the OVERSIZED key set — small by construction
+    * (few blocks are hot), so the guard never shuffles the corpus.
     */
   def blockedCandidates(left: DataFrame, lcol: String,
                         right: DataFrame, rcol: String,
-                        keys: Seq[(Column, Column)]): DataFrame =
+                        keys: Seq[(Column, Column)],
+                        maxBlockSize: Long = 0L): DataFrame =
     keys.map { case (lk, rk) =>
+      val r = right.select(col(rcol), rk.as("_bk"))
+      val rCapped =
+        if (maxBlockSize <= 0) r
+        else r.join(
+          broadcast(r.groupBy(col("_bk")).agg(count(lit(1)).as("_bn"))
+            .where(col("_bn") > maxBlockSize).select(col("_bk"))),
+          Seq("_bk"), "left_anti")
       left.select(col(lcol), lk.as("_bk"))
-        .join(right.select(col(rcol), rk.as("_bk")), "_bk")
+        .join(rCapped, "_bk")
         .select(lcol, rcol)
     }.reduce(_ unionAll _).distinct()
 

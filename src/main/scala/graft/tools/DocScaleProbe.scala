@@ -131,6 +131,21 @@ object DocScaleProbe {
     time("q_phash_pairs") { q("q_phash_pairs")(spark, out).count() }
     time("q_audio_match") { q("q_audio_match")(spark, out).count() }
     time("q_containment") { q("q_containment")(spark, out).count() }
+    // r8-continuation lanes: exact-substring dedup (rep-suffixed words make
+    // 32-char windows replica-unique, so the duplicated-candidate sliver and
+    // the covered-interval output must grow LINEARLY — a quadratic blowup
+    // here would mean the hash prefilter stopped bounding the string
+    // materialization) and hybrid RRF (both lanes bounded top-k — near-flat).
+    // q_entity_clusters is deliberately NOT probed on this corpus: the
+    // rep-suffix decoration puts the SAME 2-char tail ("_7") on every
+    // replica-7 word, collapsing the last-2 blocking pass into one
+    // |dirty|x|vocab| block per replica — the classic ER blocking-key-skew
+    // failure (measured: the lane ran away at 10x where sf0.1 takes ~1 s).
+    // That is corpus-vs-blocking-key mismatch, not a plan defect; the
+    // production answer is a skew-robust key set (length + first-2, or
+    // block-size caps), documented at Link.blockedCandidates.
+    time("q_substr_dedup") { q("q_substr_dedup")(spark, out).count() }
+    time("q_hybrid_rrf") { q("q_hybrid_rrf")(spark, out).count() }
 
     // keep the replicated corpus for follow-up profiling (ProfileJaccard
     // et al.) when asked; default cleans up

@@ -55,6 +55,16 @@ object ScaleProbe {
     time("q_geo_polygon") { q("q_geo_polygon")(spark, out).count() }
     time("q_condense") { q("q_condense")(spark, out).count() }
     time("q_interval_overlap") { q("q_interval_overlap")(spark, out).count() }
+    // r8-continuation lanes. Replication raises per-slot/per-cell DENSITY
+    // (factor x users, only 4x time span), so proximity pairs and
+    // co-occurrence pair OUTPUT grow ~quadratically in density — that's
+    // corpus physics, not plan failure; the audit is that runtime tracks
+    // the pair OUTPUT (density-local cell work / Σ|basket|²), not the
+    // slot-global all-pairs a naive join would pay. trailing_24h is the
+    // linear control: one RANGE-frame window pass, runtime ~ input rows.
+    time("q_trailing_24h") { q("q_trailing_24h")(spark, out).count() }
+    time("q_proximity_pairs") { q("q_proximity_pairs")(spark, out).count() }
+    time("q_cooccur") { q("q_cooccur")(spark, out).count() }
     spark.stop()
   }
 }
