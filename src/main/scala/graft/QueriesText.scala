@@ -719,6 +719,28 @@ object QueriesText {
     batch(0L, 10L, 0).unionByName(batch(10L, 20L, 1))
   }
 
+  /** §2.44n Corpus-wide ANN self-join (the "kNN join"): EVERY vector's
+    * top-k through the IVF index in one query — the all-pairs shape
+    * semantic dedup / candidate generation run at production scale. The
+    * plan difference vs the query-batch lanes is the point: probes are
+    * NOT broadcast — probe and posting sides meet in a cell-keyed
+    * shuffle hash join. Oracle = the same flat-model replay with the
+    * query filter OPENED to the whole corpus.
+    */
+  private def qKnnSelf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    Similarity.knnSelfIvf(e, "vec_id", "embedding", KnnK,
+      ivfProbes(cells), KnnRound, cells)
+  }
+
+  private def oKnnSelfGen(s: SparkSession, dir: String): String = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    ivfFlatOracle(Similarity.ivfTrainDispatch(e, "embedding", cells),
+      ivfProbes(cells), qMax = Int.MaxValue, batchSplit = None)
+  }
+
   private def oKnnIvfBatchGen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
     val cells = Similarity.autoCells(e.count())
@@ -4325,6 +4347,7 @@ object QueriesText {
     GraftQuery("q_knn_ivf", qKnnIvf, None, oracleGen = Some(oKnnIvfGen)),
     GraftQuery("q_knn_ivf_dist", qKnnIvfDist, None, oracleGen = Some(oKnnIvfDistGen)),
     GraftQuery("q_knn_ivf_batch", qKnnIvfBatch, None, oracleGen = Some(oKnnIvfBatchGen)),
+    GraftQuery("q_knn_self", qKnnSelf, None, oracleGen = Some(oKnnSelfGen)),
     GraftQuery("q_knn_ivf2", qKnnIvf2, None, oracleGen = Some(oKnnIvf2Gen)),
     GraftQuery("q_knn_ivf_pq", qKnnIvfPq, None, oracleGen = Some(oKnnIvfPqGen)),
     GraftQuery("q_knn_ivf_opq", qKnnIvfOpq, None, oracleGen = Some(oKnnIvfOpqGen)),

@@ -869,6 +869,31 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rk"), col("_cos").as("cos"))
   }
 
+  /** Corpus-wide self-kNN through the IVF index — the ALL-vectors "ANN
+    * join" (every vector gets its top-k neighbors; the shape semantic
+    * dedup, near-dup mining and recommendation candidate generation all
+    * run at production scale, where per-query search loops can't). Same
+    * probe/rank arithmetic as [[knnIvfSearchIndexed]], with ONE plan
+    * difference: the query side is the corpus itself, so the probe set is
+    * NOT broadcast — probes and postings meet in a cell-keyed shuffle
+    * hash join (both sides corpus-sized, n·nProbe candidate rows bounded
+    * by cell population, AQE skew-splits hot cells). Assignment and probe
+    * selection are each one pass over the corpus against the broadcast
+    * centroid table.
+    */
+  def knnSelfIvf(corpus: DataFrame, id: String, vec: String,
+                 k: Int, nProbe: Int, roundTo: Int,
+                 nCells: Int): DataFrame = {
+    val (model, indexed) = ivfIndex(corpus, id, vec, nCells)
+    val q = probeCellPlan(corpus, id, vec, nProbe, model)
+    val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
+    q.join(indexed, Seq("cell")).where(col("q_id") =!= col("n_id"))
+      .withColumn("_cos", round(cosine(col("q_vec"), col("n_vec")), roundTo))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("rk"), col("_cos").as("cos"))
+  }
+
   /** Persist an IVF index CELL-PARTITIONED: postings as
     * `partitionBy(cell)` parquet (one directory per cell — the layout
     * that lets a probed search read ONLY its cells' files) and the
