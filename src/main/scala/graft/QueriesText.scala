@@ -2689,6 +2689,72 @@ object QueriesText {
            END AS ndcg_x10k
     FROM d"""
 
+  /** §2.49d Feature-hashing near-dup (Weinberger et al. 2009 hashing
+    * trick): docs become dim-64 INTEGER hashed-TF vectors; candidate
+    * pairs block on the dominant bucket and pass when
+    * cos²·10⁴ (truncated) ≥ 9000 — cos² is a ratio of
+    * integers (dot², ‖a‖²·‖b‖²), so the WHOLE similarity pipeline is
+    * integer arithmetic: the one pairing lane with literally zero float
+    * surface. Dominant-bucket blocking is the candidate heuristic (the
+    * LSH-family trade, stated honestly: recall bounded by dominant-
+    * feature agreement; the sketch tiers cover the general case).
+    */
+  private val FhDim = 64
+
+  private def qFeatureHashDup(s: SparkSession, dir: String): DataFrame = {
+    val v = Text.hashedTf(docsW(s, dir), "doc_id", col("text"), FhDim)
+      .localCheckpoint() // shared by both join sides
+    val a = v.select(col("doc_id").as("doc_a"), col("vec").as("_va"),
+      col("norm2").as("_na"), col("top_bucket").as("_t"))
+    val b = v.select(col("doc_id").as("doc_b"), col("vec").as("_vb"),
+      col("norm2").as("_nb"), col("top_bucket").as("_t2"))
+    a.join(b, col("_t") === col("_t2") && col("doc_a") < col("doc_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(_va, _vb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cos2_x10k", expr("dot * dot * 10000L div (_na * _nb)"))
+      .where(col("cos2_x10k") >= 9000L)
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("cos2_x10k"))
+  }
+
+  private val oFeatureHashDup = s"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+    bkt AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(wd, ''), ch -> ch <> ''),
+                              ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, ch) -> (acc * 31 + ch) % ${graft.operators.Text.PolyP})
+               % $FhDim AS b
+      FROM w WHERE wd <> ''),
+    c AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+          FROM bkt GROUP BY 1, 2),
+    tb AS (
+      SELECT doc_id, b AS top_bucket FROM (
+        SELECT doc_id, b,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS rn
+        FROM c) t WHERE rn = 1),
+    v AS MATERIALIZED (
+      SELECT doc_id,
+             [CAST(coalesce(list_sum([p.c for p in pairs if p.b = i]), 0)
+                   AS BIGINT) for i in range($FhDim)] AS vec,
+             norm2
+      FROM (SELECT doc_id, list(struct_pack(b := b, c := c)) AS pairs,
+                   CAST(sum(c * c) AS BIGINT) AS norm2
+            FROM c GROUP BY doc_id) t),
+    j AS (
+      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             CAST(list_sum([a.vec[i+1] * b2.vec[i+1]
+                            for i in range($FhDim)]) AS BIGINT) AS dot,
+             a.norm2 AS na, b2.norm2 AS nb
+      FROM v a
+      JOIN tb ta ON ta.doc_id = a.doc_id
+      JOIN v b2 ON a.doc_id < b2.doc_id
+      JOIN tb tbb ON tbb.doc_id = b2.doc_id AND tbb.top_bucket = ta.top_bucket)
+    SELECT doc_a, doc_b, dot,
+           dot * dot * 10000 // (na * nb) AS cos2_x10k
+    FROM j WHERE dot * dot * 10000 // (na * nb) >= 9000"""
+
   /** §2.67b Entity clustering + golden-record survivorship (the step
     * after pairwise linkage — Fellegi-Sunter pipelines end with exactly
     * this): the §2.67 fuzzy-link match graph closes transitively
@@ -4397,6 +4463,7 @@ object QueriesText {
     GraftQuery("q_bpe_tokens", qBpeTokens, Some(oBpeTokens)),
     GraftQuery("q_fuzzy_link", qFuzzyLink, Some(oFuzzyLink)),
     GraftQuery("q_entity_clusters", qEntityClusters, Some(oEntityClusters)),
+    GraftQuery("q_feature_hash_dup", qFeatureHashDup, Some(oFeatureHashDup)),
     GraftQuery("q_textrank", qTextRank, Some(oTextRank)),
     GraftQuery("q_outliers_mad", qOutliersMad, Some(oOutliersMad)),
     GraftQuery("q_seasonal_anomaly", qSeasonalAnomaly, Some(oSeasonalAnomaly)),

@@ -1172,6 +1172,39 @@ object Text {
     globalRank(top, Seq(col("score").desc, col(id).asc))
   }
 
+  /** Feature-hashing vectorizer (Weinberger et al. 2009, the "hashing
+    * trick"): each document becomes a dense `dim`-bucket INTEGER
+    * term-frequency vector — bucket = polyHash(word) mod dim — plus its
+    * nnz and squared L2 norm (an exact integer: Σ c², no float anywhere).
+    * The fixed-width integer vector is what makes downstream similarity
+    * EXACT: cos²(a,b) = dot²/(‖a‖²·‖b‖²) is a ratio of integers, so a
+    * threshold compares cross-multiplied BIGINTs — the one similarity
+    * measure in the catalog with literally zero float surface.
+    *
+    * Shape: explode → (doc, bucket) count (map-side combinable) → one
+    * doc-keyed rollup; the dense vector materializes from the ≤ dim
+    * (bucket, count) pairs per doc, never from the word list. Returns
+    * (id, vec, nnz, norm2, top_bucket) — top_bucket (max count, ties →
+    * lowest index) doubles as a blocking key for candidate generation.
+    */
+  def hashedTf(df: DataFrame, id: String, text: Column, dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"hashedTf: unreasonable dim $dim")
+    df.select(col(id), explode(split(text, " ")).as("_w"))
+      .where(col("_w") =!= "")
+      .withColumn("_bk", pmod(polyHash(col("_w")), lit(dim.toLong)))
+      .groupBy(col(id), col("_bk")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(id))
+      .agg(
+        map_from_entries(collect_list(struct(col("_bk"), col("_c")))).as("_m"),
+        count(lit(1)).as("nnz"),
+        sum(col("_c") * col("_c")).as("norm2"),
+        min(struct((-col("_c")).as("nc"), col("_bk").as("bk"))).as("_top"))
+      .select(col(id),
+        expr(s"transform(sequence(0L, ${dim - 1}L), b -> coalesce(element_at(_m, b), 0L))")
+          .as("vec"),
+        col("nnz"), col("norm2"), col("_top.bk").as("top_bucket"))
+  }
+
   /** Reciprocal-rank-fusion of two ranked retrieval lists — the HYBRID
     * search combiner (Cormack et al. 2009 RRF; the lexical ⊕ semantic
     * fusion every production retrieval stack runs): each list contributes

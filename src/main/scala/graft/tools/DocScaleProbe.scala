@@ -146,6 +146,10 @@ object DocScaleProbe {
     // block-size caps), documented at Link.blockedCandidates.
     time("q_substr_dedup") { q("q_substr_dedup")(spark, out).count() }
     time("q_hybrid_rrf") { q("q_hybrid_rrf")(spark, out).count() }
+    // corpus-wide kNN join: every replicated vector's top-k through the
+    // IVF index (cell-keyed shuffle join, no broadcast) — output rows must
+    // be exactly k·n and runtime ~ n·nProbe·cell-population
+    time("q_knn_self") { q("q_knn_self")(spark, out).count() }
 
     // keep the replicated corpus for follow-up profiling (ProfileJaccard
     // et al.) when asked; default cleans up

@@ -1159,6 +1159,21 @@ class AssemblySpec extends AnyFunSuite with SparkFixture {
       "fixed spans should NOT dedup under a word-misaligning prefix shift")
   }
 
+  test("hashedTf: integer vectors, exact norms, identical docs give cos2 = 10000") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "alpha beta alpha"),
+      (3L, "gamma")).toDF("doc_id", "text")
+    val v = Text.hashedTf(docs, "doc_id", col("text"), 8)
+      .as[(Long, Seq[Long], Long, Long, Long)].collect().sortBy(_._1)
+    // vec sums to word count; norm2 = sum of squared bucket counts
+    assert(v(0)._2.sum == 3 && v(0)._4 == v(0)._2.map(x => x * x).sum)
+    assert(v(0)._2 == v(1)._2, "identical docs must hash identically")
+    val Seq(a, b) = v.take(2).map(r => (r._2, r._4)).toSeq
+    val dot = a._1.zip(b._1).map { case (x, y) => x * y }.sum
+    assert(dot * dot * 10000L / (a._2 * b._2) == 10000L)
+    // top_bucket is the argmax bucket (count 2 for alpha's bucket)
+    assert(v(0)._2(v(0)._5.toInt) == 2L)
+  }
+
   test("exact-substring dedup: shift-robust coverage, self-repeat collapse, exact-dup emptied") {
     val rnd = new scala.util.Random(47)
     val body = (0 until 80).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
