@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1230,6 +1230,54 @@ object Queries {
     FROM events
     GROUP BY GROUPING SETS ((event_type, user_id % 7), (event_type), (user_id % 7), ())"""
 
+  /** §2.10e Key-skew diagnosis report — the planning input for every
+    * salting / AQE-skew decision in this catalog: per candidate shuffle
+    * key, row count, distinct count, Herfindahl concentration
+    * (HHI = Σ share², the "how close to one hot key" scalar) and the top
+    * key's share, all as EXACT scaled integers (`Σc²·10⁶ div n²`,
+    * `max(c)·10⁶ div n` — one truncated division each; Σc²·10⁶ stays
+    * under 2⁶³ through sf-scale row counts). Per key: one map-side-
+    * combined count, one tiny rollup — the ANALYZE-style companion to
+    * q_analyze_stats, aimed at join planning instead of NDV.
+    */
+  private def skewOf(df: DataFrame, name: String, k: Column): DataFrame =
+    df.select(k.cast("string").as("_k"))
+      .groupBy(col("_k")).agg(count(lit(1)).as("_c"))
+      .agg(sum(col("_c")).as("_n"), count(lit(1)).as("n_distinct"),
+        sum(col("_c") * col("_c")).as("_ss"), max(col("_c")).as("_mx"))
+      .select(lit(name).as("col_name"), col("_n").as("n_rows"),
+        col("n_distinct"),
+        expr("_ss * 1000000L div (_n * _n)").as("hhi_ppm"),
+        expr("_mx * 1000000L div _n").as("top_share_ppm"))
+
+  private def qSkewReport(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    skewOf(ev, "user_id", col("user_id"))
+      .unionByName(skewOf(ev, "event_type", col("event_type")))
+      .unionByName(skewOf(ev, "props_k",
+        expr("CAST(substr(props, 7, length(props) - 7) AS INT)")))
+  }
+
+  private val oSkewReport = """
+    WITH prof AS (
+      SELECT 'user_id' AS col_name, CAST(user_id AS VARCHAR) AS k FROM events
+      UNION ALL
+      SELECT 'event_type', event_type FROM events
+      UNION ALL
+      SELECT 'props_k',
+             CAST(CAST(substr(props, 7, length(props) - 7) AS INT) AS VARCHAR)
+      FROM events),
+    c AS (SELECT col_name, k, CAST(count(*) AS BIGINT) AS c
+          FROM prof GROUP BY 1, 2)
+    SELECT col_name,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c * c) AS BIGINT) * 1000000
+             // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS hhi_ppm,
+           CAST(max(c) AS BIGINT) * 1000000 // CAST(sum(c) AS BIGINT)
+             AS top_share_ppm
+    FROM c GROUP BY col_name"""
+
   /** §2.68d Top session paths: the event-type sequence of each session
     * (deterministic (ts, event_id) order via sorted-fold collect) counted
     * and top-10'd — the "path/sankey" report over the sessionized stream.
@@ -1340,6 +1388,8 @@ object Queries {
     GraftQuery("q_rollup", qRollup, Some(oRollup)),
     GraftQuery("q_window_suite", qWindowSuite, Some(oWindowSuite)),
     GraftQuery("q_grouping_sets", qGroupingSets, Some(oGroupingSets)),
+    GraftQuery("q_skew_report", qSkewReport, Some(oSkewReport)),
+    GraftQuery("q_skew_report", qSkewReport, Some(oSkewReport)),
     GraftQuery("q_session_gap", qSessionGap, Some(oSessionGap), headline = true),
     GraftQuery("q_session_native", qSessionNative, Some(oSessionNative)),
     GraftQuery("q_scd2", qScd2, Some(oScd2)),
