@@ -1389,7 +1389,6 @@ object Queries {
     GraftQuery("q_window_suite", qWindowSuite, Some(oWindowSuite)),
     GraftQuery("q_grouping_sets", qGroupingSets, Some(oGroupingSets)),
     GraftQuery("q_skew_report", qSkewReport, Some(oSkewReport)),
-    GraftQuery("q_skew_report", qSkewReport, Some(oSkewReport)),
     GraftQuery("q_session_gap", qSessionGap, Some(oSessionGap), headline = true),
     GraftQuery("q_session_native", qSessionNative, Some(oSessionNative)),
     GraftQuery("q_scd2", qScd2, Some(oScd2)),

@@ -2704,13 +2704,21 @@ object QueriesText {
   private def qFeatureHashDup(s: SparkSession, dir: String): DataFrame = {
     val v = Text.hashedTf(docsW(s, dir), "doc_id", col("text"), FhDim)
       .localCheckpoint() // shared by both join sides
-    val a = v.select(col("doc_id").as("doc_a"), col("vec").as("_va"),
+    // the integer vectors ride the join as FLOAT arrays so the dot is the
+    // native codegen DotProductFloat: counts are << 2^24, so float holds
+    // them exactly and the double accumulation is exact integer arithmetic
+    // — the interpreted zip_with lambda over every blocked pair cost 20 s
+    // at sf0.1 (hot template vocab piles most docs into one dominant
+    // bucket, so the block is near-quadratic; the lambda paid 64 boxed
+    // evals per pair on top)
+    val a = v.select(col("doc_id").as("doc_a"),
+      col("vec").cast("array<float>").as("_va"),
       col("norm2").as("_na"), col("top_bucket").as("_t"))
-    val b = v.select(col("doc_id").as("doc_b"), col("vec").as("_vb"),
+    val b = v.select(col("doc_id").as("doc_b"),
+      col("vec").cast("array<float>").as("_vb"),
       col("norm2").as("_nb"), col("top_bucket").as("_t2"))
     a.join(b, col("_t") === col("_t2") && col("doc_a") < col("doc_b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(_va, _vb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", Similarity.dot(col("_va"), col("_vb")).cast("long"))
       .withColumn("cos2_x10k", expr("dot * dot * 10000L div (_na * _nb)"))
       .where(col("cos2_x10k") >= 9000L)
       .select(col("doc_a"), col("doc_b"), col("dot"), col("cos2_x10k"))
