@@ -215,6 +215,91 @@ object QueriesText {
       ON (a.simhash >> 20) = (b.simhash >> 20) AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
 
+  /** §2.39b Dedup-tier recall harness (the QA surface §2.44l gives ANN,
+    * now for the dedup sketches): exact Jaccard ≥ 0.8 pairs are ground
+    * truth; each sketch tier's found-pair set left-joins against it and
+    * recall is one truncated integer division per tier. MinHash-LSH's
+    * misses are exactly the true pairs NO band caught (its candidates
+    * are jaccard-verified, so found ⊆ truth); simhash is measured
+    * against the same truth even though its own cut is Hamming — the
+    * honest cross-tier comparison. One row per tier.
+    */
+  private def qDedupRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = Text.jaccardPairs(docs(s, dir), "doc_id",
+        Text.shingles(col("text"), 2), 0.8)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    def recallOf(name: String, found: DataFrame): DataFrame =
+      truth.join(found.select(col("doc_a"), col("doc_b"))
+          .withColumn("_f", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("_f"), lit(0L))).as("n_found"))
+        .select(lit(name).as("tier"), col("n_true"), col("n_found"),
+          expr("n_found * 1000000L div n_true").as("recall_ppm"))
+    recallOf("minhash_lsh", qDocMinhashLsh(s, dir))
+      .unionByName(recallOf("simhash", qDocSimhashPairs(s, dir)))
+  }
+
+  private val oDedupRecall = {
+    val perms = Text.minhashPermConsts(16).map { case (a, b) =>
+      s"list_min(list_transform(th, h -> (h * $a + $b) % 2147483647))"
+    }.mkString("[\n        ", ",\n        ", "]")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, ${duckBandHash("sig", b, 4)} AS band_hash FROM msig"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH shg AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([words[i] || ' ' || words[i+1]
+                            for i in range(1, len(words))]) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+    truth AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.bg, b.bg)) * 1.0 /
+            (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.8),
+    hsh AS (
+      SELECT doc_id, bg, list_transform(bg, s -> ${duckPolyHash("s")}) AS th
+      FROM shg),
+    msig AS (SELECT doc_id, $perms AS sig FROM hsh),
+    banded AS (
+      $bandSelects),
+    lshpairs AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id) c
+      JOIN shg x ON x.doc_id = c.doc_a JOIN shg y ON y.doc_id = c.doc_b
+      WHERE len(list_intersect(x.bg, y.bg)) * 1.0 /
+            (len(x.bg) + len(y.bg) - len(list_intersect(x.bg, y.bg))) >= 0.8),
+    sth AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), w -> ${duckPolyHash("w")}) AS th
+      FROM documents),
+    ssh AS (SELECT doc_id, ${duckSimhash("th", 30)} AS simhash FROM sth),
+    simpairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ssh a JOIN ssh b
+        ON (a.simhash >> 20) = (b.simhash >> 20) AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6)
+    SELECT 'minhash_lsh' AS tier,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_found,
+           CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT) AS recall_ppm
+    FROM truth t LEFT JOIN lshpairs l
+      ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+    UNION ALL
+    SELECT 'simhash',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(count(*) AS BIGINT)
+    FROM truth t LEFT JOIN simpairs p
+      ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b"""
+  }
+
   /** §2.48 Winnowing fingerprints (k=8 chars, window=4) — cross-engine
     * polynomial k-gram hash, oracle-checked.
     */
@@ -4408,6 +4493,7 @@ object QueriesText {
     GraftQuery("q_oov_rate", qOovRate, Some(oOovRate)),
     GraftQuery("q_doc_ngram_jaccard", qDocNgramJaccard, Some(oDocNgramJaccard), headline = true),
     GraftQuery("q_doc_minhash_lsh", qDocMinhashLsh, Some(oDocMinhashLsh), headline = true),
+    GraftQuery("q_dedup_recall", qDedupRecall, Some(oDedupRecall)),
     GraftQuery("q_doc_simhash", qDocSimhash, Some(oDocSimhash)),
     GraftQuery("q_doc_simhash_pairs", qDocSimhashPairs, Some(oDocSimhashPairs)),
     GraftQuery("q_doc_fingerprint", qDocFingerprint, Some(oDocFingerprint)),
