@@ -60,6 +60,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(firstHash >= 0 && iSub >= 0, s"expected window + substr nodes:\n${p.take(1200)}")
   }
 
+  test("q_feature_hash_dup: the pair dot is the native expression, not an interpreted lambda") {
+    val p = planOf("q_feature_hash_dup")
+    assert(!p.contains("zip_with") && !p.contains("lambdafunction"),
+      s"pair stage regressed to interpreted HOFs (20.4 s vs 2.9 s at sf0.1):\n${p.take(1500)}")
+  }
+
   test("q_proximity_pairs: the pair join is a hash equi-join on (slot, cell), not a cross/NL join") {
     val p = planOf("q_proximity_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
