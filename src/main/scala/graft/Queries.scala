@@ -94,6 +94,50 @@ object Queries {
     FROM lineitem l JOIN dim d USING (l_returnflag)
     GROUP BY 1, 2"""
 
+  /** §2.67c Skew-ADAPTIVE salted join: same hot-key join as §2.67, but
+    * the engine MEASURES the key's top share first (one bounded driver
+    * aggregate) and picks the salt count itself — `s·parallelism` salts
+    * for a key carrying share s, the plain join when keys are uniform.
+    * l_returnflag's top key carries ~50% of lineitem, so the gate
+    * genuinely trips; the result is salt-count-independent, so the
+    * oracle is the same plain-join SQL and the equivalence claim IS the
+    * hash check. The `n_salts` column exports the decision so the gate
+    * also pins the adaptive arm taken (it would hash-differ if the
+    * data's skew profile changed the decision).
+    */
+  private def qSaltedAuto(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val dim = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("flag_n"))
+    val (joined, nSalts) = graft.operators.Skew.autoSaltedJoin(
+      li, dim, "l_returnflag", col("l_orderkey"))
+    joined
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        max(col("flag_n")).as("flag_n"))
+      .withColumn("n_salts", lit(nSalts.toLong))
+  }
+
+  private def oSaltedAutoGen(s: SparkSession, dir: String): String = {
+    // replay the decision: top-share × parallelism, clamped to [1, 64] —
+    // exported as a literal so the oracle pins the arm actually taken
+    val li = Tables.lineitem(s, dir)
+    val st = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("_c"))
+      .agg(sum(col("_c")), max(col("_c"))).head
+    val par = s.sparkContext.defaultParallelism
+    val wanted = ((st.getLong(1).toDouble / st.getLong(0)) * par).ceil.toInt
+    val nSalts = math.max(1, math.min(64, wanted))
+    s"""
+    WITH dim AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS flag_n
+                 FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag, l.l_linestatus, count(*) AS n_items,
+           round(sum(l.l_quantity), 2) AS sum_qty, max(d.flag_n) AS flag_n,
+           CAST($nSalts AS BIGINT) AS n_salts
+    FROM lineitem l JOIN dim d USING (l_returnflag)
+    GROUP BY 1, 2"""
+  }
+
   /** §2.67b Two-phase (salted) aggregation behind the oracle gate: sum of
     * `value` per event_type (5 distinct keys — every key hot) through
     * `Skew.twoPhaseSum`'s extra (key, salt) reduce tier; the result is
@@ -1406,6 +1450,7 @@ object Queries {
     GraftQuery("q_level_flight", qLevelFlight, Some(oLevelFlight)),
     GraftQuery("q_sanity_filter", qSanityFilter, Some(oSanityFilter)),
     GraftQuery("q_salted_join", qSaltedJoin, Some(oSaltedJoin)),
+    GraftQuery("q_salted_auto", qSaltedAuto, None, oracleGen = Some(oSaltedAutoGen)),
     GraftQuery("q_twophase_sum", qTwoPhaseSum, Some(oTwoPhaseSum)),
     GraftQuery("q_funnel", qFunnel, Some(oFunnel)),
     GraftQuery("q_retention", qRetention, Some(oRetention)),

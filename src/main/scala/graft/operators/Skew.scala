@@ -37,6 +37,34 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("_partial")).as(out), sum(col("_pn")).as(s"${out}_n"))
 
+  /** Skew-ADAPTIVE salted join: measure the join key's concentration on
+    * the large side first (top-key share, the §2.10e skew-report scalar —
+    * ONE bounded driver aggregate, the precedented stats-head pattern),
+    * then pick the salt count from it: a key carrying share `s` of the
+    * rows serializes `s·parallelism` reducers' worth of work into one,
+    * so it needs ~`s·parallelism` salts to spread back out; uniform keys
+    * (top share ≈ 1/distinct) pick 1 salt and take the PLAIN join — the
+    * salting machinery costs nothing when it isn't needed. This is the
+    * jaccardPairs adaptive-gate discipline applied to joins: the decision
+    * input is data, the decision itself is a driver scalar, and both
+    * arms produce the identical result set (spec-enforced; the salt is
+    * plan-level only).
+    */
+  def autoSaltedJoin(large: DataFrame, small: DataFrame, key: String,
+                     saltSrc: Column,
+                     maxSalts: Int = 64): (DataFrame, Int) = {
+    val par = large.sparkSession.sparkContext.defaultParallelism
+    val st = large.groupBy(col(key)).agg(count(lit(1)).as("_c"))
+      .agg(sum(col("_c")).as("_n"), max(col("_c")).as("_mx")).head
+    val n = st.getLong(0)
+    val mx = st.getLong(1)
+    require(n > 0, "autoSaltedJoin: empty large side")
+    val wanted = ((mx.toDouble / n) * par).ceil.toInt
+    val nSalts = math.max(1, math.min(maxSalts, wanted))
+    if (nSalts <= 1) (large.join(small, Seq(key)), 1)
+    else (saltedEquiJoin(large, small, key, saltSrc, nSalts), nSalts)
+  }
+
   /** Bloom-prefiltered anti-join (SURVEY §7 / report NotTags-style drop
     * lists at scale). A plain `left_anti` against a drop list too large to
     * broadcast shuffles BOTH sides — including the ~100% of fact rows that

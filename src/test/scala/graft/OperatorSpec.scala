@@ -818,6 +818,24 @@ class SkewOpSpec extends AnyFunSuite with SparkFixture {
     assert(salted == plain)
   }
 
+  test("autoSaltedJoin: hot key engages salts, uniform keys take the plain join") {
+    // hot corpus: one key owns 60% of rows
+    val hot = ((1 to 600).map(i => (i.toLong, "hot")) ++
+      (1 to 400).map(i => (600L + i, s"u${i % 40}"))).toDF("id", "k")
+    val dim = hot.select("k").distinct().withColumn("tag", length(col("k")))
+    val (hotJoined, hotSalts) = Skew.autoSaltedJoin(hot, dim, "k", col("id"))
+    assert(hotSalts > 1, s"hot key must engage salting, got $hotSalts")
+    val plain = hot.join(dim, Seq("k")).select("id", "tag")
+      .as[(Long, Int)].collect().toSet
+    assert(hotJoined.select("id", "tag").as[(Long, Int)].collect().toSet == plain)
+    // uniform corpus: every key ~equal share -> no salting machinery
+    val uni = (1 to 1000).map(i => (i.toLong, s"u${i % 100}")).toDF("id", "k")
+    val udim = uni.select("k").distinct().withColumn("tag", length(col("k")))
+    val (uJoined, uSalts) = Skew.autoSaltedJoin(uni, udim, "k", col("id"))
+    assert(uSalts == 1, s"uniform keys must take the plain join, got $uSalts")
+    assert(uJoined.count() == 1000)
+  }
+
   test("bloom-prefiltered anti-join is identical to the plain anti-join") {
     val ev = Tables.events(spark, sfDir)
     val drops = ev.where(col("event_type") === "error").select("user_id").distinct()
