@@ -1215,6 +1215,39 @@ class AssemblySpec extends AnyFunSuite with SparkFixture {
     out.foreach { r => assert(r._2 - r._3 == r._4.length.toLong, s"char accounting: $r") }
   }
 
+  test("exact-substring dedup == naive reference on randomized dup-heavy corpora") {
+    val L = 8
+    val rnd = new scala.util.Random(97)
+    // small alphabet + shared fragments -> plenty of genuine repeats
+    val frags = Vector.fill(6)((0 until 12).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val docs = (0L until 30L).map { i =>
+      val n = 1 + rnd.nextInt(4)
+      (i, (0 until n).map(_ => frags(rnd.nextInt(frags.size))).mkString ++
+        (0 until rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    }
+    // naive reference: first occurrence per L-gram by (id, pos); later
+    // occurrences cover [p, p+L); uncovered chars reassemble in order
+    val firstSeen = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, t) <- docs; p <- 0 to t.length - L) {
+      val g = t.substring(p, p + L)
+      if (!firstSeen.contains(g)) firstSeen(g) = (id, p)
+    }
+    val want = docs.map { case (id, t) =>
+      val covered = Array.fill(t.length)(false)
+      for (p <- 0 to t.length - L) {
+        if (firstSeen(t.substring(p, p + L)) != ((id, p)))
+          (p until p + L).foreach(covered(_) = true)
+      }
+      val clean = t.zipWithIndex.collect { case (c, i) if !covered(i) => c }.mkString
+      (id, t.length.toLong, covered.count(identity).toLong, clean)
+    }.toSet
+    val got = Text.dedupSubstrings(docs.toDF("doc_id", "text"), "doc_id",
+        col("text"), L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == want, s"missing=${(want -- got).take(2)} extra=${(got -- want).take(2)}")
+    assert(want.exists(_._3 > 0), "degenerate corpus: nothing covered")
+  }
+
   test("globalRank == single-window row_number across forced partitions") {
     val rnd = new scala.util.Random(7)
     // duplicate-free total-order key (k unique), skewed v for range splits
