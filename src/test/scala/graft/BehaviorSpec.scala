@@ -105,6 +105,28 @@ class BehaviorSpec extends AnyFunSuite with SparkFixture {
       (2, 3, 1L, 10000L, 250000L)))
   }
 
+  test("cooccurrence == naive reference on random baskets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val rows = (0 until 500).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(12)))
+    val got = Behavior.cooccurrence(rows.toDF("sess", "item").repartition(7),
+        col("sess"), col("item"), 2L)
+      .as[(Int, Int, Long, Long, Long, Long, Long)].collect().toSet
+    val baskets = rows.distinct
+    val nSess = baskets.map(_._1).distinct.size.toLong
+    val marg = baskets.groupBy(_._2).map { case (i, xs) => i -> xs.size.toLong }
+    val want = baskets.flatMap { a =>
+      baskets.filter(b => b._1 == a._1 && a._2 < b._2).map(b => (a._2, b._2))
+    }.groupBy(identity).map { case ((i, j), ps) => (i, j, ps.size.toLong) }
+      .filter(_._3 >= 2L)
+      .map { case (i, j, nab) =>
+        (i, j, nab, marg(i), marg(j),
+          nab * nSess * 10000L / (marg(i) * marg(j)), nab * 1000000L / nSess)
+      }.toSet
+    assert(got == want, s"missing=${(want -- got).take(2)} extra=${(got -- want).take(2)}")
+    assert(want.nonEmpty)
+  }
+
   test("transitions: per-user (ts, tie)-ordered lead edges") {
     val e = ev(Seq(
       (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "view"),

@@ -1291,6 +1291,24 @@ class GraphOpSpec extends AnyFunSuite with SparkFixture {
       "CC should see one connected blob")
   }
 
+  test("labelPropagation is partition-invariant and labels every node exactly once") {
+    val rnd = new scala.util.Random(53)
+    val edges = (0 until 150).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      (math.min(a, b), math.max(a, b) + 40L, 1L + rnd.nextInt(9))
+    }.distinct
+    def run(parts: Int) =
+      Graph.labelPropagation(edges.toDF("src", "dst", "w").repartition(parts),
+          df => df.localCheckpoint(), 4)
+        .as[(Long, Long)].collect().sorted.toSeq
+    val r3 = run(3)
+    val r11 = run(11)
+    assert(r3 == r11, "LPA result changed under input repartitioning")
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    assert(r3.map(_._1) == nodes, "every graph node labeled exactly once")
+    assert(r3.map(_._2).toSet.subsetOf(nodes.toSet), "labels must be node ids")
+  }
+
   test("connectedComponents labels chains, cliques and leaves singletons out") {
     // chain 1-2-3-4 (diameter 3: needs >1 round), clique {10,11,12}, pair {20,21}
     val edges = Seq(
