@@ -1459,7 +1459,7 @@ object Queries {
     GraftQuery("q_lpa_communities", qLpaCommunities, Some(oLpaCommunities)),
     GraftQuery("q_top_paths", qTopPaths, Some(oTopPaths)),
     GraftQuery("q_funnel_latency", qFunnelLatency, Some(oFunnelLatency))
-  ) ++ QueriesGeo.all ++ QueriesText.all
+  ) ++ QueriesGeo.all ++ QueriesText.all ++ QueriesPipe.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

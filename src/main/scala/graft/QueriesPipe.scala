@@ -1,0 +1,424 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, Text}
+
+/** Group H — semi-structured extraction, privacy audit, integer time-series
+  * smoothing / gap-fill, CCNet-style perplexity bucketing, and corpus
+  * cartography over the IVF cells (topic map + cluster purity).
+  *
+  * Same contract as every other catalog group: the Spark plan and its DuckDB
+  * oracle alias every output column identically, and every cross-engine
+  * number is integer-derived (cents, whole bits, permille) so no float
+  * rounding can flip the hash.
+  */
+object QueriesPipe {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+
+  private val DayNs = 86400000000000L
+
+  // ---------------------------------------------------------------------------
+  // §2.80 Semi-structured JSON extraction (events.props payload)
+  // ---------------------------------------------------------------------------
+
+  /** §2.80 JSON-path extraction over a string payload column: `props` parses
+    * with an explicit typed schema (`from_json`, malformed → null — no
+    * ANSI-mode throw at ingest), the extracted field aggregates per event
+    * type. Scan-stage projection: the parse runs inside the scan stage's
+    * codegen'd project, pruning/pushdown on sibling columns unaffected — the
+    * 100 TB path is "parse once at the scan, never re-read the string".
+    * A missing path (`$.absent`) must count as NULL on both engines, not
+    * error — that's the semi-structured contract the oracle pins.
+    */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "k BIGINT, absent BIGINT")).as("_p"))
+      .select(col("event_type"), col("_p.k").as("_k"), col("_p.absent").as("_a"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("_k")).as("n_with_k"),
+        count(col("_a")).as("n_with_absent"),
+        sum(col("_k")).as("sum_k"),
+        min(col("_k")).as("min_k"),
+        max(col("_k")).as("max_k"))
+  }
+
+  private val oJsonExtract = """
+    WITH e AS (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                      CAST(json_extract_string(props, '$.absent') AS BIGINT) AS a
+               FROM events)
+    SELECT event_type,
+           count(*) AS n_events,
+           count(k) AS n_with_k,
+           count(a) AS n_with_absent,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k
+    FROM e GROUP BY event_type"""
+
+  // ---------------------------------------------------------------------------
+  // §2.81 k-anonymity audit (privacy QA over quasi-identifiers)
+  // ---------------------------------------------------------------------------
+
+  private val KAnonK = 5L
+  private val KAnonBucket = 50L
+
+  /** §2.81 k-anonymity audit: every equivalence class of the quasi-identifier
+    * tuple (lang, source, length bucket) with its population, flagged when
+    * below k — the release-gate complement to the §2.59 PII scrub (redaction
+    * removes direct identifiers; k-anonymity measures re-identification risk
+    * from the INDIRECT ones). One map-side-combined groupBy on a bounded
+    * class space; the flag is a projection over the aggregate, zero extra
+    * shuffles at any corpus size.
+    */
+  private def qKAnon(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars div $KAnonBucket").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk",
+        when(col("n_docs") < KAnonK, lit(1L)).otherwise(lit(0L)))
+
+  private val oKAnon = s"""
+    SELECT lang, source, n_chars // $KAnonBucket AS len_bucket,
+           count(*) AS n_docs,
+           CAST(CASE WHEN count(*) < $KAnonK THEN 1 ELSE 0 END AS BIGINT)
+             AS at_risk
+    FROM documents
+    GROUP BY 1, 2, 3"""
+
+  // ---------------------------------------------------------------------------
+  // §2.82 Integer EWMA (per-key exponential smoothing, cross-engine exact)
+  // ---------------------------------------------------------------------------
+
+  /** §2.82 Per-user EWMA of event value with α = 1/4 in integer cents:
+    * s_t = (v_t + 3·s_{t-1}) div 4, folded over the (ts, event_id)-sorted
+    * event list. EWMA is order-sensitive, so the fold runs over a SORTED
+    * collected array (the CLAUDE.md sorted-fold rule: shuffle arrival order
+    * must never reach an order-sensitive accumulation) — integer division
+    * each step keeps both engines bit-identical where a float α would drift.
+    * State is one array per user bounded by that user's event count (the
+    * same per-key bound every sessionize/condense operator carries); the
+    * groupBy is one map-side-combinable exchange on user_id.
+    */
+  private def qEwma(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("_cents"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("_cents")))).as("_evs"))
+      .select(col("user_id"),
+        size(col("_evs")).cast("long").as("n_events"),
+        expr("""aggregate(_evs, CAST(-1 AS BIGINT),
+                  (acc, e) -> CASE WHEN acc < 0 THEN e._cents
+                              ELSE (e._cents + 3 * acc) div 4 END)""")
+          .as("ewma_cents"))
+
+  private val oEwma = """
+    WITH e AS (SELECT user_id,
+                      struct_pack(ts := epoch_ns(ts), eid := event_id,
+                                  cents := CAST(round(value * 100) AS BIGINT))
+                        AS ev
+               FROM events),
+    g AS (SELECT user_id, list_sort(list(ev)) AS evs FROM e GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(evs) AS BIGINT) AS n_events,
+           list_reduce(
+             list_prepend(CAST(-1 AS BIGINT),
+                          list_transform(evs, x -> x.cents)),
+             (acc, c) -> CASE WHEN acc < 0 THEN c
+                         ELSE (c + 3 * acc) // 4 END) AS ewma_cents
+    FROM g"""
+
+  // ---------------------------------------------------------------------------
+  // §2.83 Calendar gap-fill with LOCF (last observation carried forward)
+  // ---------------------------------------------------------------------------
+
+  /** §2.83 Daily gap-fill: each purchasing user's last purchase amount per
+    * day, densified over the corpus' day span and carried forward across
+    * empty days (LOCF) — the "position as-of every calendar slot" transform
+    * that turns sparse event streams into joinable daily state. Day slots
+    * come from `sequence()` against the corpus span (one broadcast scalar
+    * row — no driver collect); LOCF is `last(ignoreNulls)` over the per-user
+    * day window. Slots before a user's first purchase have no state and are
+    * dropped, not invented. Output is users × span days — the DENSE frame is
+    * the product, so its size is the contract, not a blowup; the window
+    * partitions per user (thousands of independent partitions, no global
+    * sort).
+    */
+  private def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ts div $DayNs").as("day"),
+        col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("_cents"))
+    // last purchase per (user, day): row_number over (ts, event_id) desc —
+    // the same deterministic per-slot pick as the oracle
+    val lastPerDay = ev
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("user_id", "day")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("_rn") === 1)
+      .select(col("user_id"), col("day"), col("_cents"))
+    val span = ev.agg(min("day").as("_d0"), max("day").as("_d1"))
+    val slots = lastPerDay.select("user_id").distinct()
+      .crossJoin(broadcast(span)) // 1-row scalar frame, broadcast NLJ
+      .select(col("user_id"), explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    slots.join(lastPerDay, Seq("user_id", "day"), "left")
+      .withColumn("cents_locf", last(col("_cents"), ignoreNulls = true).over(
+        Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cents_locf").isNotNull)
+      .select(col("user_id"), col("day"), col("cents_locf"))
+  }
+
+  private val oGapfill = s"""
+    WITH e AS (SELECT user_id, epoch_ns(ts) // $DayNs AS day,
+                      epoch_ns(ts) AS tsn, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_type = 'purchase'),
+    l AS (SELECT user_id, day, cents FROM (
+            SELECT user_id, day, cents,
+                   row_number() OVER (PARTITION BY user_id, day
+                                      ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM e) t WHERE rn = 1),
+    sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+    g AS (SELECT user_id,
+                 unnest(generate_series((SELECT d0 FROM sp),
+                                        (SELECT d1 FROM sp))) AS day
+          FROM (SELECT DISTINCT user_id FROM e) u),
+    f AS (SELECT g.user_id, g.day,
+                 last_value(l.cents IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cents_locf
+          FROM g LEFT JOIN l ON g.user_id = l.user_id AND g.day = l.day)
+    SELECT user_id, day, cents_locf FROM f WHERE cents_locf IS NOT NULL"""
+
+  // ---------------------------------------------------------------------------
+  // §2.84 CCNet-style perplexity buckets (head / middle / tail)
+  // ---------------------------------------------------------------------------
+
+  /** §2.84 Perplexity bucketing (CCNet, Wenzek et al. 2020): per-language
+    * terciles of the §2.60 integer-bit unigram surprisal — head (lowest
+    * perplexity), middle, tail; downstream mixes sample by bucket. Ranks are
+    * computed over the per-language (surprisal-value → doc count) HISTOGRAM,
+    * not over docs: the window input is bounded by the number of DISTINCT
+    * centibit values (≤ ~100·maxbits) regardless of corpus size, so the
+    * per-language window never sees 10⁹ rows — value-group granularity
+    * (a value straddling a tercile boundary lands wholly in the earlier
+    * bucket) is the price, and it's deterministic on both engines.
+    */
+  private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val srp = Text.unigramSurprisal(d, "doc_id", col("text"))
+    val hist = srp.join(d.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang"), col("avg_centibits"))
+      .agg(count(lit(1)).as("_n"), sum("n_toks").as("_toks"))
+    val cum = hist
+      .withColumn("_cum", sum("_n").over(
+        Window.partitionBy("lang").orderBy("avg_centibits")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_tot", sum("_n").over(Window.partitionBy("lang")))
+      .withColumn("bucket",
+        when(col("_cum") * 3 <= col("_tot"), lit(0L))
+          .when(col("_cum") * 3 <= col("_tot") * 2, lit(1L))
+          .otherwise(lit(2L)))
+    cum.groupBy("lang", "bucket")
+      .agg(sum("_n").as("n_docs"), sum("_toks").as("sum_toks"),
+        min("avg_centibits").as("lo_centibits"),
+        max("avg_centibits").as("hi_centibits"))
+  }
+
+  private val oCcnetBuckets = """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    d AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+          FROM t GROUP BY doc_id, w),
+    v AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c FROM d GROUP BY w),
+    n AS (SELECT length(format('{:b}', CAST(sum(c) AS BIGINT))) - 1 AS nb
+          FROM v),
+    sdoc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+               CAST(sum(tf * ((SELECT nb FROM n)
+                              - (length(format('{:b}', c)) - 1))) AS BIGINT)
+                 AS sum_bits
+             FROM d JOIN v USING (w) GROUP BY doc_id),
+    sl AS (SELECT lang, sum_bits * 100 // n_toks AS cb, n_toks
+           FROM sdoc JOIN documents USING (doc_id)),
+    h AS (SELECT lang, cb, CAST(count(*) AS BIGINT) AS hn,
+                 CAST(sum(n_toks) AS BIGINT) AS toks
+          FROM sl GROUP BY lang, cb),
+    c AS (SELECT lang, cb, hn, toks,
+                 sum(hn) OVER (PARTITION BY lang ORDER BY cb
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+                 sum(hn) OVER (PARTITION BY lang) AS tot
+          FROM h)
+    SELECT lang,
+           CAST(CASE WHEN cum * 3 <= tot THEN 0
+                     WHEN cum * 3 <= tot * 2 THEN 1
+                     ELSE 2 END AS BIGINT) AS bucket,
+           CAST(sum(hn) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS sum_toks,
+           min(cb) AS lo_centibits,
+           max(cb) AS hi_centibits
+    FROM c GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------------------
+  // §2.85 Topic map + §2.85b cluster purity (corpus cartography)
+  // ---------------------------------------------------------------------------
+
+  private val TopicTerms = 3
+  private val TopicMinLen = 4
+
+  /** Shared doc→cell assignment for the cartography lanes: the deterministic
+    * trained IVF quantizer (same dispatch as the ANN/SemDeDup/diverse-sample
+    * lanes — vec_id aligns with doc_id in the testdata) via the native
+    * one-pass argmin.
+    */
+  private def topicAssigned(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    Similarity.ivfAssign(
+        e.select(col("vec_id"), col("embedding").as("_v")), "_v", model)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** §2.85 Topic map: top-N characteristic terms per semantic cluster (IVF
+    * cell) by term frequency — the "what is IN this dataset" cartography
+    * product (Atlas-style corpus map at data-card granularity). Term
+    * counting is one (cell, term)-keyed map-side-combined aggregate; the
+    * rank window partitions per CELL (bounded by that cell's vocabulary,
+    * thousands of independent partitions at scale — never a global sort).
+    * The generated oracle retrains the deterministic quantizer and replays
+    * assignment + counting + ranking from exported centroid literals.
+    */
+  private def qTopicMap(s: SparkSession, dir: String): DataFrame = {
+    val assigned = topicAssigned(s, dir)
+    val nDocs = assigned.groupBy("cell").agg(count(lit(1)).as("n_docs"))
+    val terms = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) >= TopicMinLen)
+      .join(assigned.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .groupBy("cell", "term").agg(count(lit(1)).as("term_n"))
+    terms
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cell")
+          .orderBy(col("term_n").desc, col("term"))).cast("long"))
+      .where(col("rank") <= TopicTerms)
+      .join(nDocs, "cell")
+      .select(col("cell"), col("n_docs"), col("rank"), col("term"),
+        col("term_n"))
+  }
+
+  /** §2.85b Cluster purity: IVF-cell vs ground-truth label agreement —
+    * majority label, its support, and purity in integer permille per cell
+    * (the unsupervised-clustering quality eval; embeddings.label is the
+    * truth column the retrieval-nDCG lane already uses). Same shuffle shape
+    * as the topic map: (cell, label) counts, a per-cell rank window, one
+    * integer division — no floats anywhere.
+    */
+  private def qClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val assigned = topicAssigned(s, dir)
+      .join(embs(s, dir).select(col("vec_id"), col("label")), "vec_id")
+    val byLabel = assigned.groupBy("cell", "label")
+      .agg(count(lit(1)).as("_n"))
+    byLabel
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy("cell").orderBy(col("_n").desc, col("label"))))
+      .withColumn("n_vecs", sum("_n").over(Window.partitionBy("cell")))
+      .where(col("_rank") === 1)
+      .select(col("cell"), col("n_vecs"),
+        col("label").as("top_label"), col("_n").as("top_n"))
+      .withColumn("purity_permille", expr("top_n * 1000 div n_vecs"))
+  }
+
+  /** Assignment CTE chain shared by the cartography oracles — mirrors
+    * oSampleDiverseGen's replay: centroid literals, per-vector distances,
+    * (dist, cell)-ordered argmin.
+    */
+  private def topicOracleCtes(s: SparkSession, dir: String): String = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val dim = model.head._2.length
+    def fdot(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |               [$a[i] * $b[i] for i in range(1, ${dim + 1})]),
+         |               (acc, x) -> acc + x)""".stripMargin
+    val ctrRows = model.map { case (i, c) =>
+      s"($i, [${c.map(_.toDouble).mkString(", ")}])" }
+    s"""ctr(cell, cv) AS (VALUES
+      ${ctrRows.mkString(",\n      ")}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dst AS (
+      SELECT e.vec_id, ctr.cell,
+             ${fdot("e.v", "e.v")}
+             - 2.0 * ${fdot("e.v", "ctr.cv")}
+             + ${fdot("ctr.cv", "ctr.cv")} AS dist
+      FROM e CROSS JOIN ctr),
+    corp AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM dst) t WHERE rn = 1)"""
+  }
+
+  private def oTopicMapGen(s: SparkSession, dir: String): String = s"""
+    WITH ${topicOracleCtes(s, dir)},
+    nd AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs
+           FROM corp GROUP BY cell),
+    t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+    tc AS (SELECT corp.cell, term, CAST(count(*) AS BIGINT) AS term_n
+           FROM t JOIN corp ON t.doc_id = corp.vec_id
+           WHERE length(term) >= $TopicMinLen
+           GROUP BY corp.cell, term),
+    r AS (SELECT cell, term, term_n,
+                 row_number() OVER (PARTITION BY cell
+                                    ORDER BY term_n DESC, term) AS rank
+          FROM tc)
+    SELECT r.cell, n_docs, CAST(rank AS BIGINT) AS rank, term, term_n
+    FROM r JOIN nd USING (cell) WHERE rank <= $TopicTerms"""
+
+  private def oClusterPurityGen(s: SparkSession, dir: String): String = s"""
+    WITH ${topicOracleCtes(s, dir)},
+    bl AS (SELECT corp.cell, emb.label, CAST(count(*) AS BIGINT) AS n
+           FROM corp JOIN embeddings emb ON corp.vec_id = emb.vec_id
+           GROUP BY corp.cell, emb.label),
+    r AS (SELECT cell, label, n,
+                 row_number() OVER (PARTITION BY cell
+                                    ORDER BY n DESC, label) AS rk,
+                 sum(n) OVER (PARTITION BY cell) AS n_vecs
+          FROM bl)
+    SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs, label AS top_label,
+           n AS top_n,
+           n * 1000 // CAST(n_vecs AS BIGINT) AS purity_permille
+    FROM r WHERE rk = 1"""
+
+  // ---------------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------------
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q_json_extract", qJsonExtract, Some(oJsonExtract)),
+    GraftQuery("q_k_anon", qKAnon, Some(oKAnon)),
+    GraftQuery("q_ewma", qEwma, Some(oEwma)),
+    GraftQuery("q_gapfill", qGapfill, Some(oGapfill)),
+    GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(oCcnetBuckets)),
+    GraftQuery("q_topic_map", qTopicMap, None, oracleGen = Some(oTopicMapGen)),
+    GraftQuery("q_cluster_purity", qClusterPurity, None,
+      oracleGen = Some(oClusterPurityGen))
+  )
+}

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant specs for the Group H catalog queries (QueriesPipe): the
+  * catalog smoke in CatalogSpec checks rows>0; these pin the SEMANTICS
+  * against naive recomputations and structural invariants at sf0.001/sf0.01.
+  */
+class PipeSpec extends AnyFunSuite with SparkFixture {
+
+  private def q(name: String, dir: String = sfDir) =
+    Queries.queries(name)(spark, dir)
+
+  test("q_json_extract: every row has k, none has the absent path") {
+    val rows = q("q_json_extract").collect()
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    assert(rows.forall(r => r.getAs[Long]("n_with_k") == r.getAs[Long]("n_events")))
+    assert(rows.forall(_.getAs[Long]("n_with_absent") == 0L))
+    assert(rows.forall(r => r.getAs[Long]("min_k") <= r.getAs[Long]("max_k")))
+  }
+
+  test("q_k_anon: classes partition the corpus; flag matches the k cut") {
+    val rows = q("q_k_anon").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfDir).count())
+    assert(rows.forall { r =>
+      r.getAs[Long]("at_risk") == (if (r.getAs[Long]("n_docs") < 5L) 1L else 0L)
+    })
+  }
+
+  test("q_ewma: equals a naive per-user sequential fold") {
+    val got = q("q_ewma").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("ewma_cents")).toMap
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("cents")))
+    val want = events.groupBy(_._1).map { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      u -> sorted.tail.foldLeft(sorted.head)((acc, c) => (c + 3 * acc) / 4)
+    }
+    assert(got == want)
+    // smoothing stays inside the per-user value envelope
+    val env = events.groupBy(_._1).map { case (u, evs) =>
+      u -> (evs.map(_._4).min, evs.map(_._4).max) }
+    assert(got.forall { case (u, v) =>
+      v >= env(u)._1 && v <= env(u)._2 })
+  }
+
+  test("q_gapfill: contiguous days per user; LOCF carries the last value") {
+    val dayNs = 86400000000000L
+    val rows = q("q_gapfill").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"),
+        r.getAs[Long]("cents_locf")))
+    val purchases = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("cents")))
+    assert(purchases.nonEmpty)
+    val d1 = purchases.map(_._2 / dayNs).max
+    val byUser = rows.groupBy(_._1)
+    for ((u, rs) <- byUser) {
+      val days = rs.map(_._2).sorted
+      // contiguous from the user's first purchase day to the global span end
+      assert(days.last == d1)
+      assert(days.toSeq == (days.head to days.last).toSeq)
+      // each day's value = the user's latest purchase at or before that day
+      val evs = purchases.filter(_._1 == u).sortBy(e => (e._2, e._3))
+      for ((_, day, v) <- rs) {
+        val last = evs.filter(_._2 / dayNs <= day).lastOption
+        assert(last.exists(_._4 == v),
+          s"user $u day $day: got $v want ${last.map(_._4)}")
+      }
+    }
+  }
+
+  test("q_ccnet_buckets: buckets partition each language, boundaries ordered") {
+    val rows = q("q_ccnet_buckets").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("lo_centibits"),
+        r.getAs[Long]("hi_centibits")))
+    val perLang = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    for ((lang, n) <- perLang)
+      assert(rows.filter(_._1 == lang).map(_._3).sum == n)
+    // value ranges are disjoint and ordered by bucket within a language
+    for ((lang, bs) <- rows.groupBy(_._1)) {
+      val sorted = bs.sortBy(_._2)
+      for (w <- sorted.sliding(2) if w.length == 2) {
+        val (a, b) = (w(0), w(1))
+        assert(a._5 < b._4, s"$lang: bucket ${a._2} hi ${a._5} !< ${b._2} lo ${b._4}")
+      }
+    }
+  }
+
+  test("q_topic_map: ranks are 1..3 per cell, counts consistent") {
+    // sf0.01: sf0.001's 50-vector space can train degenerate singleton cells
+    val rows = q("q_topic_map", "/root/testdata/sf0.01").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("rank"), r.getAs[String]("term"), r.getAs[Long]("term_n")))
+    for ((_, cellRows) <- rows.groupBy(_._1)) {
+      val ranks = cellRows.map(_._3).sorted
+      assert(ranks.toSeq == (1L to ranks.size).toSeq && ranks.size <= 3)
+      // ranked by (term_n desc, term): counts non-increasing with rank
+      val byRank = cellRows.sortBy(_._3).map(_._5)
+      assert(byRank.toSeq == byRank.sorted.reverse.toSeq)
+      assert(cellRows.forall(_._4.length >= 4))
+    }
+    // every corpus doc lands in exactly one counted cell
+    assert(rows.map(r => r._1 -> r._2).distinct.map(_._2).sum ==
+      Tables.documents(spark, "/root/testdata/sf0.01").count())
+  }
+
+  test("q_cluster_purity: majority label support and permille math") {
+    val rows = q("q_cluster_purity", "/root/testdata/sf0.01").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_vecs"),
+        r.getAs[Int]("top_label"), r.getAs[Long]("top_n"),
+        r.getAs[Long]("purity_permille")))
+    assert(rows.map(_._2).sum ==
+      Tables.embeddings(spark, "/root/testdata/sf0.01").count())
+    assert(rows.forall { case (_, n, _, top, p) =>
+      top >= 1 && top <= n && p == top * 1000 / n })
+    // verify the majority label per cell against a naive recomputation from
+    // the same deterministic quantizer (public train/assign APIs)
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val model = Similarity.ivfTrainDispatch(e, "embedding",
+      Similarity.autoCells(e.count()))
+    val assigned = Similarity.ivfAssign(
+        e.select(col("vec_id"), col("label"), col("embedding").as("_v")),
+        "_v", model)
+      .select("cell", "label").collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Int]("label"))
+    val naive = assigned.groupBy(_._1).map { case (c, ls) =>
+      val counts = ls.groupBy(_._2).map { case (l, xs) => (l, xs.size.toLong) }
+      val (lbl, n) = counts.toSeq.minBy { case (l, n) => (-n, l) }
+      c -> ((lbl, n, ls.size.toLong))
+    }
+    assert(rows.size == naive.size)
+    for ((cell, nVecs, topLabel, topN, _) <- rows) {
+      val (wantLbl, wantN, wantTot) = naive(cell)
+      assert((topLabel, topN, nVecs) == ((wantLbl, wantN, wantTot)),
+        s"cell $cell: got ($topLabel,$topN,$nVecs) want ($wantLbl,$wantN,$wantTot)")
+    }
+  }
+}
