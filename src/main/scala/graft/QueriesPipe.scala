@@ -408,6 +408,47 @@ object QueriesPipe {
     FROM r WHERE rk = 1"""
 
   // ---------------------------------------------------------------------------
+  // §2.86 Materialized-view rollup rewrite (Catalyst rule, transparent serving)
+  // ---------------------------------------------------------------------------
+
+  /** §2.86 Aggregate served FROM a materialized view by the optimizer: the
+    * query is written against the BASE lineitem scan (group by a SUBSET of
+    * the summary's keys; sum/count/min/max aggregates), and
+    * `MvRewriteRule` — injected via SparkSessionExtensions — swaps the scan
+    * for the group-cardinality-sized parquet summary, rewriting each
+    * aggregate to its partial rollup (sum→sum of sums, count(*)→sum(cnt),
+    * min/max→min/max of partials). The DuckDB oracle runs against the BASE
+    * table: the driver hash-check IS the rewrite-correctness proof. Results
+    * are exact: quantities are integer-valued doubles (associative sums),
+    * min/max/count trivially decompose. MvPlanSpec asserts the plan actually
+    * reads the summary file, that a Filter disqualifies, and equality with
+    * the rule bypassed.
+    */
+  private def qMvRewrite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.MvRegistry
+    val fact = Tables.lineitem(s, dir)
+    val group = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    MvRegistry.buildSummary(fact, group, Seq("l_quantity"))
+      .write.mode("overwrite").parquet(tmp)
+    MvRegistry.register(fact, group, Seq("l_quantity"), s.read.parquet(tmp))
+    fact.groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n_items"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"))
+  }
+
+  private val oMvRewrite = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_items,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
 
@@ -417,6 +458,7 @@ object QueriesPipe {
     GraftQuery("q_ewma", qEwma, Some(oEwma)),
     GraftQuery("q_gapfill", qGapfill, Some(oGapfill)),
     GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(oCcnetBuckets)),
+    GraftQuery("q_mv_rewrite", qMvRewrite, Some(oMvRewrite)),
     GraftQuery("q_topic_map", qTopicMap, None, oracleGen = Some(oTopicMapGen)),
     GraftQuery("q_cluster_purity", qClusterPurity, None,
       oracleGen = Some(oClusterPurityGen))

@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
+    // materialized-view rollup serving (no-op until MvRegistry has entries)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.MvRewriteRule())
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       DotProductFloat.info,

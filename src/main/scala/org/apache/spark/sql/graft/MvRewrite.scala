@@ -1,0 +1,188 @@
+package org.apache.spark.sql.graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{count => fCount, lit, max => fMax, min => fMin, sum => fSum}
+
+/** Materialized-view rollup rewrite (the Calcite/warehouse "aggregate MV
+  * matching" capability, Spark-first): a registered per-group summary serves
+  * any aggregate over the base table whose grouping keys are a SUBSET of the
+  * summary's and whose aggregates decompose over partials —
+  *
+  *   sum(m)   = sum(m_sum)       count(*) = sum(cnt)
+  *   min(m)   = min(m_min)       max(m)   = max(m_max)
+  *
+  * At 100 TB this is the difference between re-scanning the fact table for
+  * every dashboard rollup and reading a group-cardinality-sized summary: the
+  * rewrite preserves results EXACTLY (sums of integer-valued doubles are
+  * associative; min/max/count trivially so) while the scan drops by the
+  * compression ratio of the grouping.
+  *
+  * Matching is deliberately conservative (a rewrite must never fire on a
+  * plan it can't prove):
+  *   - the aggregate child must be the registered table handle's scan
+  *     (same HadoopFsRelation instance — the analog of catalog-table
+  *     identity in a metastore deployment), optionally under a
+  *     column-pruning Project; ANY Filter in between disqualifies;
+  *   - every grouping expression must be a bare column in the summary's
+  *     grouping set;
+  *   - every aggregate must be one of the four decomposable forms above
+  *     (no DISTINCT, no FILTER clauses), over a registered measure;
+  *     arbitrary scalar expressions AROUND the aggregates (round(sum(x)))
+  *     rewrite transparently.
+  *
+  * Output attribute ids/names are preserved exactly (grouping columns are
+  * re-aliased under their original exprIds), so parent operators never see
+  * the substitution.
+  */
+object MvRegistry {
+
+  final case class MvDef(
+      factRelation: HadoopFsRelation,
+      groupCols: Seq[String],
+      measureCols: Seq[String],
+      summaryPlan: LogicalPlan)
+
+  private val defs = TrieMap.empty[Long, MvDef]
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The canonical summary for (groupCols, measureCols): per group, `cnt`
+    * plus `<m>_sum` / `<m>_min` / `<m>_max` per measure. Write it to
+    * storage, read it back, and [[register]] the read frame — the summary
+    * must be DATA for the rewrite to pay (serving a rollup from an
+    * unmaterialized lineage would just re-run the base aggregation).
+    */
+  def buildSummary(fact: DataFrame, groupCols: Seq[String],
+                   measureCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val aggs = fCount(lit(1)).as("cnt") +: measureCols.flatMap { m =>
+      Seq(fSum(col(m)).as(s"${m}_sum"), fMin(col(m)).as(s"${m}_min"),
+        fMax(col(m)).as(s"${m}_max")) }
+    fact.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Register `summary` (typically a parquet read-back of [[buildSummary]]'s
+    * output) as serving aggregates over `fact`. Returns a handle for
+    * [[unregister]]. The summary must expose the [[buildSummary]] column
+    * contract; violations fail here, not mid-rewrite.
+    */
+  def register(fact: DataFrame, groupCols: Seq[String],
+               measureCols: Seq[String], summary: DataFrame): Long = {
+    val rel = fact.queryExecution.analyzed.collectFirst {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => fs
+    }.getOrElse(throw new IllegalArgumentException(
+      "MvRegistry.register: fact must be a file-source scan"))
+    val sOut = summary.queryExecution.analyzed.output.map(_.name).toSet
+    val needed = Seq("cnt") ++ groupCols ++
+      measureCols.flatMap(m => Seq(s"${m}_sum", s"${m}_min", s"${m}_max"))
+    val missing = needed.filterNot(sOut)
+    require(missing.isEmpty,
+      s"MvRegistry.register: summary is missing columns $missing")
+    val id = nextId.incrementAndGet()
+    defs.put(id, MvDef(rel, groupCols, measureCols,
+      summary.queryExecution.analyzed))
+    id
+  }
+
+  def unregister(id: Long): Unit = defs.remove(id)
+  def clear(): Unit = defs.clear()
+  private[graft] def isEmpty: Boolean = defs.isEmpty
+  private[graft] def all: Iterator[MvDef] = defs.values.iterator
+}
+
+/** The optimizer rule — injected by graft.plans.GraftExtensions, runs in the
+  * user-provided batch after operator optimization (so the aggregate child
+  * is at most a pruning Project over the scan).
+  */
+case class MvRewriteRule() extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MvRegistry.isEmpty) plan
+    else plan.transformDown {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+  }
+
+  /** The aggregate's scan, if its child is exactly a (possibly
+    * attribute-pruned) file relation — anything else (Filter, computed
+    * Project, join) disqualifies.
+    */
+  private def scanOf(p: LogicalPlan): Option[HadoopFsRelation] = p match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => Some(fs)
+    case Project(pl, LogicalRelation(fs: HadoopFsRelation, _, _, _, _))
+        if pl.forall(_.isInstanceOf[AttributeReference]) => Some(fs)
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[Aggregate] = {
+    val fs = scanOf(agg.child).getOrElse(return None)
+    val mv = MvRegistry.all.find(_.factRelation eq fs).getOrElse(return None)
+    val summaryAttr: Map[String, Attribute] =
+      mv.summaryPlan.output.map(a => a.name -> a).toMap
+
+    // every grouping expression: a bare registered grouping column
+    val groupAttrs = agg.groupingExpressions.map {
+      case ar: AttributeReference if mv.groupCols.contains(ar.name) => ar
+      case _ => return None
+    }
+    val groupMap: Map[ExprId, Attribute] =
+      groupAttrs.map(ar => ar.exprId -> summaryAttr(ar.name)).toMap
+
+    // rewrite aggregate functions over measures to their partial rollups
+    var ok = true
+    def rewriteAggs(e: Expression): Expression = e.transformUp {
+      case ae: AggregateExpression if ae.isDistinct || ae.filter.isDefined =>
+        ok = false; ae
+      case ae @ AggregateExpression(s @ Sum(ar: AttributeReference, _), _, _, _, _)
+          if mv.measureCols.contains(ar.name) =>
+        ae.copy(aggregateFunction = s.copy(child = summaryAttr(s"${ar.name}_sum")))
+      case ae @ AggregateExpression(m @ Min(ar: AttributeReference), _, _, _, _)
+          if mv.measureCols.contains(ar.name) =>
+        ae.copy(aggregateFunction = m.copy(child = summaryAttr(s"${ar.name}_min")))
+      case ae @ AggregateExpression(m @ Max(ar: AttributeReference), _, _, _, _)
+          if mv.measureCols.contains(ar.name) =>
+        ae.copy(aggregateFunction = m.copy(child = summaryAttr(s"${ar.name}_max")))
+      case ae @ AggregateExpression(c: Count, _, _, _, _)
+          if c.children.nonEmpty &&
+            c.children.forall(ch => ch.foldable && !ch.nullable) =>
+        // count(*) = sum(cnt); sum's nullable long coalesces back to
+        // count's non-null contract (groups exist → never actually null)
+        Coalesce(Seq(
+          ae.copy(aggregateFunction = Sum(summaryAttr("cnt")), resultId = ae.resultId),
+          Cast(Literal(0L), ae.dataType)))
+      case ae: AggregateExpression => ok = false; ae
+    }
+
+    val rewritten = agg.aggregateExpressions.map {
+      case ar: AttributeReference if groupMap.contains(ar.exprId) =>
+        // grouping column in the output: re-alias the summary attribute
+        // under the ORIGINAL exprId so parents are unaffected
+        Alias(groupMap(ar.exprId), ar.name)(exprId = ar.exprId)
+      case al @ Alias(child, _) =>
+        val c2 = rewriteAggs(child).transformUp {
+          case ar: AttributeReference if groupMap.contains(ar.exprId) =>
+            groupMap(ar.exprId)
+        }
+        al.withNewChildren(Seq(c2)).asInstanceOf[NamedExpression]
+      case _ => return None
+    }
+    if (!ok) return None
+    // paranoia: the rewritten aggregate may reference ONLY summary output
+    val sOut = AttributeSet(mv.summaryPlan.output)
+    if (!rewritten.forall(_.references.subsetOf(sOut))) return None
+
+    val newGroups: Seq[Expression] = groupAttrs.map(ar => summaryAttr(ar.name))
+    // prune the summary scan to the referenced columns
+    val needed = AttributeSet(rewritten.flatMap(_.references)) ++
+      AttributeSet(newGroups.flatMap(_.references))
+    val pruned = Project(mv.summaryPlan.output.filter(needed.contains),
+      mv.summaryPlan)
+    Some(Aggregate(newGroups, rewritten, pruned))
+  }
+}

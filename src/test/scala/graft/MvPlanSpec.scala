@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.MvRegistry
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MvRewriteRule: the rewrite must (a) actually serve matching aggregates
+  * from the summary scan, (b) preserve results exactly, (c) refuse every
+  * disqualifying shape (filters, non-decomposable aggregates, distinct,
+  * unregistered measures, unknown grouping columns).
+  */
+class MvPlanSpec extends AnyFunSuite with SparkFixture with BeforeAndAfterEach {
+
+  override def afterEach(): Unit = MvRegistry.clear()
+
+  private val group = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** Register a summary for lineitem(l_quantity) and return the fact df. */
+  private def registered(): (DataFrame, String) = {
+    val fact = Tables.lineitem(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mv_spec").toString
+    MvRegistry.buildSummary(fact, group, Seq("l_quantity"))
+      .write.mode("overwrite").parquet(tmp)
+    MvRegistry.register(fact, group, Seq("l_quantity"), spark.read.parquet(tmp))
+    (fact, tmp)
+  }
+
+  /** Scan paths in the AQE-finalized executed plan (materializes df). */
+  private def scanPaths(df: DataFrame): String = {
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectLeaves().mkString("\n")
+  }
+
+  test("matching rollup is served from the summary scan, results exact") {
+    val (fact, tmp) = registered()
+    val q = fact.groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n_items"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"))
+    val leaves = scanPaths(q)
+    assert(leaves.contains("graft_mv_spec"), s"summary not scanned:\n$leaves")
+    assert(!leaves.contains("lineitem.parquet"), "base table still scanned")
+
+    // ground truth with the registry EMPTY (rule active but no-op)
+    MvRegistry.clear()
+    val base = Tables.lineitem(spark, sfDir).groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n_items"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"))
+    assert(scanPaths(base).contains("lineitem.parquet"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getString(1))
+    val got = q.collect().map(r => key(r) -> (r.getDouble(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5))).toMap
+    val want = base.collect().map(r => key(r) -> (r.getDouble(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    val _ = tmp
+  }
+
+  test("full-key grouping and single-key grouping both rewrite") {
+    val (fact, _) = registered()
+    val full = fact.groupBy(group.head, group.tail: _*)
+      .agg(sum("l_quantity").as("s"))
+    assert(scanPaths(full).contains("graft_mv_spec"))
+    val one = fact.groupBy("l_shipdate").agg(count(lit(1)).as("n"))
+    assert(scanPaths(one).contains("graft_mv_spec"))
+    // global aggregate (empty grouping set) rolls up too
+    val global = fact.agg(count(lit(1)).as("n"), max("l_quantity").as("mx"))
+    assert(scanPaths(global).contains("graft_mv_spec"))
+    assert(global.collect().head.getLong(0) ==
+      Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("disqualifying shapes read the base table") {
+    val (fact, _) = registered()
+    // a filter between aggregate and scan
+    val filtered = fact.where(col("l_quantity") > 10)
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+    assert(scanPaths(filtered).contains("lineitem.parquet"))
+    // an aggregate over an unregistered measure
+    val otherMeasure = fact.groupBy("l_returnflag")
+      .agg(sum("l_extendedprice").as("s"))
+    assert(scanPaths(otherMeasure).contains("lineitem.parquet"))
+    // a non-decomposable aggregate
+    val avg_ = fact.groupBy("l_returnflag").agg(avg("l_quantity").as("a"))
+    assert(scanPaths(avg_).contains("lineitem.parquet"))
+    // distinct
+    val dist = fact.groupBy("l_returnflag")
+      .agg(countDistinct("l_linestatus").as("d"))
+    assert(scanPaths(dist).contains("lineitem.parquet"))
+    // grouping on a column outside the summary keys
+    val badGroup = fact.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    assert(scanPaths(badGroup).contains("lineitem.parquet"))
+    // a DIFFERENT lineitem handle (separate read) is not the registered one
+    val otherHandle = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+    assert(scanPaths(otherHandle).contains("lineitem.parquet"))
+  }
+
+  test("count served from an MV equals the base count on every group") {
+    val (fact, _) = registered()
+    val got = fact.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    MvRegistry.clear()
+    val want = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+}
