@@ -2410,6 +2410,100 @@ object QueriesText {
     FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri) t
     GROUP BY doc_id"""
 
+  /** §2.55c Quality-ranked canonical selection ("keep best", new r9): the
+    * production answer to "WHICH copy survives" — every §2.55-style keeper
+    * so far is the min id (arbitrary); real pipelines keep the best-quality
+    * member per dup cluster (Penedo et al.'s RefinedWeb keeps longest).
+    * Pairs come from the CHEAP tier (minhash-LSH candidates, exact-Jaccard
+    * verified — the §2.39 plan), clusters from §2.55's label propagation,
+    * the survivor = argmax (n_words, then min doc_id) via a per-COMPONENT
+    * rank window (bounded by cluster size). One row per multi-doc cluster:
+    * the keeper, its length, the cluster population. The oracle replays
+    * LSH → closure (recursive CTE) → pick; every expensive CTE is
+    * MATERIALIZED (the §2.55 lesson).
+    */
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val withSh = docsW(s, dir).withColumn("sh", Text.shingles(col("text"), 2))
+    val sigs = Text.minhashSignature(withSh, col("sh"), 16, Text.polyHash)
+      .select(col("doc_id"), col("sh"), col("sig"))
+      .localCheckpoint()
+    val banded = Text.lshBands(sigs, 4, 4).select("doc_id", "band", "band_hash")
+    val cand = banded.toDF("doc_a", "band", "band_hash")
+      .join(banded.toDF("doc_b", "band", "band_hash"), Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val pairs = cand.join(shA, "doc_a").join(shB, "doc_b")
+      .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))) >= 0.8)
+      .select("doc_a", "doc_b")
+    val comp = graft.operators.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+    val d = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"))
+    d.join(comp, d("doc_id") === comp("id"))
+      .select(col("comp"), col("doc_id"), col("n_words"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("comp").orderBy(col("n_words").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("comp")))
+      .where(col("_rn") === 1)
+      .select(col("comp"), col("doc_id").as("keeper"),
+        col("n_words").as("keeper_words"), col("n_members"))
+  }
+
+  private val oDedupKeepBest = {
+    val perms = Text.minhashPermConsts(16).map { case (a, b) =>
+      s"list_min(list_transform(th, h -> (h * $a + $b) % 2147483647))"
+    }.mkString("[\n        ", ",\n        ", "]")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, ${duckBandHash("sig", b, 4)} AS band_hash FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH RECURSIVE sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([words[i] || ' ' || words[i+1]
+                            for i in range(1, len(words))]) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+    hs AS MATERIALIZED (
+      SELECT doc_id, bg, list_transform(bg, s -> ${duckPolyHash("s")}) AS th
+      FROM sh),
+    sig AS MATERIALIZED (
+      SELECT doc_id, $perms AS sig FROM hs),
+    banded AS MATERIALIZED (
+      $bandSelects),
+    p AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+                      AND a.doc_id < b.doc_id) c
+      JOIN hs ha ON ha.doc_id = c.doc_a
+      JOIN hs hb ON hb.doc_id = c.doc_b
+      WHERE len(list_intersect(ha.bg, hb.bg)) * 1.0 /
+            (len(ha.bg) + len(hb.bg) - len(list_intersect(ha.bg, hb.bg)))
+            >= 0.8),
+    e AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM p),
+    reach(id, l) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.src, r.l FROM reach r JOIN e ON e.dst = r.id),
+    comp AS (SELECT id, min(l) AS comp FROM reach GROUP BY id),
+    m AS (SELECT comp.comp, d.doc_id,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
+          FROM comp JOIN documents d ON d.doc_id = comp.id),
+    r AS (SELECT comp, doc_id, n_words,
+                 row_number() OVER (PARTITION BY comp
+                                    ORDER BY n_words DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY comp) AS nm
+          FROM m)
+    SELECT comp, doc_id AS keeper, n_words AS keeper_words,
+           CAST(nm AS BIGINT) AS n_members
+    FROM r WHERE rn = 1"""
+  }
+
   private def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val edges = Text.jaccardPairs(d, "doc_id",
@@ -4543,6 +4637,7 @@ object QueriesText {
     GraftQuery("q_sample_diverse", qSampleDiverse, None,
       oracleGen = Some(oSampleDiverseGen)),
     GraftQuery("q_dedup_components", qDedupComponents, Some(oDedupComponents)),
+    GraftQuery("q_dedup_keep_best", qDedupKeepBest, Some(oDedupKeepBest)),
     GraftQuery("q_quality_gate", qQualityGate, Some(oQualityGate)),
     GraftQuery("q_keyword_rank", qKeywordRank, Some(oKeywordRank)),
     GraftQuery("q_bm25", qBm25, Some(oBm25)),

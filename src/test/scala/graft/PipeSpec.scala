@@ -118,6 +118,50 @@ class PipeSpec extends AnyFunSuite with SparkFixture {
       Tables.documents(spark, "/root/testdata/sf0.01").count())
   }
 
+  test("q_dedup_keep_best: survivors match a naive union-find over the same pairs") {
+    import graft.operators.Text
+    val withSh = Tables.documents(spark, sfDir)
+      .withColumn("sh", Text.shingles(col("text"), 2))
+    val sigs = Text.minhashSignature(withSh, col("sh"), 16, Text.polyHash)
+      .select(col("doc_id"), col("sh"), col("sig")).localCheckpoint()
+    val banded = Text.lshBands(sigs, 4, 4).select("doc_id", "band", "band_hash")
+    val cand = banded.toDF("doc_a", "band", "band_hash")
+      .join(banded.toDF("doc_b", "band", "band_hash"), Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val pairs = cand.join(shA, "doc_a").join(shB, "doc_b")
+      .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))) >= 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    // scala-side union-find (independent of the distributed label propagation)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val words = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find)
+    val want = clusters.map { case (root, members) =>
+      val keeper = members.minBy(m => (-words(m), m))
+      root -> ((keeper, words(keeper), members.length.toLong))
+    }
+    val got = q("q_dedup_keep_best").collect()
+      .map(r => r.getAs[Long]("comp") -> ((r.getAs[Long]("keeper"),
+        r.getAs[Long]("keeper_words"), r.getAs[Long]("n_members")))).toMap
+    assert(got == want)
+  }
+
   test("q_cluster_purity: majority label support and permille math") {
     val rows = q("q_cluster_purity", "/root/testdata/sf0.01").collect()
       .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_vecs"),
