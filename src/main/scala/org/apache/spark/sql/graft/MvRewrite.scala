@@ -67,6 +67,25 @@ object MvRegistry {
     fact.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Incremental summary maintenance: merge an existing summary with the
+    * [[buildSummary]] partials of a NEW data batch. Every partial is a
+    * semilattice/commutative-monoid element (cnt/sum add, min/max meet),
+    * so the merge is one summary-sized groupBy — a streaming ingest keeps
+    * the MV fresh per micro-batch without ever re-touching the fact table
+    * (see MvStreamSpec for the foreachBatch loop).
+    */
+  def mergeSummaries(existing: DataFrame, delta: DataFrame,
+                     groupCols: Seq[String],
+                     measureCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val u = existing.unionByName(delta)
+    val aggs = fSum(col("cnt")).as("cnt") +: measureCols.flatMap { m =>
+      Seq(fSum(col(s"${m}_sum")).as(s"${m}_sum"),
+        fMin(col(s"${m}_min")).as(s"${m}_min"),
+        fMax(col(s"${m}_max")).as(s"${m}_max")) }
+    u.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Register `summary` (typically a parquet read-back of [[buildSummary]]'s
     * output) as serving aggregates over `fact`. Returns a handle for
     * [[unregister]]. The summary must expose the [[buildSummary]] column
