@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2.82b Streaming EWMA: the per-key integer recurrence replayed as
+  * mapGroupsWithState must equal the batch sorted-fold (q_ewma) when
+  * per-key arrival is in order — batch slicing must not matter, and
+  * Update-mode rows expose the running value whose LAST emission per key is
+  * the batch answer.
+  */
+class EwmaStreamSpec extends AnyFunSuite with SparkFixture {
+
+  test("streamed EWMA equals the batch fold on the sf corpus, any slicing") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EwmaStream
+    import graft.streaming.EwmaStream.Ev
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(e => (e.tsNs, e.eventId)) // global ts order → per-key in order
+    assert(events.length > 100)
+
+    val input = MemoryStream[Ev]
+    val q = EwmaStream.ewma(input.toDS())
+      .toDF("user_id", "n_events", "ewma_cents")
+      .writeStream.format("memory").queryName("stream_ewma")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // three uneven slices — state must carry across micro-batches
+      val (a, rest) = events.splitAt(events.length / 5)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      input.addData(c.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // Update mode: the row with the max n_events per key is current state
+    val streamed = spark.table("stream_ewma")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("n_events").desc)))
+      .where(col("_rn") === 1)
+      .select("user_id", "n_events", "ewma_cents")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+
+    val batch = Queries.queries("q_ewma")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("ewma_cents")))).toMap
+    assert(streamed == batch)
+  }
+}
