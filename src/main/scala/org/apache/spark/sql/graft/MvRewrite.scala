@@ -28,8 +28,12 @@ import org.apache.spark.sql.functions.{count => fCount, lit, max => fMax, min =>
   * plan it can't prove):
   *   - the aggregate child must be the registered table handle's scan
   *     (same HadoopFsRelation instance — the analog of catalog-table
-  *     identity in a metastore deployment), optionally under a
-  *     column-pruning Project; ANY Filter in between disqualifies;
+  *     identity in a metastore deployment), optionally under
+  *     column-pruning Projects and Filters whose predicates reference
+  *     ONLY grouping columns (group-granular predicates select whole
+  *     groups, so they commute with the rollup and re-apply on the
+  *     summary — the "WHERE day BETWEEN …" dashboard shape); a filter
+  *     touching any other column disqualifies;
   *   - every grouping expression must be a bare column in the summary's
   *     grouping set;
   *   - every aggregate must be one of the four decomposable forms above
@@ -128,22 +132,39 @@ case class MvRewriteRule() extends Rule[LogicalPlan] {
     }
   }
 
-  /** The aggregate's scan, if its child is exactly a (possibly
-    * attribute-pruned) file relation — anything else (Filter, computed
-    * Project, join) disqualifies.
+  /** The aggregate's scan plus any Filter conditions between it and the
+    * aggregate, if the child is only {attribute-pruning Projects, Filters}
+    * over a file relation — computed Projects, joins etc. disqualify.
+    * Filters are legal when their predicate references ONLY the summary's
+    * grouping columns (checked by the caller): a group-granular predicate
+    * selects whole groups, so it commutes with the rollup.
     */
-  private def scanOf(p: LogicalPlan): Option[HadoopFsRelation] = p match {
-    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => Some(fs)
-    case Project(pl, LogicalRelation(fs: HadoopFsRelation, _, _, _, _))
-        if pl.forall(_.isInstanceOf[AttributeReference]) => Some(fs)
+  private def stripToScan(p: LogicalPlan)
+      : Option[(HadoopFsRelation, Seq[Expression])] = p match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => Some((fs, Nil))
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripToScan(child)
+    case Filter(cond, child) =>
+      stripToScan(child).map { case (fs, cs) => (fs, cond +: cs) }
     case _ => None
   }
 
   private def tryRewrite(agg: Aggregate): Option[Aggregate] = {
-    val fs = scanOf(agg.child).getOrElse(return None)
+    val (fs, filterConds) = stripToScan(agg.child).getOrElse(return None)
     val mv = MvRegistry.all.find(_.factRelation eq fs).getOrElse(return None)
     val summaryAttr: Map[String, Attribute] =
       mv.summaryPlan.output.map(a => a.name -> a).toMap
+
+    // any Filter between aggregate and scan must be group-granular: every
+    // referenced column a registered grouping column — then the predicate
+    // selects whole groups and commutes with the rollup
+    val remappedConds = filterConds.map { cond =>
+      val refsOk = cond.references.forall(r => mv.groupCols.contains(r.name))
+      if (!refsOk || !cond.deterministic) return None
+      cond.transformUp {
+        case ar: AttributeReference => summaryAttr(ar.name)
+      }
+    }
 
     // every grouping expression: a bare registered grouping column
     val groupAttrs = agg.groupingExpressions.map {
@@ -197,11 +218,15 @@ case class MvRewriteRule() extends Rule[LogicalPlan] {
     if (!rewritten.forall(_.references.subsetOf(sOut))) return None
 
     val newGroups: Seq[Expression] = groupAttrs.map(ar => summaryAttr(ar.name))
+    val filtered =
+      if (remappedConds.isEmpty) mv.summaryPlan
+      else Filter(remappedConds.reduce(And), mv.summaryPlan)
     // prune the summary scan to the referenced columns
     val needed = AttributeSet(rewritten.flatMap(_.references)) ++
-      AttributeSet(newGroups.flatMap(_.references))
+      AttributeSet(newGroups.flatMap(_.references)) ++
+      AttributeSet(remappedConds.flatMap(_.references))
     val pruned = Project(mv.summaryPlan.output.filter(needed.contains),
-      mv.summaryPlan)
+      filtered)
     Some(Aggregate(newGroups, rewritten, pruned))
   }
 }

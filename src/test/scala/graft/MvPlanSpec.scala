@@ -82,9 +82,29 @@ class MvPlanSpec extends AnyFunSuite with SparkFixture with BeforeAndAfterEach {
       Tables.lineitem(spark, sfDir).count())
   }
 
+  test("group-granular filters rewrite onto the summary and stay exact") {
+    val (fact, _) = registered()
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+    // predicate on a grouping column commutes with the rollup
+    val cut = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    val q = agg(fact.where(col("l_shipdate") >= cut &&
+      col("l_linestatus") === "F"))
+    assert(scanPaths(q).contains("graft_mv_spec"))
+    val got = q.collect().map(r => r.getString(0) ->
+      ((r.getDouble(1), r.getLong(2)))).toMap
+    MvRegistry.clear()
+    val want = agg(Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= cut && col("l_linestatus") === "F"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("disqualifying shapes read the base table") {
     val (fact, _) = registered()
-    // a filter between aggregate and scan
+    // a filter touching a NON-grouping column disqualifies
     val filtered = fact.where(col("l_quantity") > 10)
       .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
     assert(scanPaths(filtered).contains("lineitem.parquet"))
