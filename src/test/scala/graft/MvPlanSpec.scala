@@ -128,6 +128,43 @@ class MvPlanSpec extends AnyFunSuite with SparkFixture with BeforeAndAfterEach {
     assert(scanPaths(otherHandle).contains("lineitem.parquet"))
   }
 
+  test("randomized shapes: every served aggregate equals the base answer") {
+    val (fact, _) = registered()
+    val rnd = new scala.util.Random(20260814L)
+    val aggPool: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "s" -> sum("l_quantity").as("s"),
+      "n" -> count(lit(1)).as("n"),
+      "lo" -> min("l_quantity").as("lo"),
+      "hi" -> max("l_quantity").as("hi"),
+      "r" -> round(sum("l_quantity") / 100.0, 3).as("r"),
+      "c2" -> (count(lit(1)) * 2).as("c2"))
+    val cut = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    val filterPool: Seq[org.apache.spark.sql.Column] = Seq(
+      lit(true), col("l_returnflag") =!= "R", col("l_shipdate") < cut,
+      col("l_linestatus") === "O" || col("l_returnflag") === "A")
+    for (i <- 1 to 15) {
+      val keys = rnd.shuffle(group).take(rnd.nextInt(group.size + 1))
+      val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(aggPool.size))
+      val f = filterPool(rnd.nextInt(filterPool.size))
+      def run(df: org.apache.spark.sql.DataFrame) = {
+        val filtered = df.where(f)
+        val g = if (keys.isEmpty) filtered.groupBy()
+                else filtered.groupBy(keys.map(col): _*)
+        g.agg(aggs.head._2, aggs.tail.map(_._2): _*)
+          .collect()
+          .map(r => keys.map(k => r.getAs[Any](k)).mkString("|") ->
+            aggs.map(a => r.getAs[Any](a._1)).toList).toMap
+      }
+      val served = run(fact)
+      assert(scanPaths(fact.where(f).groupBy(keys.map(col): _*)
+        .agg(aggs.head._2, aggs.tail.map(_._2): _*)).contains("graft_mv_spec"),
+        s"shape $i (keys=$keys) not served from the MV")
+      // a FRESH handle is instance-keyed out of the registry → base plan
+      val base = run(Tables.lineitem(spark, sfDir))
+      assert(served == base, s"shape $i: keys=$keys aggs=${aggs.map(_._1)}")
+    }
+  }
+
   test("count served from an MV equals the base count on every group") {
     val (fact, _) = registered()
     val got = fact.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
