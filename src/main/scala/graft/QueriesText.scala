@@ -1632,6 +1632,68 @@ object QueriesText {
     SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tok_total
     FROM cum WHERE c <= budget GROUP BY source"""
 
+  /** §2.50h Temperature-weighted source mixing (new r9 — the multilingual/
+    * multisource rebalancing step; GPT-3/CC-style α-temperature sampling
+    * with α = 1/2): per-source quotas ∝ isqrt(n_src), so small sources keep
+    * proportionally MORE representation than raw frequency sampling gives
+    * them, then deterministic hash-rank selection inside each source (the
+    * §2.50a machinery). isqrt is INTEGER-exact on both engines: seed from
+    * float sqrt, then pick the neighbor whose square brackets n — float
+    * sqrt alone can be off by an ulp at perfect squares. Shuffle shape:
+    * one source-keyed count, a 1-row broadcast total, a per-source rank
+    * window (bounded by source size), one broadcast quota join.
+    */
+  private val MixTempBudget = 1000L
+
+  private def qMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isqrt = {
+      val s0 = floor(sqrt(col("n_src").cast("double"))).cast("long")
+      when((s0 + 1) * (s0 + 1) <= col("n_src"), s0 + 1)
+        .when(s0 * s0 <= col("n_src"), s0)
+        .otherwise(s0 - 1)
+    }
+    val counts = d.groupBy("source")
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("w", isqrt)
+    val total = counts.agg(sum("w").as("w_total"))
+    val quotas = counts.crossJoin(broadcast(total))
+      .withColumn("quota", expr(s"$MixTempBudget * w div w_total"))
+      .select("source", "n_src", "quota")
+    d.select(col("doc_id"), col("source"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(
+          Sampling.sampleHash(col("doc_id").cast("string"), SampleSeed),
+          col("doc_id"))).cast("long"))
+      .join(broadcast(quotas), "source")
+      .where(col("rank") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rank"), col("n_src"),
+        col("quota"))
+  }
+
+  private val oMixTemperature = s"""
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+               FROM documents GROUP BY source),
+    w AS (SELECT source, n_src,
+                 CASE WHEN (s0 + 1) * (s0 + 1) <= n_src THEN s0 + 1
+                      WHEN s0 * s0 <= n_src THEN s0
+                      ELSE s0 - 1 END AS w
+          FROM (SELECT source, n_src,
+                       CAST(floor(sqrt(CAST(n_src AS DOUBLE))) AS BIGINT) AS s0
+                FROM c) t),
+    q AS (SELECT source, n_src,
+                 $MixTempBudget * w // (SELECT sum(w) FROM w) AS quota
+          FROM w),
+    r AS (SELECT source, doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ${duckSampleHash("CAST(doc_id AS VARCHAR)")},
+                            doc_id) AS BIGINT) AS rank
+          FROM documents)
+    SELECT r.source, r.doc_id, r.rank, q.n_src, CAST(q.quota AS BIGINT) AS quota
+    FROM r JOIN q ON r.source = q.source
+    WHERE r.rank <= q.quota"""
+
   /** §2.50c Benchmark decontamination: corpus docs whose distinct
     * word-trigram hashes overlap a benchmark split (doc_id % 17 = 0 stands
     * in for an eval suite) at ratio >= 0.8 of their own trigrams — the
@@ -4621,6 +4683,7 @@ object QueriesText {
     GraftQuery("q_sample_hash", qSampleHash, Some(oSampleHash)),
     GraftQuery("q_sample_stratified", qSampleStratified, Some(oSampleStratified)),
     GraftQuery("q_mix_budget", qMixBudget, Some(oMixBudget)),
+    GraftQuery("q_mix_temperature", qMixTemperature, Some(oMixTemperature)),
     GraftQuery("q_decontam", qDecontam, Some(oDecontam)),
     GraftQuery("q_decontam_spans", qDecontamSpans, Some(oDecontamSpans)),
     GraftQuery("q_sample_split", qSampleSplit, Some(oSampleSplit)),

@@ -118,6 +118,26 @@ class PipeSpec extends AnyFunSuite with SparkFixture {
       Tables.documents(spark, "/root/testdata/sf0.01").count())
   }
 
+  test("q_mix_temperature: quotas follow isqrt weights exactly") {
+    def isqrt(n: Long): Long = { var s = math.sqrt(n.toDouble).toLong
+      while ((s + 1) * (s + 1) <= n) s += 1; while (s * s > n) s -= 1; s }
+    val nSrc = Tables.documents(spark, sfDir).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wTotal = nSrc.values.map(isqrt).sum
+    val rows = q("q_mix_temperature").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rank"), r.getAs[Long]("n_src"), r.getAs[Long]("quota")))
+    assert(rows.nonEmpty)
+    for ((src, srcRows) <- rows.groupBy(_._1)) {
+      val quota = 1000L * isqrt(nSrc(src)) / wTotal
+      assert(srcRows.forall(_._5 == quota))
+      assert(srcRows.forall(_._4 == nSrc(src)))
+      assert(srcRows.length == math.min(quota, nSrc(src)))
+      val ranks = srcRows.map(_._3).sorted.toSeq
+      assert(ranks == (1L to ranks.size))
+    }
+  }
+
   test("q_dedup_keep_best: survivors match a naive union-find over the same pairs") {
     import graft.operators.Text
     val withSh = Tables.documents(spark, sfDir)
