@@ -3223,6 +3223,63 @@ object QueriesText {
            sum_bits * 100 // n_toks AS avg_centibits
     FROM s"""
 
+  /** §2.60d Collocation mining by pointwise mutual information in WHOLE
+    * BITS (new r9 — the phrase/multi-word-expression detector; Church &
+    * Hanks 1990): PMI(w1,w2) = log2(c12·N / (c1·c2)) approximated as
+    * bitlen(c12)+bitlen(N)−bitlen(c1)−bitlen(c2) — the same integer-log2
+    * family as the surprisal lanes, so both engines compute the identical
+    * score where float log would drift. Support floor c12 ≥ 3 and score
+    * ≥ 3 bits keep the output to genuinely associated pairs. Shapes: two
+    * map-side-combined count aggregates, one 1-row broadcast total, two
+    * broadcast-able unigram joins — no corpus-wide sort.
+    */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame = {
+    val ws = docsW(s, dir).select(split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+    val bg = ws.select(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1).as("w1"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("w2"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = bg.select(col("w1").as("w")) // first-position counts: every
+      .union(bg.select(col("w2").as("w"))) // bigram slot, both ends
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val total = bg.agg(count(lit(1)).as("n_bg"))
+    def bitlen(c: Column) = (length(bin(c)) - 1).cast("long")
+    c12.crossJoin(broadcast(total))
+      .join(uni.select(col("w").as("w1"), col("c1").as("_c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("_c2")), "w2")
+      .withColumn("pmi_bits",
+        bitlen(col("c12")) + bitlen(col("n_bg"))
+          - bitlen(col("_c1")) - bitlen(col("_c2")))
+      .where(col("c12") >= 3 && col("pmi_bits") >= 3)
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_bits"))
+  }
+
+  private val oCollocations = """
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    bg AS (SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+           FROM w WHERE len(ws) >= 2),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2),
+    uni AS (SELECT wd, CAST(count(*) AS BIGINT) AS c1 FROM (
+              SELECT w1 AS wd FROM bg UNION ALL SELECT w2 AS wd FROM bg) t
+            GROUP BY wd),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_bg FROM bg)
+    SELECT c12.w1, c12.w2, c12.c12,
+           CAST((length(format('{:b}', c12.c12)) - 1)
+              + (length(format('{:b}', (SELECT n_bg FROM n))) - 1)
+              - (length(format('{:b}', a.c1)) - 1)
+              - (length(format('{:b}', b.c1)) - 1) AS BIGINT) AS pmi_bits
+    FROM c12
+    JOIN uni a ON a.wd = c12.w1
+    JOIN uni b ON b.wd = c12.w2
+    WHERE c12.c12 >= 3
+      AND (length(format('{:b}', c12.c12)) - 1)
+        + (length(format('{:b}', (SELECT n_bg FROM n))) - 1)
+        - (length(format('{:b}', a.c1)) - 1)
+        - (length(format('{:b}', b.c1)) - 1) >= 3"""
+
   /** §2.60b Bigram surprisal with whole-bit stupid backoff (CCNet-style
     * perplexity filter, one order up): LM counts train on the 90%
     * hash-split, every doc scores — held-out docs carry unseen bigrams,
@@ -4709,6 +4766,7 @@ object QueriesText {
     GraftQuery("q_pii_scan", qPiiScan, Some(oPiiScan)),
     GraftQuery("q_pii_redact", qPiiRedact, Some(oPiiRedact)),
     GraftQuery("q_lm_surprisal", qLmSurprisal, Some(oLmSurprisal)),
+    GraftQuery("q_collocations", qCollocations, Some(oCollocations)),
     GraftQuery("q_lm_surprisal2", qLmSurprisal2, Some(oLmSurprisal2)),
     GraftQuery("q_dedup_incremental", qDedupIncremental, Some(oDedupIncremental)),
     GraftQuery("q_distinct_kmv", qDistinctKmv, Some(oDistinctKmv)),
