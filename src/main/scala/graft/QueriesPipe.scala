@@ -448,6 +448,41 @@ object QueriesPipe {
     FROM lineitem
     GROUP BY 1, 2"""
 
+  /** §2.86c Join-MV (star-shape denormalized serving): the aggregate is
+    * authored against `lineitem ⋈ supplier` on the supplier key, and the
+    * rule serves it from a pre-joined per-(nation, returnflag) summary —
+    * neither base table is scanned, and at 100 TB the dashboard rollup
+    * skips BOTH the fact scan and the join shuffle. Same instance-matched
+    * conservative matching (exact key pair, inner, either join order);
+    * the DuckDB oracle computes the base join, so the driver hash-check
+    * proves join-rollup equivalence.
+    */
+  private def qMvJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.MvRegistry
+    val fact = Tables.lineitem(s, dir)
+    val dim = Tables.supplier(s, dir)
+    val group = Seq("s_nationkey", "l_returnflag")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvj").toString
+    MvRegistry.buildJoinSummary(fact, dim, "l_suppkey", "s_suppkey",
+        group, Seq("l_quantity"))
+      .write.mode("overwrite").parquet(tmp)
+    MvRegistry.registerJoin(fact, dim, "l_suppkey", "s_suppkey",
+      group, Seq("l_quantity"), s.read.parquet(tmp))
+    fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n_items"),
+        max("l_quantity").as("max_qty"))
+  }
+
+  private val oMvJoin = """
+    SELECT s_nationkey,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_items,
+           max(l_quantity) AS max_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1"""
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -459,6 +494,7 @@ object QueriesPipe {
     GraftQuery("q_gapfill", qGapfill, Some(oGapfill)),
     GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(oCcnetBuckets)),
     GraftQuery("q_mv_rewrite", qMvRewrite, Some(oMvRewrite)),
+    GraftQuery("q_mv_join", qMvJoin, Some(oMvJoin)),
     GraftQuery("q_topic_map", qTopicMap, None, oracleGen = Some(oTopicMapGen)),
     GraftQuery("q_cluster_purity", qClusterPurity, None,
       oracleGen = Some(oClusterPurityGen))

@@ -47,11 +47,16 @@ import org.apache.spark.sql.functions.{count => fCount, lit, max => fMax, min =>
   */
 object MvRegistry {
 
+  /** Equi-join shape a join-MV serves: fact.factKey = dim.dimKey, inner. */
+  final case class JoinSpec(dimRelation: HadoopFsRelation,
+                            factKey: String, dimKey: String)
+
   final case class MvDef(
       factRelation: HadoopFsRelation,
       groupCols: Seq[String],
       measureCols: Seq[String],
-      summaryPlan: LogicalPlan)
+      summaryPlan: LogicalPlan,
+      join: Option[JoinSpec] = None)
 
   private val defs = TrieMap.empty[Long, MvDef]
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0)
@@ -113,6 +118,38 @@ object MvRegistry {
     id
   }
 
+  /** The canonical summary for the star shape fact ⋈ dim: the join runs
+    * ONCE at build time, then [[buildSummary]] partials over the joined
+    * frame — grouping columns may come from either side (the denormalized
+    * dashboard dimension table).
+    */
+  def buildJoinSummary(fact: DataFrame, dim: DataFrame,
+                       factKey: String, dimKey: String,
+                       groupCols: Seq[String],
+                       measureCols: Seq[String]): DataFrame =
+    buildSummary(fact.join(dim, fact(factKey) === dim(dimKey), "inner"),
+      groupCols, measureCols)
+
+  /** Register a join-MV: aggregates over `fact ⋈ dim` on exactly the
+    * registered equi-key (both handles instance-matched, either join order)
+    * are served from `summary`. Same conservative serving rules as the
+    * single-table form; group-granular filters on either side commute.
+    */
+  def registerJoin(fact: DataFrame, dim: DataFrame,
+                   factKey: String, dimKey: String,
+                   groupCols: Seq[String], measureCols: Seq[String],
+                   summary: DataFrame): Long = {
+    def relOf(df: DataFrame, what: String): HadoopFsRelation =
+      df.queryExecution.analyzed.collectFirst {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => fs
+      }.getOrElse(throw new IllegalArgumentException(
+        s"MvRegistry.registerJoin: $what must be a file-source scan"))
+    val id = register(fact, groupCols, measureCols, summary)
+    defs.put(id, defs(id).copy(
+      join = Some(JoinSpec(relOf(dim, "dim"), factKey, dimKey))))
+    id
+  }
+
   def unregister(id: Long): Unit = defs.remove(id)
   def clear(): Unit = defs.clear()
   private[graft] def isEmpty: Boolean = defs.isEmpty
@@ -128,7 +165,8 @@ case class MvRewriteRule() extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MvRegistry.isEmpty) plan
     else plan.transformDown {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+      case agg: Aggregate =>
+        tryRewrite(agg).orElse(tryRewriteJoin(agg)).getOrElse(agg)
     }
   }
 
@@ -151,7 +189,50 @@ case class MvRewriteRule() extends Rule[LogicalPlan] {
 
   private def tryRewrite(agg: Aggregate): Option[Aggregate] = {
     val (fs, filterConds) = stripToScan(agg.child).getOrElse(return None)
-    val mv = MvRegistry.all.find(_.factRelation eq fs).getOrElse(return None)
+    // join MVs aggregate the JOINED rows — they must never serve a plain
+    // fact-scan aggregate (counts would differ)
+    val mv = MvRegistry.all
+      .find(d => d.join.isEmpty && (d.factRelation eq fs))
+      .getOrElse(return None)
+    serveFrom(agg, mv, filterConds)
+  }
+
+  /** Join-MV matching: Aggregate over {pruning Projects / Filters} over an
+    * INNER equi-join of the registered fact and dim handles on exactly the
+    * registered key pair (either join order); filters above or below the
+    * join must be group-granular. The served plan is the same rollup over
+    * the denormalized summary.
+    */
+  private def tryRewriteJoin(agg: Aggregate): Option[Aggregate] = {
+    def stripToJoin(p: LogicalPlan): Option[(Join, Seq[Expression])] = p match {
+      case j: Join => Some((j, Nil))
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripToJoin(c)
+      case Filter(cond, c) =>
+        stripToJoin(c).map { case (j, cs) => (j, cond +: cs) }
+      case _ => None
+    }
+    val (j, outerConds) = stripToJoin(agg.child).getOrElse(return None)
+    j match {
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+          Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+        val (lfs, lConds) = stripToScan(l).getOrElse(return None)
+        val (rfs, rConds) = stripToScan(r).getOrElse(return None)
+        val keyNames = Set(a.name, b.name)
+        val mv = MvRegistry.all.find { d =>
+          d.join.exists { js =>
+            keyNames == Set(js.factKey, js.dimKey) &&
+              (((d.factRelation eq lfs) && (js.dimRelation eq rfs)) ||
+                ((d.factRelation eq rfs) && (js.dimRelation eq lfs)))
+          }
+        }.getOrElse(return None)
+        serveFrom(agg, mv, outerConds ++ lConds ++ rConds)
+      case _ => None
+    }
+  }
+
+  private def serveFrom(agg: Aggregate, mv: MvRegistry.MvDef,
+                        filterConds: Seq[Expression]): Option[Aggregate] = {
     val summaryAttr: Map[String, Attribute] =
       mv.summaryPlan.output.map(a => a.name -> a).toMap
 

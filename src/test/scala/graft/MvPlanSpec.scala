@@ -165,6 +165,50 @@ class MvPlanSpec extends AnyFunSuite with SparkFixture with BeforeAndAfterEach {
     }
   }
 
+  test("join-MV serves the star rollup; wrong shapes fall through") {
+    val fact = Tables.lineitem(spark, sfDir)
+    val dim = Tables.supplier(spark, sfDir)
+    val g = Seq("s_nationkey", "l_returnflag")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvj_spec").toString
+    MvRegistry.buildJoinSummary(fact, dim, "l_suppkey", "s_suppkey",
+        g, Seq("l_quantity"))
+      .write.mode("overwrite").parquet(tmp)
+    MvRegistry.registerJoin(fact, dim, "l_suppkey", "s_suppkey",
+      g, Seq("l_quantity"), spark.read.parquet(tmp))
+
+    def joined = fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
+    val q = joined.groupBy("s_nationkey")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+    val leaves = scanPaths(q)
+    assert(leaves.contains("graft_mvj_spec"), s"join-MV not serving:\n$leaves")
+    assert(!leaves.contains("lineitem.parquet") &&
+      !leaves.contains("supplier.parquet"), "base tables still scanned")
+    // exactness vs fresh (unregistered) handles
+    val f2 = Tables.lineitem(spark, sfDir); val d2 = Tables.supplier(spark, sfDir)
+    val want = f2.join(d2, f2("l_suppkey") === d2("s_suppkey"))
+      .groupBy("s_nationkey").agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val got = q.collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got == want && got.nonEmpty)
+
+    // a group-granular filter on the DIM side still serves
+    val filt = joined.where(col("s_nationkey") < 10)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(scanPaths(filt).contains("graft_mvj_spec"))
+
+    // the join MV must NOT serve a plain fact aggregate (joined counts)
+    val plain = fact.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(scanPaths(plain).contains("lineitem.parquet"))
+    // a join on the WRONG key falls through
+    val wrong = fact.join(dim, fact("l_orderkey") === dim("s_suppkey"))
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+    assert(scanPaths(wrong).contains("lineitem.parquet"))
+    // a filter on a non-grouping fact column falls through
+    val badFilter = joined.where(col("l_quantity") > 10)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+    assert(scanPaths(badFilter).contains("lineitem.parquet"))
+  }
+
   test("count served from an MV equals the base count on every group") {
     val (fact, _) = registered()
     val got = fact.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
