@@ -171,7 +171,9 @@ object QueriesPipe {
       .where(col("_rn") === 1)
       .select(col("user_id"), col("day"), col("_cents"))
     val span = ev.agg(min("day").as("_d0"), max("day").as("_d1"))
-    val slots = lastPerDay.select("user_id").distinct()
+    // distinct purchasers straight off the filtered scan — routing through
+    // lastPerDay would re-run its rank window on this branch too
+    val slots = ev.select("user_id").distinct()
       .crossJoin(broadcast(span)) // 1-row scalar frame, broadcast NLJ
       .select(col("user_id"), explode(sequence(col("_d0"), col("_d1"))).as("day"))
     slots.join(lastPerDay, Seq("user_id", "day"), "left")
