@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Versioned
+
+/** §2.78c Snapshot versioning / time travel: append and overwrite commits,
+  * immutable older versions (including across a compaction rewrite), and
+  * vacuum that preserves every kept version's readability.
+  */
+class VersionedSpec extends AnyFunSuite with SparkFixture {
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("append/overwrite commits; every version reads its exact snapshot") {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ver").toString
+    val a = d.where(col("doc_id") % 3 === 0)
+    val b = d.where(col("doc_id") % 3 === 1)
+
+    assert(Versioned.currentVersion(dir) == -1)
+    assert(Versioned.commit(a, dir) == 0)
+    assert(Versioned.commit(b, dir) == 1) // append
+    // compaction commit: same content, rewritten as one batch
+    assert(Versioned.commit(Versioned.read(spark, dir).repartition(1),
+      dir, overwrite = true) == 2)
+
+    assert(ids(Versioned.read(spark, dir, 0)) == ids(a))
+    assert(ids(Versioned.read(spark, dir, 1)) == ids(a) ++ ids(b))
+    assert(ids(Versioned.read(spark, dir, 2)) == ids(a) ++ ids(b))
+    assert(Versioned.currentVersion(dir) == 2)
+
+    // a reader bound to v1 before a later commit still sees v1's snapshot
+    val v1 = Versioned.read(spark, dir, 1)
+    Versioned.commit(d.where(col("doc_id") % 3 === 2), dir) // v3 append
+    assert(ids(v1) == ids(a) ++ ids(b))
+    assert(ids(Versioned.read(spark, dir)) == ids(d))
+  }
+
+  test("vacuum drops only unreferenced batches; kept versions stay readable") {
+    val d = Tables.documents(spark, sfDir).select("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ver2").toString
+    val a = d.where(col("doc_id") < 10)
+    val b = d.where(col("doc_id") >= 10 && col("doc_id") < 20)
+    Versioned.commit(a, dir)                    // v0: [batch0]
+    Versioned.commit(b, dir)                    // v1: [batch0, batch1]
+    Versioned.commit(a.union(b).repartition(1),
+      dir, overwrite = true)                    // v2: [batch2]
+    Versioned.commit(d.where(col("doc_id") === 25), dir) // v3: [batch2, batch3]
+
+    val deleted = Versioned.vacuum(dir, keepVersions = 2) // keep v2, v3
+    // batch0/batch1 are referenced only by dropped v0/v1 → deleted
+    assert(deleted.map(_.split('/').last).toSet ==
+      Set("batch-000000", "batch-000001"))
+    assert(ids(Versioned.read(spark, dir, 2)) == ids(a) ++ ids(b))
+    assert(ids(Versioned.read(spark, dir, 3)) ==
+      ids(a) ++ ids(b) + 25L)
+    // dropped versions are gone
+    intercept[IllegalArgumentException](Versioned.read(spark, dir, 0))
+    // vacuum keeping only the latest must NOT delete batch2 (shared by v3)
+    val deleted2 = Versioned.vacuum(dir, keepVersions = 1)
+    assert(!deleted2.exists(_.endsWith("batch-000002")))
+    assert(ids(Versioned.read(spark, dir, 3)) == ids(a) ++ ids(b) + 25L)
+  }
+}
