@@ -346,6 +346,45 @@ object QueriesPipe {
       .withColumn("purity_permille", expr("top_n * 1000 div n_vecs"))
   }
 
+  private val OutlierTopK = 20
+
+  /** §2.85c Embedding outlier screen (data-quality inspection queue): the
+    * top-K vectors by distance to their OWN cluster centroid — the
+    * "garbage/mislabeled vector" review list (SemDeDup's complement: far
+    * from everything instead of too close to something). Distance is the
+    * same double-accumulated float dot the ANN lanes use (bit-identical
+    * to the oracle's sequential fold), truncated to 3 decimals on both
+    * engines (Viz.trunc pattern) so the top-K cut is deterministic;
+    * sort+limit plans as TakeOrderedAndProject — per-partition top-K, no
+    * global sort. Shares the deterministic quantizer; the generated
+    * oracle replays assignment and re-derives each vector's own-cell
+    * distance.
+    */
+  private def qEmbedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val assigned = Similarity.ivfAssign(
+      e.select(col("vec_id"), col("embedding").as("_v")), "_v", model)
+    val ctr = broadcast(s.createDataFrame(model).toDF("cell", "_c"))
+    assigned.join(ctr, "cell")
+      .withColumn("_d", Similarity.dot(col("_v"), col("_v"))
+        - lit(2.0) * Similarity.dot(col("_v"), col("_c"))
+        + Similarity.dot(col("_c"), col("_c")))
+      .withColumn("dist_t", floor(col("_d") * 1000) / 1000)
+      .orderBy(col("dist_t").desc, col("vec_id"))
+      .limit(OutlierTopK)
+      .select(col("vec_id"), col("cell"), col("dist_t"))
+  }
+
+  private def oEmbedOutliersGen(s: SparkSession, dir: String): String = s"""
+    WITH ${topicOracleCtes(s, dir)},
+    ad AS (SELECT corp.vec_id, corp.cell, dst.dist
+           FROM corp JOIN dst ON dst.vec_id = corp.vec_id
+                             AND dst.cell = corp.cell)
+    SELECT vec_id, cell, floor(dist * 1000) / 1000 AS dist_t
+    FROM ad ORDER BY dist_t DESC, vec_id LIMIT $OutlierTopK"""
+
   /** Assignment CTE chain shared by the cartography oracles — mirrors
     * oSampleDiverseGen's replay: centroid literals, per-vector distances,
     * (dist, cell)-ordered argmin.
@@ -499,6 +538,8 @@ object QueriesPipe {
     GraftQuery("q_mv_join", qMvJoin, Some(oMvJoin)),
     GraftQuery("q_topic_map", qTopicMap, None, oracleGen = Some(oTopicMapGen)),
     GraftQuery("q_cluster_purity", qClusterPurity, None,
-      oracleGen = Some(oClusterPurityGen))
+      oracleGen = Some(oClusterPurityGen)),
+    GraftQuery("q_embed_outliers", qEmbedOutliers, None,
+      oracleGen = Some(oEmbedOutliersGen))
   )
 }
