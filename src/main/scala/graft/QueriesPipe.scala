@@ -449,6 +449,113 @@ object QueriesPipe {
     FROM r WHERE rk = 1"""
 
   // ---------------------------------------------------------------------------
+  // §2.87 Data-audit pack: Benford digit audit + referential integrity
+  // ---------------------------------------------------------------------------
+
+  /** §2.87 Benford first-digit audit (the classic numeric-data forgery /
+    * corruption screen): distribution of the first significant digit of
+    * order totals vs Benford's law. The observed side is all-integer
+    * (leading digit via integer division by 10^(len−1); share in permille
+    * by ONE floored division); the expected permilles are the nine
+    * CONSTANTS floor(log10(1+1/d)·1000) — embedded as literals, never a
+    * cross-engine float log. One scan + a 9-row aggregate.
+    */
+  private def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val benford = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+    val bMap = org.apache.spark.sql.functions.map(
+      benford.zipWithIndex.flatMap { case (p, i) =>
+        Seq(lit(i + 1L), lit(p)) }: _*)
+    val d = Tables.orders(s, dir)
+      .select(expr("CAST(floor(o_totalprice) AS BIGINT)").as("_v"))
+      .where(col("_v") >= 1)
+      .withColumn("digit",
+        expr("_v div CAST(pow(10, length(CAST(_v AS STRING)) - 1) AS BIGINT)"))
+    d.groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("_tot"))))
+      .withColumn("permille", expr("n * 1000 div _tot"))
+      .withColumn("benford_permille", bMap(col("digit")))
+      .withColumn("dev_permille",
+        abs(col("permille") - col("benford_permille")))
+      .select("digit", "n", "permille", "benford_permille", "dev_permille")
+  }
+
+  private val oBenford = """
+    WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders
+               WHERE floor(o_totalprice) >= 1),
+    d AS (SELECT v // CAST(pow(10, length(CAST(v AS VARCHAR)) - 1) AS BIGINT)
+                 AS digit
+          FROM v),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM d),
+    e(digit, benford_permille) AS (VALUES
+      (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+      (6, 67), (7, 58), (8, 51), (9, 46))
+    SELECT c.digit, c.n,
+           c.n * 1000 // (SELECT tot FROM t) AS permille,
+           CAST(e.benford_permille AS BIGINT) AS benford_permille,
+           CAST(abs(c.n * 1000 // (SELECT tot FROM t)
+                    - e.benford_permille) AS BIGINT) AS dev_permille
+    FROM c JOIN e ON e.digit = c.digit"""
+
+  /** §2.87b Referential-integrity audit: orphan counts across every
+    * foreign-key edge of the schema (lineitem→orders, orders→customer,
+    * customer→nation, lineitem→part/supplier) as one relational union of
+    * LEFT-ANTI join counts — the ingest-quality report a warehouse runs
+    * after every load. Anti-joins on the dim side broadcast; the fact
+    * side streams — no corpus-wide shuffle. Total parent/child row counts
+    * ride along so the rates are auditable in-result.
+    */
+  private def qRefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.join(
+        broadcast(parent.select(col(parentKey).as("_pk")).distinct()),
+        child(childKey) === col("_pk"), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .withColumn("edge", lit(name))
+        .select("edge", "n_child", "n_orphans")
+    }
+    val li = Tables.lineitem(s, dir)
+    audit("lineitem->orders", li, "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")
+      .unionByName(audit("orders->customer", Tables.orders(s, dir),
+        "o_custkey", Tables.customer(s, dir), "c_custkey"))
+      .unionByName(audit("customer->nation", Tables.customer(s, dir),
+        "c_nationkey", Tables.nation(s, dir), "n_nationkey"))
+      .unionByName(audit("lineitem->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"))
+      .unionByName(audit("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"))
+  }
+
+  private val oRefIntegrity = """
+    SELECT 'lineitem->orders' AS edge,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+             (SELECT o_orderkey FROM orders)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+             (SELECT n_nationkey FROM nation))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+             (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier))"""
+
+  // ---------------------------------------------------------------------------
   // §2.86 Materialized-view rollup rewrite (Catalyst rule, transparent serving)
   // ---------------------------------------------------------------------------
 
@@ -534,6 +641,8 @@ object QueriesPipe {
     GraftQuery("q_ewma", qEwma, Some(oEwma)),
     GraftQuery("q_gapfill", qGapfill, Some(oGapfill)),
     GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(oCcnetBuckets)),
+    GraftQuery("q_benford", qBenford, Some(oBenford)),
+    GraftQuery("q_ref_integrity", qRefIntegrity, Some(oRefIntegrity)),
     GraftQuery("q_mv_rewrite", qMvRewrite, Some(oMvRewrite)),
     GraftQuery("q_mv_join", qMvJoin, Some(oMvJoin)),
     GraftQuery("q_topic_map", qTopicMap, None, oracleGen = Some(oTopicMapGen)),
