@@ -555,6 +555,98 @@ object QueriesPipe {
            (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
              (SELECT s_suppkey FROM supplier))"""
 
+  /** §2.87c RFM segmentation (the classic behavioral-marketing triple):
+    * per-user Recency (days since last purchase), Frequency, Monetary
+    * (integer cents), each bucketed into terciles by RANK-SELECTED cut
+    * values (the q_range_plan machinery: two-level `globalRank`, one
+    * driver scalar for n — never a single-partition window even though
+    * the RFM frame is only user-dim-sized, because at 100 TB "users" can
+    * be 10⁹), and the 0..222 composite segment. All arithmetic integer;
+    * tie-straddling values land whole-value-group in the earlier bucket
+    * on both engines.
+    */
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ts div $DayNs").as("_day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("_cents"))
+    val dmax = ev.agg(max("_day").as("_dmax"))
+    val rfm = ev.groupBy("user_id")
+      .agg(max("_day").as("_last"), count(lit(1)).as("frequency"),
+        sum("_cents").as("monetary_cents"))
+      .crossJoin(broadcast(dmax))
+      .select(col("user_id"),
+        (col("_dmax") - col("_last")).as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+      .localCheckpoint() // three rank passes + the final bucket join read it
+    val n = rfm.count()
+    def cuts(metric: String): DataFrame =
+      Text.globalRank(rfm.select(col(metric), col("user_id")),
+          Seq(col(metric).asc, col("user_id").asc), "_rk")
+        .groupBy()
+        .agg(max(when(col("_rk") === ((n - 1) * 1 / 3 + 1), col(metric)))
+          .as(s"${metric}_c1"),
+          max(when(col("_rk") === ((n - 1) * 2 / 3 + 1), col(metric)))
+            .as(s"${metric}_c2"))
+    def bucket(metric: String) =
+      when(col(metric) <= col(s"${metric}_c1"), lit(0L))
+        .when(col(metric) <= col(s"${metric}_c2"), lit(1L))
+        .otherwise(lit(2L))
+    rfm.crossJoin(broadcast(cuts("recency_days")))
+      .crossJoin(broadcast(cuts("frequency")))
+      .crossJoin(broadcast(cuts("monetary_cents")))
+      .withColumn("r_b", bucket("recency_days"))
+      .withColumn("f_b", bucket("frequency"))
+      .withColumn("m_b", bucket("monetary_cents"))
+      .withColumn("segment", expr("r_b * 100 + f_b * 10 + m_b"))
+      .select("user_id", "recency_days", "frequency", "monetary_cents",
+        "r_b", "f_b", "m_b", "segment")
+  }
+
+  private val oRfm = s"""
+    WITH e AS (SELECT user_id, epoch_ns(ts) // $DayNs AS day,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_type = 'purchase'),
+    m AS (SELECT user_id, max(day) AS lastday,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 CAST(sum(cents) AS BIGINT) AS monetary_cents
+          FROM e GROUP BY user_id),
+    r0 AS (SELECT user_id,
+                  (SELECT max(day) FROM e) - lastday AS recency_days,
+                  frequency, monetary_cents
+           FROM m),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r0),
+    rr AS (SELECT *,
+             row_number() OVER (ORDER BY recency_days, user_id) AS rk_r,
+             row_number() OVER (ORDER BY frequency, user_id) AS rk_f,
+             row_number() OVER (ORDER BY monetary_cents, user_id) AS rk_m
+           FROM r0),
+    cut AS (SELECT
+        max(CASE WHEN rk_r = ((SELECT n FROM nn) - 1) * 1 // 3 + 1
+                 THEN recency_days END) AS r1,
+        max(CASE WHEN rk_r = ((SELECT n FROM nn) - 1) * 2 // 3 + 1
+                 THEN recency_days END) AS r2,
+        max(CASE WHEN rk_f = ((SELECT n FROM nn) - 1) * 1 // 3 + 1
+                 THEN frequency END) AS f1,
+        max(CASE WHEN rk_f = ((SELECT n FROM nn) - 1) * 2 // 3 + 1
+                 THEN frequency END) AS f2,
+        max(CASE WHEN rk_m = ((SELECT n FROM nn) - 1) * 1 // 3 + 1
+                 THEN monetary_cents END) AS m1,
+        max(CASE WHEN rk_m = ((SELECT n FROM nn) - 1) * 2 // 3 + 1
+                 THEN monetary_cents END) AS m2
+      FROM rr),
+    b AS (SELECT user_id, recency_days, frequency, monetary_cents,
+            CAST(CASE WHEN recency_days <= r1 THEN 0
+                      WHEN recency_days <= r2 THEN 1 ELSE 2 END AS BIGINT) AS r_b,
+            CAST(CASE WHEN frequency <= f1 THEN 0
+                      WHEN frequency <= f2 THEN 1 ELSE 2 END AS BIGINT) AS f_b,
+            CAST(CASE WHEN monetary_cents <= m1 THEN 0
+                      WHEN monetary_cents <= m2 THEN 1 ELSE 2 END AS BIGINT) AS m_b
+          FROM r0 CROSS JOIN cut)
+    SELECT user_id, recency_days, frequency, monetary_cents, r_b, f_b, m_b,
+           r_b * 100 + f_b * 10 + m_b AS segment
+    FROM b"""
+
   // ---------------------------------------------------------------------------
   // §2.86 Materialized-view rollup rewrite (Catalyst rule, transparent serving)
   // ---------------------------------------------------------------------------
@@ -642,6 +734,7 @@ object QueriesPipe {
     GraftQuery("q_gapfill", qGapfill, Some(oGapfill)),
     GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(oCcnetBuckets)),
     GraftQuery("q_benford", qBenford, Some(oBenford)),
+    GraftQuery("q_rfm", qRfm, Some(oRfm)),
     GraftQuery("q_ref_integrity", qRefIntegrity, Some(oRefIntegrity)),
     GraftQuery("q_mv_rewrite", qMvRewrite, Some(oMvRewrite)),
     GraftQuery("q_mv_join", qMvJoin, Some(oMvJoin)),
