@@ -647,6 +647,55 @@ object QueriesPipe {
            r_b * 100 + f_b * 10 + m_b AS segment
     FROM b"""
 
+  /** §2.87d Pareto / ABC revenue analysis ("which customers are 80% of
+    * revenue"): customers ranked by revenue, cumulative share in integer
+    * permille, A/B/C classes at 800/950 cuts, reported per class. The
+    * cumulative sum is `Text.globalCumsum` — the two-level distributed
+    * scan primitive (range partition → bounded local running sums →
+    * broadcast prefix offsets), exact because cents are integers; a
+    * single-partition ORDER BY window here would be the q_vocab
+    * scale-killer on a 10⁹-customer table. ONE floored division per row
+    * (cum·1000 div total) so both engines cut identical class boundaries.
+    */
+  private def qAbc(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("_cents"))
+      .groupBy("o_custkey").agg(sum("_cents").as("rev_cents"))
+    val tot = rev.agg(sum("rev_cents").as("_tot"))
+    Text.globalCumsum(rev,
+        Seq(col("rev_cents").desc, col("o_custkey").asc),
+        col("rev_cents"), "cum_cents")
+      .crossJoin(broadcast(tot))
+      .withColumn("_cp", expr("cum_cents * 1000 div _tot"))
+      .withColumn("abc_class",
+        when(col("_cp") <= 800, "A").when(col("_cp") <= 950, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("rev_cents").as("class_cents"),
+        min("_cp").as("lo_permille"), max("_cp").as("hi_permille"))
+  }
+
+  private val oAbc = """
+    WITH r AS (SELECT o_custkey,
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+               FROM orders GROUP BY 1),
+    t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM r),
+    c AS (SELECT o_custkey, rev,
+                 CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM r),
+    b AS (SELECT rev, cum * 1000 // (SELECT tot FROM t) AS cp FROM c)
+    SELECT CASE WHEN cp <= 800 THEN 'A' WHEN cp <= 950 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_customers,
+           CAST(sum(rev) AS BIGINT) AS class_cents,
+           min(cp) AS lo_permille, max(cp) AS hi_permille
+    FROM b GROUP BY 1"""
+
   // ---------------------------------------------------------------------------
   // §2.86 Materialized-view rollup rewrite (Catalyst rule, transparent serving)
   // ---------------------------------------------------------------------------
@@ -735,6 +784,7 @@ object QueriesPipe {
     GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(oCcnetBuckets)),
     GraftQuery("q_benford", qBenford, Some(oBenford)),
     GraftQuery("q_rfm", qRfm, Some(oRfm)),
+    GraftQuery("q_abc", qAbc, Some(oAbc)),
     GraftQuery("q_ref_integrity", qRefIntegrity, Some(oRefIntegrity)),
     GraftQuery("q_mv_rewrite", qMvRewrite, Some(oMvRewrite)),
     GraftQuery("q_mv_join", qMvJoin, Some(oMvJoin)),

@@ -967,8 +967,15 @@ object Text {
             else spark.sparkContext.defaultParallelism
     val parts = df.repartitionByRange(n, order: _*)
       .withColumn("_pid", spark_partition_id())
+    // materialize ONCE: repartitionByRange picks boundaries by reservoir-
+    // sampling its input, and the sample depends on shuffle arrival order —
+    // without the checkpoint the offsets collect and the final join can
+    // recompute DIFFERENT partitionings, pairing offsets with the wrong
+    // partitions (caught by q_abc's sf0.1 hash mismatch; same latent
+    // hazard here)
     val local = parts.withColumn("_lr",
       row_number().over(Window.partitionBy(col("_pid")).orderBy(order: _*)))
+      .localCheckpoint()
     val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -977,6 +984,42 @@ object Text {
     local.join(broadcast(offDf), "_pid")
       .withColumn(rankCol, (col("_off") + col("_lr")).cast("int"))
       .drop("_pid", "_lr", "_off")
+  }
+
+  /** Distributed global cumulative sum over a total order — the classic
+    * scan primitive as the [[globalRank]] two-level composition applied to
+    * prefix SUMS: range-partition on the order, partition-local running
+    * sum (each window bounded by its partition), then add the partition's
+    * prefix offset from a numPartitions-scalar broadcast. Exact for any
+    * boundary placement BECAUSE the summed column must be integral —
+    * integer addition is associative, where a double cumsum would
+    * re-associate across the regrouping. A single-partition
+    * `Window.orderBy` cumsum is the q_vocab scale-killer class; this is
+    * the shape that survives 10⁹ rows.
+    */
+  def globalCumsum(df: DataFrame, order: Seq[Column], value: Column,
+                   outCol: String, numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numParts > 0) numParts
+            else spark.sparkContext.defaultParallelism
+    val parts = df.withColumn("_v", value)
+      .repartitionByRange(n, order: _*)
+      .withColumn("_pid", spark_partition_id())
+    // localCheckpoint: see globalRank — offsets and the final join must
+    // read the SAME range partitioning (boundary sampling is
+    // arrival-order-dependent across recomputations)
+    val local = parts.withColumn("_lc",
+      sum(col("_v")).over(Window.partitionBy(col("_pid")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    val sums = local.groupBy(col("_pid")).agg(sum(col("_v")).as("_s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = sums.map { case (p, s) => val o = acc; acc += s; (p, o) }
+    val offDf = spark.createDataFrame(offs.toSeq).toDF("_pid", "_off")
+    local.join(broadcast(offDf), "_pid")
+      .withColumn(outCol, col("_off") + col("_lc"))
+      .drop("_pid", "_lc", "_off", "_v")
   }
 
   /** Corpus vocabulary induction (the tokenizer/vocab-build step): per

@@ -154,6 +154,27 @@ class PipeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("globalCumsum: equals the single-window cumsum, any partition count") {
+    import graft.operators.Text
+    val rev = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("o_custkey").agg(sum("c").as("rev"))
+    val want = rev.withColumn("cum", sum("rev").over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rev").desc, col("o_custkey").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cum")).toMap
+    for (parts <- Seq(1, 3, 7)) {
+      val got = Text.globalCumsum(rev,
+          Seq(col("rev").desc, col("o_custkey").asc), col("rev"), "cum",
+          numParts = parts)
+        .collect().map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("cum")).toMap
+      assert(got == want, s"numParts=$parts")
+    }
+  }
+
   test("q_mix_temperature: quotas follow isqrt weights exactly") {
     def isqrt(n: Long): Long = { var s = math.sqrt(n.toDouble).toLong
       while ((s + 1) * (s + 1) <= n) s += 1; while (s * s > n) s -= 1; s }
