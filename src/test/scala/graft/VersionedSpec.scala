@@ -39,6 +39,35 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(ids(Versioned.read(spark, dir)) == ids(d))
   }
 
+  test("streaming ingest commits a snapshot per micro-batch; readers are isolated") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ver_stream").toString
+    val rows = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    val input = MemoryStream[Long]
+    val q = input.toDS().toDF("doc_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Versioned.commit(batch.localCheckpoint(), dir): Unit
+      }
+      .start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      val pinned = Versioned.read(spark, dir) // bound to the v0 manifest
+      input.addData(b.toSeq); q.processAllAvailable()
+      // the pinned reader still sees only batch 0 (snapshot isolation)...
+      assert(ids(pinned) == a.toSet)
+      // ...while a fresh reader sees everything, exactly once
+      assert(Versioned.currentVersion(dir) == 1)
+      assert(ids(Versioned.read(spark, dir)) == rows.toSet)
+    } finally q.stop()
+  }
+
   test("vacuum drops only unreferenced batches; kept versions stay readable") {
     val d = Tables.documents(spark, sfDir).select("doc_id")
     val dir = java.nio.file.Files.createTempDirectory("graft_ver2").toString
