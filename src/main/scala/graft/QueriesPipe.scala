@@ -555,6 +555,42 @@ object QueriesPipe {
            (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
              (SELECT s_suppkey FROM supplier))"""
 
+  private val TruncCtx = 96L
+
+  /** §2.88 Context-length truncation-loss report: for a fixed training
+    * context length, how many tokens each source loses to truncation and
+    * what fraction of docs are clipped — the number that decides between
+    * truncating, splitting, or packing (§2.66) a corpus. Pure scan-stage
+    * projection + one source-keyed map-side-combined aggregate; the
+    * permille is ONE floored division per group.
+    */
+  private def qTruncLoss(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("_n"))
+      .withColumn("_lost", greatest(lit(0L), col("_n") - TruncCtx))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_n").as("n_toks"),
+        sum(when(col("_lost") > 0, 1L).otherwise(0L)).as("n_clipped"),
+        sum("_lost").as("toks_lost"))
+      .withColumn("lost_permille", expr("toks_lost * 1000 div n_toks"))
+
+  private val oTruncLoss = s"""
+    WITH d AS (SELECT source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                      greatest(0, CAST(len(string_split(text, ' ')) AS BIGINT)
+                                  - $TruncCtx) AS lost
+               FROM documents)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_toks,
+           CAST(sum(CASE WHEN lost > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped,
+           CAST(sum(lost) AS BIGINT) AS toks_lost,
+           CAST(sum(lost) AS BIGINT) * 1000 // CAST(sum(n) AS BIGINT)
+             AS lost_permille
+    FROM d GROUP BY source"""
+
   /** §2.87c RFM segmentation (the classic behavioral-marketing triple):
     * per-user Recency (days since last purchase), Frequency, Monetary
     * (integer cents), each bucketed into terciles by RANK-SELECTED cut
@@ -785,6 +821,7 @@ object QueriesPipe {
     GraftQuery("q_benford", qBenford, Some(oBenford)),
     GraftQuery("q_rfm", qRfm, Some(oRfm)),
     GraftQuery("q_abc", qAbc, Some(oAbc)),
+    GraftQuery("q_trunc_loss", qTruncLoss, Some(oTruncLoss)),
     GraftQuery("q_ref_integrity", qRefIntegrity, Some(oRefIntegrity)),
     GraftQuery("q_mv_rewrite", qMvRewrite, Some(oMvRewrite)),
     GraftQuery("q_mv_join", qMvJoin, Some(oMvJoin)),
