@@ -967,21 +967,23 @@ object Text {
             else spark.sparkContext.defaultParallelism
     val parts = df.repartitionByRange(n, order: _*)
       .withColumn("_pid", spark_partition_id())
-    // materialize ONCE: repartitionByRange picks boundaries by reservoir-
-    // sampling its input, and the sample depends on shuffle arrival order —
-    // without the checkpoint the offsets collect and the final join can
-    // recompute DIFFERENT partitionings, pairing offsets with the wrong
-    // partitions (caught by q_abc's sf0.1 hash mismatch; same latent
-    // hazard here)
     val local = parts.withColumn("_lr",
       row_number().over(Window.partitionBy(col("_pid")).orderBy(order: _*)))
-      .localCheckpoint()
+    // Offsets are computed RELATIONALLY inside the same plan (a tiny
+    // numParts² self-join — no window, no driver collect): range boundary
+    // sampling is shuffle-arrival-order-dependent, so a separate offsets
+    // ACTION can see a DIFFERENT partitioning than the final join
+    // (q_abc's sf0.1 hash mismatch found it; an earlier draft collected
+    // offsets on the driver). In one plan, ReuseExchange/AQE stage reuse
+    // dedups the canonically-equal range exchange, so offsets and data
+    // always agree — and the two-level math is exact for ANY boundaries,
+    // so run-to-run boundary drift cannot change the result.
     val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offs = counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
-    val offDf = spark.createDataFrame(offs.toSeq).toDF("_pid", "_off")
-    local.join(broadcast(offDf), "_pid")
+    val offs = counts.as("a")
+      .join(counts.as("b"), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid"))
+      .agg(coalesce(sum(col("b._n")), lit(0L)).as("_off"))
+    local.join(broadcast(offs), "_pid")
       .withColumn(rankCol, (col("_off") + col("_lr")).cast("int"))
       .drop("_pid", "_lr", "_off")
   }
@@ -1005,19 +1007,18 @@ object Text {
     val parts = df.withColumn("_v", value)
       .repartitionByRange(n, order: _*)
       .withColumn("_pid", spark_partition_id())
-    // localCheckpoint: see globalRank — offsets and the final join must
-    // read the SAME range partitioning (boundary sampling is
-    // arrival-order-dependent across recomputations)
     val local = parts.withColumn("_lc",
       sum(col("_v")).over(Window.partitionBy(col("_pid")).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint()
+    // relational in-plan offsets — see globalRank's comment: a separate
+    // offsets action can pair a DIFFERENT range partitioning with the
+    // final join; one plan + exchange reuse keeps them consistent
     val sums = local.groupBy(col("_pid")).agg(sum(col("_v")).as("_s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offs = sums.map { case (p, s) => val o = acc; acc += s; (p, o) }
-    val offDf = spark.createDataFrame(offs.toSeq).toDF("_pid", "_off")
-    local.join(broadcast(offDf), "_pid")
+    val offs = sums.as("a")
+      .join(sums.as("b"), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid"))
+      .agg(coalesce(sum(col("b._s")), lit(0L)).as("_off"))
+    local.join(broadcast(offs), "_pid")
       .withColumn(outCol, col("_off") + col("_lc"))
       .drop("_pid", "_lc", "_off", "_v")
   }

@@ -154,6 +154,24 @@ class PipeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("globalRank/globalCumsum: stable across repeated runs on shuffled input") {
+    import graft.operators.Text
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .repartition(11) // scramble arrival order feeding the range sampler
+    val wantRank = base.orderBy(col("c").desc, col("event_id").asc)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getLong(0) -> (i + 1L) }.toMap
+    for (run <- 1 to 3) {
+      val got = Text.globalRank(base,
+          Seq(col("c").desc, col("event_id").asc), "rk")
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Int]("rk").toLong)
+        .toMap
+      assert(got == wantRank, s"rank run $run")
+    }
+  }
+
   test("globalCumsum: equals the single-window cumsum, any partition count") {
     import graft.operators.Text
     val rev = Tables.orders(spark, sfDir)
