@@ -1217,6 +1217,71 @@ object Queries {
         AND l_shipdate > o_orderdate + INTERVAL 80 DAY)
     GROUP BY o_orderpriority"""
 
+  /** §2.89 Suppliers-who-kept-orders-waiting (TPC-H Q21 shape — the
+    * hardest-to-plan standard relational query: one EXISTS and one NOT
+    * EXISTS against the SAME fact, both correlated on the order key with a
+    * supplier-inequality residual): for finished orders, a supplier whose
+    * line shipped late (> orderdate + 100 days, this schema's lateness —
+    * it has no commit/receipt dates) is charged only when ANOTHER supplier
+    * shares the order and NO other supplier was late — the sole-blame
+    * rule. Top 25 suppliers by blame count, name from the broadcast dim.
+    *
+    * Scale shape: the late set is a selective order⋈lineitem join keyed on
+    * the order key, then BOTH quantifiers run on that same key — a
+    * left-semi against lineitem (other-supplier line exists) and a
+    * left-anti against the late set itself (no other late supplier), so
+    * every shuffle in the plan is order-keyed and can reuse one exchange;
+    * no row fan-out happens at any step (semi/anti short-circuit). The
+    * final rollup is supplier-cardinality-sized, the name join broadcasts
+    * the dim, and top-25 is sort+limit → TakeOrderedAndProject, never a
+    * global sort. Reference analog: fquery combinators compose the same
+    * exists/not-exists tag filters (fgae/fquery.go) — this is that shape
+    * at TPC-H scale.
+    */
+  private def qTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val late = li
+      .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAYS"))
+      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"))
+      .distinct()
+    val hasOther = late.join(li,
+      col("okey") === li("l_orderkey") && col("skey") =!= li("l_suppkey"),
+      "left_semi")
+    val sole = hasOther.join(
+      late.toDF("okey2", "skey2"),
+      col("okey") === col("okey2") && col("skey") =!= col("skey2"),
+      "left_anti")
+    sole.groupBy(col("skey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir)), col("skey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(25)
+  }
+
+  private val oTpchQ21 = """
+    WITH late AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 100 DAY),
+    sole AS (
+      SELECT l1.l_orderkey, l1.l_suppkey
+      FROM late l1
+      WHERE EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM late l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey))
+    SELECT s_suppkey, s_name, numwait
+    FROM (SELECT l_suppkey, count(*) AS numwait FROM sole GROUP BY 1) c
+    JOIN supplier ON s_suppkey = l_suppkey
+    ORDER BY numwait DESC, s_suppkey LIMIT 25"""
+
   /** §2.10c Window-function suite: rank, dense_rank, ntile, lag/lead and
     * a running sum in ONE user-partitioned window pass — the breadth of
     * the SQL window surface on the deterministic (ts, event_id) order
@@ -1421,6 +1486,7 @@ object Queries {
     GraftQuery("q_dormant_cust", qTpchQ22, Some(oTpchQ22)),
     GraftQuery("q_big_orders", qTpchQ18, Some(oTpchQ18)),
     GraftQuery("q_late_priority", qTpchQ4, Some(oTpchQ4)),
+    GraftQuery("q_wait_chain", qTpchQ21, Some(oTpchQ21)),
     GraftQuery("q_topk_per_group", qTopkPerGroup, Some(oTopkPerGroup)),
     GraftQuery("q_range_filter", qRangeFilter, Some(oRangeFilter)),
     GraftQuery("q_time_bucket", qTimeBucket, Some(oTimeBucket)),

@@ -2472,6 +2472,127 @@ object QueriesText {
     FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri) t
     GROUP BY doc_id"""
 
+  /** §2.89b k-core decomposition of the near-dup graph (Matula & Beck
+    * peeling via [[Graph.kCorePeel]]): survivors of the 2-core with their
+    * within-core degree — the density diagnostic that separates cliquish
+    * dup CLUSTERS (all core) from chains/stars (empty 2-core), which is
+    * what sizes the §2.55 collapse work and picks its convergence path.
+    * Edges are the cheap sketch tier (§2.41b simhash pairs, Hamming ≤ 6 on
+    * the shared 10-bit block) so the whole query stays in the
+    * bucketed-pair cost class. Round count FIXED at [[KcoreRounds]] — the
+    * replayable-trainer discipline — and the oracle statically unrolls the
+    * same peel as one MATERIALIZED CTE pair per round (degree cut + edge
+    * filter); convergence at this round count is spec-asserted
+    * (peel(R) == peel(R+1) on the sf corpus), so the gate compares the
+    * true fixpoint, not a mid-peel state.
+    */
+  private val KcoreK = 2
+  private val KcoreRounds = 8
+  // Tight Hamming cut: the synthetic corpus is one dense near-dup blob at
+  // the §2.41b cut (3.6M pairs at sf0.1 — avg degree ~1400); ≤ 1 keeps the
+  // strong-dup edges (~128k) where core-vs-periphery is actual structure.
+  private val KcoreHam = 1
+
+  private def simhashPairEdges(s: SparkSession, dir: String, ham: Int): DataFrame = {
+    val sh = Text.simhash(docsW(s, dir), split(col("text"), " "), 30, Text.polyHash)
+      .select(col("doc_id"), col("simhash"), shiftright(col("simhash"), 20).as("blk"))
+      .localCheckpoint() // both pair sides share the signature table
+    sh.toDF("doc_a", "sim_a", "blk")
+      .join(sh.toDF("doc_b", "sim_b", "blk"), Seq("blk"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(bit_count(expr("sim_a ^ sim_b")) <= ham)
+      .select("doc_a", "doc_b")
+  }
+
+  private def qKcore(s: SparkSession, dir: String): DataFrame =
+    Graph.kCorePeel(simhashPairEdges(s, dir, KcoreHam), "doc_a", "doc_b",
+        KcoreK, KcoreRounds, df => df.localCheckpoint())
+      .select(col("id").as("doc_id"), col("core_deg"))
+
+  private val oKcore: String = {
+    val pairs = s"""
+    WITH th AS (
+      SELECT doc_id, list_transform(string_split(text, ' '), w -> ${duckPolyHash("w")}) AS th
+      FROM documents),
+    sh AS (
+      SELECT doc_id, ${duckSimhash("th", 30)} AS simhash FROM th),
+    p AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b
+        ON (a.simhash >> 20) = (b.simhash >> 20) AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= $KcoreHam),
+    e0 AS MATERIALIZED (
+      SELECT doc_a AS s, doc_b AS d FROM p
+      UNION ALL SELECT doc_b AS s, doc_a AS d FROM p)"""
+    val rounds = (1 to KcoreRounds).map { i =>
+      s""",
+    k$i AS MATERIALIZED (
+      SELECT s FROM e${i - 1} GROUP BY s HAVING count(*) >= $KcoreK),
+    e$i AS MATERIALIZED (
+      SELECT e.s, e.d FROM e${i - 1} e
+      JOIN k$i a ON e.s = a.s JOIN k$i b ON e.d = b.s)"""
+    }.mkString
+    pairs + rounds + s"""
+    SELECT s AS doc_id, count(*) AS core_deg
+    FROM e$KcoreRounds GROUP BY s HAVING count(*) >= $KcoreK"""
+  }
+
+  /** §2.90 Chi-squared feature selection ([[Text.chi2TokenClass]], Yang &
+    * Pedersen 1997): top-40 (token, source) association cells by the
+    * scaled integer χ² — the supervised step that picks the §2.83
+    * Naive-Bayes filter's vocabulary from data instead of a hand list.
+    * Statistic pinned as one integer division chain (identical floors both
+    * engines); degenerate all-doc tokens filtered; top-k by (χ² desc,
+    * token, source) via sort+limit → TakeOrderedAndProject.
+    */
+  private def qChi2Features(s: SparkSession, dir: String): DataFrame =
+    Text.chi2TokenClass(docs(s, dir), "doc_id", col("text"), "source")
+      .orderBy(col("chi2_micro").desc, col("token"), col("source"))
+      .limit(40)
+
+  private val oChi2Features = """
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    pres AS (SELECT DISTINCT source, doc_id,
+                    unnest(string_split(text, ' ')) AS token FROM documents),
+    cells AS (SELECT token, source, CAST(count(*) AS BIGINT) AS df_in
+              FROM pres WHERE token <> '' GROUP BY 1, 2),
+    tm AS (SELECT token, CAST(sum(df_in) AS BIGINT) AS df FROM cells GROUP BY 1),
+    cm AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+           FROM documents GROUP BY 1),
+    sc AS (
+      SELECT token, source, df_in, df, ns,
+             (df_in * (n - df - ns + df_in)
+              - (df - df_in) * (ns - df_in)) AS delta, n
+      FROM cells JOIN tm USING (token) JOIN cm USING (source) CROSS JOIN nn
+      WHERE df < n)
+    SELECT token, source, df_in, df, ns,
+           ((((delta * delta) // df) // (n - df)) * n * 1000000)
+             // ns // (n - ns) AS chi2_micro
+    FROM sc
+    ORDER BY chi2_micro DESC, token, source LIMIT 40"""
+
+  /** §2.91 Inverted-index posting blocks ([[Text.postingsIndex]], the
+    * Lucene/ES doc-routed index-build shape): every (term, doc-id block)
+    * with posting count, min/max doc (skip pointers), id sum and mixed-XOR
+    * checksum — the whole index hash-compared cell by cell. Block width 64
+    * ids; one explode + one map-side-combined aggregate, stopword postings
+    * split across blocks (no reducer skew), boolean retrieval becomes a
+    * co-partitioned per-block merge.
+    */
+  private def qPostings(s: SparkSession, dir: String): DataFrame =
+    Text.postingsIndex(docsW(s, dir), "doc_id", col("text"), 64L)
+
+  private val oPostings = """
+    WITH pres AS (SELECT DISTINCT doc_id,
+                         unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+    SELECT term, doc_id // 64 AS block, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           CAST(sum(doc_id) AS BIGINT) AS idsum,
+           bit_xor(doc_id * 2654435761) AS xsum
+    FROM pres WHERE term <> ''
+    GROUP BY 1, 2"""
+
   /** §2.55c Quality-ranked canonical selection ("keep best", new r9): the
     * production answer to "WHICH copy survives" — every §2.55-style keeper
     * so far is the min id (arbitrary); real pipelines keep the best-quality
@@ -4787,6 +4908,9 @@ object QueriesText {
     GraftQuery("q_seasonal_anomaly", qSeasonalAnomaly, Some(oSeasonalAnomaly)),
     GraftQuery("q_distinct_setops", qDistinctSetops, Some(oDistinctSetops)),
     GraftQuery("q_triangles", qTriangles, Some(oTriangles)),
+    GraftQuery("q_kcore", qKcore, Some(oKcore)),
+    GraftQuery("q_chi2_features", qChi2Features, Some(oChi2Features)),
+    GraftQuery("q_postings", qPostings, Some(oPostings)),
     GraftQuery("q_range_plan", qRangePlan, Some(oRangePlan)),
     GraftQuery("q_source_overlap", qSourceOverlap, Some(oSourceOverlap)),
     GraftQuery("q_analyze_stats", qAnalyzeStats, Some(oAnalyzeStats)),

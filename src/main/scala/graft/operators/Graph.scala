@@ -180,6 +180,65 @@ object Graph {
     ranks
   }
 
+  /** Fixed-round k-core peel (Matula & Beck 1983 degeneracy peeling, the
+    * distributed round form): repeatedly delete every node of degree < k;
+    * the fixpoint is the k-core — the maximal subgraph where every member
+    * keeps ≥ k neighbors INSIDE the subgraph. Density classes that pair
+    * counts can't see fall out directly: a near-dup CHAIN has an empty
+    * 2-core while a clique of the same edge count is all core — the
+    * diagnostic that picks the §2.55 convergence path and sizes the
+    * cluster-collapse work.
+    *
+    * Round count is FIXED (no convergence probe) so a SQL oracle can
+    * statically unroll the peel — the pageRankInt / BPE replayable-trainer
+    * discipline; convergence on real data is asserted by spec (peel(R) ==
+    * peel(R+1)), and an unconverged R-round peel is still a well-defined
+    * (and identically replayed) over-approximation of the core. Returns
+    * `(id, core_deg)` — surviving nodes with their within-core degree.
+    *
+    * Scale shape: each round is one degree rollup (src-keyed,
+    * map-side-combinable) and two semi-joins filtering the edge list on
+    * its endpoints — all linear in the CURRENT edge count, which only
+    * shrinks; lineage is flattened per round via `ckpt` (the
+    * connectedComponents contract: localCheckpoint for bench, reliable
+    * checkpoint for clusters). The only driver traffic is one edge-count
+    * scalar per round, which also powers a semantics-preserving early
+    * exit (see the loop comment).
+    */
+  def kCorePeel(edges: DataFrame, a: String, b: String, k: Int, rounds: Int,
+                ckpt: DataFrame => DataFrame): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val fwd = edges.where(col(a) =!= col(b))
+      .select(col(a).as("src"), col(b).as("dst"))
+    var e = ckpt(fwd
+      .union(edges.where(col(a) =!= col(b))
+        .select(col(b).as("src"), col(a).as("dst")))
+      .distinct())
+    // Early exit on the monotone edge-count probe: a round that removes no
+    // edge leaves the degree table — and therefore every later round —
+    // identical, so stopping is EXACTLY the fixed-`rounds` result (what the
+    // unrolled oracle computes) without paying the dead rounds. The driver
+    // sees one edge-count scalar per round (the precedented stat pattern);
+    // counts strictly decrease while peeling is active.
+    var prevCount = e.count()
+    var round = 0
+    var fixed = prevCount == 0L
+    while (round < rounds && !fixed) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+        .where(col("_d") >= k).select(col("src").as("_n"))
+      e = ckpt(e
+        .join(keep.select(col("_n").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("_n").as("dst")), Seq("dst"), "left_semi"))
+      val m = e.count()
+      fixed = m == prevCount
+      prevCount = m
+      round += 1
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .where(col("core_deg") >= k)
+      .select(col("src").as("id"), col("core_deg"))
+  }
+
   /** Weighted label propagation — community detection (Raghavan et al.
     * 2007 LPA), DETERMINIZED so a SQL oracle can replay every round
     * exactly: synchronized updates for a FIXED round count (no

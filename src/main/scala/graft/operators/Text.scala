@@ -1584,4 +1584,96 @@ object Text {
     */
   def bpeTokenCount(state: Column): Column =
     (length(state) - length(replace(state, lit(BpeSep), lit("")))).cast("long")
+
+  /** Chi-squared (token, class) association — the classic supervised
+    * feature-selection statistic (Yang & Pedersen 1997; the step that
+    * picks discriminative vocabulary for the §2.83 Naive-Bayes domain
+    * filter instead of hand-pinning its term list). One-vs-rest on
+    * DOCUMENT-level presence: for token w and class s, the 2×2 table is
+    * a = docs of s containing w, b = other docs containing w, c = docs of
+    * s without w, d = the rest; χ² = n(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)).
+    *
+    * Cross-engine exactness: the statistic is computed as a PINNED chain
+    * of integer operations — delta² floor-divided by the token margins
+    * first, then scaled by n·10⁶ and divided by the class margins —
+    * identical floors on both engines (ranking statistics tolerate the
+    * floors; what matters is both engines cut the same top-k). Degenerate
+    * margins (df = n: a token in every document) are filtered — their χ²
+    * is undefined and the token carries no signal. Magnitudes: delta² ≤
+    * (df·(n−df))², and the two leading divisions bring the operand under
+    * df·(n−df) ≤ n²/4 before the n·10⁶ scale — BIGINT-safe through
+    * n ~ 10⁵ corpora; at web scale swap the scale step for a pre-division
+    * (the floors stay deterministic either way).
+    *
+    * Scale shape: presence counts are one explode → (token, class)
+    * map-side-combined aggregate; token margins are a token-keyed rollup
+    * of THOSE cells (vocabulary-sized, never corpus-sized); class margins
+    * are a class-cardinality dim (broadcast). Returns every (token, class)
+    * cell with its scaled statistic; callers top-k via sort+limit
+    * (TakeOrderedAndProject — the keywordRank discipline).
+    */
+  def chi2TokenClass(df: DataFrame, id: String, text: Column,
+                     classCol: String): DataFrame = {
+    val n = df.count() // driver scalar (corpus size), precedented
+    require(n > 0, "chi2TokenClass: empty corpus")
+    val pres = df.select(col(classCol).as("_cls"), col(id),
+        explode(array_distinct(split(text, " "))).as("token"))
+      .where(col("token") =!= "")
+    val cells = pres.groupBy(col("token"), col("_cls"))
+      .agg(count(lit(1)).as("df_in"))
+    val tokMargin = cells.groupBy(col("token")).agg(sum(col("df_in")).as("df"))
+    val clsMargin = df.groupBy(col(classCol).as("_cls"))
+      .agg(count(lit(1)).as("ns"))
+    cells
+      .join(tokMargin, "token")
+      .join(broadcast(clsMargin), "_cls")
+      .where(col("df") < n) // degenerate margin: in every doc
+      .withColumn("_delta",
+        col("df_in") * (lit(n) - col("df") - col("ns") + col("df_in"))
+          - (col("df") - col("df_in")) * (col("ns") - col("df_in")))
+      .withColumn("chi2_micro",
+        expr(s"((((_delta * _delta) div df) div (${n}L - df)) * ${n}L * 1000000L)" +
+          s" div ns div (${n}L - ns)"))
+      .select(col("token"), col("_cls").as(classCol), col("df_in"), col("df"),
+        col("ns"), col("chi2_micro"))
+  }
+
+  /** Doc-partitioned inverted-index posting blocks — the Lucene/ES routing
+    * shape (each shard owns a doc-id range; every term's postings shard
+    * WITH the documents): posting lists are split into fixed-width doc-id
+    * blocks (`block = doc_id div blockDocs`), and each (term, block) row
+    * carries the block's posting stats — count, min/max doc (the
+    * skip-pointer pair that lets boolean retrieval seek past
+    * non-overlapping blocks), an id sum and a mixed XOR checksum (both
+    * order-independent integer folds, so the whole index is
+    * hash-comparable across engines without materializing a single sorted
+    * list).
+    *
+    * Scale shape: ONE explode → ONE (term, block) aggregate with map-side
+    * combine — no windows, no per-term sort. The block key is what kills
+    * the two classic index-build hazards at 100 TB: a stopword's 10⁹-doc
+    * posting list lands on ONE reducer if keyed by term alone, but splits
+    * across n/blockDocs keys here; and block-local postings mean boolean
+    * AND/OR retrieval is a co-partitioned per-block merge join (term A's
+    * block k joins term B's block k — both live in the same doc-id range),
+    * never a corpus-wide posting intersection. Delta-encoding note: the
+    * within-block gap sum telescopes to max−min, so (n_docs, min, max)
+    * already bounds the encoded block size a compressed index would write.
+    */
+  def postingsIndex(df: DataFrame, id: String, text: Column,
+                    blockDocs: Long): DataFrame = {
+    require(blockDocs >= 1)
+    df.select(col(id).as("_doc"),
+        explode(array_distinct(split(text, " "))).as("term"))
+      .where(col("term") =!= "")
+      .withColumn("block", expr(s"_doc div ${blockDocs}L"))
+      .groupBy(col("term"), col("block"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("_doc")).as("min_doc"),
+        max(col("_doc")).as("max_doc"),
+        sum(col("_doc")).as("idsum"),
+        // Knuth-multiplier mix before the XOR so near-sequential ids
+        // don't cancel structurally (the §2.62 hllMix lesson, cheap form)
+        expr("bit_xor(_doc * 2654435761L)").as("xsum"))
+  }
 }

@@ -323,6 +323,74 @@ class TextOpSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+class FeatureSelectSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.Text
+
+  test("chi2TokenClass matches a naive Scala replay of the pinned integer chain") {
+    val corpus = Seq(
+      (1L, "A", "x x y"), (2L, "A", "x z"), (3L, "A", "y x"),
+      (4L, "B", "y z"), (5L, "B", "z w"), (6L, "B", "z z y"))
+    val got = Text.chi2TokenClass(corpus.toDF("doc_id", "cls", "text"),
+        "doc_id", col("text"), "cls")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    // independent path: plain Scala collections, same pinned floors
+    val n = corpus.size.toLong
+    val pres = corpus.flatMap { case (_, c, t) =>
+      t.split(" ").distinct.map(w => (w, c)) }
+    val cells = pres.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val dfTok = cells.groupBy(_._1._1).map { case (w, g) => w -> g.values.sum }
+    val nsCls = corpus.groupBy(_._2).map { case (c, g) => c -> g.size.toLong }
+    val want = cells.collect { case ((w, c), a) if dfTok(w) < n =>
+      val df = dfTok(w); val ns = nsCls(c)
+      val delta = a * (n - df - ns + a) - (df - a) * (ns - a)
+      val chi2 = delta * delta / df / (n - df) * n * 1000000L / ns / (n - ns)
+      (w, c) -> (a, df, ns, chi2)
+    }
+    assert(got == want, s"got $got\nwant $want")
+    // discriminative sanity: x lives only in A, w only in B — both must
+    // outrank y (present everywhere but one doc each side)
+    assert(got(("x", "A"))._4 > got(("y", "A"))._4)
+    assert(got(("w", "B"))._4 > got(("y", "B"))._4)
+  }
+
+  test("chi2TokenClass drops all-document tokens and scores symmetrically") {
+    val corpus = Seq((1L, "A", "c p"), (2L, "A", "c p"),
+      (3L, "B", "c q"), (4L, "B", "c q"))
+    val got = Text.chi2TokenClass(corpus.toDF("doc_id", "cls", "text"),
+        "doc_id", col("text"), "cls")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(!got.exists(_._1 == "c"), "token in every doc must be filtered")
+    // p↔A and q↔B are the same perfect 2x2 table: identical chi2
+    val byTok = got.map(r => (r._1, r._2) -> r._6).toMap
+    assert(byTok(("p", "A")) == byTok(("q", "B")))
+    assert(byTok(("p", "A")) == 4L * 1000000L, // delta=4, margins all 2: 16/2/2*4*1e6/2/2
+      s"perfect association must hit the exact closed form: $byTok")
+  }
+
+  test("postingsIndex blocks split hot terms and checksums match a naive replay") {
+    val docs = (0L until 300L).map { i =>
+      val rare = if (i % 97 == 0) " rare" else ""
+      (i, s"common tok$i$rare")
+    }
+    val got = Text.postingsIndex(docs.toDF("doc_id", "text"),
+        "doc_id", col("text"), 64L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6, r._7)).toMap
+    // the stopword splits into ceil(300/64)=5 blocks — no single posting row
+    assert(got.keys.count(_._1 == "common") == 5)
+    val naive = docs.flatMap { case (id, t) => t.split(" ").distinct.map(_ -> id) }
+      .groupBy { case (w, id) => (w, id / 64L) }
+      .map { case (k, g) =>
+        val ids = g.map(_._2)
+        k -> (ids.size.toLong, ids.min, ids.max, ids.sum,
+          ids.map(_ * 2654435761L).reduce(_ ^ _))
+      }
+    assert(got == naive)
+  }
+}
+
 class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
@@ -1371,6 +1439,53 @@ class GraphOpSpec extends AnyFunSuite with SparkFixture {
         maxIter = 3, reliableCheckpoint = true)
       .as[(Long, Long)].collect().toMap
     assert(comp.values.toSet == Set(0L) && comp.keySet.size == 30)
+  }
+
+  test("kCorePeel: chains dissolve, cliques survive whole, lollipop keeps only its head") {
+    val ck: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.localCheckpoint()
+    // pure chain: 2-core is EMPTY (peeling eats it from both ends)
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(Graph.kCorePeel(chain.toDF("a", "b"), "a", "b", 2, 12, ck).isEmpty)
+    // 5-clique: everything survives even the 4-core, degree 4 each
+    val clique = for (i <- 0L until 5L; j <- (i + 1) until 5L) yield (i, j)
+    val c4 = Graph.kCorePeel(clique.toDF("a", "b"), "a", "b", 4, 6, ck)
+      .as[(Long, Long)].collect().toMap
+    assert(c4 == (0L until 5L).map(_ -> 4L).toMap)
+    // lollipop: clique + pendant chain — the 2-core is exactly the clique
+    val lolli = clique ++ Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val c2 = Graph.kCorePeel(lolli.toDF("a", "b"), "a", "b", 2, 8, ck)
+      .as[(Long, Long)].collect().toMap
+    assert(c2.keySet == (0L until 5L).toSet, s"2-core must be the clique: $c2")
+    assert(c2(4L) == 4L && c2(0L) == 4L, "within-core degrees exclude the chain")
+  }
+
+  test("kCorePeel: fixed catalog round count reaches the fixpoint on the sf corpus") {
+    // q_kcore unrolls KcoreRounds=8 rounds in its oracle; the result it
+    // gates must be the CONVERGED 2-core, not a mid-peel state — assert
+    // peel(8) == peel(9) on simhash pair edges of the sf corpus (the
+    // DENSER ≤6 cut: more peel work than the catalog's ≤1 graph), and
+    // partition-invariance of the peel while here.
+    val docs = Tables.documentsSpread(spark, "/root/testdata/sf0.001")
+    val sh = graft.operators.Text.simhash(docs,
+        org.apache.spark.sql.functions.split(col("text"), " "), 30,
+        graft.operators.Text.polyHash)
+      .select(col("doc_id"), col("simhash"),
+        org.apache.spark.sql.functions.shiftright(col("simhash"), 20).as("blk"))
+      .localCheckpoint()
+    val pairs = sh.toDF("doc_a", "sim_a", "blk")
+      .join(sh.toDF("doc_b", "sim_b", "blk"), Seq("blk"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(org.apache.spark.sql.functions.bit_count(expr("sim_a ^ sim_b")) <= 6)
+      .select("doc_a", "doc_b")
+    def peel(rounds: Int, parts: Int) =
+      Graph.kCorePeel(pairs.repartition(parts), "doc_a", "doc_b", 2, rounds,
+          _.localCheckpoint())
+        .as[(Long, Long)].collect().sorted.toSeq
+    val r8 = peel(8, 4)
+    assert(r8 == peel(9, 4), "8 rounds must already be the fixpoint")
+    assert(r8 == peel(8, 13), "peel result changed under input repartitioning")
+    assert(r8.nonEmpty, "sf0.001 near-dup graph should carry a non-empty 2-core")
   }
 
   test("integer PageRank: hub of a star outranks leaves, exactly reproducibly") {
