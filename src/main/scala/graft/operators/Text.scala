@@ -1676,4 +1676,27 @@ object Text {
         // don't cancel structurally (the §2.62 hllMix lesson, cheap form)
         expr("bit_xor(_doc * 2654435761L)").as("xsum"))
   }
+
+  /** Incremental posting-index maintenance: merge per-batch
+    * [[postingsIndex]] outputs into the index of their union. Every cell
+    * stat is ABELIAN — count and id-sum add, min/max meet, the mixed XOR
+    * checksum xors — so merge(rebuild(A), rebuild(B)) == rebuild(A ∪ B)
+    * exactly (spec-asserted), which is what makes index upkeep at ingest
+    * DELTA-sized: each new commit contributes its own posting cells and
+    * one (term, block)-keyed merge, the 100 TB corpus is never re-indexed
+    * (the §2.77 incremental-refresh / §2.86b streaming-MV semilattice
+    * discipline applied to the index). Requires doc-DISJOINT parts — the
+    * append-only ingest invariant (a re-ingested doc would double-count);
+    * the §2.61 bloom anti-join is the standing guard for that upstream.
+    */
+  def mergePostings(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty)
+    parts.reduce(_ unionByName _)
+      .groupBy(col("term"), col("block"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        min(col("min_doc")).as("min_doc"),
+        max(col("max_doc")).as("max_doc"),
+        sum(col("idsum")).as("idsum"),
+        expr("bit_xor(xsum)").as("xsum"))
+  }
 }

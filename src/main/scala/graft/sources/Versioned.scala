@@ -76,6 +76,89 @@ object Versioned {
     spark.read.parquet(batches: _*)
   }
 
+  // -------------------------------------------------------------------
+  // Per-batch column statistics + manifest-level data skipping — the
+  // second half of what makes a lakehouse manifest load-bearing at
+  // 100 TB: version resolution is O(1) metadata (above), and BATCH
+  // PRUNING makes a selective read touch only the commits whose value
+  // range can match, before Spark ever lists a data file. (Delta/Iceberg
+  // record per-FILE stats lifted from parquet footers at write time;
+  // the per-batch sidecar here is the same mechanism at commit
+  // granularity — each commit's batch is the skip unit — and per-file
+  // stats compose on top of it unchanged.)
+  // -------------------------------------------------------------------
+
+  private def statsPath(dir: String, batch: String) =
+    Paths.get(dir, s"stats-$batch.txt")
+
+  /** Commit with per-batch min/max bounds for `statsCols` (BIGINT columns —
+    * the dominant prune keys: event time, ids, z-order keys) written to a
+    * sidecar next to the manifest. The stats agg is one narrow columnar
+    * pass over the just-written batch (a production writer lifts the same
+    * numbers from the parquet footers it just produced — zero extra I/O;
+    * the sidecar layout is identical either way). Readers without the
+    * sidecar, and columns without stats, are handled conservatively by
+    * [[readPruned]]. Returns the new version.
+    */
+  def commitWithStats(df: DataFrame, dir: String, statsCols: Seq[String],
+                      overwrite: Boolean = false): Int = {
+    val v = commit(df, dir, overwrite)
+    val batch = f"batch-$v%06d"
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{col, max, min}
+    val written = spark.read.parquet(s"$dir/$batch")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c).cast("long")).as(s"mn_$c"),
+        max(col(c).cast("long")).as(s"mx_$c")))
+    val row = written.agg(aggs.head, aggs.tail: _*).head()
+    val lines = statsCols.zipWithIndex.collect {
+      case (c, i) if !row.isNullAt(2 * i) =>
+        s"$c\t${row.getLong(2 * i)}\t${row.getLong(2 * i + 1)}"
+    }
+    Files.write(statsPath(dir, batch), lines.mkString("\n").getBytes("UTF-8"))
+    v
+  }
+
+  /** Batch bounds for one version: batch → (col → (min, max)); batches
+    * with no sidecar map to an empty bound set (read conservatively).
+    */
+  def batchStats(dir: String, version: Int = -1)
+      : Seq[(String, Map[String, (Long, Long)])] = {
+    val v = if (version < 0) currentVersion(dir) else version
+    require(v >= 0, s"Versioned: empty table at $dir")
+    readManifest(dir, v).map { b =>
+      val p = statsPath(dir, b)
+      val m =
+        if (!Files.exists(p)) Map.empty[String, (Long, Long)]
+        else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+          val Array(c, mn, mx) = line.split("\t")
+          c -> (mn.toLong, mx.toLong)
+        }.toMap
+      b -> m
+    }
+  }
+
+  /** Snapshot read pruned to the batches whose `[min, max]` bounds on
+    * `column` can intersect `[lo, hi]` — manifest-level data skipping.
+    * Skipping is a SUPERSET guarantee: the caller still applies the row
+    * predicate; batches without stats for `column` are always read. When
+    * every batch is skippable the result is an empty frame with the
+    * table's schema (resolved from version metadata, not a full scan).
+    */
+  def readPruned(spark: SparkSession, dir: String, column: String,
+                 lo: Long, hi: Long, version: Int = -1): DataFrame = {
+    val stats = batchStats(dir, version)
+    val keep = stats.collect {
+      case (b, m) if m.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi } =>
+        s"$dir/$b"
+    }
+    if (keep.isEmpty) {
+      val schema = spark.read.parquet(s"$dir/${stats.head._1}").schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    } else spark.read.parquet(keep: _*)
+  }
+
   /** Drop all manifests older than `keepVersions` back from the latest,
     * then delete every batch directory no surviving manifest references.
     * Returns the deleted batch dirs. Batches referenced by ANY kept
@@ -97,6 +180,7 @@ object Versioned {
       val p = Paths.get(dir, b)
       Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(f => Files.delete(f))
+      Files.deleteIfExists(statsPath(dir, b)) // sidecar dies with its batch
     }
     dead.map(b => s"$dir/$b")
   }

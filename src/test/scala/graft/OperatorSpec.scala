@@ -389,6 +389,55 @@ class FeatureSelectSpec extends AnyFunSuite with SparkFixture {
       }
     assert(got == naive)
   }
+
+  test("mergePostings of doc-disjoint parts equals the full rebuild exactly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def build(df: org.apache.spark.sql.DataFrame) =
+      Text.postingsIndex(df, "doc_id", col("text"), 16L)
+    val parts = Seq(0, 1, 2).map(r => build(docs.where(col("doc_id") % 3 === r)))
+    val merged = Text.mergePostings(parts: _*)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val full = build(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(merged == full, "abelian cell merge must equal the one-shot index")
+    assert(full.nonEmpty)
+  }
+
+  test("streaming index upkeep: per-micro-batch mergePostings equals the full rebuild") {
+    // the ingest-time form of the merge==rebuild property: each micro-batch
+    // contributes its delta-sized posting cells, the running index rolls
+    // forward per batch (the §2.86b streaming-MV semilattice loop), and the
+    // stream's final index is bit-identical to one-shot indexing the corpus
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_postings_s").toString
+    val input = MemoryStream[(Long, String)]
+    var index: Option[org.apache.spark.sql.DataFrame] = None
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$ckpt/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = Text.postingsIndex(batch, "doc_id", col("text"), 16L)
+          .localCheckpoint()
+        index = Some(index
+          .map(i => Text.mergePostings(i, delta).localCheckpoint())
+          .getOrElse(delta))
+      }
+      .start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { g =>
+        input.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = index.get
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val oneShot = Text.postingsIndex(docs, "doc_id", col("text"), 16L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed == oneShot)
+  }
 }
 
 class SimilarityOpSpec extends AnyFunSuite with SparkFixture {

@@ -68,6 +68,54 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("manifest-stats data skipping: selective reads touch only matching batches") {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    // three commits with disjoint doc_id ranges — the time/id-ordered
+    // ingest pattern whose batch bounds manifest pruning exploits
+    val lo = d.where(col("doc_id") < 15)
+    val mid = d.where(col("doc_id") >= 15 && col("doc_id") < 30)
+    val hi = d.where(col("doc_id") >= 30)
+    Versioned.commitWithStats(lo, dir, Seq("doc_id"))
+    Versioned.commitWithStats(mid, dir, Seq("doc_id"))
+    Versioned.commitWithStats(hi, dir, Seq("doc_id"))
+
+    // point-range read: only the middle batch's files are ever listed
+    val pruned = Versioned.readPruned(spark, dir, "doc_id", 18L, 22L)
+    assert(pruned.inputFiles.forall(_.contains("batch-000001")),
+      s"prune must keep only the middle batch: ${pruned.inputFiles.toSeq}")
+    // skipping is a superset guarantee: after the row predicate, equality
+    val full = Versioned.read(spark, dir)
+      .where(col("doc_id").between(18, 22))
+    assert(ids(pruned.where(col("doc_id").between(18, 22))) == ids(full))
+    assert(ids(full).nonEmpty, "test range must be non-trivial")
+
+    // nothing matches -> zero files read, schema preserved
+    val none = Versioned.readPruned(spark, dir, "doc_id", 100000L, 200000L)
+    assert(none.inputFiles.isEmpty && none.count() == 0)
+    assert(none.schema == pruned.schema)
+
+    // a batch committed WITHOUT stats is read conservatively
+    Versioned.commit(d.where(col("doc_id") === 3), dir)
+    val cons = Versioned.readPruned(spark, dir, "doc_id", 18L, 22L)
+    assert(cons.inputFiles.exists(_.contains("batch-000003")),
+      "stats-less batch must always be read")
+    // ...and an unknown column prunes nothing
+    val unk = Versioned.readPruned(spark, dir, "n_chars", 0L, 1L)
+    assert(unk.inputFiles.length ==
+      Versioned.read(spark, dir).inputFiles.length)
+
+    // vacuum removes dead batches' sidecars with them
+    Versioned.commit(hi.repartition(1), dir, overwrite = true)
+    Versioned.vacuum(dir, keepVersions = 1)
+    val sidecars = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(sidecars)
+      .asScala.map(_.getFileName.toString).toSet
+    assert(!names.exists(_.startsWith("stats-batch-000000")),
+      s"vacuumed batch kept its sidecar: $names")
+  }
+
   test("vacuum drops only unreferenced batches; kept versions stay readable") {
     val d = Tables.documents(spark, sfDir).select("doc_id")
     val dir = java.nio.file.Files.createTempDirectory("graft_ver2").toString
