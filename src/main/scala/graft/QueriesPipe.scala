@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Similarity, Text}
+import graft.operators.{Similarity, Text, TimeSeries}
 
 /** Group H — semi-structured extraction, privacy audit, integer time-series
   * smoothing / gap-fill, CCNet-style perplexity bucketing, and corpus
@@ -139,6 +139,84 @@ object QueriesPipe {
              (acc, c) -> CASE WHEN acc < 0 THEN c
                          ELSE (c + 3 * acc) // 4 END) AS ewma_cents
     FROM g"""
+
+  /** §2.92 Holt-Winters double-exponential smoothing (Holt 1957) — the
+    * level+trend forecaster one tier up from §2.82's EWMA (which tracks
+    * level only and permanently lags a trending series). Per priority, the
+    * MONTHLY order-revenue series folds through the coupled recurrence
+    *   l' = (x + 3(l+b)) >> 2        (α = 1/4)
+    *   b' = ((l' − l) + 3b) >> 2     (β = 1/4)
+    * with a one-step-ahead backtest accumulated in the same pass (sae =
+    * Σ|x − (l+b)| from the second observation). ALL integer: cents in,
+    * power-of-2 smoothing as ARITHMETIC SHIFTS — the one integer-division
+    * form that floors on BOTH engines for the negative values a trend
+    * takes (Spark `div` and DuckDB `//` both truncate toward zero;
+    * `shiftright`/`>>` both floor — mixing the families flips results at
+    * negative trends).
+    *
+    * Scale shape: the fold input is the per-(key, month) AGGREGATE, so the
+    * collected series is span-bounded (~10² months per key — the q_ewma
+    * boundedness argument), never order-sized; everything upstream is one
+    * map-side-combined rollup. The unbounded-stream form of the same
+    * recurrence is EwmaStream's mapGroupsWithState shape with (l, b) state.
+    *
+    * Oracle: a RECURSIVE CTE replays the recurrence row by row. The
+    * list_reduce form q_ewma uses is NOT available here: DuckDB 1.0's
+    * list_reduce with a STRUCT accumulator aliases acc-field references to
+    * their post-update values (observed: every acc.x read in the lambda
+    * sees the NEW x regardless of field order — fine for a scalar
+    * accumulator, silently wrong for any multi-field recurrence; recorded
+    * in CLAUDE.md).
+    */
+  private def qHoltWinters(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).cast("long").as("_y"),
+        month(col("o_orderdate")).cast("long").as("_m"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("_cents"))
+      .groupBy(col("priority"), col("_y"), col("_m"))
+      .agg(sum(col("_cents")).as("_c"))
+      .groupBy(col("priority"))
+      .agg(array_sort(collect_list(struct(col("_y"), col("_m"), col("_c"))))
+        .as("_ser"))
+      .select(col("priority"),
+        size(col("_ser")).cast("long").as("n_months"),
+        TimeSeries.holtWintersFold("_ser").as("_hw"))
+      .select(col("priority"), col("n_months"),
+        col("_hw.l").as("level_cents"), col("_hw.b").as("trend_cents"),
+        (col("_hw.l") + col("_hw.b")).as("forecast_cents"),
+        expr("CASE WHEN _hw.n > 1 THEN _hw.sae * 1000L div (_hw.n - 1) " +
+          "ELSE 0L END").as("mae_milli"))
+
+  private val oHoltWinters = """
+    WITH RECURSIVE monthly AS MATERIALIZED (
+      SELECT o_orderpriority AS priority,
+             CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS c
+      FROM orders GROUP BY 1, 2, 3),
+    idx AS MATERIALIZED (
+      SELECT priority, c,
+             row_number() OVER (PARTITION BY priority ORDER BY y, m) AS i,
+             count(*) OVER (PARTITION BY priority) AS n_tot
+      FROM monthly),
+    st AS (
+      SELECT priority, i, c AS l, CAST(0 AS BIGINT) AS b,
+             CAST(0 AS BIGINT) AS sae, n_tot
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT e.priority, e.i,
+             (e.c + 3 * (s.l + s.b)) >> 2,
+             (((e.c + 3 * (s.l + s.b)) >> 2) - s.l + 3 * s.b) >> 2,
+             s.sae + abs(e.c - (s.l + s.b)),
+             s.n_tot
+      FROM st s JOIN idx e ON e.priority = s.priority AND e.i = s.i + 1)
+    SELECT priority, CAST(n_tot AS BIGINT) AS n_months, l AS level_cents,
+           b AS trend_cents, l + b AS forecast_cents,
+           CASE WHEN n_tot > 1 THEN sae * 1000 // (n_tot - 1)
+                ELSE 0 END AS mae_milli
+    FROM st WHERE i = n_tot"""
 
   // ---------------------------------------------------------------------------
   // §2.83 Calendar gap-fill with LOCF (last observation carried forward)
@@ -816,6 +894,7 @@ object QueriesPipe {
     GraftQuery("q_json_extract", qJsonExtract, Some(oJsonExtract)),
     GraftQuery("q_k_anon", qKAnon, Some(oKAnon)),
     GraftQuery("q_ewma", qEwma, Some(oEwma)),
+    GraftQuery("q_holt_winters", qHoltWinters, Some(oHoltWinters)),
     GraftQuery("q_gapfill", qGapfill, Some(oGapfill)),
     GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(oCcnetBuckets)),
     GraftQuery("q_benford", qBenford, Some(oBenford)),

@@ -2582,6 +2582,34 @@ object QueriesText {
   private def qPostings(s: SparkSession, dir: String): DataFrame =
     Text.postingsIndex(docsW(s, dir), "doc_id", col("text"), 64L)
 
+  /** §2.91b Boolean retrieval THROUGH the posting index ([[Text
+    * .postingsLists]]): doc_ids matching `scan AND data AND NOT slow`,
+    * answered entirely from posting cells — the AND is a left-semi join
+    * and the NOT a left-anti join, both on (block, doc_id), i.e.
+    * CO-PARTITIONED with the index layout: term A's block k only ever
+    * meets term B's block k (same doc-id range), so at 100 TB each block
+    * pair is a narrow merge and a stopword in the query can't serialize
+    * onto one reducer. The oracle answers the same boolean from the raw
+    * text — index-based retrieval must equal the scan-based truth.
+    */
+  private def qBoolBlocks(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("scan", "data", "slow")
+    val pl = Text.postingsLists(docsW(s, dir), "doc_id", col("text"), 64L, terms)
+      .localCheckpoint() // three shards of one index build
+    def shard(t: String) = pl.where(col("term") === t)
+      .select(col("block"), explode(col("ids")).as("doc_id"))
+    shard("scan")
+      .join(shard("data"), Seq("block", "doc_id"), "left_semi")
+      .join(shard("slow"), Seq("block", "doc_id"), "left_anti")
+  }
+
+  private val oBoolBlocks = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id // 64 AS block, doc_id
+    FROM t
+    WHERE list_contains(ws, 'scan') AND list_contains(ws, 'data')
+      AND NOT list_contains(ws, 'slow')"""
+
   private val oPostings = """
     WITH pres AS (SELECT DISTINCT doc_id,
                          unnest(string_split(text, ' ')) AS term
@@ -4911,6 +4939,7 @@ object QueriesText {
     GraftQuery("q_kcore", qKcore, Some(oKcore)),
     GraftQuery("q_chi2_features", qChi2Features, Some(oChi2Features)),
     GraftQuery("q_postings", qPostings, Some(oPostings)),
+    GraftQuery("q_bool_blocks", qBoolBlocks, Some(oBoolBlocks)),
     GraftQuery("q_range_plan", qRangePlan, Some(oRangePlan)),
     GraftQuery("q_source_overlap", qSourceOverlap, Some(oSourceOverlap)),
     GraftQuery("q_analyze_stats", qAnalyzeStats, Some(oAnalyzeStats)),

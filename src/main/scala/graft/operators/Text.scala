@@ -1677,6 +1677,25 @@ object Text {
         expr("bit_xor(_doc * 2654435761L)").as("xsum"))
   }
 
+  /** Posting LISTS for a bounded term set — the materialized-index
+    * complement of [[postingsIndex]]'s stats rows: per (term, doc-block),
+    * the sorted doc-id list itself, bounded by the block width (≤
+    * blockDocs ids per cell, whatever the term's corpus frequency — the
+    * same skew argument as the stats form). The term filter is pushed
+    * below the aggregate so an n-term query reads n posting shards, not
+    * the corpus vocabulary.
+    */
+  def postingsLists(df: DataFrame, id: String, text: Column,
+                    blockDocs: Long, terms: Seq[String]): DataFrame = {
+    require(blockDocs >= 1 && terms.nonEmpty)
+    df.select(col(id).as("_doc"),
+        explode(array_distinct(split(text, " "))).as("term"))
+      .where(col("term").isin(terms: _*))
+      .withColumn("block", expr(s"_doc div ${blockDocs}L"))
+      .groupBy(col("term"), col("block"))
+      .agg(sort_array(collect_list(col("_doc"))).as("ids"))
+  }
+
   /** Incremental posting-index maintenance: merge per-batch
     * [[postingsIndex]] outputs into the index of their union. Every cell
     * stat is ABELIAN — count and id-sum add, min/max meet, the mixed XOR

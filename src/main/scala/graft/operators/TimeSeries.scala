@@ -204,4 +204,28 @@ object TimeSeries {
         col("a_start") <= col("b_end") && col("b_start") <= col("a_end") && joinPred)
       .drop("_bkt", "_bktb")
   }
+
+  /** Holt-Winters double-exponential fold (Holt 1957; α = β = 1/4) over a
+    * SORTED series array whose elements carry the observation in a `_c`
+    * field — returns a struct (l, b, sae, n): final level, final trend, the
+    * one-step-ahead backtest Σ|x − (l+b)| from the second observation, and
+    * the series length. ALL integer; the smoothing divisions are ARITHMETIC
+    * SHIFTS because the trend goes negative and `shiftright`/DuckDB `>>`
+    * both FLOOR where Spark `div`/DuckDB `//` both truncate — mixing the
+    * families flips results at negative trends. Exposed as an expression
+    * builder so the catalog query and property specs share one fold.
+    */
+  def holtWintersFold(serCol: String): org.apache.spark.sql.Column =
+    expr(s"""aggregate($serCol,
+        named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+                     'sae', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT)),
+        (acc, e) -> CASE WHEN acc.n = 0
+          THEN named_struct('l', e._c, 'b', CAST(0 AS BIGINT),
+                            'sae', CAST(0 AS BIGINT), 'n', CAST(1 AS BIGINT))
+          ELSE named_struct(
+            'l', shiftright(e._c + 3 * (acc.l + acc.b), 2),
+            'b', shiftright(shiftright(e._c + 3 * (acc.l + acc.b), 2)
+                              - acc.l + 3 * acc.b, 2),
+            'sae', acc.sae + abs(e._c - (acc.l + acc.b)),
+            'n', acc.n + 1) END)""")
 }

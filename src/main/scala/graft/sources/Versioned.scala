@@ -159,6 +159,30 @@ object Versioned {
     } else spark.read.parquet(keep: _*)
   }
 
+  /** MERGE upsert — the Delta/Iceberg `MERGE INTO` reduced to its
+    * snapshot-commit core: rows of `updates` REPLACE current rows sharing
+    * their `key` (update-matched) and append otherwise (insert-unmatched),
+    * landing as ONE overwrite commit, so the merge is atomic at the
+    * manifest level: readers see the pre-merge version or the post-merge
+    * version, never a half-merged table, and time travel to the pre-merge
+    * snapshot keeps working (spec-asserted).
+    *
+    * Scale shape: one key-shuffled left-anti join (current rows whose key
+    * is NOT updated) + a union with the updates — the full-rewrite MERGE.
+    * At 100 TB a production format narrows the rewrite to the FILES whose
+    * key bounds intersect the update keys — exactly the §2.78d sidecar
+    * stats composed with this commit path (prune, rewrite only touched
+    * batches, append commit); the semantics gated here are identical.
+    */
+  def mergeUpsert(dir: String, updates: DataFrame, key: String): Int = {
+    val spark = updates.sparkSession
+    val current = read(spark, dir)
+    val merged = current
+      .join(updates.select(updates(key)), Seq(key), "left_anti")
+      .unionByName(updates)
+    commit(merged, dir, overwrite = true)
+  }
+
   /** Drop all manifests older than `keepVersions` back from the latest,
     * then delete every batch directory no surviving manifest references.
     * Returns the deleted batch dirs. Batches referenced by ANY kept

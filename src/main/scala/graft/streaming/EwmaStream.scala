@@ -41,4 +41,38 @@ object EwmaStream {
 
     events.groupByKey(_.userId).mapGroupsWithState(update _)
   }
+
+  case class Hw(l: Long, b: Long, n: Long, lastTs: Long)
+
+  /** Streaming Holt-Winters — the incremental form of the §2.92 catalog
+    * query: per-key (level, trend) advanced per observation with the SAME
+    * shift-floored integer recurrence as `TimeSeries.holtWintersFold`
+    *   l' = (x + 3(l+b)) >> 2 ; b' = ((l' − l) + 3b) >> 2
+    * so stream state equals the batch fold over the same ordered series
+    * bit-for-bit (spec-asserted). Order/parity contract identical to
+    * [[ewma]]; state is four scalars per key. Emits (key, n, level, trend)
+    * in Update mode — the one-step forecast is level + trend.
+    */
+  def holtWinters(points: Dataset[Ev]): Dataset[(Long, Long, Long, Long)] = {
+    import points.sparkSession.implicits._
+
+    def step(s: Hw, e: Ev): Hw =
+      if (s.n == 0L) Hw(e.cents, 0L, 1L, e.tsNs)
+      else {
+        val nl = (e.cents + 3L * (s.l + s.b)) >> 2
+        val nb = ((nl - s.l) + 3L * s.b) >> 2
+        Hw(nl, nb, s.n + 1L, e.tsNs)
+      }
+
+    def update(key: Long, rows: Iterator[Ev],
+               state: GroupState[Hw]): (Long, Long, Long, Long) = {
+      val init = state.getOption.getOrElse(Hw(0L, 0L, 0L, Long.MinValue))
+      val next = rows.toSeq.sortBy(e => (e.tsNs, e.eventId))
+        .foldLeft(init)(step)
+      state.update(next)
+      (key, next.n, next.l, next.b)
+    }
+
+    points.groupByKey(_.userId).mapGroupsWithState(update _)
+  }
 }

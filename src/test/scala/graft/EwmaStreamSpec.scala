@@ -56,4 +56,48 @@ class EwmaStreamSpec extends AnyFunSuite with SparkFixture {
         ((r.getAs[Long]("n_events"), r.getAs[Long]("ewma_cents")))).toMap
     assert(streamed == batch)
   }
+
+  test("streamed Holt-Winters equals the batch fold, state carried across slices") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EwmaStream
+    import graft.streaming.EwmaStream.Ev
+    import graft.operators.TimeSeries
+
+    // synthetic per-key monthly-series points: key = series id, ts = step
+    val rnd = new scala.util.Random(91)
+    val points = for (k <- 0L until 6L; i <- 0L until 50L) yield
+      Ev(k, i, i, 200000L + k * 1000L * i + rnd.nextInt(20000) - 10000L)
+
+    val input = MemoryStream[Ev]
+    val q = EwmaStream.holtWinters(input.toDS())
+      .toDF("key", "n", "level", "trend")
+      .writeStream.format("memory").queryName("stream_hw")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      points.grouped(70).foreach { g =>
+        input.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("stream_hw")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")
+          .orderBy(col("n").desc)))
+      .where(col("_rn") === 1)
+      .select("key", "n", "level", "trend")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+
+    val batch = points.toDF("key", "ts", "eid", "c")
+      .groupBy("key")
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("eid"), col("c").as("_c")))).as("_ser"))
+      .select(col("key"), TimeSeries.holtWintersFold("_ser").as("h"))
+      .select(col("key"), col("h.n"), col("h.l"), col("h.b"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(streamed == batch)
+  }
 }

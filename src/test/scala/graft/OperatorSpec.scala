@@ -121,6 +121,58 @@ class TimeSeriesOpSpec extends AnyFunSuite with SparkFixture {
   }
 }
 
+class HoltWintersSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.operators.TimeSeries
+
+  private def fold(series: Seq[Long]): (Long, Long, Long, Long) = {
+    val df = Seq(series).toDF("_raw")
+      .select(expr("transform(_raw, x -> named_struct('_c', x))").as("_ser"))
+      .select(TimeSeries.holtWintersFold("_ser").as("h"))
+      .select("h.l", "h.b", "h.sae", "h.n")
+    df.as[(Long, Long, Long, Long)].head()
+  }
+
+  test("constant series: level locks on, trend and backtest error are zero") {
+    val (l, b, sae, n) = fold(Seq.fill(40)(12345L))
+    assert((l, b, sae, n) == (12345L, 0L, 0L, 40L))
+  }
+
+  test("linear ramp: trend converges to the slope, forecasts chase the line") {
+    val slope = 400L
+    val series = (0 until 60).map(i => 100000L + slope * i)
+    val (l, b, sae, n) = fold(series)
+    assert(n == 60L)
+    // double-exponential smoothing tracks a line: trend within a few
+    // floor-ulps of the true slope, level near the last observation
+    assert(math.abs(b - slope) <= slope / 10,
+      s"trend $b should approximate slope $slope")
+    assert(math.abs(l - series.last) <= 4 * slope,
+      s"level $l should track the line end ${series.last}")
+    // EWMA (level-only) permanently lags a ramp by ~3*slope per its alpha;
+    // HW's one-step forecast must beat the EWMA lag on the ramp's tail
+    val tailErr = math.abs((l + b) - (series.last + slope))
+    assert(tailErr < 3 * slope, s"forecast lag $tailErr")
+  }
+
+  test("trend goes negative on a falling series without floor-vs-trunc drift") {
+    val series = (0 until 50).map(i => 500000L - 700L * i)
+    val (l, b, _, _) = fold(series)
+    assert(b < 0, s"falling series must carry a negative trend, got $b")
+    // replay in plain Scala with >> (floor) semantics — must match exactly
+    var (rl, rb, first) = (0L, 0L, true)
+    series.foreach { x =>
+      if (first) { rl = x; first = false }
+      else {
+        val nl = (x + 3 * (rl + rb)) >> 2
+        rb = ((nl - rl) + 3 * rb) >> 2
+        rl = nl
+      }
+    }
+    assert((l, b) == ((rl, rb)))
+  }
+}
+
 class GeoOpSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 

@@ -116,6 +116,29 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
       s"vacuumed batch kept its sidecar: $names")
   }
 
+  test("mergeUpsert updates matched keys, inserts the rest, atomically versioned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v")
+    Versioned.commit(base, dir)
+    // pin a reader to the pre-merge snapshot
+    val pinned = Versioned.read(spark, dir)
+
+    val updates = Seq((2L, "B2"), (9L, "new")).toDF("doc_id", "v")
+    val v = Versioned.mergeUpsert(dir, updates, "doc_id")
+    assert(v == 1)
+
+    val after = Versioned.read(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(after == Map(1L -> "a", 2L -> "B2", 3L -> "c", 9L -> "new"))
+    // the pre-merge snapshot is untouched (manifest-level atomicity)
+    assert(pinned.as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // idempotent re-merge of the same updates changes nothing but the version
+    Versioned.mergeUpsert(dir, updates, "doc_id")
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toMap == after)
+  }
+
   test("vacuum drops only unreferenced batches; kept versions stay readable") {
     val d = Tables.documents(spark, sfDir).select("doc_id")
     val dir = java.nio.file.Files.createTempDirectory("graft_ver2").toString
