@@ -169,13 +169,7 @@ object QueriesPipe {
     * in CLAUDE.md).
     */
   private def qHoltWinters(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .select(col("o_orderpriority").as("priority"),
-        year(col("o_orderdate")).cast("long").as("_y"),
-        month(col("o_orderdate")).cast("long").as("_m"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("_cents"))
-      .groupBy(col("priority"), col("_y"), col("_m"))
-      .agg(sum(col("_cents")).as("_c"))
+    monthlyRevenue(s, dir)
       .groupBy(col("priority"))
       .agg(array_sort(collect_list(struct(col("_y"), col("_m"), col("_c"))))
         .as("_ser"))
@@ -216,6 +210,173 @@ object QueriesPipe {
            b AS trend_cents, l + b AS forecast_cents,
            CASE WHEN n_tot > 1 THEN sae * 1000 // (n_tot - 1)
                 ELSE 0 END AS mae_milli
+    FROM st WHERE i = n_tot"""
+
+  /** Shared per-(priority, month) revenue rollup feeding §2.92/93/94 —
+    * one map-side-combined aggregate over orders; every downstream series
+    * is span-bounded (~10² months per key), never order-sized.
+    */
+  private def monthlyRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).cast("long").as("_y"),
+        month(col("o_orderdate")).cast("long").as("_m"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("_cents"))
+      .groupBy(col("priority"), col("_y"), col("_m"))
+      .agg(sum(col("_cents")).as("_c"))
+
+  /** §2.93 Grouped OLS trend fit — per-priority least-squares line over the
+    * monthly revenue series from the four closed-form sums (n, Σx, Σy, Σxy,
+    * Σx²): slope in CENTI-cents/month and intercept/forecast in cents, every
+    * division a single truncating `div` (DuckDB `//` — the matched pair for
+    * values that go negative). x is the 0-based month rank per key — a
+    * window bounded by the key's month span, never a global sort; the sums
+    * are one map-side-combined aggregate. All BIGINT: |n·Σxy·100| ≲ 4·10¹⁷
+    * at sf0.1 (documented headroom ~20×; at larger corpora fold y to whole
+    * dollars first — same shape, smaller magnitudes).
+    */
+  private def qTrendFit(s: SparkSession, dir: String): DataFrame =
+    monthlyRevenue(s, dir)
+      .withColumn("x", row_number().over(
+        Window.partitionBy("priority").orderBy("_y", "_m")).cast("long") - 1L)
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("_c")).as("sy"),
+        sum(col("x") * col("_c")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("priority"), col("n").as("n_months"),
+        expr("(n * sxy - sx * sy) * 100L div (n * sxx - sx * sx)")
+          .as("slope_cc"),
+        expr("(sy * 100L - ((n * sxy - sx * sy) * 100L div (n * sxx - sx * sx)) * sx) div (n * 100L)")
+          .as("intercept_cents"))
+      .withColumn("forecast_cents",
+        expr("intercept_cents + slope_cc * n_months div 100L"))
+
+  private val oTrendFit = """
+    WITH monthly AS (
+      SELECT o_orderpriority AS priority,
+             CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS c
+      FROM orders GROUP BY 1, 2, 3),
+    idx AS (
+      SELECT priority, c,
+             CAST(row_number() OVER (PARTITION BY priority ORDER BY y, m)
+                  AS BIGINT) - 1 AS x
+      FROM monthly),
+    sums AS (
+      SELECT priority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+             CAST(sum(x * c) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM idx GROUP BY 1)
+    SELECT priority, n AS n_months,
+           (n * sxy - sx * sy) * 100 // (n * sxx - sx * sx) AS slope_cc,
+           (sy * 100 - ((n * sxy - sx * sy) * 100 // (n * sxx - sx * sx)) * sx)
+             // (n * 100) AS intercept_cents,
+           (sy * 100 - ((n * sxy - sx * sy) * 100 // (n * sxx - sx * sx)) * sx)
+             // (n * 100)
+             + (n * sxy - sx * sy) * 100 // (n * sxx - sx * sx) * n // 100
+             AS forecast_cents
+    FROM sums"""
+
+  /** §2.94 CUSUM changepoint / drift detection (Page 1954) — two-sided
+    * tabular CUSUM over each priority's monthly revenue: s⁺ accumulates
+    * positive excess over (target + slack), s⁻ the negative mirror, both
+    * clamped at 0; the first month index where either side crosses h is
+    * the alarm. Target is the first-year monthly mean (integer div),
+    * slack = 1 % and h = 10 % of target — ALL integer, every state
+    * transition greatest(0, +/−) so the recurrence replays exactly. The
+    * fold input is the span-bounded monthly aggregate (the §2.92
+    * boundedness argument); the oracle replays the recurrence with the
+    * RECURSIVE-CTE pattern (multi-field list_reduce is unsafe in DuckDB —
+    * CLAUDE.md).
+    */
+  private def qCusum(s: SparkSession, dir: String): DataFrame =
+    monthlyRevenue(s, dir)
+      .withColumn("x", row_number().over(
+        Window.partitionBy("priority").orderBy("_y", "_m")).cast("long"))
+      .groupBy(col("priority"))
+      .agg(array_sort(collect_list(struct(col("_y"), col("_m"), col("_c"))))
+          .as("_ser"),
+        expr("""CAST(sum(CASE WHEN x <= 12 THEN _c END) AS BIGINT)
+                div least(count(*), 12L)""").as("target"))
+      .select(col("priority"), size(col("_ser")).cast("long").as("n_months"),
+        col("target").as("target_cents"),
+        expr("""aggregate(_ser,
+          named_struct('sp', 0L, 'sn', 0L, 'aup', 0L, 'adn', 0L,
+                       'msp', 0L, 'msn', 0L, 'i', 0L),
+          (acc, e) -> named_struct(
+            'sp', greatest(0L, acc.sp + (e._c - target - target div 100L)),
+            'sn', greatest(0L, acc.sn + (target - target div 100L - e._c)),
+            'aup', CASE WHEN acc.aup > 0 THEN acc.aup
+                        WHEN greatest(0L, acc.sp + (e._c - target - target div 100L))
+                             > target div 10L THEN acc.i + 1 ELSE 0L END,
+            'adn', CASE WHEN acc.adn > 0 THEN acc.adn
+                        WHEN greatest(0L, acc.sn + (target - target div 100L - e._c))
+                             > target div 10L THEN acc.i + 1 ELSE 0L END,
+            'msp', greatest(acc.msp,
+                     greatest(0L, acc.sp + (e._c - target - target div 100L))),
+            'msn', greatest(acc.msn,
+                     greatest(0L, acc.sn + (target - target div 100L - e._c))),
+            'i', acc.i + 1))""").as("_cu"))
+      .select(col("priority"), col("n_months"), col("target_cents"),
+        col("_cu.aup").as("alarm_up"), col("_cu.adn").as("alarm_dn"),
+        col("_cu.msp").as("max_sp"), col("_cu.msn").as("max_sn"))
+
+  private val oCusum = """
+    WITH RECURSIVE monthly AS MATERIALIZED (
+      SELECT o_orderpriority AS priority,
+             CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS c
+      FROM orders GROUP BY 1, 2, 3),
+    idx AS MATERIALIZED (
+      SELECT priority, c,
+             CAST(row_number() OVER (PARTITION BY priority ORDER BY y, m)
+                  AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n_tot
+      FROM monthly),
+    tgt AS MATERIALIZED (
+      SELECT priority,
+             CAST(sum(CASE WHEN i <= 12 THEN c END) AS BIGINT)
+               // least(CAST(max(n_tot) AS BIGINT), 12) AS t
+      FROM idx GROUP BY 1),
+    st AS (
+      SELECT i.priority, i.i, i.n_tot, t.t,
+             greatest(CAST(0 AS BIGINT), i.c - t.t - t.t // 100) AS sp,
+             greatest(CAST(0 AS BIGINT), t.t - t.t // 100 - i.c) AS sn,
+             CASE WHEN greatest(CAST(0 AS BIGINT), i.c - t.t - t.t // 100)
+                       > t.t // 10 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS aup,
+             CASE WHEN greatest(CAST(0 AS BIGINT), t.t - t.t // 100 - i.c)
+                       > t.t // 10 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS adn,
+             greatest(CAST(0 AS BIGINT), i.c - t.t - t.t // 100) AS msp,
+             greatest(CAST(0 AS BIGINT), t.t - t.t // 100 - i.c) AS msn
+      FROM idx i JOIN tgt t ON t.priority = i.priority
+      WHERE i.i = 1
+      UNION ALL
+      SELECT e.priority, e.i, e.n_tot, s.t,
+             greatest(CAST(0 AS BIGINT), s.sp + (e.c - s.t - s.t // 100)),
+             greatest(CAST(0 AS BIGINT), s.sn + (s.t - s.t // 100 - e.c)),
+             CASE WHEN s.aup > 0 THEN s.aup
+                  WHEN greatest(CAST(0 AS BIGINT),
+                                s.sp + (e.c - s.t - s.t // 100)) > s.t // 10
+                    THEN s.i + 1 ELSE CAST(0 AS BIGINT) END,
+             CASE WHEN s.adn > 0 THEN s.adn
+                  WHEN greatest(CAST(0 AS BIGINT),
+                                s.sn + (s.t - s.t // 100 - e.c)) > s.t // 10
+                    THEN s.i + 1 ELSE CAST(0 AS BIGINT) END,
+             greatest(s.msp, greatest(CAST(0 AS BIGINT),
+                                      s.sp + (e.c - s.t - s.t // 100))),
+             greatest(s.msn, greatest(CAST(0 AS BIGINT),
+                                      s.sn + (s.t - s.t // 100 - e.c)))
+      FROM st s JOIN idx e ON e.priority = s.priority AND e.i = s.i + 1)
+    SELECT priority, n_tot AS n_months, t AS target_cents,
+           aup AS alarm_up, adn AS alarm_dn, msp AS max_sp, msn AS max_sn
     FROM st WHERE i = n_tot"""
 
   // ---------------------------------------------------------------------------
@@ -895,6 +1056,8 @@ object QueriesPipe {
     GraftQuery("q_k_anon", qKAnon, Some(oKAnon)),
     GraftQuery("q_ewma", qEwma, Some(oEwma)),
     GraftQuery("q_holt_winters", qHoltWinters, Some(oHoltWinters)),
+    GraftQuery("q_trend_fit", qTrendFit, Some(oTrendFit)),
+    GraftQuery("q_cusum", qCusum, Some(oCusum)),
     GraftQuery("q_gapfill", qGapfill, Some(oGapfill)),
     GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(oCcnetBuckets)),
     GraftQuery("q_benford", qBenford, Some(oBenford)),

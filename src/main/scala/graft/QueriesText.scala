@@ -2610,6 +2610,30 @@ object QueriesText {
     WHERE list_contains(ws, 'scan') AND list_contains(ws, 'data')
       AND NOT list_contains(ws, 'slow')"""
 
+  /** §2.91c Exact phrase retrieval ([[Text.phraseMatches]]): docs
+    * containing the consecutive-token phrase "big data", answered from
+    * positional postings — slot offsets turn adjacency into equality on
+    * (block, doc_id, start_pos), so the whole chain is left-semi joins
+    * co-partitioned with the §2.91 doc-block index layout. Oracle replays
+    * the same phrase from raw text via 1-based subscripts.
+    */
+  private def qPhrase(s: SparkSession, dir: String): DataFrame =
+    Text.phraseMatches(docsW(s, dir), "doc_id", col("text"), 64L,
+      Seq("big", "data"))
+
+  private val oPhrase = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    u AS (SELECT doc_id, unnest(ws) AS term,
+                 generate_subscripts(ws, 1) AS i FROM t),
+    a AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos FROM u
+          WHERE term = 'big'),
+    b AS (SELECT doc_id, CAST(i - 2 AS BIGINT) AS pos FROM u
+          WHERE term = 'data')
+    SELECT doc_id // 64 AS block, doc_id,
+           CAST(count(*) AS BIGINT) AS n_occ, min(pos) AS first_pos
+    FROM a JOIN b USING (doc_id, pos)
+    GROUP BY 1, 2"""
+
   private val oPostings = """
     WITH pres AS (SELECT DISTINCT doc_id,
                          unnest(string_split(text, ' ')) AS term
@@ -4940,6 +4964,7 @@ object QueriesText {
     GraftQuery("q_chi2_features", qChi2Features, Some(oChi2Features)),
     GraftQuery("q_postings", qPostings, Some(oPostings)),
     GraftQuery("q_bool_blocks", qBoolBlocks, Some(oBoolBlocks)),
+    GraftQuery("q_phrase", qPhrase, Some(oPhrase)),
     GraftQuery("q_range_plan", qRangePlan, Some(oRangePlan)),
     GraftQuery("q_source_overlap", qSourceOverlap, Some(oSourceOverlap)),
     GraftQuery("q_analyze_stats", qAnalyzeStats, Some(oAnalyzeStats)),

@@ -1696,6 +1696,45 @@ object Text {
       .agg(sort_array(collect_list(col("_doc"))).as("ids"))
   }
 
+  /** Positional phrase retrieval — exact consecutive-token phrase matches
+    * answered from POSITIONAL postings (the §2.91 index family extended
+    * with token offsets, the Lucene phrase-query shape). One posexplode
+    * over the corpus with the phrase-term filter pushed below everything
+    * (a k-term phrase reads k posting shards, not the vocabulary), then
+    * slot i of the phrase normalizes its positions by −i so adjacency
+    * becomes EQUALITY on (block, doc, start_pos): each later slot is a
+    * left-semi join co-partitioned with the doc-id block layout — a
+    * stopword inside the phrase can't serialize onto one reducer, and
+    * every join in the chain reuses one (block, doc, pos) exchange
+    * family. Per-position matches collapse to one row per matching doc
+    * with the occurrence count and first token offset.
+    *
+    * Positions are unique per (doc, pos) — each offset holds exactly one
+    * term — so the semi-join chain counts every distinct start position
+    * exactly once (no fan-out duplication at any phrase length).
+    */
+  def phraseMatches(df: DataFrame, id: String, text: Column,
+                    blockDocs: Long, phrase: Seq[String]): DataFrame = {
+    require(blockDocs >= 1 && phrase.nonEmpty)
+    val toks = df
+      .select(col(id).as("doc_id"),
+        posexplode(split(text, " ")).as(Seq("pos", "term")))
+      .where(col("term").isin(phrase.distinct: _*))
+      .withColumn("block", expr(s"doc_id div ${blockDocs}L"))
+      .select(col("block"), col("doc_id"), col("pos").cast("long").as("pos"),
+        col("term"))
+    val starts = phrase.zipWithIndex.tail.foldLeft(
+      toks.where(col("term") === phrase.head).select("block", "doc_id", "pos")) {
+      case (acc, (t, i)) =>
+        acc.join(
+          toks.where(col("term") === t)
+            .select(col("block"), col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("block", "doc_id", "pos"), "left_semi")
+    }
+    starts.groupBy(col("block"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
+  }
+
   /** Incremental posting-index maintenance: merge per-batch
     * [[postingsIndex]] outputs into the index of their union. Every cell
     * stat is ABELIAN — count and id-sum add, min/max meet, the mixed XOR

@@ -442,6 +442,36 @@ class FeatureSelectSpec extends AnyFunSuite with SparkFixture {
     assert(got == naive)
   }
 
+  test("phraseMatches finds exactly the consecutive-token matches, any phrase length") {
+    val docs = Seq(
+      (0L, "big data wins"),            // match at 0
+      (1L, "data big data big data"),   // starts 1 and 3
+      (2L, "big slow data"),            // adjacent? no
+      (3L, "data big"),                 // reversed, no
+      (70L, "x big data big data big")  // other block; starts 1 and 3
+    ).toDF("doc_id", "text")
+    val got = Text.phraseMatches(docs, "doc_id", col("text"), 64L,
+        Seq("big", "data"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._1, r._3, r._4))).toMap
+    assert(got == Map(0L -> ((0L, 1L, 0L)), 1L -> ((0L, 2L, 1L)),
+      70L -> ((1L, 2L, 1L))))
+
+    // self-overlapping phrase: every start position counts (the oracle's
+    // position-join semantics, not non-overlapping greedy consumption)
+    val rep = Seq((5L, "a a a a")).toDF("doc_id", "text")
+    val gotRep = Text.phraseMatches(rep, "doc_id", col("text"), 64L,
+        Seq("a", "a"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(gotRep.toSeq == Seq((0L, 5L, 3L, 0L)))
+
+    // 3-term chain
+    val got3 = Text.phraseMatches(docs, "doc_id", col("text"), 64L,
+        Seq("big", "data", "wins"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got3.toSeq == Seq((0L, 0L, 1L, 0L)))
+  }
+
   test("mergePostings of doc-disjoint parts equals the full rebuild exactly") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def build(df: org.apache.spark.sql.DataFrame) =
