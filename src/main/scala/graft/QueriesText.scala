@@ -2295,6 +2295,36 @@ object QueriesText {
     WHERE ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 <
           least(999, n_chars // 2)"""
 
+  /** §2.50h Priority sampling ([[Sampling.priorityKSample]], Duffield-
+    * Lund-Thorup): exactly 25 docs weighted by length, without
+    * replacement, each carrying the scheme's unbiased subset-sum
+    * estimator — the fixed-budget complement of §2.50f's Bernoulli
+    * thinning. Priorities are a scan-stage projection, the cut is
+    * TakeOrderedAndProject, τ/rank run on the 26 survivors.
+    */
+  private def qSamplePriority(s: SparkSession, dir: String): DataFrame =
+    Sampling.priorityKSample(
+      docs(s, dir).select("doc_id", "source", "n_chars"),
+      col("doc_id"), SampleSeed, col("n_chars"), 25)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rank"),
+        col("est_w").as("est_chars"))
+
+  private val oSamplePriority = s"""
+    WITH pr AS (
+      SELECT doc_id, source, n_chars,
+             CAST(n_chars AS BIGINT) * 1000000007 //
+               (${duckSampleHash("CAST(doc_id AS VARCHAR)")} + 1) AS q
+      FROM documents),
+    topk1 AS (SELECT * FROM pr ORDER BY q DESC, doc_id LIMIT 26),
+    r AS (SELECT *, CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS INT)
+                      AS rank
+          FROM topk1),
+    tau AS (SELECT max(CASE WHEN rank = 26 THEN q END) AS t FROM r)
+    SELECT doc_id, source, n_chars, rank,
+           greatest(CAST(n_chars AS BIGINT),
+                    CAST(coalesce(t, 0) AS BIGINT) // 1000000007) AS est_chars
+    FROM r, tau WHERE rank <= 25"""
+
   /** §2.50i DSIR importance resampling (Sampling.dsirResample): select
     * raw-corpus docs that look like the TARGET distribution (here:
     * lang='en') under a hashed-unigram bucketed ratio model, log-weights
@@ -4925,6 +4955,7 @@ object QueriesText {
     GraftQuery("q_filter_spans", qFilterSpans, Some(oFilterSpans)),
     GraftQuery("q_html_extract", qHtmlExtract, Some(oHtmlExtract)),
     GraftQuery("q_sample_weighted", qSampleWeighted, Some(oSampleWeighted)),
+    GraftQuery("q_sample_priority", qSamplePriority, Some(oSamplePriority)),
     GraftQuery("q_dsir", qDsir, Some(oDsir)),
     GraftQuery("q_vocab", qVocab, Some(oVocab)),
     GraftQuery("q_sample_diverse", qSampleDiverse, None,

@@ -174,11 +174,17 @@ object Versioned {
     * stats composed with this commit path (prune, rewrite only touched
     * batches, append commit); the semantics gated here are identical.
     */
-  def mergeUpsert(dir: String, updates: DataFrame, key: String): Int = {
+  def mergeUpsert(dir: String, updates: DataFrame, key: String,
+                  deletes: Option[DataFrame] = None): Int = {
     val spark = updates.sparkSession
     val current = read(spark, dir)
+    // matched-update keys and matched-delete keys both leave the current
+    // snapshot (one anti join on their union); only updates come back
+    val dropKeys = deletes
+      .map(d => updates.select(updates(key)).unionByName(d.select(d(key))))
+      .getOrElse(updates.select(updates(key)))
     val merged = current
-      .join(updates.select(updates(key)), Seq(key), "left_anti")
+      .join(dropKeys.distinct(), Seq(key), "left_anti")
       .unionByName(updates)
     commit(merged, dir, overwrite = true)
   }

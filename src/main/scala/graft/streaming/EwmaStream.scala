@@ -75,4 +75,44 @@ object EwmaStream {
 
     points.groupByKey(_.userId).mapGroupsWithState(update _)
   }
+
+  case class Cusum(sp: Long, sn: Long, alarmUp: Long, alarmDn: Long,
+                   maxSp: Long, maxSn: Long, n: Long)
+
+  /** Streaming two-sided CUSUM — the incremental form of the §2.94 catalog
+    * detector: per-key s⁺/s⁻ advanced per observation against a GIVEN
+    * baseline (`target`, with slack = target div 100 and alarm threshold
+    * h = target div 10 — the batch query's parameters), first-crossing
+    * observation indices latched. The monitoring use: target comes from
+    * the batch calibration run; the stream flags drift continuously
+    * instead of at the next nightly batch. Same integer recurrence as the
+    * batch fold, so stream state replays bit-identically (spec-asserted
+    * across micro-batch slicings); state is seven scalars per key.
+    */
+  def cusum(points: Dataset[Ev], target: Long)
+      : Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    import points.sparkSession.implicits._
+    val slack = target / 100L
+    val h = target / 10L
+
+    def step(s: Cusum, e: Ev): Cusum = {
+      val sp = math.max(0L, s.sp + (e.cents - target - slack))
+      val sn = math.max(0L, s.sn + (target - slack - e.cents))
+      Cusum(sp, sn,
+        if (s.alarmUp > 0L) s.alarmUp else if (sp > h) s.n + 1L else 0L,
+        if (s.alarmDn > 0L) s.alarmDn else if (sn > h) s.n + 1L else 0L,
+        math.max(s.maxSp, sp), math.max(s.maxSn, sn), s.n + 1L)
+    }
+
+    def update(key: Long, rows: Iterator[Ev],
+               state: GroupState[Cusum]): (Long, Long, Long, Long, Long, Long) = {
+      val init = state.getOption.getOrElse(Cusum(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+      val next = rows.toSeq.sortBy(e => (e.tsNs, e.eventId))
+        .foldLeft(init)(step)
+      state.update(next)
+      (key, next.n, next.alarmUp, next.alarmDn, next.maxSp, next.maxSn)
+    }
+
+    points.groupByKey(_.userId).mapGroupsWithState(update _)
+  }
 }

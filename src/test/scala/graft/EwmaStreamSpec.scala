@@ -57,6 +57,64 @@ class EwmaStreamSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batch)
   }
 
+  test("streamed CUSUM latches alarms and equals a sequential replay across slices") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EwmaStream
+    import graft.streaming.EwmaStream.Ev
+
+    val target = 100000L
+    val rnd = new scala.util.Random(94)
+    // key 0 stays on-target (noise), key 1 drifts up, key 2 drifts down
+    val points = for (k <- 0L until 3L; i <- 0L until 60L) yield {
+      val drift = k match {
+        case 1L => 400L * i
+        case 2L => -400L * i
+        case _  => 0L
+      }
+      Ev(k, i, i, target + drift + rnd.nextInt(2000) - 1000L)
+    }
+
+    val input = MemoryStream[Ev]
+    val q = EwmaStream.cusum(input.toDS(), target)
+      .toDF("key", "n", "alarm_up", "alarm_dn", "max_sp", "max_sn")
+      .writeStream.format("memory").queryName("stream_cusum")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      points.grouped(55).foreach { g =>
+        input.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("stream_cusum")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")
+          .orderBy(col("n").desc)))
+      .where(col("_rn") === 1)
+      .select("key", "n", "alarm_up", "alarm_dn", "max_sp", "max_sn")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+
+    // sequential Scala replay of the identical integer recurrence
+    val slack = target / 100L; val h = target / 10L
+    val want = points.groupBy(_.userId).map { case (k, evs) =>
+      var (sp, sn, aup, adn, msp, msn, n) = (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      evs.sortBy(e => (e.tsNs, e.eventId)).foreach { e =>
+        sp = math.max(0L, sp + (e.cents - target - slack))
+        sn = math.max(0L, sn + (target - slack - e.cents))
+        if (aup == 0L && sp > h) aup = n + 1
+        if (adn == 0L && sn > h) adn = n + 1
+        msp = math.max(msp, sp); msn = math.max(msn, sn); n += 1
+      }
+      k -> ((k, n, aup, adn, msp, msn))
+    }
+    assert(streamed == want)
+    // the drifting keys must actually alarm on their drift side only
+    assert(want(1L)._3 > 0 && want(2L)._4 > 0)
+    assert(want(0L)._3 == 0 || want(0L)._4 == 0)
+  }
+
   test("streamed Holt-Winters equals the batch fold, state carried across slices") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

@@ -1090,6 +1090,33 @@ class SamplingOpSpec extends AnyFunSuite with SparkFixture {
     .map(i => (i.toLong, s"src${i % 4}", s"tok${i % 7} tok${i % 5} tok${i % 3} word$i"))
     .toDF("doc_id", "source", "text")
 
+  test("priorityKSample: exact naive replay, exactly k, partition-invariant") {
+    val P = 1000000007L
+    def ph(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    val docs = (0L until 200L).map(i => (i, 1L + (i * 37) % 997))
+    val df = docs.toDF("id", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.priorityKSample(d, col("id"), "tsp", col("w"), 20)
+        .select("id", "w", "rank", "est_w")
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+
+    val pri = docs.map { case (id, w) => (id, w, w * P / (ph(s"$id#tsp") + 1)) }
+    val sorted = pri.sortBy { case (id, _, q) => (-q, id) }
+    val tau = if (sorted.size > 20) sorted(20)._3 else 0L
+    val want = sorted.take(20).zipWithIndex.map { case ((id, w, _), i) =>
+      (id, w, i + 1, math.max(w, tau / P))
+    }
+    val got = run(df)
+    assert(got == want)
+    assert(got.map(_._1).distinct.size == 20, "without replacement")
+    // the subset-sum estimator never under-reports a kept row's own weight
+    assert(got.forall { case (_, w, _, est) => est >= w })
+    // membership is a pure function of (key, seed, weight) — shuffling the
+    // input cannot change the sample (df.sample/randomSplit would)
+    assert(run(df.repartition(7)) == want)
+  }
+
   test("decontaminateSpans keeps the clean remainder of a partly-shared doc") {
     import graft.operators.Text
     val benchPara = (0 until 16).map(i => s"bench$i").mkString(" ")

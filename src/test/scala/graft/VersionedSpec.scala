@@ -137,6 +137,14 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     // idempotent re-merge of the same updates changes nothing but the version
     Versioned.mergeUpsert(dir, updates, "doc_id")
     assert(Versioned.read(spark, dir).as[(Long, String)].collect().toMap == after)
+
+    // the delete clause: matched-delete keys leave, updates still land,
+    // unmatched delete keys are a no-op, all in ONE commit
+    val del = Seq(3L, 77L).toDF("doc_id")
+    Versioned.mergeUpsert(dir, Seq((9L, "new2")).toDF("doc_id", "v"),
+      "doc_id", Some(del))
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "B2", 9L -> "new2"))
   }
 
   test("vacuum drops only unreferenced batches; kept versions stay readable") {
