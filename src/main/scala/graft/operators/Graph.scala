@@ -239,6 +239,47 @@ object Graph {
       .select(col("src").as("id"), col("core_deg"))
   }
 
+  /** Multi-source BFS hop distance — min hops from a SEED SET, bounded at
+    * `maxHops` (the quarantine / blast-radius primitive: "everything
+    * within h near-dup hops of a flagged doc"). Level-synchronous
+    * frontier expansion: each round joins the symmetrized edge list on
+    * the CURRENT frontier only (work per round is frontier-degree-sized,
+    * not graph-sized) and anti-joins the settled set, so a node is
+    * labeled with the FIRST — i.e. minimum — hop count that reaches it.
+    * Fixed bounded rounds (no convergence probe; the radius is the
+    * caller's policy knob), lineage flattened per round via `ckpt`
+    * (localCheckpoint for bench, reliable checkpoint for clusters); an
+    * empty frontier short-circuits — identical result, dead rounds
+    * unpaid. Returns (id, hops), seeds at 0; unreached nodes absent.
+    */
+  def hopDistance(edges: DataFrame, a: String, b: String, seeds: DataFrame,
+                  maxHops: Int, ckpt: DataFrame => DataFrame): DataFrame = {
+    require(maxHops >= 0)
+    val sym = edges.where(col(a) =!= col(b))
+      .select(col(a).as("s"), col(b).as("d"))
+      .union(edges.where(col(a) =!= col(b))
+        .select(col(b).as("s"), col(a).as("d")))
+    var dist = ckpt(seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .withColumn("hops", lit(0L)))
+    var frontier = dist.select("id")
+    var hop = 1
+    var drained = false
+    while (hop <= maxHops && !drained) {
+      val next = ckpt(sym
+        .join(frontier.select(col("id").as("s")), Seq("s"), "left_semi")
+        .select(col("d").as("id")).distinct()
+        .join(dist.select("id"), Seq("id"), "left_anti"))
+      drained = next.isEmpty
+      if (!drained) {
+        dist = ckpt(dist.unionByName(
+          next.withColumn("hops", lit(hop.toLong))))
+        frontier = next
+      }
+      hop += 1
+    }
+    dist
+  }
+
   /** Weighted label propagation — community detection (Raghavan et al.
     * 2007 LPA), DETERMINIZED so a SQL oracle can replay every round
     * exactly: synchronized updates for a FIXED round count (no
