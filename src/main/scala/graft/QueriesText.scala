@@ -2310,11 +2310,19 @@ object QueriesText {
         col("est_w").as("est_chars"))
 
   private val oSamplePriority = s"""
-    WITH pr AS (
+    WITH h0 AS (
       SELECT doc_id, source, n_chars,
-             CAST(n_chars AS BIGINT) * 1000000007 //
-               (${duckSampleHash("CAST(doc_id AS VARCHAR)")} + 1) AS q
+             ${duckSampleHash("CAST(doc_id AS VARCHAR)")} AS h
       FROM documents),
+    h1 AS (SELECT *, (h * 668265261) % 4294967296 AS m1 FROM h0),
+    h2 AS (SELECT *, xor(m1, m1 // 32768) AS x1 FROM h1),
+    h3 AS (SELECT *, (x1 * 374761393) % 4294967296 AS m2 FROM h2),
+    hm AS (SELECT doc_id, source, n_chars, xor(m2, m2 // 8192) AS hmix
+           FROM h3),
+    pr AS (
+      SELECT doc_id, source, n_chars,
+             CAST(n_chars AS BIGINT) * 4294967296 // (hmix + 1) AS q
+      FROM hm),
     topk1 AS (SELECT * FROM pr ORDER BY q DESC, doc_id LIMIT 26),
     r AS (SELECT *, CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS INT)
                       AS rank
@@ -2322,7 +2330,7 @@ object QueriesText {
     tau AS (SELECT max(CASE WHEN rank = 26 THEN q END) AS t FROM r)
     SELECT doc_id, source, n_chars, rank,
            greatest(CAST(n_chars AS BIGINT),
-                    CAST(coalesce(t, 0) AS BIGINT) // 1000000007) AS est_chars
+                    CAST(coalesce(t, 0) AS BIGINT)) AS est_chars
     FROM r, tau WHERE rank <= 25"""
 
   /** §2.50i DSIR importance resampling (Sampling.dsirResample): select

@@ -67,29 +67,36 @@ object Sampling {
   /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): EXACTLY k rows
     * weighted by `weight`, without replacement — the fixed-budget
     * complement of [[sampleByScore]]'s Bernoulli thinning (which only hits
-    * a target size in expectation). Integer form: with h = [[sampleHash]]
-    * ∈ [0, P) standing in for u = (h+1)/P ∈ (0, 1], the priority is
-    * q = w·P div (h+1) ≈ w/u; the k largest priorities (ties → key) are
-    * the sample, τ = the (k+1)-th priority, and each kept row carries the
-    * scheme's unbiased subset-sum estimator ŵ = max(w, τ div P) — sum ŵ
-    * over any kept subset estimates that subset's true weight total, the
-    * property that makes a k-doc sample answer corpus-weight questions.
+    * a target size in expectation). Integer form: with h = the
+    * [[Sketch.hllMix]]-avalanched [[sampleHash]] ∈ [0, 2³²) standing in
+    * for u = (h+1)/2³² ∈ (0, 1], the priority is q = w·2³² div (h+1)
+    * ≈ w/u; the k largest priorities (ties → key) are the sample, τ = the
+    * (k+1)-th priority, and each kept row carries the scheme's unbiased
+    * subset-sum estimator ŵ = max(w, τ). Note q is ALREADY in weight
+    * units (w/u with u ∈ (0,1]), so τ is too — no rescaling. Sum ŵ over
+    * any kept subset estimates that subset's true weight total
+    * (E[ŵᵢ] = wᵢ under DLT), the property that makes a k-doc sample
+    * answer corpus-weight questions. The mix is REQUIRED, not cosmetic:
+    * the raw poly hash is affine in sequential keys, which lattices the
+    * extreme low-u tail that priority sampling's τ lives in (measured:
+    * τ pinned at ~2.4× its uniform value across unrelated seeds before
+    * the avalanche; unbiased after).
     *
     * Scale shape: priorities are a scan-stage projection; the k+1 cut is
     * sort+limit → TakeOrderedAndProject (per-partition top-(k+1), no
     * global sort), and τ/rank run on the k+1 survivors (the keywordRank
     * bounded-window precedent). Deterministic, partitioning-/retry-stable,
     * and exactly replayable cross-engine — all divisions floored on
-    * positive operands. Weights must be ≥ 1; w·P must fit BIGINT
-    * (w ≤ ~9·10⁹ at P = 10⁹+7).
+    * positive operands. Weights must be ≥ 1; w·2³² must fit BIGINT
+    * (w ≤ ~2.1·10⁹).
     */
   def priorityKSample(df: DataFrame, key: Column, seed: String,
                       weight: Column, k: Int): DataFrame = {
     require(k >= 1)
     val topk1 = df
       .withColumn("_w", weight.cast("long"))
-      .withColumn("_h", sampleHash(key, seed))
-      .withColumn("_q", expr(s"_w * ${Text.PolyP}L div (_h + 1L)"))
+      .withColumn("_h", Sketch.hllMix(sampleHash(key, seed)))
+      .withColumn("_q", expr(s"_w * 4294967296L div (_h + 1L)"))
       .orderBy(col("_q").desc, key.asc)
       .limit(k + 1)
     val ranked = Text.globalRank(topk1, Seq(col("_q").desc, key.asc))
@@ -98,7 +105,7 @@ object Sampling {
     ranked.where(col("rank") <= k)
       .crossJoin(broadcast(tau))
       .withColumn("est_w",
-        greatest(col("_w"), expr(s"coalesce(_tau, 0L) div ${Text.PolyP}L")))
+        greatest(col("_w"), coalesce(col("_tau"), lit(0L))))
       .drop("_w", "_h", "_q", "_tau")
   }
 

@@ -1094,6 +1094,13 @@ class SamplingOpSpec extends AnyFunSuite with SparkFixture {
     val P = 1000000007L
     def ph(s: String): Long =
       s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    val M32 = 4294967296L
+    def mix(h: Long): Long = {
+      val m1 = (h * 668265261L) % M32
+      val x1 = m1 ^ (m1 >> 15)
+      val m2 = (x1 * 374761393L) % M32
+      m2 ^ (m2 >> 13)
+    }
     val docs = (0L until 200L).map(i => (i, 1L + (i * 37) % 997))
     val df = docs.toDF("id", "w")
     def run(d: org.apache.spark.sql.DataFrame) =
@@ -1101,17 +1108,26 @@ class SamplingOpSpec extends AnyFunSuite with SparkFixture {
         .select("id", "w", "rank", "est_w")
         .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
 
-    val pri = docs.map { case (id, w) => (id, w, w * P / (ph(s"$id#tsp") + 1)) }
+    val pri = docs.map { case (id, w) =>
+      (id, w, w * M32 / (mix(ph(s"$id#tsp")) + 1)) }
     val sorted = pri.sortBy { case (id, _, q) => (-q, id) }
     val tau = if (sorted.size > 20) sorted(20)._3 else 0L
     val want = sorted.take(20).zipWithIndex.map { case ((id, w, _), i) =>
-      (id, w, i + 1, math.max(w, tau / P))
+      (id, w, i + 1, math.max(w, tau))
     }
     val got = run(df)
     assert(got == want)
     assert(got.map(_._1).distinct.size == 20, "without replacement")
     // the subset-sum estimator never under-reports a kept row's own weight
     assert(got.forall { case (_, w, _, est) => est >= w })
+    // DLT's point: sum of est_w over the k-sample estimates the CORPUS
+    // total weight (E[ŵ] = w per row). One deterministic draw, so assert
+    // the realized estimate lands within 2x of the truth — the property
+    // the pre-r9 formula (est = max(w, tau div P) == w) failed by ~10x.
+    val totalW = docs.map(_._2).sum
+    val estTotal = got.map(_._4).sum
+    assert(estTotal > totalW / 2 && estTotal < totalW * 2,
+      s"subset-sum estimate $estTotal vs true total $totalW")
     // membership is a pure function of (key, seed, weight) — shuffling the
     // input cannot change the sample (df.sample/randomSplit would)
     assert(run(df.repartition(7)) == want)
