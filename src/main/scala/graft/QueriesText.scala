@@ -2544,7 +2544,7 @@ object QueriesText {
 
   private def qKcore(s: SparkSession, dir: String): DataFrame =
     Graph.kCorePeel(simhashPairEdges(s, dir, KcoreHam), "doc_a", "doc_b",
-        KcoreK, KcoreRounds, df => df.localCheckpoint())
+        KcoreK, KcoreRounds, df => df.localCheckpoint(false)) // count probe materializes
       .select(col("id").as("doc_id"), col("core_deg"))
 
   private val oKcore: String = {
@@ -3232,7 +3232,10 @@ object QueriesText {
       .localCheckpoint() // feeds node ids, edges AND the canon flag
     val nodes = link.select(col("dirty").as("wrd"))
       .union(link.select(col("canon").as("wrd"))).distinct()
+    // ids feeds THREE consumers (na-join, nb-join, final membership) —
+    // checkpoint once or each re-plans the rank's range exchange + offsets
     val ids = Text.globalRank(nodes, Seq(col("wrd").asc), "nid")
+      .localCheckpoint()
     val e = link
       .join(ids.select(col("wrd").as("dirty"), col("nid").as("na")), "dirty")
       .join(ids.select(col("wrd").as("canon"), col("nid").as("nb")), "canon")
@@ -4242,7 +4245,10 @@ object QueriesText {
     val ed = pairs.select(col("a").as("src"), col("b").as("dst"), col("c").as("w"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("c").as("w")))
       .groupBy("src", "dst").agg(sum("w").as("w"))
-    Graph.pageRankInt(ed, _.localCheckpoint(), TrIters)
+    // lazy checkpoints: plans stay flat (each round's Dataset wraps its
+    // RDD) but no per-round materializing action — the ONE final action
+    // executes all TrIters rounds as a single job's stage chain
+    Graph.pageRankInt(ed, _.localCheckpoint(false), TrIters)
       .select(col("id").as("word"), col("pr"))
   }
 

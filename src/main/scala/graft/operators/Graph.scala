@@ -24,13 +24,16 @@ object Graph {
     * join + coalesce — see `q_dedup_components`).
     *
     * Scale shape: each round is one shuffle keyed on the edge dst (the
-    * join with current labels + min-aggregate) and one label join — all
-    * distributed, nothing driver-side except the per-round convergence
-    * count (a scalar action, the precedented driver-stat pattern). Round
-    * count is O(component diameter): near-dup components are clique-ish
-    * (every member shares most shingles with the seed), so 3-5 rounds in
-    * practice. If `maxIter` rounds pass without a fixpoint (adversarial
-    * long chains), the computation SWITCHES to large-star/small-star
+    * join with current labels + min-aggregate), one label join, and one
+    * POINTER-JUMP join (comp ← least(comp, label(comp)) — the hash-to-min
+    * doubling of Rastogi et al. 2013): labels chase two hops per round,
+    * so rounds are O(log diameter), not O(diameter). All distributed,
+    * nothing driver-side except the per-round convergence count (a scalar
+    * action, the precedented driver-stat pattern). Near-dup components
+    * are clique-ish, so 2-3 rounds in practice; the jump is what keeps
+    * moderate chains (canon–dirty–canon bridges) from paying a round per
+    * hop. If `maxIter` rounds pass without a fixpoint (adversarial long
+    * chains), the computation SWITCHES to large-star/small-star
     * contraction (Kiveris et al. 2014, "Connected Components in
     * MapReduce and Beyond"): O(log² n) rounds at higher per-round cost,
     * diameter-independent — see [[starContractComponents]].
@@ -47,34 +50,51 @@ object Graph {
   def connectedComponents(edges: DataFrame, a: String, b: String,
                           maxIter: Int = 25,
                           reliableCheckpoint: Boolean = false): DataFrame = {
+    // LAZY local checkpoints: the Catalyst plan is truncated either way
+    // (the Dataset wraps its internal RDD), but lazy lets the per-round
+    // convergence probe be the job that materializes the blocks — one
+    // action per round instead of two (eager ckpt + probe). The reliable
+    // path stays eager: RDD.checkpoint without a materializing action
+    // recomputes the lineage when the write job runs.
     val ckpt: DataFrame => DataFrame =
-      if (reliableCheckpoint) df => df.checkpoint() else df => df.localCheckpoint()
+      if (reliableCheckpoint) df => df.checkpoint()
+      else df => df.localCheckpoint(false)
     val sym = ckpt(edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst"))))
+    // initial labels stay a plain plan — round 1's checkpoint flattens it,
+    // and the first probe's job materializes sym alongside
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-    labels = ckpt(labels)
     // Convergence probe: per-node labels are NON-INCREASING (least of own
     // and neighbor minima), so the label total strictly decreases while
     // anything changes — one exact DECIMAL(38,0) sum per round (a scalar
     // agg over the new labels) replaces the labels⋈labels change-count
-    // join the earlier version paid per round.
+    // join the earlier version paid per round. No round-0 probe: the sum
+    // of fresh labels is just Σ id, and round 1 always runs.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
         .getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum: java.math.BigDecimal = null
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min("comp").as("ncomp"))
-      val next = ckpt(labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           least(labels("comp"), coalesce(col("ncomp"), labels("comp")))
+            .as("comp"))
+      // pointer jump in the SAME plan (no extra action): a label is always
+      // some same-component node id, so looking its own label up and taking
+      // the least is sound, monotone, and makes labels chase 2 hops/round
+      val par = prop.select(col("id").as("_pid"), col("comp").as("_pcomp"))
+      val next = ckpt(prop.join(par, prop("comp") === col("_pid"), "left")
+        .select(prop("id"),
+          least(prop("comp"), coalesce(col("_pcomp"), prop("comp")))
             .as("comp")))
       val newSum = labelSum(next)
       labels = next
-      converged = newSum.compareTo(prevSum) == 0
+      converged = prevSum != null && newSum.compareTo(prevSum) == 0
       prevSum = newSum
       round += 1
     }

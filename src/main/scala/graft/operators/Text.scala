@@ -1162,7 +1162,8 @@ object Text {
     * identical score with zero float-reproducibility surface:
     *
     *  - k1 = 6/5 and b = 3/4 are exact rationals; with A = T div N (the
-    *    floor average doc length — one integer driver scalar), the BM25
+    *    floor average doc length — a 1-row broadcast stats frame riding
+    *    the plan, not a driver scalar), the BM25
     *    term-frequency saturation
     *      tf·(k1+1) / (tf + k1·(1 − b + b·L/A))
     *    multiplies out to 44·A·tf / (20·A·tf + 6·A + 18·L), and the
@@ -1191,12 +1192,13 @@ object Text {
   def bm25Rank(df: DataFrame, id: String, text: Column,
                terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && k >= 1)
-    val stats = df.agg(count(lit(1)), sum(size(split(text, " ")).cast("long")))
-      .head
-    val n = stats.getLong(0)
-    val total = stats.getLong(1)
-    require(n > 0 && total > 0, "bm25Rank: empty corpus")
-    val avgLen = total / n // floor average doc length, integer
+    // corpus stats ride the plan as a broadcast 1-row frame (the
+    // precedented scalar-frame pattern): N, and A = floor avg doc length.
+    // The former driver-side .head cost a second full-corpus scan in its
+    // own action before the lane's real job could start.
+    val stats = df.agg(count(lit(1)).as("_n"),
+      sum(size(split(text, " ")).cast("long")).as("_t"))
+      .select(col("_n"), expr("_t div _n").as("_avg"))
     val base = df.select(col(id), size(split(text, " ")).cast("long").as("_len"),
       split(text, " ").as("_ws"))
     val tf = base.select(col(id), col("_len"), explode(col("_ws")).as("w"))
@@ -1205,10 +1207,11 @@ object Text {
       .agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
     val scored = tf.join(broadcast(dfs), "w")
-      .withColumn("_idf", expr(s"${n}L * 100L div dfc"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf", expr("_n * 100L div dfc"))
       .withColumn("_tfsat", expr(
-        s"44L * ${avgLen}L * tf * 1000L div " +
-          s"(20L * ${avgLen}L * tf + 6L * ${avgLen}L + 18L * _len)"))
+        "44L * _avg * tf * 1000L div " +
+          "(20L * _avg * tf + 6L * _avg + 18L * _len)"))
       .groupBy(col(id))
       .agg(max(col("_len")).as("n_toks"), // one row per doc in tf; max = the value
         sum(col("_idf") * col("_tfsat")).as("score"))
