@@ -953,7 +953,7 @@ object Queries {
       .select(col("item_a").as("src"), col("item_b").as("dst"),
         col("n_ab").as("w"))
     val labels = graft.operators.Graph.labelPropagation(
-      edges, df => df.localCheckpoint(false), LpaRounds) // lazy: one job runs all rounds
+      edges, graft.operators.Graph.ckptFor(s), LpaRounds) // lazy: one job runs all rounds
     val sizes = labels.groupBy(col("lab"))
       .agg(count(lit(1)).as("n_members"))
     labels.join(sizes, "lab")

@@ -387,20 +387,36 @@ object QueriesPipe {
     * day, densified over the corpus' day span and carried forward across
     * empty days (LOCF) — the "position as-of every calendar slot" transform
     * that turns sparse event streams into joinable daily state. Day slots
-    * come from `sequence()` against the corpus span (one broadcast scalar
-    * row — no driver collect); LOCF is `last(ignoreNulls)` over the per-user
-    * day window. Slots before a user's first purchase have no state and are
-    * dropped, not invented. Output is users × span days — the DENSE frame is
-    * the product, so its size is the contract, not a blowup; the window
-    * partitions per user (thousands of independent partitions, no global
-    * sort).
+    * come from `sequence()` lower-bounded at EACH USER'S first purchase
+    * day and upper-bounded at the corpus max day (one broadcast scalar
+    * row — no driver collect); LOCF is `last(ignoreNulls)` over the
+    * per-user day window. Bounding the explode per user is the r8-verdict
+    * scale fix: slots before a user's first purchase carry no state and
+    * were dropped post-LOCF anyway, but generating them first meant
+    * |users| × |global span| rows — 10¹² at 10⁹ users × a 10-year corpus,
+    * most discarded. Per-user spans generate exactly the surviving rows.
+    * The window partitions per user (thousands of independent partitions,
+    * no global sort).
     */
-  private def qGapfill(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+  private def gapfillEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .where(col("event_type") === "purchase")
       .select(col("user_id"), expr(s"ts div $DayNs").as("day"),
         col("ts"), col("event_id"),
         expr("CAST(round(value * 100) AS BIGINT)").as("_cents"))
+
+  /** The densified (user, day) slot frame — per-user-span-bounded
+    * (package-visible so the spec can assert the generated-row count). */
+  private[graft] def gapfillSlots(s: SparkSession, dir: String): DataFrame = {
+    val ev = gapfillEvents(s, dir)
+    val d1 = ev.agg(max("day").as("_d1"))
+    ev.groupBy("user_id").agg(min("day").as("_f0"))
+      .crossJoin(broadcast(d1)) // 1-row scalar frame, broadcast NLJ
+      .select(col("user_id"), explode(sequence(col("_f0"), col("_d1"))).as("day"))
+  }
+
+  private def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = gapfillEvents(s, dir)
     // last purchase per (user, day): row_number over (ts, event_id) desc —
     // the same deterministic per-slot pick as the oracle
     val lastPerDay = ev
@@ -409,13 +425,7 @@ object QueriesPipe {
           .orderBy(col("ts").desc, col("event_id").desc)))
       .where(col("_rn") === 1)
       .select(col("user_id"), col("day"), col("_cents"))
-    val span = ev.agg(min("day").as("_d0"), max("day").as("_d1"))
-    // distinct purchasers straight off the filtered scan — routing through
-    // lastPerDay would re-run its rank window on this branch too
-    val slots = ev.select("user_id").distinct()
-      .crossJoin(broadcast(span)) // 1-row scalar frame, broadcast NLJ
-      .select(col("user_id"), explode(sequence(col("_d0"), col("_d1"))).as("day"))
-    slots.join(lastPerDay, Seq("user_id", "day"), "left")
+    gapfillSlots(s, dir).join(lastPerDay, Seq("user_id", "day"), "left")
       .withColumn("cents_locf", last(col("_cents"), ignoreNulls = true).over(
         Window.partitionBy("user_id").orderBy("day")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -988,14 +998,34 @@ object QueriesPipe {
     * reads the summary file, that a Filter disqualifies, and equality with
     * the rule bypassed.
     */
+  // MV build+registration is cached per (session, dir) — the ADVICE fix:
+  // the registry keys on the fact's HadoopFsRelation INSTANCE, so serving
+  // requires re-aggregating the SAME cached frame, and re-registering per
+  // invocation grew MvRegistry and /tmp with every Verify/Bench call (and
+  // re-paid the summary build at plan time inside the bench lane). One
+  // deterministic /tmp dir per (dir, kind), overwritten on rebuild.
+  private val mvLock = new Object
+  private val mvSingle =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  private val mvJoined =
+    scala.collection.mutable.Map[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def mvTmp(dir: String, kind: String): String =
+    s"/tmp/graft_${kind}_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+
   private def qMvRewrite(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.MvRegistry
-    val fact = Tables.lineitem(s, dir)
     val group = Seq("l_returnflag", "l_linestatus", "l_shipdate")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_mv").toString
-    MvRegistry.buildSummary(fact, group, Seq("l_quantity"))
-      .write.mode("overwrite").parquet(tmp)
-    MvRegistry.register(fact, group, Seq("l_quantity"), s.read.parquet(tmp))
+    val fact = mvLock.synchronized {
+      mvSingle.getOrElseUpdate((s, dir), {
+        val f = Tables.lineitem(s, dir)
+        val tmp = mvTmp(dir, "mv")
+        MvRegistry.buildSummary(f, group, Seq("l_quantity"))
+          .write.mode("overwrite").parquet(tmp)
+        MvRegistry.register(f, group, Seq("l_quantity"), s.read.parquet(tmp))
+        f
+      })
+    }
     fact.groupBy("l_returnflag", "l_linestatus")
       .agg(round(sum("l_quantity"), 2).as("sum_qty"),
         count(lit(1)).as("n_items"),
@@ -1023,15 +1053,20 @@ object QueriesPipe {
     */
   private def qMvJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.MvRegistry
-    val fact = Tables.lineitem(s, dir)
-    val dim = Tables.supplier(s, dir)
     val group = Seq("s_nationkey", "l_returnflag")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_mvj").toString
-    MvRegistry.buildJoinSummary(fact, dim, "l_suppkey", "s_suppkey",
-        group, Seq("l_quantity"))
-      .write.mode("overwrite").parquet(tmp)
-    MvRegistry.registerJoin(fact, dim, "l_suppkey", "s_suppkey",
-      group, Seq("l_quantity"), s.read.parquet(tmp))
+    val (fact, dim) = mvLock.synchronized {
+      mvJoined.getOrElseUpdate((s, dir), {
+        val f = Tables.lineitem(s, dir)
+        val d = Tables.supplier(s, dir)
+        val tmp = mvTmp(dir, "mvj")
+        MvRegistry.buildJoinSummary(f, d, "l_suppkey", "s_suppkey",
+            group, Seq("l_quantity"))
+          .write.mode("overwrite").parquet(tmp)
+        MvRegistry.registerJoin(f, d, "l_suppkey", "s_suppkey",
+          group, Seq("l_quantity"), s.read.parquet(tmp))
+        (f, d)
+      })
+    }
     fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
       .groupBy("s_nationkey")
       .agg(round(sum("l_quantity"), 2).as("sum_qty"),
@@ -1046,6 +1081,82 @@ object QueriesPipe {
            max(l_quantity) AS max_qty
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY 1"""
+
+  // ---------------------------------------------------------------------------
+  // §2.78c Snapshot time travel behind the oracle gate (sources.Versioned)
+  // ---------------------------------------------------------------------------
+
+  /** One Versioned table per (JVM, sf dir), built once and reused across
+    * Verify/Bench invocations (the ADVICE fix for qMvRewrite's per-call
+    * temp-dir growth, applied here from the start): v0 = initial orders
+    * snapshot, v1 = append commit, v2 = MERGE upsert+delete (overwrite
+    * commit). Rebuilt from scratch if a previous JVM left a stale layout.
+    */
+  private val vtLock = new Object
+  private val vtBuilt = scala.collection.mutable.Set[String]()
+
+  private def versionedOrdersDir(s: SparkSession, dir: String): String =
+    vtLock.synchronized {
+      val root = s"/tmp/graft_vt_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      if (!vtBuilt.contains(root)) {
+        val p = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        val orders = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderpriority").as("pri"))
+        graft.sources.Versioned.commit(orders.where(col("k") % 3 =!= 0), root)
+        graft.sources.Versioned.commit(orders.where(col("k") % 3 === 0), root)
+        val ups = orders.where(col("k") % 10 === 0)
+          .withColumn("cents", col("cents") * 2)
+        val dels = orders.where(col("k") % 10 === 5).select("k")
+        graft.sources.Versioned.mergeUpsert(root, ups, "k", Some(dels))
+        vtBuilt += root
+      }
+      root
+    }
+
+  /** §2.78c Time travel (the lakehouse trio's first driver-gated lane):
+    * after an append (v1) and a MERGE rewrite (v2), every OLDER snapshot
+    * stays byte-identical and readable — the query aggregates all three
+    * versions through `Versioned.read(version = v)` and the oracle
+    * replays each version from the SAME immutable batch dirs its manifest
+    * lists (`read_parquet` over the manifest's file list — exactly what a
+    * snapshot reader is). The hash match IS the snapshot-isolation proof:
+    * v0/v1 numbers cannot have moved when v2 rewrote the table.
+    */
+  private def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = versionedOrdersDir(s, dir)
+    (0 to 2).map { v =>
+      graft.sources.Versioned.read(s, root, v)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+          countDistinct("pri").as("n_pri"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("sum_cents"), col("n_pri"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The oracle is data-dependent only through the manifest contents:
+    * generated at dump time by listing each version's batch dirs (the
+    * q_knn_ivf oracleGen precedent — export the model, here the file
+    * layout, as literals).
+    */
+  private def oTimeTravelGen(s: SparkSession, dir: String): String = {
+    val root = versionedOrdersDir(s, dir)
+    val selects = (0 to 2).map { v =>
+      val globs = graft.sources.Versioned.batchStats(root, v)
+        .map { case (b, _) => s"'$root/$b/*.parquet'" }
+      s"""SELECT CAST($v AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(count(DISTINCT pri) AS BIGINT) AS n_pri
+         FROM read_parquet([${globs.mkString(", ")}])"""
+    }
+    selects.mkString("\nUNION ALL\n")
+  }
 
   // ---------------------------------------------------------------------------
   // Registry
@@ -1067,6 +1178,8 @@ object QueriesPipe {
     GraftQuery("q_ref_integrity", qRefIntegrity, Some(oRefIntegrity)),
     GraftQuery("q_mv_rewrite", qMvRewrite, Some(oMvRewrite)),
     GraftQuery("q_mv_join", qMvJoin, Some(oMvJoin)),
+    GraftQuery("q_time_travel", qTimeTravel, None,
+      oracleGen = Some(oTimeTravelGen)),
     GraftQuery("q_topic_map", qTopicMap, None, oracleGen = Some(oTopicMapGen)),
     GraftQuery("q_cluster_purity", qClusterPurity, None,
       oracleGen = Some(oClusterPurityGen)),

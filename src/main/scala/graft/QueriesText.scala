@@ -561,6 +561,69 @@ object QueriesText {
     FROM brute b LEFT JOIN lsh l ON b.q_id = l.q_id AND b.n_id = l.n_id
     GROUP BY b.q_id"""
 
+  /** §2.44o Hard-negative mining ([[Similarity.knnBand]]): per query, the
+    * top-$HardNegK most-similar candidates inside the cosine band
+    * [$HardNegLo, $HardNegHi) — similar enough to teach a contrastive
+    * model something, below the near-dup/positive zone. Band test and
+    * rank key are both the rounded cosine (the knnBrute discipline).
+    */
+  private val HardNegK = 5
+  private val HardNegLo = 0.15
+  private val HardNegHi = 0.45
+
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.knnBand(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+      HardNegK, KnnRound, HardNegLo, HardNegHi)
+  }
+
+  private val oHardNegatives = s"""
+    SELECT q_id, n_id, rk, cr AS cos FROM (
+      SELECT q_id, n_id, cr,
+             row_number() OVER (PARTITION BY q_id ORDER BY cr DESC, n_id) AS rk
+      FROM (
+        SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+               round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(n.embedding AS DOUBLE[])), $KnnRound) + 0 AS cr
+        FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+        WHERE q.vec_id < 10) t0
+      WHERE cr >= $HardNegLo AND cr < $HardNegHi) t
+    WHERE rk <= $HardNegK"""
+
+  /** §2.44p Metadata-filtered ANN (filtered vector search): top-k cosine
+    * among corpus vectors whose DOCUMENT satisfies a predicate (lang =
+    * 'en') — the RAG-stack operation every vector store ships. Gated here
+    * as the exact PRE-FILTER composition (filter the corpus, then rank —
+    * recall-exact by construction; a post-filter of an unfiltered top-k
+    * UNDERFILLS when the predicate is selective). At scale the same
+    * predicate pushes into the IVF cell scan (§2.44i's stored index reads
+    * only probed cells; the filter column rides the posting schema), so
+    * the probe set is unchanged and the in-cell rank sees filtered rows —
+    * composition, not new machinery.
+    */
+  private def qKnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val en = e.join(
+      docs(s, dir).where(col("lang") === "en")
+        .select(col("doc_id").as("vec_id")), "vec_id")
+    Similarity.knnBrute(en, e.where(col("vec_id") < 10), "vec_id",
+      "embedding", KnnK, KnnRound)
+  }
+
+  private val oKnnFiltered = s"""
+    SELECT q_id, n_id, rk, cr AS cos FROM (
+      SELECT q_id, n_id, cr,
+             row_number() OVER (PARTITION BY q_id ORDER BY cr DESC, n_id) AS rk
+      FROM (
+        SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+               round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(n.embedding AS DOUBLE[])), $KnnRound) + 0 AS cr
+        FROM embeddings q
+        JOIN embeddings n ON q.vec_id <> n.vec_id
+        JOIN documents d ON d.doc_id = n.vec_id AND d.lang = 'en'
+        WHERE q.vec_id < 10) t0) t
+    WHERE rk <= $KnnK"""
+
   /** §2.44k SQ8 scalar-quantized ANN (Similarity.knnSq8): packed-byte
     * codes (4× smaller than float32), INTEGER code-dot shortlist (zero
     * float surface — exactly replayed by the oracle), exact rounded-cosine
@@ -2544,7 +2607,7 @@ object QueriesText {
 
   private def qKcore(s: SparkSession, dir: String): DataFrame =
     Graph.kCorePeel(simhashPairEdges(s, dir, KcoreHam), "doc_a", "doc_b",
-        KcoreK, KcoreRounds, df => df.localCheckpoint(false)) // count probe materializes
+        KcoreK, KcoreRounds, Graph.ckptFor(s)) // lazy; the count probe materializes
       .select(col("id").as("doc_id"), col("core_deg"))
 
   private val oKcore: String = {
@@ -2790,6 +2853,71 @@ object QueriesText {
       .withColumn("keeper",
         when(col("doc_id") === col("comp"), lit(1)).otherwise(lit(0)))
   }
+
+  /** §2.50m Dup-cluster-capped sampling (the dedup-aware mixing rule LLM
+    * pipelines run between clustering and mixing: keep at most `c` docs
+    * per near-dup CLUSTER instead of exactly one — down-weighting
+    * templated families without erasing them). Composition: the §2.55
+    * near-dup components + a per-cluster deterministic hash-order rank
+    * (the §2.50 membership discipline — partitioning-/growth-stable,
+    * never rand()), cap at $ClusterCapC; singletons trivially survive.
+    * Output: per-source kept/total — the mixing-table input. The oracle
+    * replays closure → hash rank → cap (MATERIALIZED discipline).
+    */
+  private val ClusterCapC = 2
+
+  private def qClusterCap(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edges = Text.jaccardPairs(d, "doc_id",
+        Text.shingles(col("text"), 2), 0.8)
+      .select("doc_a", "doc_b")
+    val comp = graft.operators.Graph.connectedComponents(edges, "doc_a", "doc_b")
+    val labeled = d.select(col("doc_id"), col("source"))
+      .join(comp, d("doc_id") === comp("id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+    labeled
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("comp")
+          .orderBy(Sampling.sampleHash(col("doc_id").cast("string"), SampleSeed)
+            .asc, col("doc_id").asc)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_rn") <= ClusterCapC, 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  private val oClusterCap = s"""
+    WITH RECURSIVE sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([words[i] || ' ' || words[i+1]
+                            for i in range(1, len(words))]) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+    p AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.bg, b.bg)) * 1.0 /
+            (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.8),
+    e AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM p),
+    reach(id, l) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.src, r.l FROM reach r JOIN e ON e.dst = r.id),
+    comp AS MATERIALIZED (SELECT id, min(l) AS comp FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, d.source, coalesce(comp.comp, d.doc_id) AS comp
+      FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+    r AS (
+      SELECT source,
+             row_number() OVER (PARTITION BY comp ORDER BY
+               ${duckSampleHash("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+      FROM lab)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= $ClusterCapC THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM r GROUP BY source"""
 
   private val oDedupComponents = """
     WITH RECURSIVE sh AS MATERIALIZED (
@@ -4248,7 +4376,7 @@ object QueriesText {
     // lazy checkpoints: plans stay flat (each round's Dataset wraps its
     // RDD) but no per-round materializing action — the ONE final action
     // executes all TrIters rounds as a single job's stage chain
-    Graph.pageRankInt(ed, _.localCheckpoint(false), TrIters)
+    Graph.pageRankInt(ed, Graph.ckptFor(s), TrIters)
       .select(col("id").as("word"), col("pr"))
   }
 
@@ -4941,6 +5069,8 @@ object QueriesText {
     GraftQuery("q_knn_sq8", qKnnSq8, None, oracleGen = Some(oKnnSq8Gen)),
     GraftQuery("q_knn_lsh", qKnnLsh, None, oracleGen = Some(oKnnLshGen)),
     GraftQuery("q_ann_recall", qAnnRecall, None, oracleGen = Some(oAnnRecallGen)),
+    GraftQuery("q_hard_negatives", qHardNegatives, Some(oHardNegatives)),
+    GraftQuery("q_knn_filtered", qKnnFiltered, Some(oKnnFiltered)),
     GraftQuery("q_retrieval_ndcg", qRetrievalNdcg, Some(oRetrievalNdcg)),
     GraftQuery("q_knn_ivf", qKnnIvf, None, oracleGen = Some(oKnnIvfGen)),
     GraftQuery("q_knn_ivf_dist", qKnnIvfDist, None, oracleGen = Some(oKnnIvfDistGen)),
@@ -4976,6 +5106,7 @@ object QueriesText {
       oracleGen = Some(oSampleDiverseGen)),
     GraftQuery("q_dedup_components", qDedupComponents, Some(oDedupComponents)),
     GraftQuery("q_dedup_keep_best", qDedupKeepBest, Some(oDedupKeepBest)),
+    GraftQuery("q_cluster_cap", qClusterCap, Some(oClusterCap)),
     GraftQuery("q_quality_gate", qQualityGate, Some(oQualityGate)),
     GraftQuery("q_keyword_rank", qKeywordRank, Some(oKeywordRank)),
     GraftQuery("q_bm25", qBm25, Some(oBm25)),

@@ -15,6 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Session conf that flips EVERY iterative lane (CC / star-contraction /
+    * LPA / k-core / PageRank / hopDistance) from executor-local lineage
+    * truncation to reliable `checkpoint()` in one place — production
+    * cluster runs set it once (plus `SparkContext.setCheckpointDir`)
+    * instead of every caller threading a flag: localCheckpoint blocks die
+    * with their executor, and at 100 TB an executor loss mid-iteration
+    * aborts the job with no lineage to recompute from.
+    */
+  val ReliableCkptConf = "spark.graft.reliableCheckpoint"
+
+  private def reliableConf(df: DataFrame): Boolean =
+    df.sparkSession.conf.get(ReliableCkptConf, "false").toBoolean
+
+  /** The checkpointer every iterative catalog lane should pass: reliable
+    * `checkpoint()` when [[ReliableCkptConf]] is set (eager — a reliable
+    * checkpoint without a materializing action recomputes its lineage in
+    * the write job), otherwise a LAZY local checkpoint (the plan is
+    * truncated either way; the lane's own per-round probe or final action
+    * materializes the blocks without paying a second job).
+    */
+  def ckptFor(spark: org.apache.spark.sql.SparkSession): DataFrame => DataFrame =
+    if (spark.conf.get(ReliableCkptConf, "false").toBoolean) df => df.checkpoint()
+    else df => df.localCheckpoint(false)
+
   /** Connected components by iterative min-label propagation, with a
     * star-contraction fallback for adversarial diameters: every node
     * starts labeled with its own id; each round a node takes the min of
@@ -55,9 +79,11 @@ object Graph {
     // convergence probe be the job that materializes the blocks — one
     // action per round instead of two (eager ckpt + probe). The reliable
     // path stays eager: RDD.checkpoint without a materializing action
-    // recomputes the lineage when the write job runs.
+    // recomputes the lineage when the write job runs. The session conf
+    // [[ReliableCkptConf]] flips the lane without the caller knowing the
+    // parameter exists.
     val ckpt: DataFrame => DataFrame =
-      if (reliableCheckpoint) df => df.checkpoint()
+      if (reliableCheckpoint || reliableConf(edges)) df => df.checkpoint()
       else df => df.localCheckpoint(false)
     val sym = ckpt(edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst"))))

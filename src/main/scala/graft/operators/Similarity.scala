@@ -200,6 +200,39 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rk"), col("_cos").as("cos"))
   }
 
+  /** Hard-negative mining: top-k per query INSIDE a cosine band
+    * `[lo, hi)` — the contrastive-training data op ("the most similar
+    * candidates that are NOT near-duplicates/positives"): hi excludes the
+    * dup/positive zone, lo floors away easy negatives, and the rank runs
+    * only over band survivors. Same cross-engine discipline as
+    * [[knnBrute]]: the band test and the rank key are both the ROUNDED
+    * cosine (raw values differ across engines by ulps; the literal
+    * thresholds parse to identical doubles on both sides — the semDedup
+    * precedent), ties → n_id.
+    *
+    * Scale shape: identical to knnBrute (band filter is a scan-stage
+    * predicate before the per-query rank); the IVF composition path —
+    * probe cells, band-filter in-cell, rerank — inherits it unchanged
+    * because the band test is per-candidate.
+    */
+  def knnBand(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, roundTo: Int, lo: Double, hi: Double): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.select(col(id).as("n_id"), col(vec).as("n_vec"))
+      .withColumn("n_norm", l2norm(col("n_vec")))
+      .repartition(par)
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
+      .withColumn("q_norm", l2norm(col("q_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("_cos",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), roundTo))
+      .where(col("_cos") >= lo && col("_cos") < hi)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("rk"), col("_cos").as("cos"))
+  }
+
   /** Per-dimension (min, scale) scalar-quantization (SQ8) model: corpus
     * min/max per coordinate. min/max are EXACTLY order-independent (no
     * float-fold discipline needed — unlike means), so the distributed

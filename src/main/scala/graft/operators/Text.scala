@@ -1546,7 +1546,7 @@ object Text {
     var vocab = bpeWords(df, text)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(bpeState(col("w")).as("state"), col("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: round 1's argmax collect materializes
     val merges = Seq.newBuilder[(String, String, Long)]
     var exhausted = false
     for (_ <- 0 until nMerges if !exhausted) {
@@ -1567,7 +1567,7 @@ object Text {
         vocab = vocab
           .withColumn("state", replace(col("state"),
             lit(BpeSep + a + BpeSep + b), lit(BpeSep + a + b)))
-          .localCheckpoint()
+          .localCheckpoint(false) // next round's collect materializes
       }
     }
     merges.result()

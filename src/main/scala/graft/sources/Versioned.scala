@@ -52,16 +52,45 @@ object Versioned {
     * the new batch the ENTIRE table (rewrite/compaction commit) — in both
     * cases previously written batches are untouched, so every older
     * version stays byte-identical. Returns the new version number.
+    *
+    * The manifest publish is an atomic CAS, not a read-modify-write: the
+    * manifest body is staged to a temp file and LINKED into place
+    * (`Files.createLink` fails atomically when the target version already
+    * exists), so two concurrent committers can never both win a version —
+    * the loser re-reads the new current manifest, slides its already-written
+    * batch to the next slot, and retries. Readers either see the complete
+    * manifest or none (a link appears with its full content). This is the
+    * single-filesystem analog of the rename/CAS protocol production
+    * formats run against an object store.
     */
   def commit(df: DataFrame, dir: String, overwrite: Boolean = false): Int = {
-    val cur = currentVersion(dir)
-    val next = cur + 1
-    val batch = f"batch-$next%06d"
-    df.write.parquet(s"$dir/$batch")
-    val prev = if (overwrite || cur < 0) Seq.empty else readManifest(dir, cur)
     Files.createDirectories(Paths.get(dir))
-    Files.write(manifestPath(dir, next),
-      (prev :+ batch).mkString("\n").getBytes("UTF-8"))
+    var next = currentVersion(dir) + 1
+    var batch = f"batch-$next%06d"
+    df.write.parquet(s"$dir/$batch")
+    var committed = false
+    while (!committed) {
+      val cur = currentVersion(dir)
+      if (cur >= next) {
+        // lost a race: a concurrent committer took this version. The data
+        // batch is immutable and version-agnostic — slide it to the new slot.
+        val n2 = cur + 1
+        val b2 = f"batch-$n2%06d"
+        Files.move(Paths.get(dir, batch), Paths.get(dir, b2))
+        next = n2
+        batch = b2
+      }
+      val prev = if (overwrite || next == 0) Seq.empty
+                 else readManifest(dir, next - 1)
+      val tmp = Files.createTempFile(Paths.get(dir), ".manifest-", ".tmp")
+      Files.write(tmp, (prev :+ batch).mkString("\n").getBytes("UTF-8"))
+      try {
+        Files.createLink(manifestPath(dir, next), tmp)
+        committed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // retry loop
+      } finally Files.deleteIfExists(tmp)
+    }
     next
   }
 
@@ -173,6 +202,15 @@ object Versioned {
     * key bounds intersect the update keys — exactly the §2.78d sidecar
     * stats composed with this commit path (prune, rewrite only touched
     * batches, append commit); the semantics gated here are identical.
+    *
+    * CONCURRENCY PRECONDITION — single writer: the merge computes from the
+    * snapshot it read, so a row appended by a CONCURRENT committer between
+    * this read and the overwrite commit is absent from the merged rewrite
+    * (a lost update — the CAS in [[commit]] serializes version numbers,
+    * not merge read sets). Production formats reject such commits by
+    * re-validating the read snapshot at commit time (optimistic
+    * concurrency); here, callers must not run mergeUpsert concurrently
+    * with other writers on the same table.
     */
   def mergeUpsert(dir: String, updates: DataFrame, key: String,
                   deletes: Option[DataFrame] = None): Int = {

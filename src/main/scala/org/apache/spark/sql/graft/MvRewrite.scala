@@ -112,6 +112,18 @@ object MvRegistry {
     val missing = needed.filterNot(sOut)
     require(missing.isEmpty,
       s"MvRegistry.register: summary is missing columns $missing")
+    // DECIMAL measures are rejected at the door: rewriting sum(m) to
+    // Sum(m_sum) widens the result type a second time (p+10 → p+20), so
+    // the served plan's output schema would silently differ from the base
+    // aggregate's under the kept exprId — long/double measures decompose
+    // with identical types.
+    val decimals = fact.schema.fields
+      .filter(f => measureCols.contains(f.name))
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+      .map(_.name)
+    require(decimals.isEmpty,
+      s"MvRegistry.register: DECIMAL measures $decimals would change the " +
+        "rewritten aggregate's result type (sum-of-sums widens precision)")
     val id = nextId.incrementAndGet()
     defs.put(id, MvDef(rel, groupCols, measureCols,
       summary.queryExecution.analyzed))
@@ -218,12 +230,20 @@ case class MvRewriteRule() extends Rule[LogicalPlan] {
           Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
         val (lfs, lConds) = stripToScan(l).getOrElse(return None)
         val (rfs, rConds) = stripToScan(r).getOrElse(return None)
-        val keyNames = Set(a.name, b.name)
+        // bind each key attribute to its SIDE before name-matching: the
+        // unordered name-set form would serve the crossed join
+        // fact.dimKey = dim.factKey (a different join) when both tables
+        // carry both column names
+        val (lKey, rKey) =
+          if (l.outputSet.contains(a) && r.outputSet.contains(b)) (a, b)
+          else if (l.outputSet.contains(b) && r.outputSet.contains(a)) (b, a)
+          else return None
         val mv = MvRegistry.all.find { d =>
           d.join.exists { js =>
-            keyNames == Set(js.factKey, js.dimKey) &&
-              (((d.factRelation eq lfs) && (js.dimRelation eq rfs)) ||
-                ((d.factRelation eq rfs) && (js.dimRelation eq lfs)))
+            ((d.factRelation eq lfs) && (js.dimRelation eq rfs) &&
+              lKey.name == js.factKey && rKey.name == js.dimKey) ||
+              ((d.factRelation eq rfs) && (js.dimRelation eq lfs) &&
+                rKey.name == js.factKey && lKey.name == js.dimKey)
           }
         }.getOrElse(return None)
         serveFrom(agg, mv, outerConds ++ lConds ++ rConds)

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guard for the driver's BENCH artifact (the r5–r7 killer): the
+  * collector keeps only the last ~2000 chars of stdout and parses a JSON
+  * line out of that tail, so Bench's final line must stay comfortably
+  * under that no matter how the catalog grows. No SparkSession needed —
+  * this tests the pure formatter.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def fakeCatalog(n: Int): Seq[(String, Double)] =
+    (0 until n).map { i =>
+      // worst-case realistic names (the catalog's longest is ~22 chars)
+      // and times with full double precision before formatting
+      (f"q_synthetic_operator_name_$i%03d", 0.123456789 * (i % 17 + 1))
+    }
+
+  test("compact line stays under 1700 chars at 250 queries") {
+    val best = fakeCatalog(250)
+    val line = Bench.compactLine(best, best.map(_._2).sum, "/root/testdata/sf0.1")
+    assert(line.length < 1700, s"line is ${line.length} chars")
+    // and is a single line of valid-enough JSON shape for the collector
+    assert(!line.contains("\n"))
+    assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
+  }
+
+  test("failed lanes count but never leak unbounded entries into the line") {
+    val best = fakeCatalog(250).zipWithIndex.map {
+      case ((k, v), i) => (k, if (i % 3 == 0) -1.0 else v)
+    }
+    val line = Bench.compactLine(best, 0.0, "/root/testdata/sf0.1")
+    assert(line.length < 1700)
+    assert(line.contains("\"fail\":84"))
+    assert(!line.contains("-1.000"), "failed lanes must not enter the top list")
+  }
+}

@@ -531,6 +531,28 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("knnBand == band-filter-then-rerank of the full cosine ranking") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 3)
+    val n = e.count().toInt
+    val lo = 0.1
+    val hi = 0.5
+    // ground truth: the FULL per-query ranking, band-filtered, re-ranked
+    val full = Similarity.knnBrute(e, q, "vec_id", "embedding", n, 3)
+      .select("q_id", "n_id", "cos").as[(Long, Long, Double)].collect()
+    val want = full.filter(r => r._3 >= lo && r._3 < hi)
+      .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(7).zipWithIndex
+          .map { case ((qi, ni, c), i) => (qi, ni, i + 1, c) }
+      }.toSet
+    val got = Similarity.knnBand(e, q, "vec_id", "embedding", 7, 3, lo, hi)
+      .select("q_id", "n_id", "rk", "cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == want)
+    // the band actually bites on both sides (dup zone excluded, floor cut)
+    assert(got.forall { case (_, _, _, c) => c >= lo && c < hi })
+  }
+
   test("native dot expression is bit-identical to the HOF form") {
     val e = Tables.embeddings(spark, sfDir).limit(50)
     val pairs = e.toDF("id_a", "vec_a", "l_a")
@@ -1613,6 +1635,39 @@ class GraphOpSpec extends AnyFunSuite with SparkFixture {
         maxIter = 3, reliableCheckpoint = true)
       .as[(Long, Long)].collect().toMap
     assert(comp.values.toSet == Set(0L) && comp.keySet.size == 30)
+  }
+
+  test("spark.graft.reliableCheckpoint conf flips every iterative lane") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(Graph.ReliableCkptConf, "true")
+    try {
+      // ckptFor returns the reliable checkpointer: files appear under the
+      // checkpoint dir after materialization (localCheckpoint writes none)
+      val ck = Graph.ckptFor(spark)
+      val before = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .count()
+      ck(Seq((1L, 2L)).toDF("a", "b")).count()
+      val after = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .count()
+      assert(after > before, "reliable checkpoint wrote no files")
+      // connectedComponents reads the conf without the caller's flag, and
+      // every lane still labels correctly under the reliable path
+      val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val comp = Graph.connectedComponents(chain.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(comp.values.toSet == Set(0L) && comp.keySet.size == 12)
+      val edges = Seq((1L, 2L, 5L), (2L, 3L, 5L)).toDF("src", "dst", "w")
+      val pr = Graph.pageRankInt(edges, ck, 2).as[(Long, Long)].collect()
+      assert(pr.length == 3)
+      val core = Graph.kCorePeel(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b"), "a", "b", 2, 3, ck)
+        .as[(Long, Long)].collect()
+      assert(core.map(_._1).toSet == Set(1L, 2L, 3L))
+      val lpa = Graph.labelPropagation(edges, ck, 2)
+        .as[(Long, Long)].collect()
+      assert(lpa.length == 3)
+    } finally spark.conf.unset(Graph.ReliableCkptConf)
   }
 
   test("kCorePeel: chains dissolve, cliques survive whole, lollipop keeps only its head") {

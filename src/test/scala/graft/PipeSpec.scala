@@ -79,6 +79,16 @@ class PipeSpec extends AnyFunSuite with SparkFixture {
           s"user $u day $day: got $v want ${last.map(_._4)}")
       }
     }
+    // r9 scale fix: the slots frame is per-user-span-bounded — exactly
+    // Σ_u (d1 − first_u + 1) generated rows, NOT the |users| × |global
+    // span| rectangle (which at 10⁹ users × 10 years would be 10¹² rows,
+    // mostly discarded post-LOCF)
+    val firstByUser = purchases.groupBy(_._1)
+      .map { case (_, evs) => evs.map(_._2 / dayNs).min }
+    val wantSlots = firstByUser.map(f0 => d1 - f0 + 1).sum
+    assert(QueriesPipe.gapfillSlots(spark, sfDir).count() == wantSlots)
+    val rectangle = firstByUser.size.toLong * (d1 - firstByUser.min + 1)
+    assert(wantSlots < rectangle, "corpus has users with differing first days")
   }
 
   test("q_ccnet_buckets: buckets partition each language, boundaries ordered") {

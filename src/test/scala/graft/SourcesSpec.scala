@@ -169,6 +169,64 @@ class FoiaSpec extends AnyFunSuite with SparkFixture {
     assert(rows.head._3 == 1422775444L * 1000000000L)
     assert(rows(1)._3 - rows.head._3 == 5L * 1000000000L)
   }
+
+  test("Foia.parseTrackpoints handles both documented layouts + poison lines") {
+    // classic 13-column layout (row.go:21-33)
+    val classic = Seq(
+      "VOI902,2015020103105708,20150201065937NCT1024VOI902,NCT,1024,MMGL,OAK,A320,37.69849,-122.21049,1,20150201,07:24:04",
+      "garbage line with,too,few", // wrong arity → PERMISSIVE nulls → dropped
+      "VOI902,2015020103105708,20150201065937NCT1024VOI902,NCT,1024,MMGL,OAK,A320,not_a_float,-122.2,1,20150201,07:24:09"
+    ).toDF("line")
+    val got = graft.sources.Foia.parseTrackpoints(classic, "line",
+      graft.sources.Foia.headersClassic).collect()
+    assert(got.length == 1) // both poison rows dropped, not fatal
+    val r = got.head
+    assert(r.getAs[String]("callsign") == "VOI902")
+    assert(r.getAs[String]("squawk") == "1024")
+    assert(r.getAs[Double]("alt_ft") == 100.0)
+    assert(r.getAs[String]("user_class") == null) // absent column → null
+    // USER_CLASS 14-column layout (row.go:36-42)
+    val modern = Seq(
+      "VOI902,2015020103105708,20150201065937NCT1024VOI902,NCT,1024,MMGL,OAK,A320,C,37.69849,-122.21049,5,20150201,07:24:04"
+    ).toDF("line")
+    val got2 = graft.sources.Foia.parseTrackpoints(modern, "line",
+      graft.sources.Foia.headersWithUserClass).collect()
+    assert(got2.length == 1)
+    assert(got2.head.getAs[String]("user_class") == "C")
+    assert(got2.head.getAs[Double]("alt_ft") == 500.0)
+  }
+
+  test("Foia.flights splits same-callsign flights by FLIGHT_INDEX and sorts tracks") {
+    // the row.go:134-144 ambiguity: QXE17 flies twice the same day —
+    // flight number identical, FLIGHT_INDEX distinguishes the flights
+    val lines = Seq(
+      "QXE17,2016051028797150,20160510235032NCT6624QXE17,NCT,6624,EUG,SJC,DH8D,37.34841,-121.91391,3,20160511,00:40:59",
+      "QXE17,2016051028797150,20160510235032NCT6624QXE17,NCT,6624,EUG,SJC,DH8D,37.35002,-121.91558,3,20160511,00:41:04",
+      "QXE17,2016051028735155,20160510011647NCT4514QXE17,NCT,4514,SJC,RNO,DH8D,37.36278,-121.92703,6,20160510,01:16:47",
+      // deliberately out of order: the later point first in the file
+      "QXE17,2016051028735155,20160510011647NCT4514QXE17,NCT,4514,SJC,RNO,DH8D,37.3649,-121.92945,9,20160510,01:16:42"
+    ).toDF("line")
+    val pts = graft.sources.Foia.parseTrackpoints(lines, "line",
+      graft.sources.Foia.headersClassic)
+    val fl = graft.sources.Foia.flights(pts).collect()
+      .map(r => (r.getAs[String]("flight_index"), r)).toMap
+    assert(fl.size == 2, "FLIGHT_INDEX must split the two QXE17 flights")
+    val f1 = fl("2016051028797150")
+    assert(f1.getAs[String]("origin") == "EUG" &&
+      f1.getAs[String]("destination") == "SJC")
+    assert(f1.getAs[Long]("n_points") == 2L)
+    assert(f1.getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("FOIA"))
+    assert(f1.getAs[String]("data_source") == "FOIA")
+    val f2 = fl("2016051028735155")
+    // track sorted by timestamp ASCENDING despite shuffled file order
+    val ts2 = f2.getAs[scala.collection.Seq[java.sql.Timestamp]]("track_ts")
+      .toSeq.map(_.getTime)
+    assert(ts2 == ts2.sorted && ts2.length == 2)
+    // skeleton comes from the EARLIEST point; FAA foreign key rides along
+    assert(f2.getAs[String]("faa_key") == "20160510011647NCT4514QXE17")
+    val alts2 = f2.getAs[scala.collection.Seq[Double]]("track_alt_ft").toSeq
+    assert(alts2 == Seq(900.0, 600.0)) // 01:16:42 point (alt 9) sorts first
+  }
 }
 
 class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
