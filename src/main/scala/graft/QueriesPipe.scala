@@ -1139,6 +1139,57 @@ object QueriesPipe {
     }.reduce(_ unionByName _)
   }
 
+  /** §2.78f Snapshot CDC / incremental diff: the row-level changes between
+    * two committed versions of the same Versioned table — the "what did
+    * the MERGE do" read that incremental consumers (downstream syncs,
+    * audit, cache invalidation) run instead of re-scanning the table. One
+    * full-outer key join between the two snapshot reads classifies every
+    * key as inserted / deleted / updated / unchanged; both sides are
+    * manifest-pinned so a concurrent commit can't smear the diff. Scale:
+    * a production format narrows each side to the batches that CHANGED
+    * between the manifests (list difference — O(1) metadata) before any
+    * data join; the semantics gated here are that diff.
+    */
+  private def qVersionDiff(s: SparkSession, dir: String): DataFrame = {
+    val root = versionedOrdersDir(s, dir)
+    val pre = graft.sources.Versioned.read(s, root, 1)
+      .select(col("k"), col("cents").as("cents_pre"))
+    val post = graft.sources.Versioned.read(s, root, 2)
+      .select(col("k"), col("cents").as("cents_post"))
+    pre.join(post, Seq("k"), "full_outer")
+      .select(
+        when(col("cents_pre").isNull, "inserted")
+          .when(col("cents_post").isNull, "deleted")
+          .when(col("cents_pre") =!= col("cents_post"), "updated")
+          .otherwise("unchanged").as("change"),
+        col("cents_pre"), col("cents_post"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(coalesce(col("cents_post"), lit(0L)) -
+          coalesce(col("cents_pre"), lit(0L))).as("cents_delta"))
+  }
+
+  private def oVersionDiffGen(s: SparkSession, dir: String): String = {
+    val root = versionedOrdersDir(s, dir)
+    def globs(v: Int) = graft.sources.Versioned.batchStats(root, v)
+      .map { case (b, _) => s"'$root/$b/*.parquet'" }.mkString(", ")
+    s"""
+    WITH pre AS (SELECT k, cents AS cents_pre
+                 FROM read_parquet([${globs(1)}])),
+    post AS (SELECT k, cents AS cents_post
+             FROM read_parquet([${globs(2)}])),
+    d AS (SELECT CASE WHEN cents_pre IS NULL THEN 'inserted'
+                      WHEN cents_post IS NULL THEN 'deleted'
+                      WHEN cents_pre <> cents_post THEN 'updated'
+                      ELSE 'unchanged' END AS change,
+                 cents_pre, cents_post
+          FROM pre FULL OUTER JOIN post USING (k))
+    SELECT change, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(coalesce(cents_post, 0) - coalesce(cents_pre, 0))
+                AS BIGINT) AS cents_delta
+    FROM d GROUP BY change"""
+  }
+
   /** The oracle is data-dependent only through the manifest contents:
     * generated at dump time by listing each version's batch dirs (the
     * q_knn_ivf oracleGen precedent — export the model, here the file
@@ -1180,6 +1231,8 @@ object QueriesPipe {
     GraftQuery("q_mv_join", qMvJoin, Some(oMvJoin)),
     GraftQuery("q_time_travel", qTimeTravel, None,
       oracleGen = Some(oTimeTravelGen)),
+    GraftQuery("q_version_diff", qVersionDiff, None,
+      oracleGen = Some(oVersionDiffGen)),
     GraftQuery("q_topic_map", qTopicMap, None, oracleGen = Some(oTopicMapGen)),
     GraftQuery("q_cluster_purity", qClusterPurity, None,
       oracleGen = Some(oClusterPurityGen)),

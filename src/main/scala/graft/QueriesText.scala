@@ -1306,6 +1306,44 @@ object QueriesText {
                 OR (len(string_split(text, ' ')) < 10) AS INT) AS low_quality
     FROM documents"""
 
+  /** §2.46c Per-source score calibration: a raw quality signal (here
+    * n_chars) mapped to its PERCENTILE within the doc's source — the step
+    * that makes scores comparable across heterogeneous scorers/sources
+    * before a global quality cut ("top 30% of each source" instead of one
+    * absolute threshold that a verbose source saturates). Percentile =
+    * strictly-below count × 1000 div source size — value-granular (ties
+    * share a percentile), exactly replayable, and computed over the
+    * per-(source, value) HISTOGRAM: the rank window's input is bounded by
+    * distinct values per source (the ccnet_buckets discipline), never the
+    * corpus, so a 10⁹-doc source costs a histogram shuffle + a broadcast
+    * join back, not a 10⁹-row window.
+    */
+  private def qScoreCalibrate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val hist = d.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("_n"))
+    val wCum = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("_below", sum("_n").over(wCum) - col("_n"))
+      .withColumn("_tot", sum("_n").over(Window.partitionBy("source")))
+    d.join(cum, Seq("source", "n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("_below * 1000L div _tot").as("pct_x1000"))
+  }
+
+  private val oScoreCalibrate = """
+    WITH h AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1, 2),
+    c AS (SELECT source, n_chars,
+                 CAST(sum(n) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n AS BIGINT) AS below,
+                 CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS tot
+          FROM h)
+    SELECT d.doc_id, d.source, d.n_chars, below * 1000 // tot AS pct_x1000
+    FROM documents d JOIN c ON c.source = d.source AND c.n_chars = d.n_chars"""
+
   /** §2.47 Token counting: whitespace tokens + BPE-ish regex tokens. */
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -2854,6 +2892,101 @@ object QueriesText {
         when(col("doc_id") === col("comp"), lit(1)).otherwise(lit(0)))
   }
 
+  /** §2.40c Alignment evidence for near-dup pairs (the audit surface a
+    * dedup decision ships with: WHERE do these two docs overlap, not just
+    * how much): for every §2.40 PTJ pair, the longest COMMON CONTIGUOUS
+    * token run, found relationally from matched bigram positions — match
+    * (pos_a, pos_b) on bigram equality, group by the alignment DIAGONAL
+    * pos_a − pos_b, and detect consecutive runs with the classic
+    * gaps-and-islands trick (pos − row_number is constant inside a run).
+    * All integer arithmetic; ties (equal run length) break on start_a
+    * then diagonal. Scale: position lists explode per PAIR DOC, never
+    * corpus×corpus — work is Σ_pairs (len_a-matches), and the windows
+    * partition per (pair, diagonal), bounded by doc length.
+    */
+  private def qPairEvidence(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Text.jaccardPairs(d, "doc_id",
+        Text.shingles(col("text"), 2), 0.8)
+      .select("doc_a", "doc_b")
+      .localCheckpoint() // feeds both position joins + the match rollup
+    val pg = d.select(col("doc_id"), split(col("text"), " ").as("_w"))
+      .where(size(col("_w")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(_w) - 1), " +
+          "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"))
+        .as(Seq("_p0", "g")))
+      .select(col("doc_id"), (col("_p0") + 1).cast("long").as("p"), col("g"))
+    val m = pairs
+      .join(pg.select(col("doc_id").as("doc_a"), col("p").as("pa"), col("g")),
+        "doc_a")
+      .join(pg.select(col("doc_id").as("doc_b"), col("p").as("pb"), col("g")),
+        Seq("doc_b", "g"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val runs = m
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")))
+      .withColumn("_isl", col("pa") - col("_rn"))
+      .groupBy("doc_a", "doc_b", "diag", "_isl")
+      .agg(count(lit(1)).as("run_bg"), min("pa").as("start_a"))
+    val best = runs
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("doc_a", "doc_b")
+          .orderBy(col("run_bg").desc, col("start_a").asc, col("diag").asc)))
+      .where(col("_rk") === 1)
+    val nm = m.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_matches"))
+    best.join(nm, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("run_bg") + 1).as("evidence_tokens"),
+        col("start_a"), col("n_matches"))
+  }
+
+  private val oPairEvidence = """
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([ws[i] || ' ' || ws[i+1]
+                            for i in range(1, len(ws))]) AS bg
+      FROM w),
+    pr AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.bg, b.bg)) * 1.0 /
+            (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.8),
+    pg AS MATERIALIZED (
+      SELECT doc_id, p, ws[p] || ' ' || ws[p+1] AS g
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 1)) AS p
+            FROM w WHERE len(ws) >= 2)),
+    m AS MATERIALIZED (
+      SELECT pr.doc_a, pr.doc_b, a.p AS pa, b.p AS pb,
+             a.p - b.p AS diag
+      FROM pr
+      JOIN pg a ON a.doc_id = pr.doc_a
+      JOIN pg b ON b.doc_id = pr.doc_b AND b.g = a.g),
+    runs AS (
+      SELECT doc_a, doc_b, diag, isl,
+             CAST(count(*) AS BIGINT) AS run_bg,
+             CAST(min(pa) AS BIGINT) AS start_a
+      FROM (SELECT doc_a, doc_b, diag, pa,
+                   pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                           ORDER BY pa) AS isl
+            FROM m)
+      GROUP BY 1, 2, 3, 4),
+    best AS (
+      SELECT doc_a, doc_b, run_bg, start_a FROM (
+        SELECT doc_a, doc_b, run_bg, start_a,
+               row_number() OVER (PARTITION BY doc_a, doc_b
+                 ORDER BY run_bg DESC, start_a, diag) AS rk
+        FROM runs) t WHERE rk = 1),
+    nm AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_matches
+           FROM m GROUP BY 1, 2)
+    SELECT b.doc_a, b.doc_b, b.run_bg + 1 AS evidence_tokens,
+           b.start_a, nm.n_matches
+    FROM best b JOIN nm ON nm.doc_a = b.doc_a AND nm.doc_b = b.doc_b"""
+
   /** §2.50m Dup-cluster-capped sampling (the dedup-aware mixing rule LLM
     * pipelines run between clustering and mixing: keep at most `c` docs
     * per near-dup CLUSTER instead of exactly one — down-weighting
@@ -3149,6 +3282,106 @@ object QueriesText {
   private val HybK = 20
   private val RrfC = 60
   private val RrfScale = 1000000L
+
+  /** §2.57d MMR diversified retrieval (Carbonell & Goldstein 1998 maximal
+    * marginal relevance — the re-ranking step that keeps a result list
+    * from being k near-copies of the best hit): from the top-$MmrC
+    * candidates by rounded cosine to the query, greedily select $MmrK,
+    * each step maximizing λ·rel − (1−λ)·max-sim-to-selected with λ = 0.7
+    * — run in EXACT INTEGERS as 7·rel − 3·maxsim over thousandth-scaled
+    * rounded cosines, so both engines replay every greedy step
+    * bit-identically (ties → id). The selection is $MmrK UNROLLED
+    * relational rounds over the ≤$MmrC-candidate frame (each an anti-join
+    * + a max-sim rollup + TakeOrdered(1) — no driver loop over data; the
+    * candidate set itself comes from the distributed knnBrute top-k);
+    * the oracle unrolls the same rounds as MATERIALIZED CTEs (the BPE
+    * chain discipline — inlined, each level would re-evaluate its whole
+    * prefix). Pairwise sims are candidate×candidate (≤C² = 400 rows),
+    * computed once and checkpointed.
+    */
+  private val MmrC = 20
+  private val MmrK = 8
+
+  private def qMmr(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cand = Similarity.knnBrute(e, e.where(col("vec_id") === HybQ),
+        "vec_id", "embedding", MmrC, KnnRound)
+      .select(col("n_id").as("id"),
+        expr("CAST(round(cos * 1000, 0) AS BIGINT)").as("rel"))
+      .localCheckpoint(false) // anchors every greedy round + the sim matrix
+    val ce = cand.select("id")
+      .join(e.select(col("vec_id").as("id"), col("embedding")), "id")
+    val va = ce.select(col("id").as("id_a"), col("embedding").as("_va"))
+    val vb = ce.select(col("id").as("id_b"), col("embedding").as("_vb"))
+    val sim = va.join(vb, col("id_a") =!= col("id_b"))
+      .withColumn("_c", round(Similarity.cosine(col("_va"), col("_vb")), KnnRound))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(round(_c * 1000, 0) AS BIGINT)").as("s"))
+      .localCheckpoint(false) // ≤ C² rows, read by every round
+    var result = cand.orderBy(col("rel").desc, col("id").asc).limit(1)
+      .select(col("id"), col("rel"), lit(1L).as("rk"))
+    for (i <- 2 to MmrK) {
+      val rem = cand.join(result.select("id"), Seq("id"), "left_anti")
+      val ms = sim.join(result.select(col("id").as("id_b")), Seq("id_b"))
+        .groupBy(col("id_a")).agg(max(col("s")).as("_maxsim"))
+      val next = rem.join(ms, rem("id") === ms("id_a"))
+        .select(rem("id"), rem("rel"),
+          (rem("rel") * 7 - col("_maxsim") * 3).as("_score"))
+        .orderBy(col("_score").desc, col("id").asc).limit(1)
+        .select(col("id"), col("rel"), lit(i.toLong).as("rk"))
+      // LAZY checkpoint per round: `result` is referenced TWICE by the
+      // next round (anti-join + selected-set rollup), so without plan
+      // truncation the unrolled tree doubles per round (2^k copies of
+      // round 1 — measured ~40 s at k=8); truncated, the final action
+      // runs k small rounds once each
+      result = result.unionByName(next).localCheckpoint(false)
+    }
+    result.select(col("rk"), col("id"), col("rel"))
+  }
+
+  private val oMmr: String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cand AS MATERIALIZED (
+      SELECT n_id AS id, CAST(round(cr * 1000) AS BIGINT) AS rel FROM (
+        SELECT n.vec_id AS n_id, cr,
+               row_number() OVER (ORDER BY cr DESC, n.vec_id) AS rk
+        FROM (SELECT n.vec_id,
+                     round(list_cosine_similarity(
+                       (SELECT v FROM e WHERE vec_id = $HybQ), n.v),
+                       $KnnRound) + 0 AS cr
+              FROM e n WHERE n.vec_id <> $HybQ) n) t
+      WHERE rk <= $MmrC),
+    sim AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(round((round(list_cosine_similarity(ea.v, eb.v), $KnnRound)
+                         + 0) * 1000) AS BIGINT) AS s
+      FROM cand a JOIN cand b ON a.id <> b.id
+      JOIN e ea ON ea.vec_id = a.id
+      JOIN e eb ON eb.vec_id = b.id),
+    sel1 AS MATERIALIZED (
+      SELECT id, rel, CAST(1 AS BIGINT) AS rk FROM cand
+      ORDER BY rel DESC, id LIMIT 1)"""
+    for (i <- 2 to MmrK) {
+      sb ++= s""",
+    s$i AS MATERIALIZED (
+      SELECT c.id, c.rel, CAST($i AS BIGINT) AS rk
+      FROM cand c
+      WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+      ORDER BY c.rel * 7 - 3 * (SELECT max(s) FROM sim
+                                WHERE id_a = c.id
+                                  AND id_b IN (SELECT id FROM sel${i - 1}))
+               DESC, c.id
+      LIMIT 1),
+    sel$i AS MATERIALIZED (
+      SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)"""
+    }
+    sb ++= s"""
+    SELECT rk, id, rel FROM sel$MmrK"""
+    sb.toString
+  }
 
   private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
@@ -5082,6 +5315,7 @@ object QueriesText {
     GraftQuery("q_knn_ivf2_pq", qKnnIvf2Pq, None, oracleGen = Some(oKnnIvf2PqGen)),
     GraftQuery("q_text_lang", qTextLang, Some(oTextLang)),
     GraftQuery("q_text_quality", qTextQuality, Some(oTextQuality)),
+    GraftQuery("q_score_calibrate", qScoreCalibrate, Some(oScoreCalibrate)),
     GraftQuery("q_token_count", qTokenCount, Some(oTokenCount)),
     GraftQuery("q_multimodal_meta", qMultimodalMeta, Some(oMultimodalMeta)),
     GraftQuery("q_sample_hash", qSampleHash, Some(oSampleHash)),
@@ -5107,10 +5341,12 @@ object QueriesText {
     GraftQuery("q_dedup_components", qDedupComponents, Some(oDedupComponents)),
     GraftQuery("q_dedup_keep_best", qDedupKeepBest, Some(oDedupKeepBest)),
     GraftQuery("q_cluster_cap", qClusterCap, Some(oClusterCap)),
+    GraftQuery("q_pair_evidence", qPairEvidence, Some(oPairEvidence)),
     GraftQuery("q_quality_gate", qQualityGate, Some(oQualityGate)),
     GraftQuery("q_keyword_rank", qKeywordRank, Some(oKeywordRank)),
     GraftQuery("q_bm25", qBm25, Some(oBm25)),
     GraftQuery("q_hybrid_rrf", qHybridRrf, Some(oHybridRrf)),
+    GraftQuery("q_mmr", qMmr, Some(oMmr)),
     GraftQuery("q_dataset_card", qDatasetCard, Some(oDatasetCard)),
     GraftQuery("q_pii_scan", qPiiScan, Some(oPiiScan)),
     GraftQuery("q_pii_redact", qPiiRedact, Some(oPiiRedact)),
