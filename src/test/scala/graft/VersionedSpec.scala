@@ -172,4 +172,61 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     assert(!deleted2.exists(_.endsWith("batch-000002")))
     assert(ids(Versioned.read(spark, dir, 3)) == ids(a) ++ ids(b) + 25L)
   }
+
+  test("RefCache: refresh is a versioned MERGE; lookup broadcasts a pinned snapshot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_refc").toString
+    // initial registry load (reference: airframe map built up over time)
+    val v0 = Versioned.commit(Seq(
+      ("icao1", "B738", "UAL"), ("icao2", "A320", "DAL"))
+      .toDF("icao24", "equip", "carrier"), dir)
+    assert(v0 == 0)
+    // refresh: icao2 re-observed with a corrected type + a new airframe
+    val v1 = graft.sources.RefCache.refresh(dir, Seq(
+      ("icao2", "A321", "DAL"), ("icao3", "E75L", "SKW"))
+      .toDF("icao24", "equip", "carrier"), "icao24")
+    assert(v1 == 1)
+    val facts = Seq(("icao1", 1L), ("icao2", 2L), ("icaoX", 3L))
+      .toDF("icao24", "n")
+    // latest snapshot: corrected equip, new rows visible, unknown -> null
+    val now = graft.sources.RefCache.lookup(spark, facts, dir, "icao24")
+      .select("icao24", "equip").as[(String, String)].collect().toMap
+    assert(now("icao1") == "B738" && now("icao2") == "A321"
+      && now("icaoX") == null)
+    // pinned pre-refresh snapshot reproduces yesterday's enrichment
+    val old = graft.sources.RefCache.lookup(spark, facts, dir, "icao24",
+        version = 0)
+      .select("icao24", "equip").as[(String, String)].collect().toMap
+    assert(old("icao2") == "A320")
+    // the enrichment join really broadcasts (the registry-sized contract)
+    val plan = graft.sources.RefCache.lookup(spark, facts, dir, "icao24")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("streaming ingest lands as Versioned commits; a pinned reader is isolated") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_vstream").toString
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF.toDF("k", "cents").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Versioned.commit(batch, dir): Unit
+      }
+      .start()
+    in.addData((1L, 10L), (2L, 20L))
+    q.processAllAvailable()
+    val vAfterFirst = Versioned.currentVersion(dir)
+    val pinned = Versioned.read(spark, dir, vAfterFirst)
+    in.addData((3L, 30L))
+    q.processAllAvailable()
+    q.stop()
+    // later micro-batches appended new versions...
+    assert(Versioned.currentVersion(dir) > vAfterFirst)
+    assert(Versioned.read(spark, dir).count() == 3)
+    // ...but the reader pinned before them still sees its exact snapshot
+    assert(pinned.count() == 2)
+  }
 }
