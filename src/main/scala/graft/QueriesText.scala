@@ -396,6 +396,46 @@ object QueriesText {
     WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 3) >= 0.4"""
 
+  /** §2.42c Cross-lingual pair mining (new r9 — the translation/
+    * paraphrase-candidate harvest multilingual training sets are built
+    * from: bitext mining à la CCMatrix, reduced to its engine core):
+    * embedding-cosine pairs ABOVE threshold whose documents carry
+    * DIFFERENT language tags — the same-language case is §2.42's dedup;
+    * here the lang constraint flips the semantics from "near-duplicate,
+    * drop one" to "aligned pair, keep both". Composition: the exact
+    * cosine pair machinery + two broadcast-able doc-lang joins + the
+    * inequality filter; the LSH-bucketed path (§2.42b) inherits the
+    * filter unchanged since it's per-pair. Same rounded-cosine
+    * discipline; threshold chosen below the dup band so synthetic
+    * corpora yield pairs.
+    */
+  private val XlangThresh = 0.3
+
+  private def qXlangPairs(s: SparkSession, dir: String): DataFrame = {
+    val langs = docs(s, dir).select(col("doc_id").as("vec_id"), col("lang"))
+    val p = Similarity.cosineDupPairs(embs(s, dir), "vec_id", "embedding",
+      XlangThresh, KnnRound)
+    p.join(langs.select(col("vec_id").as("id_a"), col("lang").as("lang_a")), "id_a")
+      .join(langs.select(col("vec_id").as("id_b"), col("lang").as("lang_b")), "id_b")
+      .where(col("lang_a") =!= col("lang_b"))
+      .select(col("id_a"), col("id_b"), col("lang_a"), col("lang_b"), col("cos"))
+  }
+
+  private val oXlangPairs = s"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           da.lang AS lang_a, db.lang AS lang_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), $KnnRound)
+             AS cos
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    JOIN documents da ON da.doc_id = a.vec_id
+    JOIN documents db ON db.doc_id = b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), $KnnRound)
+            >= $XlangThresh
+      AND da.lang <> db.lang"""
+
   /** §2.52 SemDeDup (semantic dedup, cell-blocked): quantizer cells block
     * the pair work, rounded cosine >= threshold within a cell drops the
     * higher id. Same trained model as the IVF ANN lane (`ivfTrainDispatch`
@@ -623,6 +663,93 @@ object QueriesText {
         JOIN documents d ON d.doc_id = n.vec_id AND d.lang = 'en'
         WHERE q.vec_id < 10) t0) t
     WHERE rk <= $KnnK"""
+
+  /** §2.44q Random-projection (Johnson-Lindenstrauss / Achlioptas 2003)
+    * dimensionality-reduced ANN, gated as a RECALL harness: embeddings
+    * project 64 → $JlProjDim dims through integer-valued hyperplanes (the
+    * [[Similarity.lshPlaneConsts]] family — sign-LSH keeps only the BIT,
+    * JL keeps the VALUE), projected brute-force top-k is compared to the
+    * full-dim truth per query. Cross-engine: plane constants are exact in
+    * FLOAT and DOUBLE, every projection component is one sequential
+    * double fold (bit-identical both engines — the oEmbedDupLsh trick),
+    * and the projected rank key is the rounded projected cosine. Scale:
+    * projection is a scan-stage projection (32 codegen dots/row), and
+    * every downstream tier (LSH, IVF, PQ) composes on the 2×-smaller
+    * vectors unchanged — the standard pre-step before expensive index
+    * builds at 10⁹+ vectors. HONEST NEGATIVE on this corpus: recall@5 is
+    * low (~0.2-0.4 per query) and plateaus with added dims (measured
+    * 0.08/0.20/0.26/0.24 at 16/24/32/48) because the synthetic
+    * embeddings are ISOTROPIC — the true top-5 sit in the cosine noise
+    * floor, so there is no neighbor structure for any
+    * distance-preserving projection to keep (the §2.44j OPQ-no-op
+    * finding's sibling). The harness, not the number, is the deliverable
+    * — on real embedding clusters the same lane reports the usable
+    * figure.
+    */
+  private val JlProjDim = 32
+  private val JlTable = 9 // decorrelated from the LSH tables' 0..L-1 seeds
+
+  private def qKnnJl(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val planes = (0 until JlProjDim).map(j =>
+      array(Similarity.lshPlaneConsts(JlTable, j, EmbDim)
+        .map(c => lit(c.toFloat)).toSeq: _*))
+    val pr = e.select(col("vec_id"),
+        array(planes.map(p => Similarity.dot(col("embedding"), p)): _*).as("y"))
+      .localCheckpoint(false) // one projection pass feeds query + corpus sides
+    val pq = pr.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("y").as("qy"))
+    val pc = pr.select(col("vec_id").as("n_id"), col("y").as("ny"))
+    val wj = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
+    val cand = broadcast(pq).join(pc, col("q_id") =!= col("n_id"))
+      .withColumn("_cos", round(
+        Similarity.dotHof(col("qy"), col("ny")) /
+          (sqrt(Similarity.dotHof(col("qy"), col("qy"))) *
+            sqrt(Similarity.dotHof(col("ny"), col("ny")))), KnnRound))
+      .withColumn("rk", row_number().over(wj))
+      .where(col("rk") <= KnnK)
+      .select(col("q_id"), col("n_id")).withColumn("_m", lit(1))
+    val truth = qKnnBrute(s, dir).select(col("q_id"), col("n_id"))
+    truth.join(cand, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(when(col("_m").isNull, 0L).otherwise(1L)).as("n_hit"))
+      .withColumn("recall_pm",
+        floor(col("n_hit") * 1000 / lit(KnnK)).cast("long"))
+  }
+
+  private val oKnnJl: String = {
+    val rows = (0 until JlProjDim).map { j =>
+      s"(${j + 1}, ${Similarity.lshPlaneConsts(JlTable, j, EmbDim).mkString("[", ", ", "]")})"
+    }
+    s"""
+    WITH pl(j, comps) AS (VALUES
+      ${rows.mkString(",\n      ")}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    py AS (
+      SELECT e.vec_id, pl.j,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               [e.v[i] * pl.comps[i] for i in range(1, ${EmbDim + 1})]),
+               (acc, x) -> acc + x) AS yj
+      FROM e CROSS JOIN pl),
+    proj AS MATERIALIZED (
+      SELECT vec_id, list(yj ORDER BY j) AS y FROM py GROUP BY vec_id),
+    cand AS MATERIALIZED (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(list_cosine_similarity(q.y, n.y), $KnnRound) + 0 DESC,
+                 n.vec_id) AS rk
+        FROM proj q JOIN proj n ON q.vec_id < 10 AND q.vec_id <> n.vec_id) t
+      WHERE rk <= $KnnK),
+    brute AS ($oKnnBrute)
+    SELECT b.q_id,
+           CAST(sum(CASE WHEN c.n_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_hit,
+           CAST(floor(sum(CASE WHEN c.n_id IS NULL THEN 0 ELSE 1 END)
+                      * 1000.0 / $KnnK) AS BIGINT) AS recall_pm
+    FROM brute b LEFT JOIN cand c ON c.q_id = b.q_id AND c.n_id = b.n_id
+    GROUP BY b.q_id"""
+  }
 
   /** §2.44k SQ8 scalar-quantized ANN (Similarity.knnSq8): packed-byte
     * codes (4× smaller than float32), INTEGER code-dot shortlist (zero
@@ -2675,6 +2802,54 @@ object QueriesText {
     SELECT s AS doc_id, count(*) AS core_deg
     FROM e$KcoreRounds GROUP BY s HAVING count(*) >= $KcoreK"""
   }
+
+  /** §2.55f Blast radius / quarantine ([[Graph.hopDistance]] — the last
+    * iterative graph primitive without a driver gate): every doc within
+    * `BlastHops` near-dup hops of a FLAGGED seed set (deterministic
+    * doc_id % 41 here; in production the PII/contamination screens) —
+    * "this doc is poisoned; quarantine everything transitively similar,
+    * bounded at radius h". Level-synchronous frontier BFS: per-round work
+    * is frontier-degree-sized, first (= minimum) hop count wins, empty
+    * frontier short-circuits. The oracle unrolls the bounded radius as
+    * one join per hop with NOT-IN settled sets (no recursion needed —
+    * the radius is the policy knob, not a convergence probe).
+    */
+  private val BlastHops = 2
+
+  private def qBlastRadius(s: SparkSession, dir: String): DataFrame = {
+    val seeds = docs(s, dir).select(col("doc_id"))
+      .where(col("doc_id") % 41 === 0)
+    Graph.hopDistance(simhashPairEdges(s, dir, KcoreHam), "doc_a", "doc_b",
+        seeds, BlastHops, Graph.ckptFor(s))
+      .select(col("id").as("doc_id"), col("hops"))
+  }
+
+  private val oBlastRadius: String = s"""
+    WITH th AS (
+      SELECT doc_id, list_transform(string_split(text, ' '), w -> ${duckPolyHash("w")}) AS th
+      FROM documents),
+    sh AS (
+      SELECT doc_id, ${duckSimhash("th", 30)} AS simhash FROM th),
+    p AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b
+        ON (a.simhash >> 20) = (b.simhash >> 20) AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= $KcoreHam),
+    e AS MATERIALIZED (
+      SELECT doc_a AS s, doc_b AS d FROM p
+      UNION ALL SELECT doc_b AS s, doc_a AS d FROM p),
+    d0 AS MATERIALIZED (
+      SELECT doc_id AS id FROM documents WHERE doc_id % 41 = 0),
+    d1 AS MATERIALIZED (
+      SELECT DISTINCT e.d AS id FROM e JOIN d0 ON e.s = d0.id
+      WHERE e.d NOT IN (SELECT id FROM d0)),
+    d2 AS MATERIALIZED (
+      SELECT DISTINCT e.d AS id FROM e JOIN d1 ON e.s = d1.id
+      WHERE e.d NOT IN (SELECT id FROM d0)
+        AND e.d NOT IN (SELECT id FROM d1))
+    SELECT id AS doc_id, CAST(0 AS BIGINT) AS hops FROM d0
+    UNION ALL SELECT id, CAST(1 AS BIGINT) FROM d1
+    UNION ALL SELECT id, CAST(2 AS BIGINT) FROM d2"""
 
   /** §2.90 Chi-squared feature selection ([[Text.chi2TokenClass]], Yang &
     * Pedersen 1997): top-40 (token, source) association cells by the
@@ -5297,12 +5472,14 @@ object QueriesText {
     GraftQuery("q_doc_simhash_pairs", qDocSimhashPairs, Some(oDocSimhashPairs)),
     GraftQuery("q_doc_fingerprint", qDocFingerprint, Some(oDocFingerprint)),
     GraftQuery("q_embed_dup", qEmbedDup, Some(oEmbedDup)),
+    GraftQuery("q_xlang_pairs", qXlangPairs, Some(oXlangPairs)),
     GraftQuery("q_embed_dup_lsh", qEmbedDupLsh, None, oracleGen = Some(oEmbedDupLshGen)),
     GraftQuery("q_knn_brute", qKnnBrute, Some(oKnnBrute), headline = true),
     GraftQuery("q_knn_sq8", qKnnSq8, None, oracleGen = Some(oKnnSq8Gen)),
     GraftQuery("q_knn_lsh", qKnnLsh, None, oracleGen = Some(oKnnLshGen)),
     GraftQuery("q_ann_recall", qAnnRecall, None, oracleGen = Some(oAnnRecallGen)),
     GraftQuery("q_hard_negatives", qHardNegatives, Some(oHardNegatives)),
+    GraftQuery("q_knn_jl", qKnnJl, Some(oKnnJl)),
     GraftQuery("q_knn_filtered", qKnnFiltered, Some(oKnnFiltered)),
     GraftQuery("q_retrieval_ndcg", qRetrievalNdcg, Some(oRetrievalNdcg)),
     GraftQuery("q_knn_ivf", qKnnIvf, None, oracleGen = Some(oKnnIvfGen)),
@@ -5373,6 +5550,7 @@ object QueriesText {
     GraftQuery("q_distinct_setops", qDistinctSetops, Some(oDistinctSetops)),
     GraftQuery("q_triangles", qTriangles, Some(oTriangles)),
     GraftQuery("q_kcore", qKcore, Some(oKcore)),
+    GraftQuery("q_blast_radius", qBlastRadius, Some(oBlastRadius)),
     GraftQuery("q_chi2_features", qChi2Features, Some(oChi2Features)),
     GraftQuery("q_postings", qPostings, Some(oPostings)),
     GraftQuery("q_bool_blocks", qBoolBlocks, Some(oBoolBlocks)),
