@@ -150,6 +150,19 @@ object DocScaleProbe {
     // IVF index (cell-keyed shuffle join, no broadcast) — output rows must
     // be exactly k·n and runtime ~ n·nProbe·cell-population
     time("q_knn_self") { q("q_knn_self")(spark, out).count() }
+    // r9 lanes. Pair-derived ops must track the LINEAR pair count (replicas
+    // share no shingles): evidence positions explode per PAIR doc, the
+    // cluster cap ranks inside per-replica components, and the blast radius
+    // BFS walks per-replica simhash edges. The ANN-family lanes (band,
+    // filtered, JL, MMR) are bounded-top-k per query — near-flat in corpus
+    // size beyond the scan.
+    time("q_pair_evidence") { q("q_pair_evidence")(spark, out).count() }
+    time("q_cluster_cap") { q("q_cluster_cap")(spark, out).count() }
+    time("q_blast_radius") { q("q_blast_radius")(spark, out).count() }
+    time("q_hard_negatives") { q("q_hard_negatives")(spark, out).count() }
+    time("q_knn_jl") { q("q_knn_jl")(spark, out).count() }
+    time("q_mmr") { q("q_mmr")(spark, out).count() }
+    time("q_score_calibrate") { q("q_score_calibrate")(spark, out).count() }
 
     // keep the replicated corpus for follow-up profiling (ProfileJaccard
     // et al.) when asked; default cleans up
