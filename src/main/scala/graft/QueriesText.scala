@@ -3099,6 +3099,10 @@ object QueriesText {
         Seq("doc_b", "g"))
       .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
         (col("pa") - col("pb")).as("diag"))
+      // lazy checkpoint: the runs/best branch and the n_matches rollup
+      // both consume m — without truncation each side re-runs the pair +
+      // position joins (visible as two full subtrees in the plan)
+      .localCheckpoint(false)
     val runs = m
       .withColumn("_rn", row_number().over(
         Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")))
