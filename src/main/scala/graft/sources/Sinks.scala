@@ -137,4 +137,39 @@ object Sinks {
       .option("header", "true")
       .csv(path)
   }
+
+  /** JSONL training-data export — the interchange format every LLM data
+    * loader reads (one JSON object per line, shard files, optional
+    * shard-size cap). `shardBy` hash-repartitions on a deterministic key
+    * so a doc's shard assignment is stable across reruns/retries (the
+    * §2.50 membership discipline applied to file layout — rerunning the
+    * export after appending docs moves as few docs as the hash does, not
+    * all of them the way round-robin would); `maxRecordsPerFile` bounds
+    * shard size for loader-side streaming. Nested columns serialize as
+    * nested JSON; binary columns should be dropped or base64'd by the
+    * caller first (JSON has no bytes type — Spark emits base64 for
+    * BinaryType, which is the JSONL convention anyway).
+    */
+  def writeJsonl(df: DataFrame, path: String, shardBy: String,
+                 nShards: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    require(nShards >= 1)
+    val sharded = df.repartition(nShards, col(shardBy))
+    val w = sharded.write.mode(SaveMode.Overwrite)
+    (if (maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+     else w)
+      .json(path)
+  }
+
+  /** Read back a JSONL export with an explicit schema (no inference pass
+    * — the trackpointCsvSchema rule): malformed lines are quarantined in
+    * `_corrupt`, not dropped silently and never fatal.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
 }

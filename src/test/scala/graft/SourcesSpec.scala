@@ -170,6 +170,46 @@ class FoiaSpec extends AnyFunSuite with SparkFixture {
     assert(rows(1)._3 - rows.head._3 == 5L * 1000000000L)
   }
 
+  test("JSONL export: stable shards, schema'd read-back, corrupt quarantine") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val docs = (0L until 200L)
+      .map(i => (i, s"text body $i", Seq(s"tag${i % 3}")))
+      .toDF("doc_id", "text", "tags")
+    graft.sources.Sinks.writeJsonl(docs, dir, "doc_id", 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json")).map(_.toPath)
+    assert(files.length == 4, "one shard file per hash partition")
+    // every line is standalone JSON (the loader contract)
+    val lines = files.flatMap(f =>
+      java.nio.file.Files.readAllLines(f).toArray(Array.empty[String]))
+    assert(lines.length == 200)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    // shard assignment is a pure function of the key: re-export, same layout
+    graft.sources.Sinks.writeJsonl(docs, s"$dir/again", "doc_id", 4)
+    def shardMap(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName).zipWithIndex
+      .flatMap { case (f, i) =>
+        java.nio.file.Files.readAllLines(f.toPath).toArray(Array.empty[String])
+          .map(l => l -> i) }.toMap
+    assert(shardMap(dir).filter(_._1.nonEmpty) ==
+      shardMap(s"$dir/again").filter(_._1.nonEmpty))
+    // read-back: explicit schema, poison line quarantined not dropped
+    Files.writeString(java.nio.file.Paths.get(s"$dir/poison.json"),
+      "this is not json\n")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("tags", ArrayType(StringType))))
+    // materialize before corrupt-column-only predicates (Spark disallows
+    // querying just _corrupt straight off a raw JSON scan)
+    val back = graft.sources.Sinks.readJsonl(spark, dir, schema)
+      .localCheckpoint()
+    assert(back.where(col("_corrupt").isNull).count() == 200)
+    assert(back.where(col("_corrupt").isNotNull).count() == 1)
+    assert(back.where(col("_corrupt").isNull)
+      .agg(sum("doc_id")).head().getLong(0) == (0L until 200L).sum)
+  }
+
   test("Foia.parseTrackpoints handles both documented layouts + poison lines") {
     // classic 13-column layout (row.go:21-33)
     val classic = Seq(
