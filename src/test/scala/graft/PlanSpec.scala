@@ -15,11 +15,41 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanSpec extends AnyFunSuite with SparkFixture {
 
   private def planOf(name: String): String = {
-    val q = (Queries.all ++ QueriesGeo.all ++ QueriesText.all)
+    val q = (Queries.all ++ QueriesGeo.all ++ QueriesText.all ++ QueriesPipe.all)
       .find(_.name == name).getOrElse(fail(s"no catalog query named $name"))
     val df = q.fn(spark, sfDir)
     df.count() // materialize so AQE finalizes (broadcast conversions happen at runtime)
     df.queryExecution.executedPlan.toString
+  }
+
+  test("q_knn_filtered: the metadata predicate reaches the documents scan; rank is group-limited") {
+    val p = planOf("q_knn_filtered")
+    assert(p.contains("EqualTo(lang,en)"),
+      s"lang filter not pushed to the scan:\n${p.take(1500)}")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must push the rank limit below the exchange")
+  }
+
+  test("q_hard_negatives: the cosine band filters BEFORE the rank window") {
+    val p = planOf("q_hard_negatives")
+    val iBand = p.indexOf("0.15")
+    val iWin = p.indexOf("row_number")
+    assert(iBand >= 0 && iWin >= 0, s"band filter + rank expected:\n${p.take(1500)}")
+    // plan prints top-down: the window appears above (before) its child filter
+    assert(iWin < iBand, "band predicate must sit under the rank, not over it")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q_score_calibrate: corpus re-attaches by broadcast; windows see only the histogram") {
+    val p = planOf("q_score_calibrate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"histogram join-back should broadcast:\n${p.take(1500)}")
+    // the window input is the (source, n_chars) aggregate, not the corpus:
+    // the plan's Window nodes sit above a HashAggregate, never directly
+    // over the parquet scan
+    val iWin = p.indexOf("Window")
+    assert(iWin >= 0 && p.indexOf("HashAggregate", iWin) >= 0,
+      "cumulative window must read the aggregated histogram")
   }
 
   test("q_agg_pricing: shipdate filter is pushed to the parquet scan, columns pruned") {

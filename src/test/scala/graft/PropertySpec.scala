@@ -211,4 +211,60 @@ class PropertySpecR5 extends AnyFunSuite with SparkFixture {
       assert(parsed(id) === ((station, day, hour, min, inhg)), s"case $id")
     }
   }
+
+  test("priorityKSample: DLT subset-sum estimate is unbiased across seeds") {
+    import graft.operators.Sampling
+    // random positive weights; the mean of the realized estimates over
+    // independent seeds must straddle the true total (the pre-r9 formula
+    // collapsed est_w to w and sat ~10x LOW on every seed)
+    val docs = (0L until 300L).map(i => (i, 1L + rnd.nextInt(900).toLong))
+    val df = docs.toDF("id", "w")
+    val totalW = docs.map(_._2).sum
+    val ratios = (1 to 6).map { sd =>
+      val est = Sampling.priorityKSample(df, col("id"), s"seed$sd", col("w"), 25)
+        .agg(sum("est_w")).head().getLong(0)
+      est.toDouble / totalW
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.6 && mean < 1.6, s"mean ratio $mean from $ratios")
+    assert(ratios.exists(_ >= 1.0) || mean > 0.85,
+      s"estimates one-sided low: $ratios")
+  }
+
+  test("knnBand results are always a subset of the unbanded ranking's band slice") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 5)
+    val band = Similarity.knnBand(e, q, "vec_id", "embedding", 50, 3, -0.1, 0.3)
+      .select("q_id", "n_id", "cos").as[(Long, Long, Double)].collect()
+    assert(band.nonEmpty)
+    assert(band.forall { case (_, _, c) => c >= -0.1 && c < 0.3 })
+    val full = Similarity.knnBrute(e, q, "vec_id", "embedding", 10000, 3)
+      .select("q_id", "n_id", "cos").as[(Long, Long, Double)].collect()
+      .map { case (qi, ni, c) => (qi, ni) -> c }.toMap
+    assert(band.forall { case (qi, ni, c) => full.get((qi, ni)).contains(c) })
+  }
+
+  test("cluster cap: never more than c kept per near-dup component") {
+    import graft.operators.{Graph, Sampling, Text}
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+    val edges = Text.jaccardPairs(d, "doc_id", Text.shingles(col("text"), 2), 0.8)
+      .select("doc_a", "doc_b")
+    val comp = Graph.connectedComponents(edges, "doc_a", "doc_b")
+    val kept = d.select(col("doc_id"))
+      .join(comp, d("doc_id") === comp("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .withColumn("rn", row_number().over(Window.partitionBy("comp")
+        .orderBy(Sampling.sampleHash(col("doc_id").cast("string"), "s").asc,
+          col("doc_id").asc)))
+      .where(col("rn") <= 2)
+    val maxPerComp = kept.groupBy("comp").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPerComp <= 2L)
+    // singletons always survive: kept count >= number of components
+    val nComp = kept.select("comp").distinct().count()
+    val total = d.count()
+    assert(kept.count() >= nComp && kept.count() <= total)
+  }
 }
