@@ -252,6 +252,82 @@ object QueriesPipe {
       .withColumn("forecast_cents",
         expr("intercept_cents + slope_cc * n_months div 100L"))
 
+  /** §2.93b Theil-Sen robust trend (Theil 1950/Sen 1968 — the
+    * median-of-pairwise-slopes estimator; ~29% breakdown point where
+    * §2.93's OLS is wrecked by one bad month): per priority, slope =
+    * lower median of (c2−c1)·100 div (x2−x1) over all month pairs, then
+    * intercept = lower median of the per-month residual intercepts at
+    * that slope. Integer end-to-end (truncating div / `//` — the matched
+    * pair for negative-capable values); medians are deterministic rank
+    * selections (ties → x positions), the §2.73 outliers_mad discipline.
+    * Scale: pair work is per-KEY span² (a ~84-month series → ~3.5k pairs
+    * — bounded by the calendar, not the corpus), windows partition per
+    * key. The shared month-index frame is lazily checkpointed — three
+    * consumers (both pair sides + the intercept pass).
+    */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val idx = monthlyRevenue(s, dir)
+      .withColumn("x", row_number().over(
+        Window.partitionBy("priority").orderBy("_y", "_m")).cast("long") - 1L)
+      .select(col("priority"), col("x"), col("_c"))
+      .localCheckpoint(false)
+    val a = idx.select(col("priority"), col("x").as("x1"), col("_c").as("c1"))
+    val b = idx.select(col("priority"), col("x").as("x2"), col("_c").as("c2"))
+    val slopes = a.join(b, Seq("priority")).where(col("x1") < col("x2"))
+      .withColumn("sl", expr("(c2 - c1) * 100L div (x2 - x1)"))
+    val med = slopes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("priority").orderBy(col("sl"), col("x1"), col("x2"))))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("priority")))
+      .where(col("rn") === expr("(np + 1L) div 2L"))
+      .select(col("priority"), col("np").as("n_pairs"), col("sl").as("slope_cc"))
+    idx.join(med, "priority")
+      .withColumn("b", expr("_c - (slope_cc * x) div 100L"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("priority").orderBy(col("b"), col("x"))))
+      .withColumn("nm", count(lit(1)).over(Window.partitionBy("priority")))
+      .where(col("rn") === expr("(nm + 1L) div 2L"))
+      .select(col("priority"), col("n_pairs"), col("slope_cc"),
+        col("b").as("intercept_cents"))
+  }
+
+  private val oTheilSen = """
+    WITH monthly AS (
+      SELECT o_orderpriority AS priority,
+             CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS c
+      FROM orders GROUP BY 1, 2, 3),
+    idx AS MATERIALIZED (
+      SELECT priority, c,
+             CAST(row_number() OVER (PARTITION BY priority ORDER BY y, m)
+                  AS BIGINT) - 1 AS x
+      FROM monthly),
+    sl AS MATERIALIZED (
+      SELECT a.priority, a.x AS x1, b.x AS x2,
+             (b.c - a.c) * 100 // (b.x - a.x) AS sl
+      FROM idx a JOIN idx b ON a.priority = b.priority AND a.x < b.x),
+    ms AS MATERIALIZED (
+      SELECT priority, n_pairs, sl AS slope_cc FROM (
+        SELECT priority, sl, x1, x2,
+               row_number() OVER (PARTITION BY priority
+                                  ORDER BY sl, x1, x2) AS rn,
+               CAST(count(*) OVER (PARTITION BY priority) AS BIGINT)
+                 AS n_pairs
+        FROM sl) t
+      WHERE rn = (n_pairs + 1) // 2),
+    bi AS (
+      SELECT idx.priority, ms.n_pairs, ms.slope_cc,
+             idx.c - (ms.slope_cc * idx.x) // 100 AS b, idx.x
+      FROM idx JOIN ms ON ms.priority = idx.priority)
+    SELECT priority, n_pairs, slope_cc, b AS intercept_cents FROM (
+      SELECT priority, n_pairs, slope_cc, b,
+             row_number() OVER (PARTITION BY priority ORDER BY b, x) AS rn,
+             CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS nm
+      FROM bi) t
+    WHERE rn = (nm + 1) // 2"""
+
   private val oTrendFit = """
     WITH monthly AS (
       SELECT o_orderpriority AS priority,
@@ -1219,6 +1295,7 @@ object QueriesPipe {
     GraftQuery("q_ewma", qEwma, Some(oEwma)),
     GraftQuery("q_holt_winters", qHoltWinters, Some(oHoltWinters)),
     GraftQuery("q_trend_fit", qTrendFit, Some(oTrendFit)),
+    GraftQuery("q_theil_sen", qTheilSen, Some(oTheilSen)),
     GraftQuery("q_cusum", qCusum, Some(oCusum)),
     GraftQuery("q_gapfill", qGapfill, Some(oGapfill)),
     GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(oCcnetBuckets)),
