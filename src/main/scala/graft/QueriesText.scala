@@ -4827,6 +4827,83 @@ object QueriesText {
     SELECT id AS word, CAST(pr AS BIGINT) AS pr FROM r$TrIters"""
   }
 
+  /** §2.72b Personalized PageRank query expansion (new r9 — Haveliwala
+    * 2002 topic-sensitive PageRank over the §2.72 co-occurrence graph):
+    * restart mass lands only on the SEED words (the §2.57b query terms),
+    * so rank concentrates in their topical neighborhood — the related-
+    * terms list a retrieval stack expands queries with. Same
+    * scaled-integer discipline as TextRank (every round exactly
+    * replayed by an unrolled MATERIALIZED oracle chain with the
+    * seed-gated base term); output = top non-seed words by (pr, word).
+    */
+  private val PprIters = 6
+  private val PprK = 25
+
+  private def qQueryExpand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir).select(expr(
+      "filter(split(lower(text), ' '), x -> x rlike '^[a-z]+$')").as("tk"))
+    val pairs = toks.where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val ed = pairs.select(col("a").as("src"), col("b").as("dst"), col("c").as("w"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("c").as("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val seeds = Bm25Terms.toDF("id")
+    val pr = Graph.pageRankPersonalizedInt(ed, seeds, Graph.ckptFor(s), PprIters)
+    val top = pr.where(!col("id").isin(Bm25Terms: _*) && col("pr") > 0L)
+      .orderBy(col("pr").desc, col("id").asc).limit(PprK)
+    Text.globalRank(top, Seq(col("pr").desc, col("id").asc))
+      .select(col("rank"), col("id").as("word"), col("pr"))
+  }
+
+  private val oQueryExpand: String = {
+    val base = 1000000L - 17L * 1000000L / 20L
+    val seedList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val rounds = (1 to PprIters).map { k =>
+      s""",
+    c$k AS MATERIALIZED (
+      SELECT e.dst, CAST(sum(r.pr * e.w // o.W) AS BIGINT) AS s
+      FROM ed e JOIN r${k - 1} r ON e.src = r.id JOIN ow o ON o.src = e.src
+      GROUP BY e.dst),
+    r$k AS MATERIALIZED (
+      SELECT nd.id, nd.seed * $base + (17 * coalesce(c.s, 0)) // 20 AS pr
+      FROM nd LEFT JOIN c$k c ON c.dst = nd.id)"""
+    }.mkString
+    s"""
+    WITH toks AS (
+      SELECT list_filter(string_split(lower(text), ' '),
+               x -> regexp_matches(x, '^[a-z]+$$')) AS tk
+      FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT pair[1] AS a, pair[2] AS b, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest([[tk[i], tk[i+1]]
+                           for i in generate_series(1, len(tk) - 1)]) AS pair
+            FROM toks WHERE len(tk) >= 2) t
+      WHERE pair[1] <> pair[2]
+      GROUP BY 1, 2),
+    ed AS MATERIALIZED (
+      SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+        SELECT a AS src, b AS dst, c AS w FROM pairs
+        UNION ALL SELECT b, a, c FROM pairs) u
+      GROUP BY 1, 2),
+    ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS W FROM ed GROUP BY src),
+    nd AS MATERIALIZED (
+      SELECT id, CAST(CASE WHEN id IN ($seedList) THEN 1 ELSE 0 END AS BIGINT)
+               AS seed
+      FROM (SELECT DISTINCT src AS id FROM ed) t),
+    r0 AS MATERIALIZED (SELECT id, seed * 1000000 AS pr FROM nd)$rounds
+    SELECT CAST(row_number() OVER (ORDER BY pr DESC, id) AS INT) AS rank,
+           id AS word, CAST(pr AS BIGINT) AS pr
+    FROM (SELECT id, pr FROM r$PprIters
+          WHERE pr > 0 AND id NOT IN ($seedList)
+          ORDER BY pr DESC, id LIMIT $PprK) t"""
+  }
+
   /** §2.71 Record linkage via multi-pass blocking (operators.Link): dirty
     * identifiers — every single-char deletion variant of the registry
     * vocabulary, derived deterministically (the q_metar_parse
@@ -5549,6 +5626,7 @@ object QueriesText {
     GraftQuery("q_entity_clusters", qEntityClusters, Some(oEntityClusters)),
     GraftQuery("q_feature_hash_dup", qFeatureHashDup, Some(oFeatureHashDup)),
     GraftQuery("q_textrank", qTextRank, Some(oTextRank)),
+    GraftQuery("q_query_expand", qQueryExpand, Some(oQueryExpand)),
     GraftQuery("q_outliers_mad", qOutliersMad, Some(oOutliersMad)),
     GraftQuery("q_seasonal_anomaly", qSeasonalAnomaly, Some(oSeasonalAnomaly)),
     GraftQuery("q_distinct_setops", qDistinctSetops, Some(oDistinctSetops)),

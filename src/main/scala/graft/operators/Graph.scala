@@ -226,6 +226,42 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank in the same scaled-integer discipline: the
+    * restart mass lands only on `seeds` (pr' = base·[v ∈ S] +
+    * d·contrib(v)), so rank concentrates in the seeds' graph
+    * neighborhood — the query-expansion / related-entities primitive
+    * (Haveliwala 2002 topic-sensitive PageRank). Seeds start at `scale`,
+    * non-seeds at 0; every round is the [[pageRankInt]] arithmetic with
+    * the seed-gated base term, exactly replayable by an unrolled oracle.
+    * Same shuffle shape (one src-keyed rank join + one dst-keyed rollup
+    * per round, `ckpt`-flattened lineage).
+    */
+  def pageRankPersonalizedInt(edges: DataFrame, seeds: DataFrame,
+                              ckpt: DataFrame => DataFrame, iters: Int,
+                              scale: Long = 1000000L,
+                              dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
+    val nodes = ckpt(edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct())
+    val seed = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .withColumn("_seed", lit(1L))
+    val marked = ckpt(nodes.join(seed, Seq("id"), "left")
+      .select(col("id"), coalesce(col("_seed"), lit(0L)).as("_seed")))
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("_W"))
+    val ew = ckpt(edges.join(outW, "src"))
+    val base = scale - dampNum * scale / dampDen
+    var ranks = marked.select(col("id"), (col("_seed") * scale).as("pr"))
+    for (_ <- 0 until iters) {
+      val contribs = ew.join(ranks, ew("src") === ranks("id"))
+        .select(col("dst"), expr("pr * w div _W").as("_c"))
+        .groupBy(col("dst")).agg(sum(col("_c")).as("_s"))
+      ranks = ckpt(marked.join(contribs, marked("id") === contribs("dst"), "left")
+        .select(marked("id"),
+          (col("_seed") * base +
+            expr(s"($dampNum * coalesce(_s, 0L)) div $dampDen")).as("pr")))
+    }
+    ranks
+  }
+
   /** Fixed-round k-core peel (Matula & Beck 1983 degeneracy peeling, the
     * distributed round form): repeatedly delete every node of degree < k;
     * the fixpoint is the k-core — the maximal subgraph where every member
