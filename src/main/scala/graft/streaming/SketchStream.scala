@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming frequency sketching — the incremental companion of the §2.63
+  * count-min lane: heavy hitters maintained continuously per key with
+  * BOUNDED state, instead of a nightly batch over the full stream.
+  */
+object SketchStream {
+
+  case class Tok(key: Long, tsNs: Long, eventId: Long, token: String)
+
+  case class MgState(counters: Map[String, Long], n: Long)
+
+  /** Streaming Misra-Gries heavy hitters (Misra & Gries 1982): at most `k`
+    * counters per stream key; a new token either increments its counter,
+    * claims a free slot, or decrements EVERY counter (dropping zeros) —
+    * the classic guarantee follows: any token with true frequency
+    * > n/(k+1) is present, and a reported count underestimates truth by
+    * at most n/(k+1). The step is deterministic given ordered input, so
+    * the parity contract matches [[EwmaStream]]: rows inside a
+    * micro-batch are repaired by sorting on (tsNs, eventId); per-key
+    * in-order arrival across batches is the caller's watermark
+    * discipline. Replaying the same ordered tokens yields IDENTICAL
+    * counter maps on any slicing (spec-asserted), which is what makes
+    * the batch fold the oracle. State: ≤ k counters + 1 scalar per key —
+    * bounded by policy, not stream length.
+    *
+    * Emits, per key per micro-batch, the current counters as
+    * (key, n_seen, token, count) rows ordered by (count desc, token) —
+    * Update-mode semantics; the last emission per key is current.
+    */
+  def heavyHitters(toks: Dataset[Tok], k: Int)
+      : Dataset[(Long, Long, String, Long)] = {
+    import toks.sparkSession.implicits._
+    require(k >= 1)
+
+    def step(s: MgState, t: String): MgState =
+      if (s.counters.contains(t))
+        MgState(s.counters.updated(t, s.counters(t) + 1L), s.n + 1L)
+      else if (s.counters.size < k)
+        MgState(s.counters.updated(t, 1L), s.n + 1L)
+      else
+        MgState(s.counters.map { case (w, c) => (w, c - 1L) }
+          .filter(_._2 > 0L), s.n + 1L)
+
+    def update(key: Long, rows: Iterator[Tok], state: GroupState[MgState])
+        : Iterator[(Long, Long, String, Long)] = {
+      val init = state.getOption.getOrElse(MgState(Map.empty, 0L))
+      val next = rows.toSeq.sortBy(r => (r.tsNs, r.eventId))
+        .foldLeft(init)((s, r) => step(s, r.token))
+      state.update(next)
+      next.counters.toSeq.sortBy { case (w, c) => (-c, w) }
+        .map { case (w, c) => (key, next.n, w, c) }.iterator
+    }
+
+    toks.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update _)
+  }
+
+  /** The batch twin: one sequential fold over the SAME (tsNs, eventId)-
+    * ordered tokens — what the spec compares stream state against, and
+    * the deterministic replay any engine can run.
+    */
+  def misraGriesFold(tokens: Seq[String], k: Int): MgState =
+    tokens.foldLeft(MgState(Map.empty, 0L)) { (s, t) =>
+      if (s.counters.contains(t))
+        MgState(s.counters.updated(t, s.counters(t) + 1L), s.n + 1L)
+      else if (s.counters.size < k)
+        MgState(s.counters.updated(t, 1L), s.n + 1L)
+      else
+        MgState(s.counters.map { case (w, c) => (w, c - 1L) }
+          .filter(_._2 > 0L), s.n + 1L)
+    }
+}
