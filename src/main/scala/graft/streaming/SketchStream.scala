@@ -73,4 +73,41 @@ object SketchStream {
         MgState(s.counters.map { case (w, c) => (w, c - 1L) }
           .filter(_._2 > 0L), s.n + 1L)
     }
+
+  case class QTok(key: Long, hash: Long, value: Double)
+
+  case class QState(pairs: Vector[(Long, Double)], nSeen: Long)
+
+  /** Streaming mergeable bottom-k quantile sketch — the incremental form
+    * of §2.65b (`Sketch.quantileSketch`): per key, the k smallest DISTINCT
+    * (hash, value) pairs. Unlike the order-sensitive recurrences above,
+    * this state is a COMMUTATIVE IDEMPOTENT monoid (set-union then
+    * bottom-k), so arrival order and micro-batch slicing provably cannot
+    * change it — the spec streams a fully SHUFFLED arrival and still
+    * matches the batch aggregate bit-for-bit. Emits (key, n_sketch, p50)
+    * with the batch lane's rank-selection quantile (pure index
+    * arithmetic; the sampled double passes through untouched). The
+    * emitted n_seen is the MONOTONE ingestion counter (the sketch size
+    * saturates at k, so "latest row per key" must key on n_seen).
+    */
+  def quantileSketch(toks: Dataset[QTok], k: Int)
+      : Dataset[(Long, Long, Int, Double)] = {
+    import toks.sparkSession.implicits._
+    require(k >= 1)
+
+    def update(key: Long, rows: Iterator[QTok], state: GroupState[QState])
+        : (Long, Long, Int, Double) = {
+      val init = state.getOption.getOrElse(QState(Vector.empty, 0L))
+      val incoming = rows.toSeq
+      val merged = (init.pairs ++ incoming.map(r => (r.hash, r.value)))
+        .distinct.sorted.take(k)
+      val next = QState(merged, init.nSeen + incoming.size)
+      state.update(next)
+      val vals = merged.map(_._2).sorted
+      val p50 = vals((vals.size - 1) / 2)
+      (key, next.nSeen, merged.size, p50)
+    }
+
+    toks.groupByKey(_.key).mapGroupsWithState(update _)
+  }
 }

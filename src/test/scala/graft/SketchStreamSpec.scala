@@ -67,4 +67,56 @@ class SketchStreamSpec extends AnyFunSuite with SparkFixture {
           s"'$t' reported $c vs true ${truth(t)} (n=$n)")
     }
   }
+
+  test("streamed bottom-k quantile sketch == batch aggregate under SHUFFLED arrival") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SketchStream
+    import graft.streaming.SketchStream.QTok
+    import graft.operators.{Sampling, Sketch}
+
+    val k = 32
+    val base = Tables.events(spark, sfDir)
+      .select((col("user_id") % 4).as("key"),
+        Sampling.sampleHash(col("event_id").cast("string"), "qsk").as("h"),
+        col("value"))
+    val rows = base.as[(Long, Long, Double)].collect()
+      .map { case (key, h, v) => QTok(key, h, v) }
+    assert(rows.length > 500)
+    // fully shuffled arrival: the set-union/bottom-k state is commutative
+    // and idempotent, so order CANNOT matter — assert it, don't assume it
+    val shuffled = new scala.util.Random(7).shuffle(rows.toSeq)
+
+    val input = MemoryStream[QTok]
+    val q = SketchStream.quantileSketch(input.toDS(), k)
+      .toDF("key", "n_seen", "n_sketch", "p50")
+      .writeStream.format("memory").queryName("stream_qsk")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      val (a, rest) = shuffled.splitAt(shuffled.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("stream_qsk")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")
+          .orderBy(col("n_seen").desc)))
+      .where(col("_rn") === 1)
+      .select("key", "n_sketch", "p50")
+      .as[(Long, Int, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+
+    // batch truth: the NATIVE aggregate + the batch rank-selection rule
+    val batch = base.groupBy("key")
+      .agg(Sketch.quantileSketch(col("h"), col("value"), k).as("sk"))
+      .select(col("key"), size(col("sk")).as("n_sketch"),
+        Sketch.sketchQuantile("sk", 1, 2).as("p50"))
+      .as[(Long, Int, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(streamed == batch)
+  }
 }
