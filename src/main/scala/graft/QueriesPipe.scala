@@ -1215,6 +1215,88 @@ object QueriesPipe {
     }.reduce(_ unionByName _)
   }
 
+  /** One stats-sidecar Versioned table per (JVM, sf dir): three
+    * commitWithStats batches split by DISJOINT o_orderkey ranges, so the
+    * `k` bounds in the sidecars give the pruner real skip decisions.
+    */
+  private val vtsBuilt = scala.collection.mutable.Set[String]()
+
+  private def versionedStatsDir(s: SparkSession, dir: String): String =
+    vtLock.synchronized {
+      val root = s"/tmp/graft_vts_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      if (!vtsBuilt.contains(root)) {
+        val p = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        val orders = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        // keys are dense 0..n-1 in the synthetic tables: thirds of the key
+        // span give three NON-EMPTY batches at every sf (a fixed literal
+        // cut left empty batches — no sidecar — at small sf, which the
+        // pruner must read conservatively and the gate then proves nothing)
+        val (cut1, cut2) = vtsCuts(s, dir)
+        graft.sources.Versioned.commitWithStats(
+          orders.where(col("k") < cut1), root, Seq("k"))
+        graft.sources.Versioned.commitWithStats(
+          orders.where(col("k") >= cut1 && col("k") < cut2), root, Seq("k"))
+        graft.sources.Versioned.commitWithStats(
+          orders.where(col("k") >= cut2), root, Seq("k"))
+        vtsBuilt += root
+      }
+      root
+    }
+
+  private def vtsCuts(s: SparkSession, dir: String): (Long, Long) = {
+    val n = Tables.orders(s, dir).count() // parquet metadata count
+    (n / 3, 2 * n / 3)
+  }
+
+  /** §2.78d Manifest-stats data skipping behind the oracle gate (was
+    * spec-only): a selective key-range read through [[Versioned.readPruned]]
+    * touches ONLY the batches whose sidecar [min, max] can intersect —
+    * the skip decision itself is part of the GATED OUTPUT
+    * (`n_batches_read`, a plan-construction constant both engines emit as
+    * a literal), and the generated oracle reads exactly the PRUNED batch
+    * dirs, so a wrong skip decision fails the hash two ways: missing rows
+    * or a wrong batch count. Skipping is a superset guarantee — the row
+    * predicate still applies on both sides.
+    */
+  private def qReadPruned(s: SparkSession, dir: String): DataFrame = {
+    val root = versionedStatsDir(s, dir)
+    val (cut1, cut2) = vtsCuts(s, dir)
+    val (lo, hi) = (cut1 + (cut2 - cut1) / 4, cut1 + (cut2 - cut1) / 2)
+    val stats = graft.sources.Versioned.batchStats(root)
+    val nRead = stats.count { case (_, m) =>
+      m.get("k").forall { case (mn, mx) => mx >= lo && mn <= hi } }
+    graft.sources.Versioned.readPruned(s, root, "k", lo, hi)
+      .where(col("k") >= lo && col("k") <= hi)
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      .select(lit(nRead.toLong).as("n_batches_read"),
+        lit(stats.size.toLong).as("n_batches_total"),
+        col("n_rows"), col("sum_cents"))
+  }
+
+  private def oReadPrunedGen(s: SparkSession, dir: String): String = {
+    val root = versionedStatsDir(s, dir)
+    val (cut1, cut2) = vtsCuts(s, dir)
+    val (lo, hi) = (cut1 + (cut2 - cut1) / 4, cut1 + (cut2 - cut1) / 2)
+    val stats = graft.sources.Versioned.batchStats(root)
+    val keep = stats.collect {
+      case (b, m) if m.get("k").forall { case (mn, mx) => mx >= lo && mn <= hi } =>
+        s"'$root/$b/*.parquet'"
+    }
+    s"""
+    SELECT CAST(${keep.size} AS BIGINT) AS n_batches_read,
+           CAST(${stats.size} AS BIGINT) AS n_batches_total,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM read_parquet([${keep.mkString(", ")}])
+    WHERE k >= $lo AND k <= $hi"""
+  }
+
   /** §2.78f Snapshot CDC / incremental diff: the row-level changes between
     * two committed versions of the same Versioned table — the "what did
     * the MERGE do" read that incremental consumers (downstream syncs,
@@ -1310,6 +1392,8 @@ object QueriesPipe {
       oracleGen = Some(oTimeTravelGen)),
     GraftQuery("q_version_diff", qVersionDiff, None,
       oracleGen = Some(oVersionDiffGen)),
+    GraftQuery("q_read_pruned", qReadPruned, None,
+      oracleGen = Some(oReadPrunedGen)),
     GraftQuery("q_topic_map", qTopicMap, None, oracleGen = Some(oTopicMapGen)),
     GraftQuery("q_cluster_purity", qClusterPurity, None,
       oracleGen = Some(oClusterPurityGen)),
