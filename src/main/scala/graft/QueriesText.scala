@@ -871,6 +871,47 @@ object QueriesText {
       KnnK, cells, ivfProbes(cells), KnnRound)
   }
 
+  /** §2.44i Persisted cell-partitioned index + pruned search behind the
+    * oracle gate (was spec-only): the index is BUILT ONCE per (JVM, sf
+    * dir) via `writeIvfIndex` (cell-partitioned postings + a centers side
+    * table), and the query searches THROUGH THE STORED LAYOUT
+    * (`knnIvfSearchStored` — probed-cell set pushed as a static partition
+    * filter, so the postings scan reads only probed cell directories).
+    * The trainer is deterministic for a fixed corpus, so the generated
+    * flat-IVF oracle retrains the identical model and replays the same
+    * search — the hash match proves the stored path returns exactly the
+    * in-memory path's results (which StoredIvfIndexSpec asserts
+    * structurally: PartitionFilters + fewer dirs than cells).
+    */
+  private val ivfStoreLock = new Object
+  private val ivfStoreBuilt = scala.collection.mutable.Set[String]()
+
+  private def storedIvfDir(s: SparkSession, dir: String): String =
+    ivfStoreLock.synchronized {
+      val root = s"/tmp/graft_ivfidx_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      if (!ivfStoreBuilt.contains(root)) {
+        val p = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        val e = embs(s, dir)
+        Similarity.writeIvfIndex(e, "vec_id", "embedding",
+          Similarity.autoCells(e.count()), root)
+        ivfStoreBuilt += root
+      }
+      root
+    }
+
+  private def qKnnIvfStored(s: SparkSession, dir: String): DataFrame = {
+    val root = storedIvfDir(s, dir)
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    Similarity.knnIvfSearchStored(s, root, e.where(col("vec_id") < 10),
+      "vec_id", "embedding", KnnK, ivfProbes(cells), KnnRound)
+  }
+
   /** Sequential double fold over the element products — DotProductFloat's
     * accumulation order exactly (shared by every ANN oracle generator).
     */
@@ -5564,6 +5605,8 @@ object QueriesText {
     GraftQuery("q_knn_filtered", qKnnFiltered, Some(oKnnFiltered)),
     GraftQuery("q_retrieval_ndcg", qRetrievalNdcg, Some(oRetrievalNdcg)),
     GraftQuery("q_knn_ivf", qKnnIvf, None, oracleGen = Some(oKnnIvfGen)),
+    GraftQuery("q_knn_ivf_stored", qKnnIvfStored, None,
+      oracleGen = Some(oKnnIvfGen)),
     GraftQuery("q_knn_ivf_dist", qKnnIvfDist, None, oracleGen = Some(oKnnIvfDistGen)),
     GraftQuery("q_knn_ivf_batch", qKnnIvfBatch, None, oracleGen = Some(oKnnIvfBatchGen)),
     GraftQuery("q_knn_self", qKnnSelf, None, oracleGen = Some(oKnnSelfGen)),
