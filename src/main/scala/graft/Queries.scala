@@ -1473,6 +1473,321 @@ object Queries {
     FROM r"""
 
   // ---------------------------------------------------------------------------
+  // TPC-H continuation shapes (r9): the remaining canonical plan shapes the
+  // reference's report framework (report/report.go:224 rollup machinery)
+  // would express as saved queries. Cross-engine money discipline: revenue
+  // is floor(price * (1 - disc) * 100) integer CENTS per row — floor on the
+  // identically-computed double is bit-identical in Spark and DuckDB, sums
+  // of cents are exact BIGINTs, and every ratio is the one-rounding integer
+  // cross-multiply (`a * 10000 div b`, Spark `div` ≡ DuckDB `//` truncation).
+  // ---------------------------------------------------------------------------
+
+  /** Per-row revenue in integer cents — the zero-float-surface money unit
+    * shared by the r9 TPC-H shapes. MUST stay `floor(price * (1.0 - disc)
+    * * 100.0)` with this exact operation order on both engines.
+    */
+  private def revCents: Column =
+    floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+  private val oRevCents =
+    "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)"
+
+  /** §2.3h TPC-H Q7 shape (volume shipping): two-sided geography-qualified
+    * trade volume — supplier geography ⋈ customer geography, kept when the
+    * pair crosses ASIA↔EUROPE in either direction, revenue by (supplier
+    * nation, customer nation, ship year). Scale: both nation⋈region dims
+    * broadcast (25 + 5 rows); lineitem⋈orders is the one large shuffle;
+    * the disjunctive region pair predicate evaluates post-join on
+    * broadcast-joined columns (no row explosion — each lineitem meets
+    * exactly one supplier and one customer geography).
+    */
+  private def qVolumeShip(s: SparkSession, dir: String): DataFrame = {
+    val nr = Tables.nation(s, dir)
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+    val suppGeo = broadcast(Tables.supplier(s, dir)
+      .join(nr.select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"),
+        col("r_name").as("_sreg")), col("s_nationkey") === col("_snk"))
+      .select(col("s_suppkey"), col("supp_nation"), col("_sreg")))
+    val custGeo = broadcast(Tables.customer(s, dir)
+      .join(nr.select(col("n_nationkey").as("_cnk"), col("n_name").as("cust_nation"),
+        col("r_name").as("_creg")), col("c_nationkey") === col("_cnk"))
+      .select(col("c_custkey"), col("cust_nation"), col("_creg")))
+    Tables.lineitem(s, dir)
+      .where("l_shipdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND " +
+             "l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(suppGeo, col("l_suppkey") === col("s_suppkey"))
+      .join(custGeo, col("o_custkey") === col("c_custkey"))
+      .where((col("_sreg") === "ASIA" && col("_creg") === "EUROPE") ||
+             (col("_sreg") === "EUROPE" && col("_creg") === "ASIA"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revCents).cast("long").as("rev_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val oVolumeShip = s"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum($oRevCents) AS BIGINT) AS rev_cents,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND ((sr.r_name = 'ASIA' AND cr.r_name = 'EUROPE') OR
+           (sr.r_name = 'EUROPE' AND cr.r_name = 'ASIA'))
+    GROUP BY 1, 2, 3"""
+
+  /** §2.3i TPC-H Q8 shape (national market share): of all PROMO-part
+    * revenue delivered to EUROPE-region customers, the share supplied by
+    * one nation, per order year. The share is the one-rounding integer
+    * cross-multiply over exact cent sums (basis points, truncated) — zero
+    * float threshold surface. Scale: part/supplier-geo/customer-geo dims
+    * all broadcast; the conditional numerator rides the same aggregate as
+    * the denominator (one shuffle, map-side combined).
+    */
+  private def qMktShare(s: SparkSession, dir: String): DataFrame = {
+    val nr = Tables.nation(s, dir)
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+    val suppGeo = broadcast(Tables.supplier(s, dir)
+      .join(nr.select(col("n_nationkey").as("_snk"), col("n_name").as("_snat")),
+        col("s_nationkey") === col("_snk"))
+      .select(col("s_suppkey"), col("_snat")))
+    val custEu = broadcast(Tables.customer(s, dir)
+      .join(nr.select(col("n_nationkey").as("_cnk"), col("r_name").as("_creg")),
+        col("c_nationkey") === col("_cnk"))
+      .where(col("_creg") === "EUROPE")
+      .select(col("c_custkey")))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).where(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(custEu, col("o_custkey") === col("c_custkey"))
+      .join(suppGeo, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("_snat") === "NATION_5", revCents).otherwise(lit(0L)))
+          .cast("long").as("nation_cents"),
+        sum(revCents).cast("long").as("total_cents"))
+      .withColumn("share_bp",
+        expr("nation_cents * 10000L div total_cents"))
+  }
+
+  private val oMktShare = s"""
+    SELECT o_year, nation_cents, total_cents,
+           nation_cents * 10000 // total_cents AS share_bp
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
+                           THEN $oRevCents ELSE 0 END) AS BIGINT) AS nation_cents,
+             CAST(sum($oRevCents) AS BIGINT) AS total_cents
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE p_type = 'PROMO' AND cr.r_name = 'EUROPE'
+      GROUP BY 1)"""
+
+  /** §2.3j TPC-H Q9 shape (product-type profit): name-pattern-filtered
+    * parts, profit by supplier nation and order year. (The synthetic
+    * schema has no partsupp, so profit = line revenue — the plan shape,
+    * not the cost model, is what this gates.) Scale: the LIKE filter
+    * prunes the part dim BEFORE broadcast; supplier-geo broadcasts;
+    * lineitem⋈orders is the one shuffle.
+    */
+  private def qProfitNation(s: SparkSession, dir: String): DataFrame = {
+    val suppGeo = broadcast(Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).where(col("p_name").like("%bolt%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(suppGeo, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revCents).cast("long").as("profit_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val oProfitNation = s"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum($oRevCents) AS BIGINT) AS profit_cents,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2"""
+
+  /** §2.3k TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    * revenue lost to returns in one half-year — the classic "who should
+    * account management call" report. Rank key is the exact integer cent
+    * sum (ties → custkey), so the top-20 cut is deterministic on both
+    * engines. Scale: filter reaches both scans; TakeOrderedAndProject
+    * caps the result exchange at 20 rows per partition.
+    */
+  private def qReturnedTop(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir)
+        .where("o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND " +
+               "o_orderdate < TIMESTAMP_NTZ'1996-07-01 00:00:00'"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum(revCents).cast("long").as("lost_cents"))
+      .orderBy(col("lost_cents").desc, col("c_custkey").asc)
+      .limit(20)
+
+  private val oReturnedTop = s"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(sum($oRevCents) AS BIGINT) AS lost_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY lost_cents DESC, c_custkey LIMIT 20"""
+
+  /** §2.3l TPC-H Q13 shape (customer order-count distribution): LEFT join
+    * customers to their non-urgent orders, per-customer order count
+    * (zero-order customers KEPT — the left join is the point), then the
+    * histogram of counts. Scale: one shuffle on custkey for the count,
+    * one tiny shuffle on the count value; no dim needed.
+    */
+  private def qCustDist(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+        .where(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  private val oCustDist = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count"""
+
+  /** §2.3m TPC-H Q14 shape (promotion effect): the share of one quarter's
+    * revenue carried by PROMO-type parts, in truncated basis points over
+    * exact cent sums (the Q8 integer-ratio discipline; Q14's
+    * `100 * sum(case)/sum` is exactly this with one more digit). Scale:
+    * part dim broadcasts; single aggregate row out.
+    */
+  private def qPromoShare(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where("l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00' AND " +
+             "l_shipdate < TIMESTAMP_NTZ'1997-04-01 00:00:00'")
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revCents).otherwise(lit(0L)))
+          .cast("long").as("promo_cents"),
+        sum(revCents).cast("long").as("total_cents"))
+      .withColumn("promo_bp", expr("promo_cents * 10000L div total_cents"))
+
+  private val oPromoShare = s"""
+    SELECT promo_cents, total_cents,
+           promo_cents * 10000 // total_cents AS promo_bp
+    FROM (
+      SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN $oRevCents ELSE 0 END) AS BIGINT) AS promo_cents,
+             CAST(sum($oRevCents) AS BIGINT) AS total_cents
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')"""
+
+  /** §2.3n TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    * half-year, then the supplier(s) achieving the maximum — the
+    * scalar-subquery-against-a-view shape, decorrelated as a broadcast
+    * 1-row max frame (ties all kept, per spec). Exact cent sums make the
+    * max cut deterministic. Scale: the rev aggregate shuffles on suppkey
+    * (|suppliers| rows out); the max is one broadcast row.
+    */
+  private def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val revs = Tables.lineitem(s, dir)
+      .where("l_shipdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND " +
+             "l_shipdate < TIMESTAMP_NTZ'1996-07-01 00:00:00'")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revCents).cast("long").as("total_rev_cents"))
+    revs
+      .crossJoin(broadcast(revs.agg(max(col("total_rev_cents")).as("_mx"))))
+      .where(col("total_rev_cents") === col("_mx"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+  }
+
+  private val oTopSupplier = s"""
+    WITH revs AS MATERIALIZED (
+      SELECT l_suppkey, CAST(sum($oRevCents) AS BIGINT) AS total_rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev_cents
+    FROM revs JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM revs)"""
+
+  /** §2.3o TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    * the OR-of-ANDs brand/size/quantity predicate — the canonical test
+    * that a disjunction still reaches the scans (each disjunct's part
+    * and lineitem halves prune their respective sides before the join).
+    * Scale: part dim broadcasts after the brand-IN cut; single row out.
+    */
+  private def qDisjunctRev(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))),
+        col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 50)))
+      .agg(sum(revCents).cast("long").as("rev_cents"),
+        count(lit(1)).as("n_lines"))
+
+  private val oDisjunctRev = s"""
+    SELECT CAST(sum($oRevCents) AS BIGINT) AS rev_cents,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 50)"""
+
+  // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
 
@@ -1487,6 +1802,14 @@ object Queries {
     GraftQuery("q_big_orders", qTpchQ18, Some(oTpchQ18)),
     GraftQuery("q_late_priority", qTpchQ4, Some(oTpchQ4)),
     GraftQuery("q_wait_chain", qTpchQ21, Some(oTpchQ21)),
+    GraftQuery("q_volume_ship", qVolumeShip, Some(oVolumeShip)),
+    GraftQuery("q_mkt_share", qMktShare, Some(oMktShare)),
+    GraftQuery("q_profit_nation", qProfitNation, Some(oProfitNation)),
+    GraftQuery("q_returned_top", qReturnedTop, Some(oReturnedTop)),
+    GraftQuery("q_cust_dist", qCustDist, Some(oCustDist)),
+    GraftQuery("q_promo_share", qPromoShare, Some(oPromoShare)),
+    GraftQuery("q_top_supplier", qTopSupplier, Some(oTopSupplier)),
+    GraftQuery("q_disjunct_rev", qDisjunctRev, Some(oDisjunctRev)),
     GraftQuery("q_topk_per_group", qTopkPerGroup, Some(oTopkPerGroup)),
     GraftQuery("q_range_filter", qRangeFilter, Some(oRangeFilter)),
     GraftQuery("q_time_bucket", qTimeBucket, Some(oTimeBucket)),
