@@ -1371,8 +1371,115 @@ object QueriesPipe {
   // Registry
   // ---------------------------------------------------------------------------
 
+  // ---------------------------------------------------------------------------
+  // §2.95 Distribution-drift screens (two-sample KS + Mann-Whitney rank-sum)
+  // ---------------------------------------------------------------------------
+
+  /** §2.95 Two-sample Kolmogorov-Smirnov drift screen (the dataset-QA gate
+    * between two corpus slices — snapshot vs snapshot, source vs source,
+    * this week's crawl vs last week's): D = max_v |F̂_a(v) − F̂_b(v)|,
+    * computed EXACTLY as the integer cross-multiply
+    * `max |cum_a·tot_b − cum_b·tot_a|` over the per-distinct-value
+    * histogram — zero float surface, DuckDB replays bit-identically.
+    * Shape: one value-keyed aggregate (map-side combined), then TWO
+    * [[Text.globalCumsum]] passes over the distinct-value frame (the
+    * two-level scan primitive — never a single-partition window; the
+    * cumsum input is |distinct values|, not |rows|), a broadcast 1-row
+    * totals frame, and a scalar max. At 10⁹-row slices the cross-multiply
+    * fits BIGINT while tot_a·tot_b < 2⁶² (guard: 2·10⁹ each side); past
+    * that, pre-bucket values (the ccnet_buckets discipline) before the
+    * screen. Reference analog: the report framework's cross-report
+    * comparisons, report/report.go:224.
+    */
+  private def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .where(col("event_type").isin("view", "purchase"))
+      .groupBy(col("value").as("v"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_b"))
+    val c = Text.globalCumsum(
+      Text.globalCumsum(d, Seq(col("v").asc), col("n_a"), "cum_a"),
+      Seq(col("v").asc), col("n_b"), "cum_b")
+    c.crossJoin(broadcast(d.agg(
+        sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))))
+      .groupBy(col("tot_a"), col("tot_b"))
+      .agg(max(abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")))
+        .as("ks_num"))
+      .withColumn("ks_bp", expr("ks_num * 10000L div (tot_a * tot_b)"))
+  }
+
+  private val oKsDrift = """
+    WITH d AS MATERIALIZED (
+      SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b
+      FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+    c AS (
+      SELECT v, CAST(sum(n_a) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+             CAST(sum(n_b) OVER (ORDER BY v) AS BIGINT) AS cum_b
+      FROM d),
+    t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+                 CAST(sum(n_b) AS BIGINT) AS tot_b FROM d)
+    SELECT tot_a, tot_b,
+           CAST(max(abs(cum_a * tot_b - cum_b * tot_a)) AS BIGINT) AS ks_num,
+           CAST(max(abs(cum_a * tot_b - cum_b * tot_a)) AS BIGINT)
+             * 10000 // (tot_a * tot_b) AS ks_bp
+    FROM c, t GROUP BY tot_a, tot_b"""
+
+  /** §2.95b Mann-Whitney rank-sum drift screen (the KS companion —
+    * sensitive to location shift where KS is sensitive to any shape
+    * difference): U = R_a − n_a(n_a+1)/2 with midrank tie handling,
+    * carried ×2 so midranks stay INTEGER (2·midrank(v) = 2·cum_before(v)
+    * + cnt(v) + 1). Same histogram + one [[Text.globalCumsum]] shape as
+    * §2.95; u_bp = 2U·10000 div (2·n_a·n_b) locates the shift direction
+    * (5000 ≈ no shift). Exact integers end-to-end on both engines.
+    */
+  private def qRankSum(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .where(col("event_type").isin("view", "purchase"))
+      .groupBy(col("value").as("v"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_b"))
+      .withColumn("cnt", col("n_a") + col("n_b"))
+    val c = Text.globalCumsum(d, Seq(col("v").asc), col("cnt"), "cum_all")
+      // 2·midrank of the tie block at v: ranks cum_before+1 .. cum_all
+      .withColumn("mr2", lit(2L) * (col("cum_all") - col("cnt")) + col("cnt") + lit(1L))
+    c.crossJoin(broadcast(d.agg(
+        sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))))
+      .groupBy(col("tot_a"), col("tot_b"))
+      .agg(sum(col("n_a") * col("mr2")).as("r2_a"))
+      .withColumn("u2", col("r2_a") - col("tot_a") * (col("tot_a") + lit(1L)))
+      .withColumn("u_bp", expr("u2 * 10000L div (2L * tot_a * tot_b)"))
+      .select(col("tot_a"), col("tot_b"), col("u2"), col("u_bp"))
+  }
+
+  private val oRankSum = """
+    WITH d AS MATERIALIZED (
+      SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b
+      FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+    c AS (
+      SELECT n_a, n_b,
+             2 * (CAST(sum(n_a + n_b) OVER (ORDER BY v) AS BIGINT)
+                  - (n_a + n_b)) + (n_a + n_b) + 1 AS mr2
+      FROM d),
+    t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+                 CAST(sum(n_b) AS BIGINT) AS tot_b FROM d),
+    r AS (SELECT CAST(sum(n_a * mr2) AS BIGINT) AS r2_a FROM c)
+    SELECT tot_a, tot_b,
+           r2_a - tot_a * (tot_a + 1) AS u2,
+           (r2_a - tot_a * (tot_a + 1)) * 10000 // (2 * tot_a * tot_b) AS u_bp
+    FROM r, t"""
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q_json_extract", qJsonExtract, Some(oJsonExtract)),
+    GraftQuery("q_ks_drift", qKsDrift, Some(oKsDrift)),
+    GraftQuery("q_rank_sum", qRankSum, Some(oRankSum)),
     GraftQuery("q_k_anon", qKAnon, Some(oKAnon)),
     GraftQuery("q_ewma", qEwma, Some(oEwma)),
     GraftQuery("q_holt_winters", qHoltWinters, Some(oHoltWinters)),

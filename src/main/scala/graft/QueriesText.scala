@@ -4898,7 +4898,7 @@ object QueriesText {
     val pr = Graph.pageRankPersonalizedInt(ed, seeds, Graph.ckptFor(s), PprIters)
     val top = pr.where(!col("id").isin(Bm25Terms: _*) && col("pr") > 0L)
       .orderBy(col("pr").desc, col("id").asc).limit(PprK)
-    Text.globalRank(top, Seq(col("pr").desc, col("id").asc))
+    Text.rankBounded(top, Seq(col("pr").desc, col("id").asc))
       .select(col("rank"), col("id").as("word"), col("pr"))
   }
 

@@ -99,7 +99,7 @@ object Sampling {
       .withColumn("_q", expr(s"_w * 4294967296L div (_h + 1L)"))
       .orderBy(col("_q").desc, key.asc)
       .limit(k + 1)
-    val ranked = Text.globalRank(topk1, Seq(col("_q").desc, key.asc))
+    val ranked = Text.rankBounded(topk1, Seq(col("_q").desc, key.asc))
     val tau = ranked.agg(
       max(when(col("rank") === k + 1, col("_q"))).as("_tau"))
     ranked.where(col("rank") <= k)

@@ -965,19 +965,27 @@ object Text {
     val spark = df.sparkSession
     val n = if (numParts > 0) numParts
             else spark.sparkContext.defaultParallelism
-    val parts = df.repartitionByRange(n, order: _*)
-      .withColumn("_pid", spark_partition_id())
+    // The range-partitioned frame is FROZEN (lazy checkpoint) before both
+    // consumers read it. RangePartitioner boundaries come from a reservoir
+    // sample seeded by the RDD id, so every physical INSTANCE of this
+    // exchange can pick different boundaries — and exchange reuse, which
+    // r5-r8 relied on to guarantee the offsets join and the data side see
+    // ONE instance, is an optimization Spark may simply not apply: in
+    // q_rank_sum's plan shape (cumsum → broadcast-scalar crossJoin → final
+    // agg) the plan duplicated the exchange and the same write action
+    // returned five different sums in five runs. Truncating to a single
+    // RDD instance makes consistency STRUCTURAL: one instance, one
+    // sampling, and recompute-on-block-loss re-fetches the pinned shuffle
+    // rather than resampling. Lazy, so no extra action; honors
+    // spark.graft.reliableCheckpoint for cluster-grade durability.
+    val parts = graft.operators.Graph.ckptFor(spark)(
+      df.repartitionByRange(n, order: _*)
+        .withColumn("_pid", spark_partition_id()))
     val local = parts.withColumn("_lr",
       row_number().over(Window.partitionBy(col("_pid")).orderBy(order: _*)))
-    // Offsets are computed RELATIONALLY inside the same plan (a tiny
-    // numParts² self-join — no window, no driver collect): range boundary
-    // sampling is shuffle-arrival-order-dependent, so a separate offsets
-    // ACTION can see a DIFFERENT partitioning than the final join
-    // (q_abc's sf0.1 hash mismatch found it; an earlier draft collected
-    // offsets on the driver). In one plan, ReuseExchange/AQE stage reuse
-    // dedups the canonically-equal range exchange, so offsets and data
-    // always agree — and the two-level math is exact for ANY boundaries,
-    // so run-to-run boundary drift cannot change the result.
+    // Offsets stay RELATIONAL (tiny numParts² self-join, no driver
+    // collect); they now provably ride the same frozen partitioning as
+    // the data side, and the two-level math is exact for ANY boundaries.
     val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
     val offs = counts.as("a")
       .join(counts.as("b"), col("b._pid") < col("a._pid"), "left")
@@ -987,6 +995,23 @@ object Text {
       .withColumn(rankCol, (col("_off") + col("_lr")).cast("int"))
       .drop("_pid", "_lr", "_off")
   }
+
+  /** Rank for a PROVABLY BOUNDED frame (a post-sort+limit top-k, a
+    * (k+1)-row sample, a fixed seed set): row_number over a CONSTANT-key
+    * window. The literal partition key gives the window a clustered
+    * distribution (one hash partition) instead of the empty-spec
+    * move-everything-to-one-partition plan, so no single-partition
+    * warning and none of [[globalRank]]'s exchanges — but it IS a
+    * single-task sort, so the caller must guarantee boundedness by
+    * construction (the upstream sort+limit). Corpus-sized frames go
+    * through [[globalRank]]. Unlike globalRank this adds no plan
+    * truncation, so upstream shapes (TakeOrderedAndProject) stay visible
+    * to plan audits.
+    */
+  def rankBounded(df: DataFrame, order: Seq[Column],
+                  rankCol: String = "rank"): DataFrame =
+    df.withColumn(rankCol,
+      row_number().over(Window.partitionBy(lit(0)).orderBy(order: _*)))
 
   /** Distributed global cumulative sum over a total order — the classic
     * scan primitive as the [[globalRank]] two-level composition applied to
@@ -1004,15 +1029,16 @@ object Text {
     val spark = df.sparkSession
     val n = if (numParts > 0) numParts
             else spark.sparkContext.defaultParallelism
-    val parts = df.withColumn("_v", value)
-      .repartitionByRange(n, order: _*)
-      .withColumn("_pid", spark_partition_id())
+    // frozen-instance discipline — see globalRank's comment: exchange
+    // reuse is NOT guaranteed, and a duplicated range exchange resamples
+    // its boundaries, silently desynchronizing offsets from data
+    val parts = graft.operators.Graph.ckptFor(spark)(
+      df.withColumn("_v", value)
+        .repartitionByRange(n, order: _*)
+        .withColumn("_pid", spark_partition_id()))
     val local = parts.withColumn("_lc",
       sum(col("_v")).over(Window.partitionBy(col("_pid")).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // relational in-plan offsets — see globalRank's comment: a separate
-    // offsets action can pair a DIFFERENT range partitioning with the
-    // final join; one plan + exchange reuse keeps them consistent
     val sums = local.groupBy(col("_pid")).agg(sum(col("_v")).as("_s"))
     val offs = sums.as("a")
       .join(sums.as("b"), col("b._pid") < col("a._pid"), "left")
@@ -1147,12 +1173,10 @@ object Text {
       .select(col(id),
         (floor(col("_raw") * lit(10000.0)) / lit(10000.0)).as("score"))
     val top = scored.orderBy(col("score").desc, col(id).asc).limit(k)
-    // rank over the k-row result via the two-level globalRank: a global
-    // window over k rows is harmless, but this keeps the catalog free of
-    // "Moving all data to a single partition" warnings (every one left in
-    // a Verify log is one a reader must re-audit) and uniform in its rank
-    // discipline; on k rows the extra exchanges are negligible.
-    globalRank(top, Seq(col("score").desc, col(id).asc))
+    // k rows by construction → the constant-key bounded rank (no
+    // single-partition warning, no extra exchanges, top-k shape stays
+    // visible to plan audits)
+    rankBounded(top, Seq(col("score").desc, col(id).asc))
   }
 
   /** BM25 retrieval ranking (Robertson & Spärck Jones probabilistic
@@ -1216,7 +1240,7 @@ object Text {
       .agg(max(col("_len")).as("n_toks"), // one row per doc in tf; max = the value
         sum(col("_idf") * col("_tfsat")).as("score"))
     val top = scored.orderBy(col("score").desc, col(id).asc).limit(k)
-    globalRank(top, Seq(col("score").desc, col(id).asc))
+    rankBounded(top, Seq(col("score").desc, col(id).asc))
   }
 
   /** Feature-hashing vectorizer (Weinberger et al. 2009, the "hashing
@@ -1277,7 +1301,7 @@ object Text {
         coalesce(expr(s"${scale}L div (${c}L + lex_rank)"), lit(0L)) +
           coalesce(expr(s"${scale}L div (${c}L + sem_rank)"), lit(0L)))
     val top = fused.orderBy(col("rrf").desc, col(id).asc).limit(k)
-    globalRank(top, Seq(col("rrf").desc, col(id).asc))
+    rankBounded(top, Seq(col("rrf").desc, col(id).asc))
   }
 
   /** Built-ins bit-equality twin of `RepetitionStatsExpr`: sorted-fold

@@ -203,6 +203,41 @@ class PipeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("globalCumsum: deterministic under the cumsum→scalar-crossJoin→agg shape") {
+    // r9 regression guard: with the r8 reuse-dependent offsets, THIS shape
+    // (the q_rank_sum plan) duplicated the range exchange — each instance
+    // reservoir-samples its own boundaries — and one write action returned
+    // five different sums in five runs. The frozen-instance primitive must
+    // return the same (and correct) integer every time.
+    import graft.operators.Text
+    val d = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("view", "purchase"))
+      .groupBy(col("value").as("v"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_b"))
+      .withColumn("cnt", col("n_a") + col("n_b"))
+    // truth: single-window replay (domain is distinct values — bounded here)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = d.withColumn("cum_all", sum("cnt").over(w))
+      .agg(sum(col("n_a") *
+        (lit(2L) * (col("cum_all") - col("cnt")) + col("cnt") + lit(1L))))
+      .head.getLong(0)
+    for (run <- 1 to 3) {
+      val c = Text.globalCumsum(d, Seq(col("v").asc), col("cnt"), "cum_all")
+        .withColumn("mr2",
+          lit(2L) * (col("cum_all") - col("cnt")) + col("cnt") + lit(1L))
+      val got = c.crossJoin(broadcast(
+          d.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))))
+        .groupBy(col("tot_a"), col("tot_b"))
+        .agg(sum(col("n_a") * col("mr2")).as("r2_a"))
+        .head.getAs[Long]("r2_a")
+      assert(got == want, s"run $run: r2_a=$got want=$want")
+    }
+  }
+
   test("q_mix_temperature: quotas follow isqrt weights exactly") {
     def isqrt(n: Long): Long = { var s = math.sqrt(n.toDouble).toLong
       while ((s + 1) * (s + 1) <= n) s += 1; while (s * s > n) s -= 1; s }
