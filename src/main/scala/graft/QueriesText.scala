@@ -5573,6 +5573,106 @@ object QueriesText {
            CAST((cum - n_tok) % 4096 AS BIGINT) AS off
     FROM c"""
 
+  /** §2.96 Vocabulary-richness / unseen-mass estimation (Chao 1984;
+    * Good 1953): per source, how much of the n-gram type space has the
+    * crawl actually seen? Species = trigram shingles (the word vocab of
+    * this corpus is closed at 31 types, so unigram richness is
+    * degenerate; trigram types keep growing — the unit §2.45d novelty
+    * already scores). f1/f2 = singleton/doubleton type counts;
+    * Chao1 = D + f1²/(2·f2) lower-bounds the true type count, and the
+    * Good-Turing coverage 1 − f1/N says what fraction of the next
+    * sample will be already-seen types — the "is more crawl worth it"
+    * number a data-acquisition loop budgets against. All integer
+    * (truncating div matched to DuckDB `//`); shape = one
+    * (source, trigram)-keyed map-side-combined count + a 20-row
+    * rollup — the big exchange is keyed by the natural key and the
+    * second aggregate is per-source-sized, never corpus-sized.
+    */
+  private def qChao1(s: SparkSession, dir: String): DataFrame = {
+    val ws = docsW(s, dir).select(col("source"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+    val tri = ws.select(col("source"), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 2).as("w1"),
+        slice(col("ws"), lit(2), size(col("ws")) - 2).as("w2"),
+        slice(col("ws"), lit(3), size(col("ws")) - 2).as("w3"))).as("t"))
+      .select(col("source"),
+        concat_ws(" ", col("t.w1"), col("t.w2"), col("t.w3")).as("t"))
+    tri.groupBy("source", "t").agg(count(lit(1)).as("cf"))
+      .groupBy("source").agg(
+        sum("cf").as("n_tri"),
+        count(lit(1)).as("d_types"),
+        sum(when(col("cf") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("cf") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_tri"), col("d_types"), col("f1"), col("f2"),
+        expr("d_types + CASE WHEN f2 > 0 THEN f1 * f1 div (2 * f2)" +
+          " ELSE f1 * (f1 - 1) div 2 END").as("chao1"),
+        expr("(n_tri - f1) * 10000L div n_tri").as("coverage_bp"))
+  }
+
+  private val oChao1 = """
+    WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS t
+          FROM (SELECT * FROM w WHERE len(ws) >= 3),
+               unnest(range(1, len(ws) - 1)) AS r(i)),
+    c AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cf
+          FROM g GROUP BY source, t),
+    a AS (SELECT source, CAST(sum(cf) AS BIGINT) AS n_tri,
+                 CAST(count(*) AS BIGINT) AS d_types,
+                 CAST(count(*) FILTER (cf = 1) AS BIGINT) AS f1,
+                 CAST(count(*) FILTER (cf = 2) AS BIGINT) AS f2
+          FROM c GROUP BY source)
+    SELECT source, n_tri, d_types, f1, f2,
+           d_types + CASE WHEN f2 > 0 THEN f1 * f1 // (2 * f2)
+                          ELSE f1 * (f1 - 1) // 2 END AS chao1,
+           (n_tri - f1) * 10000 // n_tri AS coverage_bp
+    FROM a"""
+
+  /** §2.96b Term burstiness (Church & Gale 1995): content words CLUSTER
+    * in documents — a second occurrence in the same doc is far more
+    * likely than the Poisson rate predicts — and the variance-to-mean
+    * Fano factor over per-doc counts (zeros included) measures exactly
+    * that. F≈1 (10000 bp) = Poisson/function-word; F≫1 = bursty/topical
+    * — the signal that separates keyword candidates from glue words for
+    * §2.57 ranking and flags template spam (a word that fires 40× in
+    * one doc and nowhere else). Exact integers: F = (N·Σc² − cf²) /
+    * (N·cf) in basis points, one truncating division, BIGINT-safe to
+    * ~10⁹ docs per word. Shape = (doc, word)-keyed map-side-combined
+    * count → word-keyed rollup → broadcast 1-row doc-count frame; no
+    * per-doc×vocab densification — the zeros live in the algebra, not
+    * in rows.
+    */
+  private def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val d = docsW(s, dir)
+    val ndocs = d.agg(count(lit(1)).as("n_docs"))
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("w").agg(
+        sum("c").as("cf"),
+        count(lit(1)).as("df"),
+        sum(col("c") * col("c")).as("sumc2"))
+      .where(col("cf") >= 20)
+      .crossJoin(broadcast(ndocs))
+      .select(col("w"), col("cf"), col("df"),
+        expr("(n_docs * sumc2 - cf * cf) * 10000L div (n_docs * cf)")
+          .as("fano_bp"),
+        expr("cf * 100L div df").as("rate_cp"))
+  }
+
+  private val oBurstiness = """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           GROUP BY doc_id, w),
+    a AS (SELECT w, CAST(sum(c) AS BIGINT) AS cf,
+                 CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(c * c) AS BIGINT) AS sumc2
+          FROM dw GROUP BY w)
+    SELECT w, cf, df,
+           (n.n_docs * sumc2 - cf * cf) * 10000 // (n.n_docs * cf) AS fano_bp,
+           cf * 100 // df AS rate_cp
+    FROM a, n WHERE cf >= 20"""
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[GraftQuery] = Seq(
@@ -5653,6 +5753,8 @@ object QueriesText {
     GraftQuery("q_pii_redact", qPiiRedact, Some(oPiiRedact)),
     GraftQuery("q_lm_surprisal", qLmSurprisal, Some(oLmSurprisal)),
     GraftQuery("q_collocations", qCollocations, Some(oCollocations)),
+    GraftQuery("q_chao1", qChao1, Some(oChao1)),
+    GraftQuery("q_burstiness", qBurstiness, Some(oBurstiness)),
     GraftQuery("q_lm_surprisal2", qLmSurprisal2, Some(oLmSurprisal2)),
     GraftQuery("q_dedup_incremental", qDedupIncremental, Some(oDedupIncremental)),
     GraftQuery("q_distinct_kmv", qDistinctKmv, Some(oDistinctKmv)),
