@@ -998,7 +998,7 @@ object Text {
 
   /** Rank for a PROVABLY BOUNDED frame (a post-sort+limit top-k, a
     * (k+1)-row sample, a fixed seed set): row_number over a CONSTANT-key
-    * window. The literal partition key gives the window a clustered
+    * window. The constant partition key gives the window a clustered
     * distribution (one hash partition) instead of the empty-spec
     * move-everything-to-one-partition plan, so no single-partition
     * warning and none of [[globalRank]]'s exchanges — but it IS a
@@ -1007,11 +1007,21 @@ object Text {
     * through [[globalRank]]. Unlike globalRank this adds no plan
     * truncation, so upstream shapes (TakeOrderedAndProject) stay visible
     * to plan audits.
+    *
+    * The key must be constant-VALUED but not constant-FOLDABLE: Spark 4
+    * prunes foldable expressions out of the window partition spec, which
+    * turns a `lit(0)` key back into the empty-spec warning plan (found
+    * in r9 — 94 warnings across a Verify run all traced here). A
+    * `pmod(hash(firstCol), 1)` key is 0 on every row, references an
+    * attribute so no optimizer rule folds it, and costs one codegen'd
+    * hash per row on a ≤k-row frame.
     */
   def rankBounded(df: DataFrame, order: Seq[Column],
                   rankCol: String = "rank"): DataFrame =
     df.withColumn(rankCol,
-      row_number().over(Window.partitionBy(lit(0)).orderBy(order: _*)))
+      row_number().over(Window
+        .partitionBy(pmod(hash(col(df.columns.head)), lit(1)))
+        .orderBy(order: _*)))
 
   /** Distributed global cumulative sum over a total order — the classic
     * scan primitive as the [[globalRank]] two-level composition applied to

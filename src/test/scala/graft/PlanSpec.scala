@@ -101,4 +101,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"proximity join degenerated to a non-equi join:\n${p.take(1500)}")
   }
+
+  test("rankBounded: window keeps a non-empty partition spec (foldable-key pruning guard)") {
+    // Spark 4 prunes constant-FOLDABLE keys out of window partition
+    // specs, so a lit(0) key silently degrades to the empty-spec
+    // move-everything-to-one-partition plan (r9: 94 WindowExec warnings
+    // per Verify run traced to exactly this). rankBounded's key must
+    // stay in the executed plan.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions.col
+    val top = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(5)
+    val df = operators.Text.rankBounded(top, Seq(col("n_chars").desc, col("doc_id")))
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected a WindowExec in the rankBounded plan:\n$plan")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "rankBounded window lost its partition key (foldable-key pruning regression)")
+  }
 }
