@@ -5673,6 +5673,193 @@ object QueriesText {
            cf * 100 // df AS rate_cp
     FROM a, n WHERE cf >= 20"""
 
+  /** §2.97 Spearman rank correlation (per source) between two doc
+    * metrics — here length (n_chars) vs lexical diversity (distinct
+    * words): the monotone-association screen that decides whether one
+    * quality signal is redundant given another before both go into a
+    * §2.56 gate. Ranks are row_number over (value, doc_id) — the
+    * deterministic-tie-break variant, not midranks, so both engines
+    * produce identical ranks by construction; ρ = 1 − 6Σd²/(n(n²−1)) in
+    * basis points with ONE truncating division (negatives truncate
+    * toward zero identically in Spark `div` and DuckDB `//`).
+    * BIGINT-safe while 10⁴·n³ < 2⁶³, i.e. per-source n ≤ ~9·10⁴ — past
+    * that, compute per stratified subgroup. Windows partition per
+    * source; the aggregate is map-side combined.
+    */
+  private def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    val d = docsW(s, dir).select(col("source"), col("doc_id"), col("n_chars"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("dw"))
+    val wx = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val wy = Window.partitionBy(col("source"))
+      .orderBy(col("dw").asc, col("doc_id").asc)
+    d.withColumn("rx", row_number().over(wx).cast("long"))
+      .withColumn("ry", row_number().over(wy).cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sumd2"))
+      .select(col("source"), col("n"), col("sumd2"),
+        expr("(10000L * (n * (n * n - 1) - 6 * sumd2))" +
+          " div (n * (n * n - 1))").as("rho_bp"))
+  }
+
+  private val oSpearman = """
+    WITH d AS (SELECT source, doc_id, n_chars,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS dw
+               FROM documents),
+    r AS (SELECT source,
+            CAST(row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS BIGINT) AS rx,
+            CAST(row_number() OVER (PARTITION BY source
+                                    ORDER BY dw, doc_id) AS BIGINT) AS ry
+          FROM d),
+    a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sumd2
+          FROM r GROUP BY source)
+    SELECT source, n, sumd2,
+           (10000 * (n * (n * n - 1) - 6 * sumd2))
+             // (n * (n * n - 1)) AS rho_bp
+    FROM a"""
+
+  /** §2.97b Cohen's kappa (per source) between two binary quality
+    * gates — length (n_chars ≥ 280) vs diversity (≥ 25 distinct
+    * words): chance-corrected agreement, the honest "do these two
+    * filters actually measure the same thing" number (raw agreement
+    * flatters any pair when base rates are skewed). Exact integers:
+    * κ_bp = 10⁴·(n·(a+d) − pe2) div (n² − pe2) with pe2 =
+    * (a+b)(a+c) + (c+d)(b+d); the denominator n² − pe2 = m₁k₀ + m₀k₁
+    * is nonzero exactly when all four margins are, which the WHERE
+    * guards (a filter on aggregate OUTPUT columns — materialized, so
+    * no FilterExec re-evaluation hazard). One map-side-combined
+    * aggregate; BIGINT-safe to ~10⁹ docs per source.
+    */
+  private def qKappa(s: SparkSession, dir: String): DataFrame =
+    docsW(s, dir).select(col("source"),
+        (col("n_chars") >= 280).cast("long").as("fa"),
+        (size(array_distinct(split(col("text"), " "))) >= 25)
+          .cast("long").as("fb"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(col("fa") * col("fb")).as("a"),
+        sum(col("fa") * (lit(1L) - col("fb"))).as("b"),
+        sum((lit(1L) - col("fa")) * col("fb")).as("c"),
+        sum((lit(1L) - col("fa")) * (lit(1L) - col("fb"))).as("d"))
+      .where(col("a") + col("b") > 0 && col("c") + col("d") > 0 &&
+        col("a") + col("c") > 0 && col("b") + col("d") > 0)
+      .select(col("source"), col("n"), col("a"), col("d"),
+        expr("(10000L * (n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))))" +
+          " div (n * n - ((a + b) * (a + c) + (c + d) * (b + d)))").as("kappa_bp"))
+
+  private val oKappa = """
+    WITH f AS (SELECT source,
+                 CASE WHEN n_chars >= 280 THEN 1 ELSE 0 END AS fa,
+                 CASE WHEN len(list_distinct(string_split(text, ' '))) >= 25
+                      THEN 1 ELSE 0 END AS fb
+               FROM documents),
+    g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(fa * fb) AS BIGINT) AS a,
+                 CAST(sum(fa * (1 - fb)) AS BIGINT) AS b,
+                 CAST(sum((1 - fa) * fb) AS BIGINT) AS c,
+                 CAST(sum((1 - fa) * (1 - fb)) AS BIGINT) AS d
+          FROM f GROUP BY source)
+    SELECT source, n, a, d,
+           (10000 * (n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))))
+             // (n * n - ((a + b) * (a + c) + (c + d) * (b + d))) AS kappa_bp
+    FROM g
+    WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0"""
+
+  /** §2.98 Gini concentration (per source) of document lengths — the
+    * Lorenz-curve inequality number that flags a source whose token
+    * mass sits in a few giant docs (truncation/packing risk, §2.88/66)
+    * vs one of uniform snippets. Σ(2i − n − 1)·xᵢ over ascending
+    * (value, id) order, algebraically split as 2·Σi·xᵢ − (n+1)·Σxᵢ so
+    * ONE windowed rank feeds a plain aggregate; permuting equal values
+    * can't change the sum, so the id tie-break is deterministic but
+    * value-irrelevant. gini_bp = 10⁴·num div (n·Σx), exact integers;
+    * windows partition per source.
+    */
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("x").asc, col("doc_id").asc)
+    docsW(s, dir).select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("x"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("x")).as("total_chars"),
+        sum(col("rn") * col("x")).as("_rnx"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        expr("(10000L * (2 * _rnx - (n_docs + 1) * total_chars))" +
+          " div (n_docs * total_chars)").as("gini_bp"))
+  }
+
+  private val oGini = """
+    WITH r AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+                 CAST(row_number() OVER (PARTITION BY source
+                                         ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS rn
+               FROM documents),
+    a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(x) AS BIGINT) AS total_chars,
+                 CAST(sum(rn * x) AS BIGINT) AS rnx
+          FROM r GROUP BY source)
+    SELECT source, n_docs, total_chars,
+           (10000 * (2 * rnx - (n_docs + 1) * total_chars))
+             // (n_docs * total_chars) AS gini_bp
+    FROM a"""
+
+  /** §2.95c Total-variation mixing drift: per source, TVD between the
+    * source's unigram distribution and the corpus's — the categorical
+    * companion to the §2.95 KS screen (KS needs an ordered domain;
+    * token ids have none). EXACT integers by cross-multiplying the two
+    * denominators: TVD·2·n_s·N = Σ_w |c_sw·N − c_w·n_s|, where words
+    * ABSENT from the source contribute (N − Σ_seen c_w)·n_s — carried
+    * in the algebra, not by densifying source×vocab rows (the §2.96b
+    * discipline). Shape: one (source, word) map-side-combined count;
+    * corpus word counts derived from it (vocab×sources-sized, genuinely
+    * small — not the q_collocations trap, which re-aggregated a
+    * corpus-sized frame); broadcast 1-row total. BIGINT-safe while
+    * n_s·N < 4.6·10¹⁴ — pre-bucket values past that (the §2.95 rule).
+    */
+  private def qTvdMix(s: SparkSession, dir: String): DataFrame = {
+    val sw = docsW(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val ns = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val ntot = cw.agg(sum("c_w").as("n_tot"))
+    sw.join(cw, "w").join(ns, "source").crossJoin(broadcast(ntot))
+      .groupBy(col("source"), col("n_s"), col("n_tot"))
+      .agg(sum(abs(col("c_sw") * col("n_tot") - col("c_w") * col("n_s")))
+          .as("_part"),
+        sum(col("c_w")).as("_seen"))
+      .select(col("source"), col("n_s"),
+        expr("((_part + (n_tot - _seen) * n_s) * 10000L)" +
+          " div (2 * n_s * n_tot)").as("tvd_bp"))
+  }
+
+  private val oTvdMix = """
+    WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+           FROM t GROUP BY source, w),
+    cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+    ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s
+           FROM sw GROUP BY source),
+    n AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tot FROM cw),
+    a AS (SELECT sw.source, ns.n_s, n.n_tot,
+                 CAST(sum(abs(sw.c_sw * n.n_tot - cw.c_w * ns.n_s))
+                   AS BIGINT) AS part,
+                 CAST(sum(cw.c_w) AS BIGINT) AS seen
+          FROM sw JOIN cw ON sw.w = cw.w
+                  JOIN ns ON sw.source = ns.source, n
+          GROUP BY sw.source, ns.n_s, n.n_tot)
+    SELECT source, n_s,
+           ((part + (n_tot - seen) * n_s) * 10000)
+             // (2 * n_s * n_tot) AS tvd_bp
+    FROM a"""
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[GraftQuery] = Seq(
@@ -5755,6 +5942,10 @@ object QueriesText {
     GraftQuery("q_collocations", qCollocations, Some(oCollocations)),
     GraftQuery("q_chao1", qChao1, Some(oChao1)),
     GraftQuery("q_burstiness", qBurstiness, Some(oBurstiness)),
+    GraftQuery("q_spearman", qSpearman, Some(oSpearman)),
+    GraftQuery("q_kappa", qKappa, Some(oKappa)),
+    GraftQuery("q_gini", qGini, Some(oGini)),
+    GraftQuery("q_tvd_mix", qTvdMix, Some(oTvdMix)),
     GraftQuery("q_lm_surprisal2", qLmSurprisal2, Some(oLmSurprisal2)),
     GraftQuery("q_dedup_incremental", qDedupIncremental, Some(oDedupIncremental)),
     GraftQuery("q_distinct_kmv", qDistinctKmv, Some(oDistinctKmv)),
