@@ -115,7 +115,13 @@ object QueriesText {
     * the whole LSH pipeline (the spec suite additionally measures recall
     * against exact Jaccard).
     */
-  private def qDocMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  private def qDocMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(s, dir)
+
+  /** The §2.39 MinHash-LSH near-dup pair lane, shared verbatim by
+    * q_doc_minhash_lsh and the §2.50n split-leakage audit.
+    */
+  private def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     val withSh = docsW(s, dir).withColumn("sh", Text.shingles(col("text"), 2))
     // shared by banding + both sides of the verification join — persist so
     // shingling + 16 minhash permutations run once
@@ -170,6 +176,44 @@ object QueriesText {
       FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b) t
     WHERE jac >= 0.8"""
   }
+
+  /** §2.50n Near-dup split-leakage audit — the contamination the §2.50d
+    * decontaminator can't see: an eval doc whose NEAR-duplicate (not
+    * exact n-gram match) sits in train inflates eval exactly like a
+    * verbatim leak. Every §2.39 LSH near-dup pair is labeled with both
+    * sides' §2.50e hash-split membership; `leak` flags pairs that
+    * straddle splits (the purge list — drop the train side or re-split
+    * by CLUSTER, not by doc). Composition is pure reuse: the shared
+    * pair lane + the same growth-stable hash membership, so the audit
+    * is consistent with the split it audits by construction.
+    */
+  private def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val sp = Sampling.splitByHash(docs(s, dir), col("doc_id"),
+        SampleSeed, SplitCuts)
+      .select(col("doc_id"), col("split"))
+    minhashLshPairs(s, dir).select("doc_a", "doc_b")
+      .join(sp.toDF("doc_a", "split_a"), "doc_a")
+      .join(sp.toDF("doc_b", "split_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).cast("long").as("leak"))
+  }
+
+  // lazy: duckSampleHash interpolates SampleSeed, a val declared LATER in
+  // this object — eager init here would bake the string "null" into the SQL
+  private lazy val oSplitLeakage = s"""
+    WITH pairs AS ($oDocMinhashLsh),
+    sp AS (SELECT doc_id,
+             CASE WHEN ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 < 900
+                    THEN 'train'
+                  WHEN ${duckSampleHash("CAST(doc_id AS VARCHAR)")} % 1000 < 950
+                    THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents)
+    SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b,
+           CAST(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END AS BIGINT)
+             AS leak
+    FROM pairs p JOIN sp a ON p.doc_a = a.doc_id
+                 JOIN sp b ON p.doc_b = b.doc_id"""
 
   /** §2.41 SimHash fingerprints + bucket keys — 30-bit cross-engine
     * polynomial token hash, fully oracle-checked.
@@ -5673,6 +5717,46 @@ object QueriesText {
            cf * 100 // df AS rate_cp
     FROM a, n WHERE cf >= 20"""
 
+  /** §2.66b Padding-waste report — the context-length planning input
+    * that decides whether §2.66 packing is worth running at all: for
+    * each candidate context length L, the token slots burned by
+    * pad-to-L batching (each doc occupies ceil(n/L)·L slots) vs the
+    * packed floor (ceil(Σn/L)·L). waste_bp is the fraction of compute
+    * spent on pad tokens; the L grid rides ONE corpus scan (explode of
+    * a 3-literal array before the aggregate). Exact integers — ceil
+    * division as (n + L − 1) div L on both engines.
+    */
+  private def qPadWaste(s: SparkSession, dir: String): DataFrame =
+    docsW(s, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"),
+        explode(array(lit(64L), lit(128L), lit(256L))).as("ctx_len"))
+      .groupBy("ctx_len").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_total"),
+        sum(expr("((n_tok + ctx_len - 1) div ctx_len) * ctx_len"))
+          .as("slots_padded"))
+      .select(col("ctx_len"), col("n_docs"), col("tok_total"),
+        col("slots_padded"),
+        expr("(slots_padded - tok_total) * 10000L div slots_padded")
+          .as("waste_bp"),
+        expr("((tok_total + ctx_len - 1) div ctx_len) * ctx_len")
+          .as("packed_slots"))
+
+  private val oPadWaste = """
+    WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents),
+    g AS (SELECT d.n_tok, CAST(l.ctx_len AS BIGINT) AS ctx_len
+          FROM d, (SELECT unnest([64, 128, 256]) AS ctx_len) l),
+    a AS (SELECT ctx_len, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS tok_total,
+                 CAST(sum(((n_tok + ctx_len - 1) // ctx_len) * ctx_len)
+                   AS BIGINT) AS slots_padded
+          FROM g GROUP BY ctx_len)
+    SELECT ctx_len, n_docs, tok_total, slots_padded,
+           (slots_padded - tok_total) * 10000 // slots_padded AS waste_bp,
+           ((tok_total + ctx_len - 1) // ctx_len) * ctx_len AS packed_slots
+    FROM a"""
+
   /** §2.97 Spearman rank correlation (per source) between two doc
     * metrics — here length (n_chars) vs lexical diversity (distinct
     * words): the monotone-association screen that decides whether one
@@ -5942,6 +6026,8 @@ object QueriesText {
     GraftQuery("q_collocations", qCollocations, Some(oCollocations)),
     GraftQuery("q_chao1", qChao1, Some(oChao1)),
     GraftQuery("q_burstiness", qBurstiness, Some(oBurstiness)),
+    GraftQuery("q_split_leakage", qSplitLeakage, Some(oSplitLeakage)),
+    GraftQuery("q_pad_waste", qPadWaste, Some(oPadWaste)),
     GraftQuery("q_spearman", qSpearman, Some(oSpearman)),
     GraftQuery("q_kappa", qKappa, Some(oKappa)),
     GraftQuery("q_gini", qGini, Some(oGini)),
