@@ -1032,6 +1032,45 @@ object QueriesText {
     WHERE rk <= $KnnK"""
   }
 
+  /** §2.44r ANN hubness audit (Radovanović 2010): in high dimensions a
+    * few vectors become HUBS — they appear in a large fraction of all
+    * k-NN lists — and hub-dominated neighborhoods are why ANN recall
+    * and downstream retrieval quality silently degrade even when the
+    * index is exact. The audit is the in-degree distribution of the
+    * §2.44n kNN graph: per vector, how many OTHER vectors' top-k lists
+    * it sits in (0 = antihub, ≫k = hub), rolled into a histogram. Pure
+    * composition: the self-join lane's output groups by neighbor id,
+    * the zero row comes from a left join against the id table (never a
+    * corpus×corpus densification); all counts integer. The generated
+    * oracle replays the same trained model, so the histogram is
+    * bit-checked end-to-end.
+    */
+  private def qHubness(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    val knn = Similarity.knnSelfIvf(e, "vec_id", "embedding", KnnK,
+      ivfProbes(cells), KnnRound, cells)
+    val indeg = knn.groupBy(col("n_id")).agg(count(lit(1)).as("_ind"))
+    e.select(col("vec_id"))
+      .join(indeg, col("vec_id") === col("n_id"), "left")
+      .select(coalesce(col("_ind"), lit(0L)).as("indeg"))
+      .groupBy("indeg").agg(count(lit(1)).as("n_vecs"))
+  }
+
+  private def oHubnessGen(s: SparkSession, dir: String): String = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    s"""
+    WITH knn AS (${ivfFlatOracle(
+        Similarity.ivfTrainDispatch(e, "embedding", cells),
+        ivfProbes(cells), qMax = Int.MaxValue, batchSplit = None)}),
+    ind AS (SELECT n_id, CAST(count(*) AS BIGINT) AS indeg
+            FROM knn GROUP BY n_id),
+    z AS (SELECT coalesce(ind.indeg, CAST(0 AS BIGINT)) AS indeg
+          FROM embeddings LEFT JOIN ind ON embeddings.vec_id = ind.n_id)
+    SELECT indeg, CAST(count(*) AS BIGINT) AS n_vecs FROM z GROUP BY indeg"""
+  }
+
   /** §2.44c (new r6): the DISTRIBUTED trainer oracle-gated end-to-end.
     * `knnIvf` only dispatches distributed past `DriverCellCap` cells
     * (≈262k+ vectors — beyond any verify corpus), but that branch is the
@@ -5717,6 +5756,54 @@ object QueriesText {
            cf * 100 // df AS rate_cp
     FROM a, n WHERE cf >= 20"""
 
+  /** §2.99 RAG passage chunking — the retrieval-prep step between the
+    * corpus and a §2.57b/§2.43 index: each doc splits into overlapping
+    * token windows (W=32, stride 24), the unit embeddings and BM25
+    * postings are actually built over in a retrieval system. Passage
+    * count per doc is 1 + ceil(max(0, n−W)/S) — the last window is
+    * allowed short so no token is orphaned, and overlap means a query
+    * matching a chunk boundary still finds a window containing it.
+    * Output carries (start, length, polyhash-of-text) — the passage
+    * table stays narrow; text rematerializes by (doc_id, start) lookup.
+    * Work is O(n/S) rows per doc (explode of a sequence, no join);
+    * the chunk hash is the native codegen polyhash.
+    */
+  private def qChunkPassages(s: SparkSession, dir: String): DataFrame = {
+    val W = 32L; val S = 24L
+    docsW(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_tok", size(col("ws")).cast("long"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L),
+          expr(s"(greatest(0L, n_tok - $W) + ${S - 1}) div $S"))))
+      .withColumn("start_tok", col("chunk_id") * S + 1)
+      .withColumn("len_tok",
+        least(lit(W), col("n_tok") - col("start_tok") + 1))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("len_tok"),
+        Text.polyHash(array_join(
+          slice(col("ws"), col("start_tok").cast("int"),
+            col("len_tok").cast("int")), " ")).as("chunk_hash"))
+  }
+
+  private val oChunkPassages = s"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, ws, n_tok, CAST(k AS BIGINT) AS chunk_id,
+                 CAST(1 + 24 * k AS BIGINT) AS start_tok
+          FROM d, unnest(range(0, 1 + (greatest(0, n_tok - 32) + 23) // 24))
+                    AS r(k)),
+    p AS (SELECT doc_id, chunk_id, start_tok,
+                 least(32, n_tok - start_tok + 1) AS len_tok,
+                 array_to_string(
+                   ws[start_tok:start_tok + least(32, n_tok - start_tok + 1) - 1],
+                   ' ') AS chunk
+          FROM c)
+    SELECT doc_id, chunk_id, start_tok, len_tok,
+           ${duckPolyHash("chunk")} AS chunk_hash
+    FROM p"""
+
   /** §2.66b Padding-waste report — the context-length planning input
     * that decides whether §2.66 packing is worth running at all: for
     * each candidate context length L, the token slots burned by
@@ -5907,9 +5994,14 @@ object QueriesText {
     * n_s·N < 4.6·10¹⁴ — pre-bucket values past that (the §2.95 rule).
     */
   private def qTvdMix(s: SparkSession, dir: String): DataFrame = {
-    val sw = docsW(s, dir)
+    // lazy-freeze the (source, word) frame: THREE consumers (corpus
+    // counts, source totals, the scoring join) would each re-derive the
+    // corpus-wide explode+aggregate otherwise — measured 1.48 s vs
+    // 0.42 s for the same-shape q_chao1 at sf0.1, and 3 corpus scans
+    // instead of 1 at 100 TB
+    val sw = graft.operators.Graph.ckptFor(s)(docsW(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw")))
     val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
     val ns = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
     val ntot = cw.agg(sum("c_w").as("n_tot"))
@@ -5981,6 +6073,7 @@ object QueriesText {
     GraftQuery("q_knn_ivf_dist", qKnnIvfDist, None, oracleGen = Some(oKnnIvfDistGen)),
     GraftQuery("q_knn_ivf_batch", qKnnIvfBatch, None, oracleGen = Some(oKnnIvfBatchGen)),
     GraftQuery("q_knn_self", qKnnSelf, None, oracleGen = Some(oKnnSelfGen)),
+    GraftQuery("q_hubness", qHubness, None, oracleGen = Some(oHubnessGen)),
     GraftQuery("q_knn_ivf2", qKnnIvf2, None, oracleGen = Some(oKnnIvf2Gen)),
     GraftQuery("q_knn_ivf_pq", qKnnIvfPq, None, oracleGen = Some(oKnnIvfPqGen)),
     GraftQuery("q_knn_ivf_opq", qKnnIvfOpq, None, oracleGen = Some(oKnnIvfOpqGen)),
@@ -6028,6 +6121,7 @@ object QueriesText {
     GraftQuery("q_burstiness", qBurstiness, Some(oBurstiness)),
     GraftQuery("q_split_leakage", qSplitLeakage, Some(oSplitLeakage)),
     GraftQuery("q_pad_waste", qPadWaste, Some(oPadWaste)),
+    GraftQuery("q_chunk_passages", qChunkPassages, Some(oChunkPassages)),
     GraftQuery("q_spearman", qSpearman, Some(oSpearman)),
     GraftQuery("q_kappa", qKappa, Some(oKappa)),
     GraftQuery("q_gini", qGini, Some(oGini)),
