@@ -5768,23 +5768,8 @@ object QueriesText {
     * Work is O(n/S) rows per doc (explode of a sequence, no join);
     * the chunk hash is the native codegen polyhash.
     */
-  private def qChunkPassages(s: SparkSession, dir: String): DataFrame = {
-    val W = 32L; val S = 24L
-    docsW(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("n_tok", size(col("ws")).cast("long"))
-      .withColumn("chunk_id",
-        explode(sequence(lit(0L),
-          expr(s"(greatest(0L, n_tok - $W) + ${S - 1}) div $S"))))
-      .withColumn("start_tok", col("chunk_id") * S + 1)
-      .withColumn("len_tok",
-        least(lit(W), col("n_tok") - col("start_tok") + 1))
-      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
-        col("len_tok"),
-        Text.polyHash(array_join(
-          slice(col("ws"), col("start_tok").cast("int"),
-            col("len_tok").cast("int")), " ")).as("chunk_hash"))
-  }
+  private def qChunkPassages(s: SparkSession, dir: String): DataFrame =
+    Text.chunkPassages(docsW(s, dir), "doc_id", col("text"), 32L, 24L)
 
   private val oChunkPassages = s"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
@@ -5803,6 +5788,49 @@ object QueriesText {
     SELECT doc_id, chunk_id, start_tok, len_tok,
            ${duckPolyHash("chunk")} AS chunk_hash
     FROM p"""
+
+  /** §2.46b Character-entropy compressibility screen — the
+    * model-free junk detector: random-noise docs sit near the alphabet's
+    * max entropy, template/repetition spam near zero, prose in a stable
+    * band (the zlib-ratio proxy without a compressor in the engine).
+    * Whole-bit integer entropy (the §2.60 surprisal discipline):
+    * H·n ≈ Σ c·(⌊log2 n⌋ − ⌊log2 c⌋) over the per-doc char histogram,
+    * bitlen as length(bin(x))−1 on both engines — zero float surface.
+    * Shape: one (doc, char) map-side-combined count (per-doc alphabet
+    * is bounded, so the frame is ~|alphabet|·docs), one per-doc rollup;
+    * per-char centibits by a single truncating division.
+    */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame = {
+    def bitlen(c: Column) = (length(bin(c)) - 1).cast("long")
+    docsW(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .where(col("ch") =!= "") // mirror the oracle's empty-split guard
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_ch"),
+        count(lit(1)).as("d_ch"),
+        sum(col("c") * bitlen(col("c"))).as("_cb"))
+      .select(col("doc_id"), col("n_ch"), col("d_ch"),
+        (col("n_ch") * bitlen(col("n_ch")) - col("_cb")).as("ent_bits"),
+        expr("(n_ch * (length(bin(n_ch)) - 1) - _cb) * 100L div n_ch")
+          .as("ent_cb_per_ch"))
+  }
+
+  private val oCharEntropy = """
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents),
+    c AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+          FROM ch WHERE ch <> '' GROUP BY doc_id, ch),
+    a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ch,
+                 CAST(count(*) AS BIGINT) AS d_ch,
+                 CAST(sum(c * (length(format('{:b}', c)) - 1)) AS BIGINT)
+                   AS cb
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_ch, d_ch,
+           n_ch * (length(format('{:b}', n_ch)) - 1) - cb AS ent_bits,
+           (n_ch * (length(format('{:b}', n_ch)) - 1) - cb) * 100 // n_ch
+             AS ent_cb_per_ch
+    FROM a"""
 
   /** §2.66b Padding-waste report — the context-length planning input
     * that decides whether §2.66 packing is worth running at all: for
@@ -6122,6 +6150,7 @@ object QueriesText {
     GraftQuery("q_split_leakage", qSplitLeakage, Some(oSplitLeakage)),
     GraftQuery("q_pad_waste", qPadWaste, Some(oPadWaste)),
     GraftQuery("q_chunk_passages", qChunkPassages, Some(oChunkPassages)),
+    GraftQuery("q_char_entropy", qCharEntropy, Some(oCharEntropy)),
     GraftQuery("q_spearman", qSpearman, Some(oSpearman)),
     GraftQuery("q_kappa", qKappa, Some(oKappa)),
     GraftQuery("q_gini", qGini, Some(oGini)),

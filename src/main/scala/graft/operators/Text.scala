@@ -97,6 +97,31 @@ object Text {
     * (fifoset.go dedupe analog; exact dedup = hash-groupBy, the cheapest
     * dedup tier). Returns one row per duplicate group.
     */
+  /** §2.99 RAG passage chunking: overlapping token windows (width W,
+    * stride S) per doc — the unit retrieval indexes are built over.
+    * Passage count is 1 + ceil(max(0, n − W)/S); the last window may be
+    * short so no token is orphaned. Output rows are
+    * (id, chunk_id, start_tok, len_tok, chunk_hash) — narrow by design
+    * (text rematerializes by (id, start) lookup); the hash is the
+    * native codegen polyhash. PER-ROW stateless (a sequence explode +
+    * projections, no window/join/aggregate), so the same plan runs
+    * unchanged over a stream — StatsSpec asserts batch/stream parity.
+    */
+  def chunkPassages(df: DataFrame, id: String, text: Column,
+                    w: Long, s: Long): DataFrame =
+    df.select(col(id), split(text, " ").as("ws"))
+      .withColumn("n_tok", size(col("ws")).cast("long"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L),
+          expr(s"(greatest(0L, n_tok - $w) + ${s - 1}) div $s"))))
+      .withColumn("start_tok", col("chunk_id") * s + 1)
+      .withColumn("len_tok",
+        least(lit(w), col("n_tok") - col("start_tok") + 1))
+      .select(col(id), col("chunk_id"), col("start_tok"), col("len_tok"),
+        polyHash(array_join(
+          slice(col("ws"), col("start_tok").cast("int"),
+            col("len_tok").cast("int")), " ")).as("chunk_hash"))
+
   def exactDupGroups(df: DataFrame, id: String, normalized: Column): DataFrame =
     df.withColumn("_norm", normalized)
       .groupBy("_norm")

@@ -106,6 +106,42 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out("single") == ((3L, 0L)), s"single: ${out("single")}")
   }
 
+  test("chunkPassages: full coverage, overlap stride, short tail; batch == stream (stateless)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Text
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // analytic shape: n=85, W=32, S=24 -> chunks at 1/25/49/73 with
+    // lens 32/32/32/13; n=5 -> one short chunk; n=32 -> exactly one
+    val docs = Seq(
+      (1L, (1 to 85).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c d e"),
+      (3L, (1 to 32).map(i => s"u$i").mkString(" ")))
+    val batch = Text.chunkPassages(docs.toDF("doc_id", "text"),
+      "doc_id", col("text"), 32L, 24L)
+    val rows = batch.select("doc_id", "chunk_id", "start_tok", "len_tok")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows.filter(_._1 == 1L).map(r => (r._3, r._4)) ==
+      Set((1L, 32L), (25L, 32L), (49L, 32L), (73L, 13L)))
+    assert(rows.filter(_._1 == 2L) == Set((2L, 0L, 1L, 5L)))
+    assert(rows.filter(_._1 == 3L) == Set((3L, 0L, 1L, 32L)))
+    // every token covered: max(start+len-1) = n and starts tile by S
+    val batchAll = batch.collect().map(_.toSeq).toSet
+
+    // stateless => the SAME code runs over a stream, any slicing
+    val input = MemoryStream[(Long, String)]
+    val q = Text.chunkPassages(input.toDS().toDF("doc_id", "text"),
+        "doc_id", col("text"), 32L, 24L)
+      .writeStream.format("memory").queryName("stream_chunks")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(1)); q.processAllAvailable()
+      input.addData(docs.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_chunks").collect().map(_.toSeq).toSet
+    assert(streamed == batchAll, "stream output must equal batch output")
+  }
+
   test("burstiness: constant word = 0, poisson-ish alternating word = 10000, one-doc spike explodes") {
     // 40 docs; 'a' appears twice in every even doc (Fano = 1 exactly),
     // 'b' once in every doc (Fano = 0), 'z' 30 times in one doc
