@@ -163,6 +163,18 @@ object DocScaleProbe {
     time("q_knn_jl") { q("q_knn_jl")(spark, out).count() }
     time("q_mmr") { q("q_mmr")(spark, out).count() }
     time("q_score_calibrate") { q("q_score_calibrate")(spark, out).count() }
+    // late-r9 lanes: the corpus-statistics screens are single
+    // map-side-combined aggregates (runtime ~ token volume, output fixed
+    // by source/vocab cardinality); chunking emits O(n_tok/S) rows per
+    // doc; split-leakage rides the LSH pair lane (linear pair count);
+    // hubness is the kNN self-join + a histogram (output ~ max in-degree)
+    time("q_tvd_mix") { q("q_tvd_mix")(spark, out).count() }
+    time("q_chao1") { q("q_chao1")(spark, out).count() }
+    time("q_burstiness") { q("q_burstiness")(spark, out).count() }
+    time("q_char_entropy") { q("q_char_entropy")(spark, out).count() }
+    time("q_chunk_passages") { q("q_chunk_passages")(spark, out).count() }
+    time("q_split_leakage") { q("q_split_leakage")(spark, out).count() }
+    time("q_hubness") { q("q_hubness")(spark, out).count() }
 
     // keep the replicated corpus for follow-up profiling (ProfileJaccard
     // et al.) when asked; default cleans up
