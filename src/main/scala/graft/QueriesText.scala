@@ -84,6 +84,51 @@ object QueriesText {
           FROM documents) t
     GROUP BY norm HAVING count(*) > 1"""
 
+  /** §2.38d Duplication-inflation report — the per-source mixing input
+    * the §2.50c token-budget table needs BEFORE dedup runs: how much of
+    * each source's token mass survives exact keep-one collapse. Keeper
+    * = corpus-wide min doc_id per §2.38 norm key (a doc can duplicate a
+    * doc kept in ANOTHER source, so per-source kept counts can be 0 —
+    * those rows report counts with no ratio, WHERE-guarded);
+    * inflation_bp = total·10⁴ div kept on the surviving rows. Shape:
+    * one key-keyed aggregate (min keeper) joined back on the key, then
+    * a per-source rollup — both shuffles on natural keys.
+    */
+  private def qDupInflation(s: SparkSession, dir: String): DataFrame = {
+    val d = docsW(s, dir).select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("k"))
+    val keepers = d.groupBy("k").agg(min("doc_id").as("_keeper"))
+    d.join(keepers, "k")
+      .withColumn("_kept", (col("doc_id") === col("_keeper")).cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_kept")).as("n_kept"),
+        sum(col("n_tok")).as("tok_total"),
+        sum(col("_kept") * col("n_tok")).as("tok_kept"))
+      .where(col("tok_kept") > 0)
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("tok_total"), col("tok_kept"),
+        expr("tok_total * 10000L div tok_kept").as("inflation_bp"))
+  }
+
+  private val oDupInflation = """
+    WITH d AS (SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 array_to_string(string_split(text, ' ')[1:8], ' ') AS k
+               FROM documents),
+    kp AS (SELECT k, min(doc_id) AS keeper FROM d GROUP BY k),
+    a AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(*) FILTER (d.doc_id = kp.keeper) AS BIGINT)
+                   AS n_kept,
+                 CAST(sum(d.n_tok) AS BIGINT) AS tok_total,
+                 CAST(coalesce(sum(d.n_tok)
+                   FILTER (d.doc_id = kp.keeper), 0) AS BIGINT) AS tok_kept
+          FROM d JOIN kp ON d.k = kp.k GROUP BY d.source)
+    SELECT source, n_docs, n_kept, tok_total, tok_kept,
+           tok_total * 10000 // tok_kept AS inflation_bp
+    FROM a WHERE tok_kept > 0"""
+
   /** §2.40 Exact pairwise word-bigram Jaccard >= 0.8 via inverted-index
     * join (scale path) — results identical to the oracle's naive quadratic
     * cross-join because every pair with J > 0 shares a shingle.
@@ -6151,6 +6196,7 @@ object QueriesText {
     GraftQuery("q_pad_waste", qPadWaste, Some(oPadWaste)),
     GraftQuery("q_chunk_passages", qChunkPassages, Some(oChunkPassages)),
     GraftQuery("q_char_entropy", qCharEntropy, Some(oCharEntropy)),
+    GraftQuery("q_dup_inflation", qDupInflation, Some(oDupInflation)),
     GraftQuery("q_spearman", qSpearman, Some(oSpearman)),
     GraftQuery("q_kappa", qKappa, Some(oKappa)),
     GraftQuery("q_gini", qGini, Some(oGini)),
