@@ -260,6 +260,60 @@ object QueriesText {
     FROM pairs p JOIN sp a ON p.doc_a = a.doc_id
                  JOIN sp b ON p.doc_b = b.doc_id"""
 
+  /** §2.55e HyperBall neighborhood function over the near-dup graph —
+    * see Graph.hyperBall. Radii 0..4 (the LSH graph is cliquey; merges
+    * are idempotent so saturated rounds replay harmlessly); the oracle
+    * unrolls the same 4 register-merge rounds as MATERIALIZED CTEs (the
+    * DuckDB multi-reference inlining hazard) over the shared pair lane.
+    */
+  private def qHyperball(s: SparkSession, dir: String): DataFrame =
+    Graph.hyperBall(minhashLshPairs(s, dir).select("doc_a", "doc_b"),
+      "doc_a", "doc_b", 4, 6, 26, Sketch.hllNumScaled(6, 26))
+
+  private lazy val oHyperball = {
+    val num = Sketch.hllNumScaled(6, 26) // Double.toString round-trips
+    def roundCte(k: Int) = s"""
+    r$k AS MATERIALIZED (
+      SELECT g, bucket, max(reg) AS reg FROM (
+        SELECT g, bucket, reg FROM r${k - 1}
+        UNION ALL
+        SELECT s.src AS g, r.bucket, r.reg
+        FROM sym s JOIN r${k - 1} r ON r.g = s.dst)
+      GROUP BY g, bucket)"""
+    def sumCte(k: Int) = s"""
+    s$k AS (
+      SELECT CAST($k AS BIGINT) AS radius,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(em) AS BIGINT) AS sum_est_milli FROM (
+        SELECT g, CAST(floor($num / CAST(hs AS DOUBLE) * 1000.0) AS BIGINT)
+                 AS em
+        FROM (SELECT g, CAST(sum(1::BIGINT << (26 - reg)) AS BIGINT)
+                     + (64 - count(*)) * (1::BIGINT << 26) AS hs
+              FROM r$k GROUP BY g) t) u)"""
+    s"""
+    WITH pairs AS MATERIALIZED ($oDocMinhashLsh),
+    sym AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    n AS (SELECT DISTINCT src AS v FROM sym),
+    h0 AS (SELECT v, ${duckPolyHash("CAST(v AS VARCHAR) || '#hb'")} AS h0
+           FROM n),
+    m1 AS (SELECT v, (h0 * 668265261) % 4294967296 AS m1 FROM h0),
+    x1 AS (SELECT v, xor(m1, m1 // 32768) AS x1 FROM m1),
+    m2 AS (SELECT v, (x1 * 374761393) % 4294967296 AS m2 FROM x1),
+    mx AS (SELECT v, xor(m2, m2 // 8192) AS h FROM m2),
+    r0 AS MATERIALIZED (
+      SELECT v AS g, h % 64 AS bucket,
+             CASE WHEN h // 64 = 0 THEN 26
+                  ELSE bit_count(((h // 64) & (-(h // 64))) - 1) + 1
+             END AS reg
+      FROM mx),
+    ${(1 to 4).map(roundCte).mkString(",")},
+    ${(0 to 4).map(sumCte).mkString(",")}
+    SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+    UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4"""
+  }
+
   /** §2.41 SimHash fingerprints + bucket keys — 30-bit cross-engine
     * polynomial token hash, fully oracle-checked.
     */
@@ -6197,6 +6251,7 @@ object QueriesText {
     GraftQuery("q_chunk_passages", qChunkPassages, Some(oChunkPassages)),
     GraftQuery("q_char_entropy", qCharEntropy, Some(oCharEntropy)),
     GraftQuery("q_dup_inflation", qDupInflation, Some(oDupInflation)),
+    GraftQuery("q_hyperball", qHyperball, Some(oHyperball)),
     GraftQuery("q_spearman", qSpearman, Some(oSpearman)),
     GraftQuery("q_kappa", qKappa, Some(oKappa)),
     GraftQuery("q_gini", qGini, Some(oGini)),

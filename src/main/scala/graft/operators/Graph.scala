@@ -403,4 +403,59 @@ object Graph {
     }
     labels
   }
+
+  /** §2.55e HyperBall (Boldi & Vigna 2013): the approximate neighborhood
+    * function N(r) = Σ_v |ball(v, r)| of a graph, via per-node HLL
+    * registers merged along edges — THE at-scale answer to "how
+    * connected is the near-dup graph", where exact BFS ball sets are
+    * O(n²) memory on dense components. State per node is ≤ 2^p register
+    * rows (sparse (node, bucket, reg) representation — a node touching
+    * few hash buckets stores few rows); each round is one edges⋈regs
+    * join + a map-side-combined MAX aggregate, so round cost is
+    * O(|E|·buckets-touched), linear in edges. Rounds are fixed (the
+    * §2.70 replayable-trainer discipline: the oracle must unroll the
+    * same count); register max-merge is idempotent, so saturated rounds
+    * are harmless. Per-round output: node count and the INTEGER sum of
+    * per-node milli-estimates (each est is the [[Sketch.hllEstimate]]
+    * fixed IEEE sequence, floored to a BIGINT before the sum — integer
+    * addition keeps the cross-engine sum order-free).
+    *
+    * Radius 0 rows double as an estimator-bias fixpoint: every ball is
+    * exactly {v}, so sum_est_milli/n_nodes at r=0 IS the raw HLL
+    * single-element estimate both engines must agree on.
+    */
+  def hyperBall(edges: DataFrame, idA: String, idB: String, rounds: Int,
+                p: Int, rhoCap: Int, numScaled: Double): DataFrame = {
+    val spark = edges.sparkSession
+    val ckpt = ckptFor(spark)
+    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+    val nodes = sym.select(col("src").as("v")).distinct()
+    val m = 1L << p
+    def summary(r: Int, regs: DataFrame): DataFrame =
+      regs.groupBy(col("_g"))
+        .agg(sum(expr(s"shiftleft(cast(1 as bigint), cast($rhoCap - reg as int))"))
+            .as("_sp"),
+          count(lit(1)).as("_nb"))
+        .withColumn("_s",
+          col("_sp") + (lit(m) - col("_nb")) * lit(1L << rhoCap))
+        .select(floor(lit(numScaled) / col("_s").cast("double") * lit(1000.0))
+          .cast("long").as("_em"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("_em")).as("sum_est_milli"))
+        .select(lit(r.toLong).as("radius"), col("n_nodes"),
+          col("sum_est_milli"))
+    var regs = ckpt(Sketch.hllRegisters(
+      nodes.select(col("v"),
+        Text.polyHash(concat(col("v").cast("string"), lit("#hb"))).as("_h0")),
+      col("v"), col("_h0"), p, rhoCap))
+    var out = summary(0, regs)
+    for (t <- 1 to rounds) {
+      val fromNbr = sym.join(regs.withColumnRenamed("_g", "dst"), "dst")
+        .select(col("src").as("_g"), col("bucket"), col("reg"))
+      regs = ckpt(regs.unionByName(fromNbr)
+        .groupBy(col("_g"), col("bucket")).agg(max(col("reg")).as("reg")))
+      out = out.unionByName(summary(t, regs))
+    }
+    out
+  }
 }
