@@ -945,15 +945,20 @@ object Queries {
     */
   private val LpaRounds = 4
 
-  private def qLpaCommunities(s: SparkSession, dir: String): DataFrame = {
-    val edges = Behavior.cooccurrence(Tables.events(s, dir),
+  /** The §2.55b LPA input graph (lift-filtered co-occurrence), shared by
+    * q_lpa_communities and the §2.55h modularity audit.
+    */
+  private def lpaEdges(s: SparkSession, dir: String): DataFrame =
+    Behavior.cooccurrence(Tables.events(s, dir),
         expr(s"ts div ${6 * HourNs}"),
         expr("CAST(substr(props, 7, length(props) - 7) AS INT)"), 3L)
       .where(col("lift_x10k") >= 10000L)
       .select(col("item_a").as("src"), col("item_b").as("dst"),
         col("n_ab").as("w"))
+
+  private def qLpaCommunities(s: SparkSession, dir: String): DataFrame = {
     val labels = graft.operators.Graph.labelPropagation(
-      edges, graft.operators.Graph.ckptFor(s), LpaRounds) // lazy: one job runs all rounds
+      lpaEdges(s, dir), graft.operators.Graph.ckptFor(s), LpaRounds) // lazy: one job runs all rounds
     val sizes = labels.groupBy(col("lab"))
       .agg(count(lit(1)).as("n_members"))
     labels.join(sizes, "lab")
@@ -961,7 +966,49 @@ object Queries {
         col("n_members"))
   }
 
-  private val oLpaCommunities: String = {
+  /** §2.55h Weighted modularity audit of the §2.55b communities (Newman
+    * 2004): per community, intra-edge weight W_c, weighted degree mass
+    * K_c, and the EXACT cross-multiplied contribution
+    * num_c = 4W·W_c − K_c² — modularity Q = Σ num_c / (4W²) with zero
+    * division inside the gate (the reader's one divide is the only
+    * inexact step, outside the hashed output). The honest "did LPA find
+    * structure" number: Q ≈ 0 means the partition is no better than the
+    * configuration-model null. Shape: the label join back to edges is
+    * id-keyed, degrees are one map-side-combined sum, communities-sized
+    * rollups after.
+    */
+  private def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = lpaEdges(s, dir)
+      .localCheckpoint() // feeds labels, intra, degrees + the total
+    val labels = graft.operators.Graph.labelPropagation(
+      edges, graft.operators.Graph.ckptFor(s), LpaRounds)
+    val lb = labels.select(col("id"), col("lab"))
+    val wTot = edges.agg(sum("w").as("w_tot"))
+    val intra = edges
+      .join(lb.toDF("id_a", "lab_a"), col("src") === col("id_a"))
+      .join(lb.toDF("id_b", "lab_b"), col("dst") === col("id_b"))
+      .where(col("lab_a") === col("lab_b"))
+      .select(col("lab_a").as("community"), col("w"))
+      .groupBy("community").agg(sum("w").as("w_in"))
+    val deg = edges.select(col("src").as("id"), col("w"))
+      .union(edges.select(col("dst").as("id"), col("w")))
+      .groupBy("id").agg(sum("w").as("_dw"))
+    val kc = lb.join(deg, "id")
+      .groupBy(col("lab")).agg(sum("_dw").as("k_c"),
+        count(lit(1)).as("n_members"))
+      .select(col("lab").as("community"), col("k_c"), col("n_members"))
+    kc.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(wTot))
+      .select(col("community"), col("n_members"),
+        coalesce(col("w_in"), lit(0L)).as("w_in"), col("k_c"),
+        (lit(4L) * col("w_tot") * coalesce(col("w_in"), lit(0L))
+          - col("k_c") * col("k_c")).as("num_c"))
+  }
+
+  /** Shared CTE prefix for the LPA-based oracles: edge build + the
+    * unrolled label-propagation rounds ending at l$LpaRounds.
+    */
+  private lazy val lpaOracleCtes: String = {
     val base = s"""
     WITH b AS MATERIALIZED (
       SELECT DISTINCT epoch_ns(ts) // ${6 * HourNs} AS sess,
@@ -992,13 +1039,33 @@ object Queries {
                row_number() OVER (PARTITION BY n ORDER BY sw DESC, lab) AS rn
         FROM v$r) t WHERE rn = 1)"""
     }.mkString(",")
-    base + "," + roundCtes + s"""
+    base + "," + roundCtes
+  }
+
+  private lazy val oLpaCommunities: String = lpaOracleCtes + s"""
     SELECT l.id AS item, l.lab AS community,
            CAST(sz.n_members AS BIGINT) AS n_members
     FROM l$LpaRounds l
     JOIN (SELECT lab, count(*) AS n_members FROM l$LpaRounds GROUP BY lab) sz
       USING (lab)"""
-  }
+
+  private lazy val oModularity: String = lpaOracleCtes + s""",
+    wt AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM ed),
+    intra AS (
+      SELECT la.lab AS community, CAST(sum(e.w) AS BIGINT) AS w_in
+      FROM ed e JOIN l$LpaRounds la ON la.id = e.u
+                JOIN l$LpaRounds lb2 ON lb2.id = e.v
+      WHERE la.lab = lb2.lab GROUP BY 1),
+    dg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS dw
+           FROM sym GROUP BY src),
+    kc AS (SELECT l.lab AS community, CAST(sum(d.dw) AS BIGINT) AS k_c,
+                  CAST(count(*) AS BIGINT) AS n_members
+           FROM l$LpaRounds l JOIN dg d ON d.id = l.id GROUP BY 1)
+    SELECT kc.community, kc.n_members,
+           CAST(coalesce(intra.w_in, 0) AS BIGINT) AS w_in, kc.k_c,
+           4 * (SELECT w_tot FROM wt) * CAST(coalesce(intra.w_in, 0) AS BIGINT)
+             - kc.k_c * kc.k_c AS num_c
+    FROM kc LEFT JOIN intra USING (community)"""
 
   /** §2.3b TPC-H Q3 shape (shipping priority): segment-filtered customers
     * ⋈ date-bounded orders ⋈ post-date lineitems, revenue per order,
@@ -1846,6 +1913,7 @@ object Queries {
     GraftQuery("q_transitions", qTransitions, Some(oTransitions)),
     GraftQuery("q_cooccur", qCooccur, Some(oCooccur)),
     GraftQuery("q_lpa_communities", qLpaCommunities, Some(oLpaCommunities)),
+    GraftQuery("q_modularity", qModularity, Some(oModularity)),
     GraftQuery("q_top_paths", qTopPaths, Some(oTopPaths)),
     GraftQuery("q_funnel_latency", qFunnelLatency, Some(oFunnelLatency))
   ) ++ QueriesGeo.all ++ QueriesText.all ++ QueriesPipe.all

@@ -2910,11 +2910,17 @@ object QueriesText {
     * id-ordered 3-join (orientation changes the WORK, not the triangle
     * set). Edges: the §2.40 PTJ pairs at Jaccard ≥ 0.8 on bigrams.
     */
-  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
-    val edges = Text.jaccardPairs(docs(s, dir), "doc_id",
+  /** The §2.55b PTJ edge list + degree-ordered triangle triples (each
+    * triangle exactly once), shared by q_triangles and the §2.55g
+    * clustering-coefficient audit.
+    */
+  private def ptjEdges(s: SparkSession, dir: String): DataFrame =
+    Text.jaccardPairs(docs(s, dir), "doc_id",
         Text.shingles(col("text"), 2), 0.8)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .localCheckpoint() // feeds the degree rollup + both orientation sides
+
+  private def triangleTriples(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val oriented = edges
@@ -2935,11 +2941,66 @@ object QueriesText {
     val e2 = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
     val wedges = e1.join(e2, Seq("src"))
       .where(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
-    val tri = wedges.join(
+    wedges.join(
       oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
-    tri.select(explode(array(col("src"), col("x"), col("y"))).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  private def qTriangles(s: SparkSession, dir: String): DataFrame =
+    triangleTriples(ptjEdges(s, dir))
+      .select(explode(array(col("src"), col("x"), col("y"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+
+  /** §2.55g Global clustering coefficient / transitivity of the near-dup
+    * graph: C = 3·triangles / wedges — the one-number shape diagnostic
+    * (C → 1: the clique regime where §2.55 collapse converges in 2-3
+    * rounds and exact-collapse-first is mandatory; C → 0: chain/star
+    * sprawl where the star-contraction fallback earns its keep). Wedges
+    * = Σ deg(deg−1)/2 is ONE aggregate over the degree table; triangles
+    * reuse the degree-ordered triple lane (Σoutdeg² bounded); c_bp by a
+    * single truncating division, WHERE-guarded against the wedge-free
+    * matching graph.
+    */
+  private def qClusterCoeff(s: SparkSession, dir: String): DataFrame = {
+    val edges = ptjEdges(s, dir)
+    val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("wedges"))
+    val m = edges.agg(count(lit(1)).as("n_edges"))
+    val t = triangleTriples(edges).agg(count(lit(1)).as("triangles"))
+    stats.crossJoin(broadcast(m)).crossJoin(broadcast(t))
+      .where(col("wedges") > 0)
+      .select(col("n_nodes"), col("n_edges"), col("wedges"),
+        col("triangles"),
+        expr("3 * triangles * 10000L div wedges").as("c_bp"))
+  }
+
+  private val oClusterCoeff = """
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([words[i] || ' ' || words[i+1]
+                            for i in range(1, len(words))]) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+    p AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.bg, b.bg)) * 1.0 /
+            (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.8),
+    sym AS (SELECT doc_a AS n FROM p UNION ALL SELECT doc_b FROM p),
+    dg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY n),
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM p e1
+      JOIN p e2 ON e2.doc_a = e1.doc_b
+      JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS triangles FROM tri),
+    w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS wedges
+          FROM dg),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM p)
+    SELECT n_nodes, n_edges, wedges, triangles,
+           3 * triangles * 10000 // wedges AS c_bp
+    FROM w, m, t WHERE wedges > 0"""
 
   private val oTriangles = """
     WITH sh AS MATERIALIZED (
@@ -6252,6 +6313,7 @@ object QueriesText {
     GraftQuery("q_char_entropy", qCharEntropy, Some(oCharEntropy)),
     GraftQuery("q_dup_inflation", qDupInflation, Some(oDupInflation)),
     GraftQuery("q_hyperball", qHyperball, Some(oHyperball)),
+    GraftQuery("q_cluster_coeff", qClusterCoeff, Some(oClusterCoeff)),
     GraftQuery("q_spearman", qSpearman, Some(oSpearman)),
     GraftQuery("q_kappa", qKappa, Some(oKappa)),
     GraftQuery("q_gini", qGini, Some(oGini)),
