@@ -5344,6 +5344,83 @@ object QueriesText {
     FROM s$BpeN GROUP BY doc_id"""
   }
 
+  /** §2.85d Class-balance audit of labeled vectors — the pre-training
+    * sanity check for any classifier/eval set: per-label counts and
+    * share, plus the inverse-Simpson EFFECTIVE number of classes
+    * (N²/Σn² — 10 balanced classes read 10.0; one dominant class drags
+    * it toward 1 no matter how many labels nominally exist). Exact
+    * integers; enc_milli = N²·10³ div Σn² is BIGINT-safe to N ≈ 3·10⁶ —
+    * past that, audit per stratum (the §2.97 bound discipline). One
+    * map-side-combined count + a broadcast 1-row totals frame.
+    */
+  private def qClassBalance(s: SparkSession, dir: String): DataFrame = {
+    val per = embs(s, dir).select(col("label").cast("long").as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum("n").as("n_total"),
+      count(lit(1)).as("n_classes"),
+      sum(col("n") * col("n")).as("_sq"))
+    per.crossJoin(broadcast(tot))
+      .select(col("label"), col("n"),
+        expr("n * 10000L div n_total").as("share_bp"),
+        col("n_classes"),
+        expr("n_total * n_total * 1000L div _sq").as("enc_milli"))
+  }
+
+  private val oClassBalance = """
+    WITH p AS (SELECT CAST(label AS BIGINT) AS label,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM embeddings GROUP BY label),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                 CAST(count(*) AS BIGINT) AS n_classes,
+                 CAST(sum(n * n) AS BIGINT) AS sq FROM p)
+    SELECT label, n, n * 10000 // n_total AS share_bp, n_classes,
+           n_total * n_total * 1000 // sq AS enc_milli
+    FROM p, t"""
+
+  /** §2.70b Tokenizer fertility by language — the tokenizer-QA number a
+    * multilingual mix is budgeted with: subwords per word under the
+    * §2.70-trained merges. High fertility = the vocab under-serves that
+    * language (its tokens fragment), which silently inflates its compute
+    * share at a fixed token budget (§2.50c) — the standard argument for
+    * per-language vocab allocation. Same replayable apply lane as
+    * §2.70a, grouped by lang; fertility in exact centi-units.
+    */
+  private def qBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = bpeMerges(s, dir).map { case (a, b, _) => (a, b) }
+    d.select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .select(col("lang"), Text.bpeTokenCount(
+        Text.bpeApplyMerges(Text.bpeState(col("w")), merges)).as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("nt").as("n_subwords"))
+      .select(col("lang"), col("n_words"), col("n_subwords"),
+        expr("n_subwords * 100L div n_words").as("fertility_cp"))
+  }
+
+  private val oBpeFertility: String = {
+    val apply = (0 until BpeN).map { k =>
+      s""",
+    s${k + 1} AS (
+      SELECT lang, replace(state,
+               chr(1) || (SELECT a FROM m$k) || chr(1) || (SELECT b FROM m$k),
+               chr(1) || (SELECT a FROM m$k) || (SELECT b FROM m$k)) AS state
+      FROM s$k)"""
+    }.mkString
+    bpeOracleChain(BpeN) + s""",
+    dw AS (SELECT lang, lower(u.w) AS w FROM (
+             SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) u
+           WHERE regexp_matches(lower(u.w), '^[a-z]+$$')),
+    s0 AS (SELECT lang, regexp_replace(w, '(.)', chr(1) || '\\1', 'g') AS state
+           FROM dw)""" + apply + s"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(state) - len(replace(state, chr(1), ''))) AS BIGINT)
+             AS n_subwords,
+           CAST(sum(len(state) - len(replace(state, chr(1), ''))) AS BIGINT)
+             * 100 // CAST(count(*) AS BIGINT) AS fertility_cp
+    FROM s$BpeN GROUP BY lang"""
+  }
+
   /** §2.63b CMS join-cardinality estimation (Cormode & Muthukrishnan 2005
     * §4.2): |orders ⋈ lineitem| on orderkey estimated as min over rows of
     * the grid inner product — the planner-assist primitive that answers
@@ -6330,6 +6407,8 @@ object QueriesText {
     GraftQuery("q_join_card", qJoinCard, Some(oJoinCard)),
     GraftQuery("q_bpe_merges", qBpeMerges, Some(oBpeMerges)),
     GraftQuery("q_bpe_tokens", qBpeTokens, Some(oBpeTokens)),
+    GraftQuery("q_bpe_fertility", qBpeFertility, Some(oBpeFertility)),
+    GraftQuery("q_class_balance", qClassBalance, Some(oClassBalance)),
     GraftQuery("q_fuzzy_link", qFuzzyLink, Some(oFuzzyLink)),
     GraftQuery("q_entity_clusters", qEntityClusters, Some(oEntityClusters)),
     GraftQuery("q_feature_hash_dup", qFeatureHashDup, Some(oFeatureHashDup)),
