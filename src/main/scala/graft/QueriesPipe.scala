@@ -22,6 +22,74 @@ object QueriesPipe {
 
   private val DayNs = 86400000000000L
 
+  /** §2.93c Autocorrelation function of daily event volume, lags 1–7 —
+    * the seasonality detector that decides whether the §2.73b seasonal
+    * baseline (and the §2.92 forecaster's period) is even warranted:
+    * r(7) spiking over r(1..6) = weekly cycle. Pearson r per lag in
+    * basis points, EXACT in integers except the two bracket-corrected
+    * isqrts (float sqrt seed, neighbor whose square brackets n — the
+    * §2.50h cross-engine discipline; bare float sqrt is an ulp off at
+    * perfect squares). Denominator as isqrt(A)·isqrt(B), NOT
+    * isqrt(A·B): the product can overflow BIGINT where the factors
+    * can't. Shape: one day-keyed count, a 7-literal lag explode, one
+    * day+lag self-join (calendar-sized frames throughout), one rollup.
+    */
+  private def qAcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(expr(s"ts div $DayNs").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // both self-join sides across 7 lags share it
+    def isqrt(c: org.apache.spark.sql.Column) = {
+      val s0 = floor(sqrt(c.cast("double"))).cast("long")
+      when((s0 + 1) * (s0 + 1) <= c, s0 + 1)
+        .when(s0 * s0 <= c, s0)
+        .otherwise(s0 - 1)
+    }
+    daily
+      .select(col("day"), col("x"),
+        explode(array((1 to 7).map(k => lit(k.toLong)): _*)).as("lag"))
+      .withColumn("day2", col("day") + col("lag"))
+      .join(daily.toDF("day2", "y"), Seq("day2"))
+      .groupBy("lag").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("_ia", isqrt(expr("n * sxx - sx * sx")))
+      .withColumn("_ib", isqrt(expr("n * syy - sy * sy")))
+      .where(col("_ia") * col("_ib") > 0)
+      .select(col("lag"), col("n").as("n_pairs"),
+        expr("(n * sxy - sx * sy) * 10000L div (_ia * _ib)").as("r_bp"))
+  }
+
+  private val oAcf = s"""
+    WITH d AS MATERIALIZED (
+      SELECT epoch_ns(ts) // $DayNs AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    l AS (SELECT CAST(u.k AS BIGINT) AS lag, a.x AS x, b.x AS y
+          FROM d a CROSS JOIN unnest([1, 2, 3, 4, 5, 6, 7]) AS u(k)
+          JOIN d b ON b.day = a.day + u.k),
+    g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM l GROUP BY lag),
+    q AS (SELECT lag, n, n * sxx - sx * sx AS a, n * syy - sy * sy AS b,
+                 n * sxy - sx * sy AS num FROM g),
+    i AS (SELECT lag, n, num,
+            CASE WHEN (sa + 1) * (sa + 1) <= a THEN sa + 1
+                 WHEN sa * sa <= a THEN sa ELSE sa - 1 END AS ia,
+            CASE WHEN (sb + 1) * (sb + 1) <= b THEN sb + 1
+                 WHEN sb * sb <= b THEN sb ELSE sb - 1 END AS ib
+          FROM (SELECT *,
+                  CAST(floor(sqrt(CAST(a AS DOUBLE))) AS BIGINT) AS sa,
+                  CAST(floor(sqrt(CAST(b AS DOUBLE))) AS BIGINT) AS sb
+                FROM q) t)
+    SELECT lag, n AS n_pairs, num * 10000 // (ia * ib) AS r_bp
+    FROM i WHERE ia * ib > 0"""
+
   // ---------------------------------------------------------------------------
   // §2.80 Semi-structured JSON extraction (events.props payload)
   // ---------------------------------------------------------------------------
@@ -1479,6 +1547,7 @@ object QueriesPipe {
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q_json_extract", qJsonExtract, Some(oJsonExtract)),
     GraftQuery("q_ks_drift", qKsDrift, Some(oKsDrift)),
+    GraftQuery("q_acf", qAcf, Some(oAcf)),
     GraftQuery("q_rank_sum", qRankSum, Some(oRankSum)),
     GraftQuery("q_k_anon", qKAnon, Some(oKAnon)),
     GraftQuery("q_ewma", qEwma, Some(oEwma)),
