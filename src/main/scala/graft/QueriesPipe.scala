@@ -164,6 +164,33 @@ object QueriesPipe {
     FROM documents
     GROUP BY 1, 2, 3"""
 
+  /** §2.81b l-diversity audit (Machanavajjhala 2007 — the attack
+    * k-anonymity misses: a class can hold k records that all share ONE
+    * sensitive value, so membership alone discloses it): per
+    * quasi-identifier class (day, 6-hour slot — "when someone acted"),
+    * the count of DISTINCT sensitive values (event_type — "what they
+    * did"); classes with fewer than l=3 distinct types are flagged. One
+    * aggregate with an exact distinct count; classes are
+    * calendar-bounded so the frame never scales with users.
+    */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(expr(s"ts div $DayNs").as("day"),
+        expr(s"(ts % $DayNs) div ${DayNs / 4}").as("slot6h"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .withColumn("at_risk",
+        when(col("n_types") < 3, lit(1L)).otherwise(lit(0L)))
+
+  private val oLDiversity = s"""
+    SELECT epoch_ns(ts) // $DayNs AS day,
+           (epoch_ns(ts) % $DayNs) // ${DayNs / 4} AS slot6h,
+           count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(CASE WHEN count(DISTINCT event_type) < 3 THEN 1 ELSE 0 END
+             AS BIGINT) AS at_risk
+    FROM events GROUP BY 1, 2"""
+
   // ---------------------------------------------------------------------------
   // §2.82 Integer EWMA (per-key exponential smoothing, cross-engine exact)
   // ---------------------------------------------------------------------------
@@ -1550,6 +1577,7 @@ object QueriesPipe {
     GraftQuery("q_acf", qAcf, Some(oAcf)),
     GraftQuery("q_rank_sum", qRankSum, Some(oRankSum)),
     GraftQuery("q_k_anon", qKAnon, Some(oKAnon)),
+    GraftQuery("q_l_diversity", qLDiversity, Some(oLDiversity)),
     GraftQuery("q_ewma", qEwma, Some(oEwma)),
     GraftQuery("q_holt_winters", qHoltWinters, Some(oHoltWinters)),
     GraftQuery("q_trend_fit", qTrendFit, Some(oTrendFit)),
