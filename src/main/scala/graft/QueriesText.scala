@@ -4944,6 +4944,43 @@ object QueriesText {
     * the scan-stage flag costs nothing, and a single corrupt feed value
     * can't drag the cut the way a mean/stddev screen lets it.
     */
+  /** §2.73c Trimmed mean (per source over doc lengths) — the robust
+    * location estimate between the §2.73 median (50% breakdown, throws
+    * away almost all data) and the raw mean (0% breakdown): drop the
+    * bottom and top 10% BY RANK (deterministic (value, id) order — the
+    * §2.73 rank-selection discipline, no interpolation, no floats) and
+    * average the middle 80% in exact centi-units. The paired raw mean
+    * makes the contamination visible as the gap between the two.
+    * Windows partition per source; one aggregate after the rank cut.
+    */
+  private def qTrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("x").asc, col("doc_id").asc)
+    docsW(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("x"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .where(col("rn") > expr("n div 10") && col("rn") <= expr("n - n div 10"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_kept"),
+        sum("x").as("_sum"))
+      .select(col("source"), col("n_kept"),
+        expr("_sum * 100L div n_kept").as("tmean_cp"))
+  }
+
+  private val oTrimmedMean = """
+    WITH r AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+                 CAST(row_number() OVER (PARTITION BY source
+                                         ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS rn,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+               FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(x) AS BIGINT) * 100 // CAST(count(*) AS BIGINT)
+             AS tmean_cp
+    FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY source"""
+
   private def qOutliersMad(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val samp = ev
@@ -5893,6 +5930,28 @@ object QueriesText {
            CAST((cum - n_tok) % 4096 AS BIGINT) AS off
     FROM c"""
 
+  /** §2.66c Shard-fill audit of the §2.66 packing: per (bucket, shard),
+    * docs starting there and their token mass against the 4096 budget —
+    * fill_bp ≈ 10⁴ everywhere is healthy packing; a trailing shard
+    * under-fills by construction and a straddling doc pushes its START
+    * shard over 10⁴ (both visible, both expected; what the audit
+    * catches is a bucket whose hash went skewed). Pure composition over
+    * the packing lane's output — one extra map-side-combined aggregate.
+    */
+  private def qShardFill(s: SparkSession, dir: String): DataFrame =
+    qPackSequences(s, dir)
+      .groupBy("bucket", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
+      .select(col("bucket"), col("shard"), col("n_docs"), col("tok_sum"),
+        expr("tok_sum * 10000L div 4096").as("fill_bp"))
+
+  private lazy val oShardFill = s"""
+    WITH pk AS ($oPackSequences)
+    SELECT bucket, shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+           CAST(sum(n_tok) AS BIGINT) * 10000 // 4096 AS fill_bp
+    FROM pk GROUP BY bucket, shard"""
+
   /** §2.96 Vocabulary-richness / unseen-mass estimation (Chao 1984;
     * Good 1953): per source, how much of the n-gram type space has the
     * crawl actually seen? Species = trigram shingles (the word vocab of
@@ -6409,6 +6468,8 @@ object QueriesText {
     GraftQuery("q_bpe_tokens", qBpeTokens, Some(oBpeTokens)),
     GraftQuery("q_bpe_fertility", qBpeFertility, Some(oBpeFertility)),
     GraftQuery("q_class_balance", qClassBalance, Some(oClassBalance)),
+    GraftQuery("q_trimmed_mean", qTrimmedMean, Some(oTrimmedMean)),
+    GraftQuery("q_shard_fill", qShardFill, Some(oShardFill)),
     GraftQuery("q_fuzzy_link", qFuzzyLink, Some(oFuzzyLink)),
     GraftQuery("q_entity_clusters", qEntityClusters, Some(oEntityClusters)),
     GraftQuery("q_feature_hash_dup", qFeatureHashDup, Some(oFeatureHashDup)),
