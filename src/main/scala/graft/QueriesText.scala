@@ -4944,6 +4944,43 @@ object QueriesText {
     * the scan-stage flag costs nothing, and a single corrupt feed value
     * can't drag the cut the way a mean/stddev screen lets it.
     */
+  /** §2.58c Metadata association audit — pointwise MI between lang and
+    * source in whole bits (the §2.60d collocation discipline applied at
+    * the dataset-card level): pmi_bits = ⌊log2 c_xy·N⌋ − ⌊log2 c_x·c_y⌋
+    * per (lang, source) cell. Positive bits = the source is specialized
+    * to that language (a mixing table treating them as independent axes
+    * double-counts); ~0 everywhere = metadata axes genuinely
+    * independent. Exact integers; cells are |langs|·|sources|-bounded;
+    * one map-side-combined count feeds both margins.
+    */
+  private def qAssocMi(s: SparkSession, dir: String): DataFrame = {
+    def bitlen(c: Column) = (length(bin(c)) - 1).cast("long")
+    val cell = graft.operators.Graph.ckptFor(s)(
+      docsW(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("c_xy"))) // feeds both margins + the join
+    val cx = cell.groupBy("lang").agg(sum("c_xy").as("c_x"))
+    val cy = cell.groupBy("source").agg(sum("c_xy").as("c_y"))
+    val n = cell.agg(sum("c_xy").as("n_tot"))
+    cell.join(cx, "lang").join(cy, "source").crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("c_xy"),
+        (bitlen(col("c_xy") * col("n_tot")) - bitlen(col("c_x") * col("c_y")))
+          .as("pmi_bits"))
+  }
+
+  private val oAssocMi = """
+    WITH cell AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c_xy
+                  FROM documents GROUP BY lang, source),
+    cx AS (SELECT lang, CAST(sum(c_xy) AS BIGINT) AS c_x
+           FROM cell GROUP BY lang),
+    cy AS (SELECT source, CAST(sum(c_xy) AS BIGINT) AS c_y
+           FROM cell GROUP BY source),
+    n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_tot FROM cell)
+    SELECT cell.lang, cell.source, cell.c_xy,
+           CAST((length(format('{:b}', cell.c_xy * n.n_tot)) - 1)
+              - (length(format('{:b}', cx.c_x * cy.c_y)) - 1) AS BIGINT)
+             AS pmi_bits
+    FROM cell JOIN cx USING (lang) JOIN cy USING (source), n"""
+
   /** §2.73c Trimmed mean (per source over doc lengths) — the robust
     * location estimate between the §2.73 median (50% breakdown, throws
     * away almost all data) and the raw mean (0% breakdown): drop the
@@ -6469,6 +6506,7 @@ object QueriesText {
     GraftQuery("q_bpe_fertility", qBpeFertility, Some(oBpeFertility)),
     GraftQuery("q_class_balance", qClassBalance, Some(oClassBalance)),
     GraftQuery("q_trimmed_mean", qTrimmedMean, Some(oTrimmedMean)),
+    GraftQuery("q_assoc_mi", qAssocMi, Some(oAssocMi)),
     GraftQuery("q_shard_fill", qShardFill, Some(oShardFill)),
     GraftQuery("q_fuzzy_link", qFuzzyLink, Some(oFuzzyLink)),
     GraftQuery("q_entity_clusters", qEntityClusters, Some(oEntityClusters)),
