@@ -903,6 +903,70 @@ object Queries {
     SELECT src_type, dst_type, count(*) AS n
     FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2"""
 
+  /** §2.68h Stationary distribution of the behavior Markov chain — the
+    * long-run profile the §2.68b one-step matrix only hints at: where
+    * does a user's session settle if the observed dynamics persist?
+    * Power iteration in exact scaled integers (SCALE = 10⁶): π'_j =
+    * Σ_i (π_i·n_ij) div r_i with per-TERM truncation (each term one
+    * integer divide — replayable; the sum is integer, order-free).
+    * Fixed 8 rounds (the replayable-trainer discipline), transitions
+    * restricted to states with outgoing mass so nothing leaks into an
+    * absorbing sink. Frames are |event-types|²-bounded — trivially
+    * driver-scale; lineage truncated per round anyway (the iterative
+    * discipline). Oracle unrolls the same 8 rounds as MATERIALIZED
+    * CTEs.
+    */
+  private def qMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000L
+    val ckpt = graft.operators.Graph.ckptFor(s)
+    val trans0 = Behavior.transitions(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type")
+    val srcSet = trans0.select(col("src_type").as("st")).distinct()
+    val trans = trans0.join(
+      srcSet.withColumnRenamed("st", "dst_type"), Seq("dst_type"))
+    val rsum = trans.groupBy("src_type").agg(sum("n").as("r"))
+    val tr = ckpt(trans.join(rsum, "src_type"))
+    val nStates = srcSet.count() // bounded driver scalar: |event types|
+    var pi = ckpt(srcSet.select(col("st").as("state"),
+      lit(Scale / nStates).as("pi")))
+    for (_ <- 1 to 8) {
+      pi = ckpt(tr
+        .join(pi.withColumnRenamed("state", "src_type"), "src_type")
+        .select(col("dst_type").as("state"), expr("pi * n div r").as("_t"))
+        .groupBy("state").agg(sum("_t").as("pi")))
+    }
+    pi.select(col("state").as("event_type"), col("pi").as("pi_ppm"))
+  }
+
+  private val oMarkovStationary: String = {
+    val rounds = (1 to 8).map { k =>
+      s"""
+    p$k AS MATERIALIZED (
+      SELECT tr.dst_type AS state, CAST(sum(p.pi * tr.n // tr.r) AS BIGINT) AS pi
+      FROM tr JOIN p${k - 1} p ON p.state = tr.src_type GROUP BY 1)"""
+    }.mkString(",")
+    s"""
+    WITH seq AS (
+      SELECT event_type AS src_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst_type
+      FROM events),
+    t0 AS MATERIALIZED (
+      SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+    ss AS (SELECT DISTINCT src_type AS st FROM t0),
+    t1 AS (SELECT t0.* FROM t0 JOIN ss ON t0.dst_type = ss.st),
+    r AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS r FROM t1 GROUP BY 1),
+    tr AS MATERIALIZED (
+      SELECT t1.src_type, t1.dst_type, t1.n, r.r
+      FROM t1 JOIN r USING (src_type)),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ss),
+    p0 AS MATERIALIZED (
+      SELECT st AS state, CAST(1000000 // (SELECT k FROM ns) AS BIGINT) AS pi
+      FROM ss),$rounds
+    SELECT state AS event_type, pi AS pi_ppm FROM p8"""
+  }
+
   /** §2.68d Market-basket co-occurrence (Agrawal & Srikant two-itemset
     * support counting — the "related items" table): items = the props-k
     * channel, baskets = 6 h timeslots (co-trending within a window);
@@ -1911,6 +1975,8 @@ object Queries {
     GraftQuery("q_funnel", qFunnel, Some(oFunnel)),
     GraftQuery("q_retention", qRetention, Some(oRetention)),
     GraftQuery("q_transitions", qTransitions, Some(oTransitions)),
+    GraftQuery("q_markov_stationary", qMarkovStationary,
+      Some(oMarkovStationary)),
     GraftQuery("q_cooccur", qCooccur, Some(oCooccur)),
     GraftQuery("q_lpa_communities", qLpaCommunities, Some(oLpaCommunities)),
     GraftQuery("q_modularity", qModularity, Some(oModularity)),
