@@ -142,6 +142,22 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batchAll, "stream output must equal batch output")
   }
 
+  test("markov stationary: deterministic alternating chain fixes the uniform point exactly") {
+    // user alternates A,B,A,B,... -> P(A->B)=P(B->A)=1; power iteration
+    // from the uniform start is an EXACT fixed point (every term is
+    // pi*n div r = pi, no truncation loss), so 8 rounds return exactly
+    // (500000, 500000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_markov").toString
+    (1 to 20).map { i =>
+      (1L, i.toLong * 1000000000L, i.toLong,
+        if (i % 2 == 0) "A" else "B", 1.0, "{}")
+    }.toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Queries.queries("q_markov_stationary")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("A" -> 500000L, "B" -> 500000L), out.toString)
+  }
+
   test("burstiness: constant word = 0, poisson-ish alternating word = 10000, one-doc spike explodes") {
     // 40 docs; 'a' appears twice in every even doc (Fano = 1 exactly),
     // 'b' once in every doc (Fano = 0), 'z' 30 times in one doc
