@@ -90,6 +90,64 @@ object QueriesPipe {
     SELECT lag, n AS n_pairs, num * 10000 // (ia * ib) AS r_bp
     FROM i WHERE ia * ib > 0"""
 
+  /** §2.93d Inter-event burstiness (Goh & Barabási 2008): per event
+    * type, B = (σ − μ)/(σ + μ) over per-user inter-event gaps — the
+    * temporal-pattern classifier (B→−1 periodic/scheduled, ≈0 Poisson,
+    * →+1 bursty/human) that decides whether rate-based anomaly
+    * baselines (§2.73b) are even applicable. The n's cancel:
+    * B = (√A − Σx)/(√A + Σx) with A = n·Σx² − (Σx)², so ONE
+    * bracket-corrected isqrt and one truncating division, exact on both
+    * engines. Gaps in MINUTES — the unit choice is load-bearing:
+    * second-granularity squares put n·Σx² within a factor of 2 of
+    * BIGINT overflow on this corpus (DuckDB raises rather than wraps).
+    * Shape: per-user lag window (partitioned, bounded), one
+    * map-side-combined rollup.
+    */
+  private def qGapBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    def isqrt(c: org.apache.spark.sql.Column) = {
+      val s0 = floor(sqrt(c.cast("double"))).cast("long")
+      when((s0 + 1) * (s0 + 1) <= c, s0 + 1)
+        .when(s0 * s0 <= c, s0)
+        .otherwise(s0 - 1)
+    }
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .where(col("_prev").isNotNull)
+      .select(col("event_type"),
+        expr("(ts - _prev) div 60000000000L").as("gap"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_gaps"),
+        sum("gap").as("sx"),
+        sum(col("gap") * col("gap")).as("sxx"))
+      .withColumn("_ia", isqrt(expr("n_gaps * sxx - sx * sx")))
+      .where(col("_ia") + col("sx") > 0)
+      .select(col("event_type"), col("n_gaps"),
+        expr("(_ia - sx) * 10000L div (_ia + sx)").as("b_bp"))
+  }
+
+  private val oGapBurstiness = """
+    WITH g AS (SELECT event_type,
+                 (epoch_ns(ts) - lag(epoch_ns(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   // 60000000000 AS gap
+               FROM events),
+    a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                 CAST(sum(gap) AS BIGINT) AS sx,
+                 CAST(sum(gap * gap) AS BIGINT) AS sxx
+          FROM g WHERE gap IS NOT NULL GROUP BY 1),
+    q AS (SELECT *, n_gaps * sxx - sx * sx AS aa FROM a),
+    i AS (SELECT event_type, n_gaps, sx,
+            CASE WHEN (s0 + 1) * (s0 + 1) <= aa THEN s0 + 1
+                 WHEN s0 * s0 <= aa THEN s0 ELSE s0 - 1 END AS ia
+          FROM (SELECT *,
+                  CAST(floor(sqrt(CAST(aa AS DOUBLE))) AS BIGINT) AS s0
+                FROM q) t)
+    SELECT event_type, n_gaps, (ia - sx) * 10000 // (ia + sx) AS b_bp
+    FROM i WHERE ia + sx > 0"""
+
   // ---------------------------------------------------------------------------
   // §2.80 Semi-structured JSON extraction (events.props payload)
   // ---------------------------------------------------------------------------
@@ -1575,6 +1633,7 @@ object QueriesPipe {
     GraftQuery("q_json_extract", qJsonExtract, Some(oJsonExtract)),
     GraftQuery("q_ks_drift", qKsDrift, Some(oKsDrift)),
     GraftQuery("q_acf", qAcf, Some(oAcf)),
+    GraftQuery("q_gap_burstiness", qGapBurstiness, Some(oGapBurstiness)),
     GraftQuery("q_rank_sum", qRankSum, Some(oRankSum)),
     GraftQuery("q_k_anon", qKAnon, Some(oKAnon)),
     GraftQuery("q_l_diversity", qLDiversity, Some(oLDiversity)),
