@@ -88,11 +88,23 @@ object Bench {
     // line stays compact: totals + the top slowest queries by `best`.
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$isoField,"best":$bestJson,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    // Partial (query-arg) runs write a SEPARATE artifact: a fast-iteration
+    // run over two queries used to overwrite BENCH_FULL.json and destroy
+    // the round's full-catalog record (r9 verdict item 3a).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(artifactPath(args.nonEmpty)), fullJson + "\n")
     catch { case _: Throwable => () }
     println(compactLine(best, total, sfDir))
     if (!isolate) spark.stop()
   }
+
+  /** Full-detail artifact path: only a FULL catalog run may write
+    * BENCH_FULL.json; partial (named-query) runs land in
+    * BENCH_PARTIAL.json so local iteration never clobbers the round
+    * record. BenchLineSpec asserts the routing.
+    */
+  private[graft] def artifactPath(partial: Boolean): String =
+    if (partial) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
 
   /** The compact final stdout line: totals + top-30 slowest at 3 dp. The
     * collector keeps only the last ~2000 stdout chars and parses a JSON

@@ -927,6 +927,12 @@ object Queries {
     val rsum = trans.groupBy("src_type").agg(sum("n").as("r"))
     val tr = ckpt(trans.join(rsum, "src_type"))
     val nStates = srcSet.count() // bounded driver scalar: |event types|
+    // an events table with no observed transitions (or none whose target
+    // has outgoing mass) has no chain to iterate: return the empty result
+    // with the output schema instead of dividing by zero at plan build
+    if (nStates == 0)
+      return srcSet.select(col("st").as("event_type"),
+        lit(0L).as("pi_ppm")).limit(0)
     var pi = ckpt(srcSet.select(col("st").as("state"),
       lit(Scale / nStates).as("pi")))
     for (_ <- 1 to 8) {

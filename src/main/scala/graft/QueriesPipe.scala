@@ -1240,7 +1240,7 @@ object QueriesPipe {
     scala.collection.mutable.Map[(SparkSession, String), (DataFrame, DataFrame)]()
 
   private def mvTmp(dir: String, kind: String): String =
-    s"/tmp/graft_${kind}_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    graft.Artifacts.dir(kind, dir)
 
   private def qMvRewrite(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.MvRegistry
@@ -1326,7 +1326,7 @@ object QueriesPipe {
 
   private def versionedOrdersDir(s: SparkSession, dir: String): String =
     vtLock.synchronized {
-      val root = s"/tmp/graft_vt_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val root = graft.Artifacts.dir("vt", dir)
       if (!vtBuilt.contains(root)) {
         val p = java.nio.file.Paths.get(root)
         if (java.nio.file.Files.exists(p)) {
@@ -1376,7 +1376,7 @@ object QueriesPipe {
 
   private def versionedStatsDir(s: SparkSession, dir: String): String =
     vtLock.synchronized {
-      val root = s"/tmp/graft_vts_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val root = graft.Artifacts.dir("vts", dir)
       if (!vtsBuilt.contains(root)) {
         val p = java.nio.file.Paths.get(root)
         if (java.nio.file.Files.exists(p)) {

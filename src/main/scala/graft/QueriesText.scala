@@ -1031,7 +1031,7 @@ object QueriesText {
 
   private def storedIvfDir(s: SparkSession, dir: String): String =
     ivfStoreLock.synchronized {
-      val root = s"/tmp/graft_ivfidx_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val root = graft.Artifacts.dir("ivfidx", dir)
       if (!ivfStoreBuilt.contains(root)) {
         val p = java.nio.file.Paths.get(root)
         if (java.nio.file.Files.exists(p)) {

@@ -144,8 +144,16 @@ object Graph {
     * m(u) per node. Every step is a groupBy(src) min + an edge join —
     * same linear-shuffle class as the min-label rounds; the edge set is
     * re-symmetrized + distinct'd each alternation (contraction only
-    * shrinks it). The convergence probe is an except-based set-equality
-    * check — one scalar to the driver per alternation.
+    * shrinks it). Convergence probe (the r9-verdict fix — the old
+    * except-based equality paid TWO anti-join shuffles per alternation):
+    * one map-side-combined scalar aggregate per alternation — (count,
+    * Σsrc, Σdst, Σhash) over the distinct edge set, the labelSum-scalar
+    * discipline of the min-label path. A differing signature proves
+    * inequality exactly (count/sums are exact over a distinct set); only
+    * when the signature MATCHES does one except-based check confirm true
+    * set equality, so the expensive probe runs once at the fixpoint (plus
+    * once per astronomically-unlikely 64-bit hash collision) instead of
+    * every round, and correctness never rests on the hash.
     */
   def starContractComponents(symEdges: DataFrame,
                              ckpt: DataFrame => DataFrame,
@@ -160,9 +168,17 @@ object Graph {
         .union(ab.where(col("a") =!= col("b"))
           .select(col("b").as("src"), col("a").as("dst")))
         .distinct()
+    // exact-over-distinct edge-set signature: one scalar aggregate (all
+    // partial-aggregated map-side); xxhash64 only ADDS discrimination on
+    // top of the exact count/sums — equality is still confirmed exactly
+    def signature(ed: DataFrame): org.apache.spark.sql.Row =
+      ed.agg(count(lit(1)), sum(col("src").cast("decimal(38,0)")),
+        sum(col("dst").cast("decimal(38,0)")),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
     var e = ckpt(symEdges.where(col("src") =!= col("dst")).distinct())
     var round = 0
     var converged = e.isEmpty
+    var prevSig: org.apache.spark.sql.Row = if (converged) null else signature(e)
     while (!converged && round < maxIter) {
       val ls = e.join(mOf(e), e("src") === col("_u"))
         .where(col("dst") > col("src"))
@@ -173,7 +189,10 @@ object Graph {
         .select(col("dst").as("a"), col("_m").as("b"))
         .union(mOf(e1).select(col("_u").as("a"), col("_m").as("b")))
       val e2 = ckpt(resym(ss))
-      converged = e2.except(e).union(e.except(e2)).head(1).isEmpty
+      val sig = signature(e2)
+      converged = sig == prevSig &&
+        e2.except(e).union(e.except(e2)).head(1).isEmpty
+      prevSig = sig
       e = e2
       round += 1
     }

@@ -60,6 +60,13 @@ object Foia {
     def field(name: String): Column =
       if (headers.contains(name)) col("r").getField(name)
       else lit(null).cast("string")
+    // numeric fields route through the same absent-column guard as the
+    // string fields (a dump whose header list omits LATITUDE must degrade
+    // to the poison-drop rule, not throw at plan analysis), with try_cast
+    // keeping the per-row poison semantics for garbage values
+    def dbl(name: String): Column =
+      if (headers.contains(name)) expr(s"try_cast(r.`$name` AS DOUBLE)")
+      else lit(null).cast("double")
     raw.select(from_csv(col(lineCol), schema,
         Map("mode" -> "PERMISSIVE")).as("r"))
       .select(
@@ -72,9 +79,9 @@ object Foia {
         field("ARR_APRT").as("destination"),
         field("ACFT_TYPE").as("equip_type"),
         field("USER_CLASS").as("user_class"),
-        expr("try_cast(r.LATITUDE AS DOUBLE)").as("lat"),
-        expr("try_cast(r.LONGITUDE AS DOUBLE)").as("lon"),
-        (expr("try_cast(r.ALTITUDEx100ft AS DOUBLE)") * 100.0).as("alt_ft"),
+        dbl("LATITUDE").as("lat"),
+        dbl("LONGITUDE").as("lon"),
+        (dbl("ALTITUDEx100ft") * 100.0).as("alt_ft"),
         try_to_timestamp(
           concat_ws(" ", field("TRACK_POINT_DATE_UTC"),
             field("TRACK_POINT_TIME_UTC")),

@@ -53,33 +53,38 @@ object Versioned {
     * cases previously written batches are untouched, so every older
     * version stays byte-identical. Returns the new version number.
     *
-    * The manifest publish is an atomic CAS, not a read-modify-write: the
-    * manifest body is staged to a temp file and LINKED into place
-    * (`Files.createLink` fails atomically when the target version already
-    * exists), so two concurrent committers can never both win a version —
-    * the loser re-reads the new current manifest, slides its already-written
-    * batch to the next slot, and retries. Readers either see the complete
+    * Concurrency protocol (the r9 ADVICE fix): the data batch is written
+    * ONCE under a UNIQUE version-agnostic name — batch names carry no
+    * version at all; the name→version binding exists only inside the
+    * manifest — so two racing committers can never write into (or rename
+    * onto) each other's batch directory. The manifest publish is then an
+    * atomic CAS, not a read-modify-write: the manifest body is staged to
+    * a temp file and LINKED into place (`Files.createLink` fails
+    * atomically when the target version already exists), so two
+    * concurrent committers can never both win a version — the loser
+    * simply re-reads the new current manifest and re-CASes the next slot;
+    * its batch directory never moves. Readers either see the complete
     * manifest or none (a link appears with its full content). This is the
     * single-filesystem analog of the rename/CAS protocol production
-    * formats run against an object store.
+    * formats run against an object store. VersionedSpec races two
+    * committer threads and asserts both batches land intact in
+    * consecutive versions.
     */
-  def commit(df: DataFrame, dir: String, overwrite: Boolean = false): Int = {
+  def commit(df: DataFrame, dir: String, overwrite: Boolean = false): Int =
+    commitBatch(df, dir, overwrite)._1
+
+  /** Like [[commit]] but also returns the committed batch's (unique)
+    * directory name — [[commitWithStats]] keys its sidecar on it.
+    */
+  private def commitBatch(df: DataFrame, dir: String,
+                          overwrite: Boolean): (Int, String) = {
     Files.createDirectories(Paths.get(dir))
-    var next = currentVersion(dir) + 1
-    var batch = f"batch-$next%06d"
+    val batch = s"batch-${java.util.UUID.randomUUID().toString.take(18)}"
     df.write.parquet(s"$dir/$batch")
+    var next = -1
     var committed = false
     while (!committed) {
-      val cur = currentVersion(dir)
-      if (cur >= next) {
-        // lost a race: a concurrent committer took this version. The data
-        // batch is immutable and version-agnostic — slide it to the new slot.
-        val n2 = cur + 1
-        val b2 = f"batch-$n2%06d"
-        Files.move(Paths.get(dir, batch), Paths.get(dir, b2))
-        next = n2
-        batch = b2
-      }
+      next = currentVersion(dir) + 1
       val prev = if (overwrite || next == 0) Seq.empty
                  else readManifest(dir, next - 1)
       val tmp = Files.createTempFile(Paths.get(dir), ".manifest-", ".tmp")
@@ -91,7 +96,7 @@ object Versioned {
         case _: java.nio.file.FileAlreadyExistsException => () // retry loop
       } finally Files.deleteIfExists(tmp)
     }
-    next
+    (next, batch)
   }
 
   /** Snapshot read of a specific version (default: latest). The returned
@@ -131,8 +136,7 @@ object Versioned {
     */
   def commitWithStats(df: DataFrame, dir: String, statsCols: Seq[String],
                       overwrite: Boolean = false): Int = {
-    val v = commit(df, dir, overwrite)
-    val batch = f"batch-$v%06d"
+    val (v, batch) = commitBatch(df, dir, overwrite)
     val spark = df.sparkSession
     import org.apache.spark.sql.functions.{col, max, min}
     val written = spark.read.parquet(s"$dir/$batch")

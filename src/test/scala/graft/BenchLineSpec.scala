@@ -26,6 +26,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
   }
 
+  test("partial runs route to BENCH_PARTIAL.json, never the round record") {
+    // the r9 verdict 3a fix: a named-query iteration run must not clobber
+    // the full-catalog BENCH_FULL.json artifact
+    assert(Bench.artifactPath(partial = true) == "BENCH_PARTIAL.json")
+    assert(Bench.artifactPath(partial = false) == "BENCH_FULL.json")
+  }
+
   test("failed lanes count but never leak unbounded entries into the line") {
     val best = fakeCatalog(250).zipWithIndex.map {
       case ((k, v), i) => (k, if (i % 3 == 0) -1.0 else v)

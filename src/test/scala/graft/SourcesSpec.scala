@@ -236,6 +236,20 @@ class FoiaSpec extends AnyFunSuite with SparkFixture {
     assert(got2.head.getAs[Double]("alt_ft") == 500.0)
   }
 
+  test("Foia.parseTrackpoints degrades when a dump's headers omit position columns") {
+    // the r9 ADVICE fix: a header list without LATITUDE/LONGITUDE/
+    // ALTITUDEx100ft must flow through the poison-drop rule (rows with no
+    // position are dropped), not throw at plan analysis
+    val headers = graft.sources.Foia.headersClassic
+      .filterNot(Set("LATITUDE", "LONGITUDE", "ALTITUDEx100ft"))
+    val lines = Seq(
+      "VOI902,2015020103105708,20150201065937NCT1024VOI902,NCT,1024,MMGL,OAK,A320,20150201,07:24:04"
+    ).toDF("line")
+    val got = graft.sources.Foia.parseTrackpoints(lines, "line", headers)
+    assert(got.columns.contains("lat") && got.columns.contains("alt_ft"))
+    assert(got.count() == 0) // positionless rows drop; the batch survives
+  }
+
   test("Foia.flights splits same-callsign flights by FLIGHT_INDEX and sorts tracks") {
     // the row.go:134-144 ambiguity: QXE17 flies twice the same day —
     // flight number identical, FLIGHT_INDEX distinguishes the flights

@@ -68,6 +68,44 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("two racing committers: exactly one wins n+1, the loser lands n+2 intact") {
+    // The r9 ADVICE medium-severity fix: with version-deterministic batch
+    // paths two committers could pick the same `batch-%06d` dir (Spark's
+    // ErrorIfExists is check-then-write — part files can interleave) and
+    // the loser's slide-move could throw. Batch names are now unique and
+    // version-agnostic; only the manifest CAS assigns versions. Race two
+    // committer threads repeatedly and assert both datasets always land
+    // intact in consecutive versions.
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val d = Tables.documents(spark, sfDir).select("doc_id")
+    val a = d.where(col("doc_id") % 2 === 0).localCheckpoint()
+    val b = d.where(col("doc_id") % 2 === 1).localCheckpoint()
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 0 until 3) {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_race$round").toString
+        val gate = new CountDownLatch(1)
+        def racer(df: org.apache.spark.sql.DataFrame) =
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int = { gate.await(); Versioned.commit(df, dir) }
+          })
+        val (fa, fb) = (racer(a), racer(b))
+        gate.countDown()
+        val (va, vb) = (fa.get(), fb.get())
+        // exactly one winner per slot, loser retried into the next slot
+        assert(Set(va, vb) == Set(0, 1), s"versions were ($va, $vb)")
+        // the loser's append manifest includes the winner's batch: the
+        // final version reads BOTH datasets, each exactly once
+        assert(ids(Versioned.read(spark, dir, 1)) == ids(a) ++ ids(b))
+        assert(Versioned.read(spark, dir, 1).count() == a.count() + b.count(),
+          "no row may be duplicated or lost across the racing commits")
+        // and the winner's snapshot holds exactly its own rows
+        val v0 = ids(Versioned.read(spark, dir, 0))
+        assert(v0 == ids(if (va == 0) a else b))
+      }
+    } finally pool.shutdown()
+  }
+
   test("manifest-stats data skipping: selective reads touch only matching batches") {
     val d = Tables.documents(spark, sfDir).select("doc_id", "source")
     val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
@@ -80,9 +118,15 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     Versioned.commitWithStats(mid, dir, Seq("doc_id"))
     Versioned.commitWithStats(hi, dir, Seq("doc_id"))
 
+    // batch names are unique/opaque (the commit-race fix) — resolve them
+    // through the manifest, which is the only place names bind to versions
+    def batchNames(v: Int): Seq[String] =
+      Versioned.batchStats(dir, v).map(_._1)
+
     // point-range read: only the middle batch's files are ever listed
+    val midBatch = batchNames(2)(1)
     val pruned = Versioned.readPruned(spark, dir, "doc_id", 18L, 22L)
-    assert(pruned.inputFiles.forall(_.contains("batch-000001")),
+    assert(pruned.inputFiles.forall(_.contains(midBatch)),
       s"prune must keep only the middle batch: ${pruned.inputFiles.toSeq}")
     // skipping is a superset guarantee: after the row predicate, equality
     val full = Versioned.read(spark, dir)
@@ -97,8 +141,9 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
 
     // a batch committed WITHOUT stats is read conservatively
     Versioned.commit(d.where(col("doc_id") === 3), dir)
+    val statslessBatch = batchNames(3).last
     val cons = Versioned.readPruned(spark, dir, "doc_id", 18L, 22L)
-    assert(cons.inputFiles.exists(_.contains("batch-000003")),
+    assert(cons.inputFiles.exists(_.contains(statslessBatch)),
       "stats-less batch must always be read")
     // ...and an unknown column prunes nothing
     val unk = Versioned.readPruned(spark, dir, "n_chars", 0L, 1L)
@@ -106,13 +151,14 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
       Versioned.read(spark, dir).inputFiles.length)
 
     // vacuum removes dead batches' sidecars with them
+    val firstBatch = batchNames(0).head
     Versioned.commit(hi.repartition(1), dir, overwrite = true)
     Versioned.vacuum(dir, keepVersions = 1)
     val sidecars = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
       .iterator()
     val names = scala.jdk.CollectionConverters.IteratorHasAsScala(sidecars)
       .asScala.map(_.getFileName.toString).toSet
-    assert(!names.exists(_.startsWith("stats-batch-000000")),
+    assert(!names.contains(s"stats-$firstBatch.txt"),
       s"vacuumed batch kept its sidecar: $names")
   }
 
@@ -158,10 +204,13 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
       dir, overwrite = true)                    // v2: [batch2]
     Versioned.commit(d.where(col("doc_id") === 25), dir) // v3: [batch2, batch3]
 
+    // resolve the opaque batch names through the manifests before vacuum
+    val v1Batches = Versioned.batchStats(dir, 1).map(_._1).toSet // batch0+1
+    val v2Batch = Versioned.batchStats(dir, 2).map(_._1).head    // batch2
+
     val deleted = Versioned.vacuum(dir, keepVersions = 2) // keep v2, v3
     // batch0/batch1 are referenced only by dropped v0/v1 → deleted
-    assert(deleted.map(_.split('/').last).toSet ==
-      Set("batch-000000", "batch-000001"))
+    assert(deleted.map(_.split('/').last).toSet == v1Batches)
     assert(ids(Versioned.read(spark, dir, 2)) == ids(a) ++ ids(b))
     assert(ids(Versioned.read(spark, dir, 3)) ==
       ids(a) ++ ids(b) + 25L)
@@ -169,7 +218,7 @@ class VersionedSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](Versioned.read(spark, dir, 0))
     // vacuum keeping only the latest must NOT delete batch2 (shared by v3)
     val deleted2 = Versioned.vacuum(dir, keepVersions = 1)
-    assert(!deleted2.exists(_.endsWith("batch-000002")))
+    assert(!deleted2.exists(_.endsWith(v2Batch)))
     assert(ids(Versioned.read(spark, dir, 3)) == ids(a) ++ ids(b) + 25L)
   }
 
