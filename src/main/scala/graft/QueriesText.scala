@@ -539,45 +539,101 @@ object QueriesText {
     WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 3) >= 0.4"""
 
-  /** §2.42c Cross-lingual pair mining (new r9 — the translation/
-    * paraphrase-candidate harvest multilingual training sets are built
-    * from: bitext mining à la CCMatrix, reduced to its engine core):
-    * embedding-cosine pairs ABOVE threshold whose documents carry
-    * DIFFERENT language tags — the same-language case is §2.42's dedup;
-    * here the lang constraint flips the semantics from "near-duplicate,
-    * drop one" to "aligned pair, keep both". Composition: the exact
-    * cosine pair machinery + two broadcast-able doc-lang joins + the
-    * inequality filter; the LSH-bucketed path (§2.42b) inherits the
-    * filter unchanged since it's per-pair. Same rounded-cosine
-    * discipline; threshold chosen below the dup band so synthetic
-    * corpora yield pairs.
+  /** §2.42c Cross-lingual pair mining (the translation/paraphrase-
+    * candidate harvest multilingual training sets are built from: bitext
+    * mining à la CCMatrix, reduced to its engine core): embedding-cosine
+    * pairs ABOVE threshold whose documents carry DIFFERENT language tags
+    * — the same-language case is §2.42's dedup; here the lang constraint
+    * flips the semantics from "near-duplicate, drop one" to "aligned
+    * pair, keep both".
+    *
+    * Rebuilt r11 (the r9 verdict's one quadratic-only lane): pairs now
+    * come from [[Similarity.cosineDupPairsIvf]] — quantizer-cell-blocked
+    * candidates (a pair survives when either side probes the other's
+    * primary cell) with EXACT rounded-cosine verification, then the two
+    * broadcast-able doc-lang joins + the inequality filter unchanged. No
+    * cartesian / nested-loop stage anywhere in the plan (spec-asserted);
+    * with `pairCells` sizing (cells ∝ n at ~44 vectors/cell) and the
+    * fixed [[XlangProbes]] probe depth, candidate volume is LINEAR in the
+    * corpus (XlangScaleProbe), and blocked recall vs the exact harvest
+    * measures ≥ 0.9 at sf0.1 (spec). The oracle generator retrains the
+    * SAME deterministic quantizer and replays assignment, probing,
+    * candidate generation and verification — so the blocked pair set is
+    * hash-checked end-to-end, not just sampled.
     */
   private val XlangThresh = 0.3
+  // Probe depth for the xlang lane: 16 probes × ~44-vector cells ≈ 700
+  // candidates/vector — measured 0.93 recall at sf0.1's weak 0.3
+  // threshold (near-orthogonal pairs are the hard case; high-margin
+  // mining holds the same recall at much smaller depth).
+  private val XlangProbes = 16
+
+  private def xlangCellsOf(n: Long): Int = Similarity.pairCells(n)
 
   private def qXlangPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val n = e.count()
+    val cells = xlangCellsOf(n)
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
     val langs = docs(s, dir).select(col("doc_id").as("vec_id"), col("lang"))
-    val p = Similarity.cosineDupPairs(embs(s, dir), "vec_id", "embedding",
-      XlangThresh, KnnRound)
+    val p = Similarity.cosineDupPairsIvf(e, "vec_id", "embedding",
+      XlangThresh, KnnRound, model, math.min(XlangProbes, cells), corpusN = n)
     p.join(langs.select(col("vec_id").as("id_a"), col("lang").as("lang_a")), "id_a")
       .join(langs.select(col("vec_id").as("id_b"), col("lang").as("lang_b")), "id_b")
       .where(col("lang_a") =!= col("lang_b"))
       .select(col("id_a"), col("id_b"), col("lang_a"), col("lang_b"), col("cos"))
   }
 
-  private val oXlangPairs = s"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           da.lang AS lang_a, db.lang AS lang_b,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), $KnnRound)
-             AS cos
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
-    JOIN documents da ON da.doc_id = a.vec_id
-    JOIN documents db ON db.doc_id = b.vec_id
-    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), $KnnRound)
-            >= $XlangThresh
-      AND da.lang <> db.lang"""
+  /** DuckDB replay of the blocked xlang mining: same exported quantizer
+    * literals and the ivfFlatOracle arithmetic contract (dist = vv −
+    * 2.0·vc + cc as one sequential fold, assignment ties → lower cell,
+    * probe rank ties → lower cell), candidates as the probe↔primary cell
+    * meeting normalized to (least, greatest) pairs, exact rounded-cosine
+    * threshold + lang filter.
+    */
+  private def oXlangPairsGen(s: SparkSession, dir: String): String = {
+    val e = embs(s, dir)
+    val n = e.count()
+    val cells = xlangCellsOf(n)
+    val nProbe = math.min(XlangProbes, cells)
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val ctrRows = model.map {
+      case (i, c) => s"($i, [${c.map(_.toDouble).mkString(", ")}])"
+    }
+    s"""
+    WITH ctr(cell, cv) AS (VALUES
+      ${ctrRows.mkString(",\n      ")}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS MATERIALIZED (
+      SELECT e.vec_id, ctr.cell,
+             ${fdot("e.v", "e.v")}
+             - 2.0 * ${fdot("e.v", "ctr.cv")}
+             + ${fdot("ctr.cv", "ctr.cv")} AS dist
+      FROM e CROSS JOIN ctr),
+    corp AS MATERIALIZED (
+      SELECT vec_id AS n_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d) t WHERE rn = 1),
+    probe AS MATERIALIZED (
+      SELECT vec_id AS q_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d) t WHERE rn <= $nProbe),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT least(p.q_id, c.n_id) AS id_a,
+                      greatest(p.q_id, c.n_id) AS id_b
+      FROM probe p JOIN corp c ON p.cell = c.cell AND p.q_id <> c.n_id)
+    SELECT t.id_a, t.id_b, da.lang AS lang_a, db.lang AS lang_b, t.cos
+    FROM (
+      SELECT cand.id_a, cand.id_b,
+             round(list_cosine_similarity(x.v, y.v), $KnnRound) AS cos
+      FROM cand JOIN e x ON x.vec_id = cand.id_a
+                JOIN e y ON y.vec_id = cand.id_b) t
+    JOIN documents da ON da.doc_id = t.id_a
+    JOIN documents db ON db.doc_id = t.id_b
+    WHERE t.cos >= $XlangThresh AND da.lang <> db.lang"""
+  }
 
   /** §2.52 SemDeDup (semantic dedup, cell-blocked): quantizer cells block
     * the pair work, rounded cosine >= threshold within a cell drops the
@@ -6418,7 +6474,7 @@ object QueriesText {
     GraftQuery("q_doc_simhash_pairs", qDocSimhashPairs, Some(oDocSimhashPairs)),
     GraftQuery("q_doc_fingerprint", qDocFingerprint, Some(oDocFingerprint)),
     GraftQuery("q_embed_dup", qEmbedDup, Some(oEmbedDup)),
-    GraftQuery("q_xlang_pairs", qXlangPairs, Some(oXlangPairs)),
+    GraftQuery("q_xlang_pairs", qXlangPairs, None, oracleGen = Some(oXlangPairsGen)),
     GraftQuery("q_embed_dup_lsh", qEmbedDupLsh, None, oracleGen = Some(oEmbedDupLshGen)),
     GraftQuery("q_knn_brute", qKnnBrute, Some(oKnnBrute), headline = true),
     GraftQuery("q_knn_sq8", qKnnSq8, None, oracleGen = Some(oKnnSq8Gen)),

@@ -135,6 +135,90 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Cell count for BLOCKED PAIR MINING — the linear-candidates regime:
+    * cells scale with the corpus at a bounded `targetBucket` vectors per
+    * cell, so with a FIXED probe count the candidate volume is
+    * nProbe·targetBucket per vector — O(n) total, the property the
+    * pair-mining scale probe measures. (Contrast `autoCells`' √n rule,
+    * which balances a per-QUERY search's scan-vs-rank cost and makes
+    * blocked pair volume n^1.5.) Flat-model assignment is nCells·dim per
+    * row: past `DriverCellCap` the distributed trainer takes over, and
+    * past ~10^5 cells the two-level quantizer (`ivfTrainTwoLevel` /
+    * `ivfAssign2`) is the documented next step, exactly as in the ANN
+    * family.
+    */
+  def pairCells(corpusN: Long, targetBucket: Long = 44L,
+                minCells: Int = 8, maxCells: Int = 65536): Int =
+    math.min(maxCells.toLong,
+      math.max(minCells.toLong, (corpusN + targetBucket - 1) / targetBucket)).toInt
+
+  /** Cell-blocked cosine pair mining with EXACT verification — the
+    * scale-path replacement for `cosineDupPairs`' all-pairs join (the r9
+    * verdict's one quadratic-only lane): candidates are (query, posting)
+    * meetings in the query's `nProbe` nearest quantizer cells — a pair
+    * survives when EITHER side probes the other's primary cell — then the
+    * rounded exact cosine applies the threshold, so output ⊆ the exact
+    * operator's pairs with recall set by probe depth (measured ≥ 0.9 at
+    * sf0.1 in the spec suite; deeper probing buys recall linearly in
+    * candidate volume).
+    *
+    * Scale shape (the `cosineDupPairsLsh` discipline, quantizer cells as
+    * the blocker): the candidate join carries ONLY (id, cell) — never
+    * vectors; probes and postings meet in a cell-keyed shuffle join
+    * (AQE skew-splits hot cells); candidates dedup on the normalized
+    * (id_a, id_b) BEFORE vectors re-attach (broadcast under
+    * `BroadcastRowCap`, id-keyed shuffle join past it). With `pairCells`
+    * sizing (cells ∝ n, bounded cell population) and fixed `nProbe`,
+    * candidate volume is O(n·nProbe·targetBucket) — LINEAR in the corpus,
+    * demonstrated by the XlangScaleProbe replication lane. The honest
+    * recall trade, stated like the LSH twin's: at a FIXED weak threshold
+    * (pairs near-orthogonal, e.g. 0.3 in 64-d) the probe depth needed for
+    * a given recall grows as cells refine — low-margin exhaustive mining
+    * has no sublinear path; the operator's sweet spot is the actual
+    * mining use case, high-margin pairs (translations / near-dups at
+    * cos ≥ 0.7), where a small fixed probe set holds recall.
+    */
+  /** The blocked-mining CANDIDATE pairs — (id_a < id_b) meetings of a
+    * probe with a primary-cell posting, deduplicated, NO verification.
+    * Exposed separately so the scale probe can measure candidate volume
+    * (the quantity that must stay linear) independently of the cosine
+    * verify.
+    */
+  def pairCandidates(df: DataFrame, id: String, vec: String,
+                     model: Seq[(Int, Seq[Float])], nProbe: Int): DataFrame = {
+    val postings = ivfAssign(
+        df.select(col(id).as("_nid"), col(vec).as("_nv")), "_nv", model)
+      .select(col("_nid").as("n_id"), col("cell"))
+    // probe set includes the primary cell (rn = 1 IS the argmin; the
+    // row_number tie order (dist, cell) matches IvfArgminExpr's
+    // first-strict-minimum rule), so same-cell pairs are always candidates
+    val probes = probeCellPlan(df, id, vec, nProbe, model)
+      .select("q_id", "cell")
+    probes.join(postings, Seq("cell"))
+      .where(col("q_id") =!= col("n_id"))
+      .select(least(col("q_id"), col("n_id")).as("id_a"),
+        greatest(col("q_id"), col("n_id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  def cosineDupPairsIvf(df: DataFrame, id: String, vec: String,
+                        threshold: Double, roundTo: Int,
+                        model: Seq[(Int, Seq[Float])], nProbe: Int,
+                        corpusN: Long = -1L): DataFrame = {
+    val cand = pairCandidates(df, id, vec, model, nProbe)
+    val withNorm = df.select(col(id), col(vec)).withColumn("_norm", l2norm(col(vec)))
+    val small = (if (corpusN >= 0) corpusN else df.count()) <= BroadcastRowCap
+    val vecA = withNorm.toDF("id_a", "vec_a", "norm_a")
+    val vecB = withNorm.toDF("id_b", "vec_b", "norm_b")
+    cand
+      .join(if (small) broadcast(vecA) else vecA, Seq("id_a"))
+      .join(if (small) broadcast(vecB) else vecB, Seq("id_b"))
+      .withColumn("cos",
+        round(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")), roundTo))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** SemDeDup — semantic dedup via quantizer cells (the Abbas et al. 2023
     * arXiv:2303.09540 shape): cluster the corpus with the IVF coarse
     * quantizer, then within each cell flag every document whose ROUNDED

@@ -168,6 +168,12 @@ object DocScaleProbe {
     // by source/vocab cardinality); chunking emits O(n_tok/S) rows per
     // doc; split-leakage rides the LSH pair lane (linear pair count);
     // hubness is the kNN self-join + a histogram (output ~ max in-degree)
+    // r11: the rebuilt cell-blocked cross-lingual miner — candidate volume
+    // is linear by construction (pairCells ∝ n, fixed probes; the focused
+    // growth curve lives in XlangScaleProbe), this lane checks the whole
+    // gated composition (train → block → verify → lang joins) end-to-end
+    // on the replicated corpus
+    time("q_xlang_pairs") { q("q_xlang_pairs")(spark, out).count() }
     time("q_tvd_mix") { q("q_tvd_mix")(spark, out).count() }
     time("q_chao1") { q("q_chao1")(spark, out).count() }
     time("q_burstiness") { q("q_burstiness")(spark, out).count() }

@@ -624,6 +624,44 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     assert(native.nonEmpty)
   }
 
+  test("cell-blocked pair mining: subset of exact, recall >= 0.9 at sf0.1, no cartesian stage") {
+    // the r9-verdict done-criteria for the q_xlang_pairs rebuild, asserted
+    // at the catalog's own parameterization ON sf0.1 (the sf the verdict
+    // names): blocked pairs are exact-verified (subset), recall vs the
+    // exact quadratic harvest >= 0.9 even at the weak 0.3 threshold, and
+    // the physical plan contains no cartesian / nested-loop stage
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val n = e.count()
+    val cells = Similarity.pairCells(n)
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val blockedDf = Similarity.cosineDupPairsIvf(e, "vec_id", "embedding",
+      0.3, 3, model, math.min(16, cells), corpusN = n)
+    val blocked = blockedDf
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.cosineDupPairs(e, "vec_id", "embedding", 0.3, 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact), "blocked pairs must be exact-verified")
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${blocked.size}/${exact.size})")
+    blockedDf.count() // materialize so the AQE-finalized plan is inspectable
+    val plan = blockedDf.queryExecution.executedPlan
+    assert(!plan.toString.contains("CartesianProduct"),
+      "blocked mining must never plan an all-pairs stage")
+    // the only unkeyed join allowed is each vector against the BROADCAST
+    // CENTERS literal (n x cells probe ranking — the assignment pattern);
+    // a corpus x corpus nested loop would show a non-local build side
+    val bnlj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    bnlj.foreach { j =>
+      val buildPlan =
+        (if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight)
+          j.right else j.left).toString
+      assert(buildPlan.contains("LocalTableScan"),
+        s"nested-loop join must only broadcast the centers literal:\n$buildPlan")
+    }
+  }
+
   test("LSH near-dup pairs: subset of exact with reasonable recall") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val exact = Similarity.cosineDupPairs(e, "vec_id", "embedding", 0.4, 3)
