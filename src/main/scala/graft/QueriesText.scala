@@ -129,16 +129,70 @@ object QueriesText {
            tok_total * 10000 // tok_kept AS inflation_bp
     FROM a WHERE tok_kept > 0"""
 
-  /** §2.40 Exact pairwise word-bigram Jaccard >= 0.8 via inverted-index
-    * join (scale path) — results identical to the oracle's naive quadratic
-    * cross-join because every pair with J > 0 shares a shingle.
+  /** The §2.40 PTJ pair tier (word-bigram Jaccard >= 0.8), built ONCE per
+    * session into the manifest-pinned [[PairIndex]] and read by every
+    * consumer (§2.40 itself, the dedup components/cap/evidence/recall
+    * lanes, the triangle/transitivity diagnostics). The build lambda is
+    * the standalone computation unchanged; the shingle EXPRESSION is
+    * passed lazily so jaccardPairs evaluates it after its internal
+    * repartition — a precomputed withColumn would pin the whole
+    * interpreted shingling onto the single scan split.
     */
-  private def qDocNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    // the shingle EXPRESSION is passed lazily so jaccardPairs evaluates it
-    // after its internal repartition — a precomputed withColumn would pin
-    // the whole interpreted shingling onto the single scan split
+  private def ptjPairsBuild(s: SparkSession, dir: String): DataFrame =
     Text.jaccardPairs(docs(s, dir), "doc_id", Text.shingles(col("text"), 2), 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  private def ptjPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PairIndex.pinnedRead(s, dir, "ptj")(ptjPairsBuild(s, dir))
+
+  /** §2.40 Exact pairwise word-bigram Jaccard >= 0.8 via inverted-index
+    * join (scale path) — results identical to the oracle's naive quadratic
+    * cross-join because every pair with J > 0 shares a shingle. Served
+    * from the session's pinned pair index (r11); the index build cost is
+    * gated standalone as §2.40d `q_pair_index`.
+    */
+  private def qDocNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ptjPairs(s, dir)
+
+  /** §2.40d The pair-index BUILD lane (r11): always rebuilds the PTJ pair
+    * tier fresh and overwrite-commits it to the manifest-pinned Versioned
+    * table — so the index build cost is gated and benchmarked standalone
+    * instead of hiding inside whichever diagnostic touches the index
+    * first — then emits a per-percent Jaccard histogram of the committed
+    * table. The generated oracle reads the SAME immutable batch files the
+    * pinned manifest lists (the q_read_pruned precedent), so the gate
+    * proves commit → manifest → read round-trips the pair set exactly.
+    * floor(j·100) on both engines reads the identical stored double and
+    * applies one identical IEEE multiply+floor — the truncation
+    * discipline, no cross-engine rounding surface.
+    */
+  private def qPairIndex(s: SparkSession, dir: String): DataFrame = {
+    val (root, v) = graft.operators.PairIndex.rebuild(s, dir, "ptj")(
+      ptjPairsBuild(s, dir))
+    graft.sources.Versioned.read(s, root, v)
+      .groupBy(floor(col("jaccard") * 100).as("jac_pct"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_doc_a"),
+        countDistinct(col("doc_b")).as("n_doc_b"))
+  }
+
+  private def oPairIndexGen(s: SparkSession, dir: String): String = {
+    // ensure the session pin exists (Verify runs queries before oracle
+    // generators, so q_pair_index has normally pinned already; a
+    // single-query oracle dump still works via the pinnedRead build)
+    graft.operators.PairIndex.pinnedRead(s, dir, "ptj")(
+      ptjPairsBuild(s, dir)).head(1)
+    val (root, v) = graft.operators.PairIndex.pinnedVersion(s, dir, "ptj").get
+    val files = graft.sources.Versioned.batchStats(root, v)
+      .map { case (b, _) => s"'$root/$b/*.parquet'" }
+    s"""
+    SELECT CAST(floor(jaccard * 100) AS BIGINT) AS jac_pct,
+           count(*) AS n_pairs,
+           count(DISTINCT doc_a) AS n_doc_a,
+           count(DISTINCT doc_b) AS n_doc_b
+    FROM read_parquet([${files.mkString(", ")}])
+    GROUP BY 1"""
+  }
 
   private val oDocNgramJaccard = """
     WITH sh AS (
@@ -164,9 +218,15 @@ object QueriesText {
     minhashLshPairs(s, dir)
 
   /** The §2.39 MinHash-LSH near-dup pair lane, shared verbatim by
-    * q_doc_minhash_lsh and the §2.50n split-leakage audit.
+    * q_doc_minhash_lsh, the §2.50n split-leakage audit and the §2.55e
+    * HyperBall lane — served from the pinned pair index (r11); the
+    * signature/banding/verify pipeline below is the build lambda.
     */
-  private def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PairIndex.pinnedRead(s, dir, "mhlsh")(
+      minhashLshPairsBuild(s, dir))
+
+  private def minhashLshPairsBuild(s: SparkSession, dir: String): DataFrame = {
     val withSh = docsW(s, dir).withColumn("sh", Text.shingles(col("text"), 2))
     // shared by banding + both sides of the verification join — persist so
     // shingling + 16 minhash permutations run once
@@ -368,9 +428,7 @@ object QueriesText {
     * honest cross-tier comparison. One row per tier.
     */
   private def qDedupRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = Text.jaccardPairs(docs(s, dir), "doc_id",
-        Text.shingles(col("text"), 2), 0.8)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val truth = ptjPairs(s, dir).select(col("doc_a"), col("doc_b"))
     def recallOf(name: String, found: DataFrame): DataFrame =
       truth.join(found.select(col("doc_a"), col("doc_b"))
           .withColumn("_f", lit(1L)), Seq("doc_a", "doc_b"), "left")
@@ -686,12 +744,9 @@ object QueriesText {
     * "training-set cleaning" shape; survivors counted per source.
     */
   private def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
-    // ONE spread corpus materialization feeds all three tiers (exact-key
-    // pass, shingle/PTJ pass, final anti-join) — r3 paid three separate
-    // scan+decode passes plus jaccardPairs' internal re-shuffle. The
-    // checkpoint is within the operator family's existing working-set
-    // budget: PTJ already materializes the (larger) exploded-shingle
-    // relation the same way.
+    // ONE spread corpus materialization feeds the exact-key pass + the
+    // final anti-join (r3 paid separate scan+decode passes per tier); the
+    // near-dup tier reads the session's pinned pair index (r11).
     val par = s.sparkContext.defaultParallelism
     val d = docs(s, dir).repartition(par).localCheckpoint()
     val exactDrop = Text.exactDupGroups(d, "doc_id",
@@ -699,9 +754,7 @@ object QueriesText {
       .select(explode(col("members")).as("doc_id"), col("keeper"))
       .where(col("doc_id") =!= col("keeper"))
       .select("doc_id")
-    val nearDrop = Text.jaccardPairs(d, "doc_id", Text.shingles(col("text"), 2), 0.8,
-        assumeSpread = true)
-      .select(col("doc_b").as("doc_id"))
+    val nearDrop = ptjPairs(s, dir).select(col("doc_b").as("doc_id"))
     // one combined drop list → a single anti-join pass over documents
     // instead of two. No distinct() — anti-join semantics tolerate
     // duplicate keys, so deduping the list would only add an exchange.
@@ -1344,12 +1397,55 @@ object QueriesText {
       ivfProbes(cells))
   }
 
+  /** §2.44h Table-based ADC search behind the oracle gate (r11 — was the
+    * ANN family's one spec-only lane): the same compressed index searched
+    * through [[Similarity.knnIvfPqSearchTabulated]]'s per-(query, cell)
+    * m×ks distance TABLE, whose double GROUPING differs from PqAdcExpr's
+    * one continuous fold (each subspace pre-sums before the cross-subspace
+    * add). The generated oracle replays exactly THAT grouping — per-
+    * subspace sequential folds into a table CTE, then a sequential m-fold
+    * over the looked-up entries — so the shortlist membership the table
+    * arithmetic decides is hash-checked, not just rank-agreement-spec'd.
+    * Same deliberately tight shortlist as q_knn_ivf_pq so ADC ordering
+    * genuinely decides the output.
+    */
+  private def qKnnIvfAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val n = e.count()
+    val cells = Similarity.autoCells(n)
+    val coarse = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val codebooks = Similarity.pqTrain(e, "embedding", coarse, PqM, PqKs,
+      corpusN = n)
+    val encoded = Similarity.pqEncode(
+        Similarity.ivfAssign(
+          e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec")),
+          "n_vec", coarse),
+        "n_vec", "cell", coarse, codebooks, PqM, PqKs)
+      .select("n_id", "cell", "codes")
+    Similarity.knnIvfPqSearchTabulated(encoded, e, e.where(col("vec_id") < 10),
+      "vec_id", "embedding", KnnK, ivfProbes(cells), PqM, PqKs, KnnRound,
+      coarse, codebooks, PqRerank)
+  }
+
+  private def oKnnIvfAdcGen(s: SparkSession, dir: String): String = {
+    val e = embs(s, dir)
+    val n = e.count()
+    val cells = Similarity.autoCells(n)
+    val coarse = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val codebooks = Similarity.pqTrain(e, "embedding", coarse, PqM, PqKs,
+      corpusN = n)
+    ivfPqOracleSql("CAST(embedding AS DOUBLE[])", coarse, codebooks,
+      ivfProbes(cells), tabulated = true)
+  }
+
   /** Shared IVF-PQ oracle body (q_knn_ivf_pq and the OPQ lane differ only
     * in how the `e` CTE derives `v` from the stored embedding and in the
-    * exported trained constants).
+    * exported trained constants; the §2.44h tabulated lane swaps the ADC
+    * CTE for the table-grouped arithmetic).
     */
   private def ivfPqOracleSql(vExpr: String, coarse: Seq[(Int, Seq[Float])],
-                             codebooks: Seq[Float], nProbe: Int): String = {
+                             codebooks: Seq[Float], nProbe: Int,
+                             tabulated: Boolean = false): String = {
     val dsub = EmbDim / PqM
     val ctrRows = coarse.map {
       case (i, c) => s"($i, [${c.map(_.toDouble).mkString(", ")}])"
@@ -1394,7 +1490,8 @@ object QueriesText {
       SELECT vec_id AS q_id, v AS qv, cell FROM (
         SELECT vec_id, v, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        FROM d WHERE vec_id < 10) t WHERE rn <= $nProbe),
+        FROM d WHERE vec_id < 10) t WHERE rn <= $nProbe),${
+    if (!tabulated) s"""
     adc AS (
       SELECT p.q_id, p.qv, c.n_id, c.nv,
              list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -1407,7 +1504,27 @@ object QueriesText {
       JOIN corp c ON p.cell = c.cell AND p.q_id <> c.n_id
       JOIN ctr t0 ON t0.cell = p.cell
       JOIN codes cd ON cd.n_id = c.n_id
-      CROSS JOIN cbf),
+      CROSS JOIN cbf),"""
+    else s"""
+    tbl AS (
+      SELECT p.q_id, p.cell, cb.mm, cb.j,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               [(p.qv[cb.mm * $dsub + i] - t0.cv[cb.mm * $dsub + i]) - cb.cv[i]
+                for i in range(1, ${dsub + 1})]),
+               (acc, t) -> acc + t * t) AS tval
+      FROM probe p JOIN ctr t0 ON t0.cell = p.cell CROSS JOIN cb),
+    tl AS (
+      SELECT q_id, cell, list(tval ORDER BY mm, j) AS tl
+      FROM tbl GROUP BY q_id, cell),
+    adc AS (
+      SELECT p.q_id, p.qv, c.n_id, c.nv,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               [tl.tl[mm * $PqKs + cd.cs[mm + 1] + 1] for mm in range(0, $PqM)]),
+               (acc, t) -> acc + t) AS ad
+      FROM probe p
+      JOIN corp c ON p.cell = c.cell AND p.q_id <> c.n_id
+      JOIN codes cd ON cd.n_id = c.n_id
+      JOIN tl ON tl.q_id = p.q_id AND tl.cell = p.cell),"""}
     short AS (
       SELECT q_id, qv, n_id, nv FROM (
         SELECT q_id, qv, n_id, nv,
@@ -2971,10 +3088,9 @@ object QueriesText {
     * clustering-coefficient audit.
     */
   private def ptjEdges(s: SparkSession, dir: String): DataFrame =
-    Text.jaccardPairs(docs(s, dir), "doc_id",
-        Text.shingles(col("text"), 2), 0.8)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .localCheckpoint() // feeds the degree rollup + both orientation sides
+    // pinned pair index (r11): the parquet read is already a stable
+    // materialization, so the old localCheckpoint sharing is free now
+    ptjPairs(s, dir).select(col("doc_a").as("u"), col("doc_b").as("v"))
 
   private def triangleTriples(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
@@ -3099,7 +3215,13 @@ object QueriesText {
   // strong-dup edges (~128k) where core-vs-periphery is actual structure.
   private val KcoreHam = 1
 
-  private def simhashPairEdges(s: SparkSession, dir: String, ham: Int): DataFrame = {
+  private def simhashPairEdges(s: SparkSession, dir: String, ham: Int): DataFrame =
+    // the k-core/blast-radius edge tier rides the pinned pair index (r11)
+    graft.operators.PairIndex.pinnedRead(s, dir, s"simhash$ham")(
+      simhashPairEdgesBuild(s, dir, ham))
+
+  private def simhashPairEdgesBuild(s: SparkSession, dir: String,
+                                    ham: Int): DataFrame = {
     val sh = Text.simhash(docsW(s, dir), split(col("text"), " "), 30, Text.polyHash)
       .select(col("doc_id"), col("simhash"), shiftright(col("simhash"), 20).as("blk"))
       .localCheckpoint() // both pair sides share the signature table
@@ -3395,9 +3517,7 @@ object QueriesText {
 
   private def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val edges = Text.jaccardPairs(d, "doc_id",
-        Text.shingles(col("text"), 2), 0.8)
-      .select("doc_a", "doc_b")
+    val edges = ptjPairs(s, dir).select("doc_a", "doc_b")
     val comp = graft.operators.Graph.connectedComponents(edges, "doc_a", "doc_b")
     d.select(col("doc_id"))
       .join(comp, d("doc_id") === comp("id"), "left")
@@ -3421,10 +3541,9 @@ object QueriesText {
     */
   private def qPairEvidence(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Text.jaccardPairs(d, "doc_id",
-        Text.shingles(col("text"), 2), 0.8)
-      .select("doc_a", "doc_b")
-      .localCheckpoint() // feeds both position joins + the match rollup
+    // pinned pair index: the parquet read replaces the old checkpoint as
+    // the stable shared materialization for both position joins
+    val pairs = ptjPairs(s, dir).select("doc_a", "doc_b")
     val pg = d.select(col("doc_id"), split(col("text"), " ").as("_w"))
       .where(size(col("_w")) >= 2)
       .select(col("doc_id"), posexplode(expr(
@@ -3520,9 +3639,7 @@ object QueriesText {
 
   private def qClusterCap(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val edges = Text.jaccardPairs(d, "doc_id",
-        Text.shingles(col("text"), 2), 0.8)
-      .select("doc_a", "doc_b")
+    val edges = ptjPairs(s, dir).select("doc_a", "doc_b")
     val comp = graft.operators.Graph.connectedComponents(edges, "doc_a", "doc_b")
     val labeled = d.select(col("doc_id"), col("source"))
       .join(comp, d("doc_id") === comp("id"), "left")
@@ -6468,6 +6585,7 @@ object QueriesText {
     GraftQuery("q_snapshot_diff", qSnapshotDiff, Some(oSnapshotDiff)),
     GraftQuery("q_oov_rate", qOovRate, Some(oOovRate)),
     GraftQuery("q_doc_ngram_jaccard", qDocNgramJaccard, Some(oDocNgramJaccard), headline = true),
+    GraftQuery("q_pair_index", qPairIndex, None, oracleGen = Some(oPairIndexGen)),
     GraftQuery("q_doc_minhash_lsh", qDocMinhashLsh, Some(oDocMinhashLsh), headline = true),
     GraftQuery("q_dedup_recall", qDedupRecall, Some(oDedupRecall)),
     GraftQuery("q_doc_simhash", qDocSimhash, Some(oDocSimhash)),
@@ -6493,6 +6611,7 @@ object QueriesText {
     GraftQuery("q_hubness", qHubness, None, oracleGen = Some(oHubnessGen)),
     GraftQuery("q_knn_ivf2", qKnnIvf2, None, oracleGen = Some(oKnnIvf2Gen)),
     GraftQuery("q_knn_ivf_pq", qKnnIvfPq, None, oracleGen = Some(oKnnIvfPqGen)),
+    GraftQuery("q_knn_ivf_adc", qKnnIvfAdc, None, oracleGen = Some(oKnnIvfAdcGen)),
     GraftQuery("q_knn_ivf_opq", qKnnIvfOpq, None, oracleGen = Some(oKnnIvfOpqGen)),
     GraftQuery("q_knn_ivf2_pq", qKnnIvf2Pq, None, oracleGen = Some(oKnnIvf2PqGen)),
     GraftQuery("q_text_lang", qTextLang, Some(oTextLang)),
