@@ -94,7 +94,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(artifactPath(args.nonEmpty)), fullJson + "\n")
     catch { case _: Throwable => () }
-    println(compactLine(best, total, sfDir))
+    println(compactLine(best, total, sfDir, artifactPath(args.nonEmpty)))
     if (!isolate) spark.stop()
   }
 
@@ -113,12 +113,13 @@ object Bench {
     * catalog and asserts the bound (the r5–r7 artifact killer's guard).
     */
   private[graft] def compactLine(best: Seq[(String, Double)], total: Double,
-                                 sfDir: String): String = {
+                                 sfDir: String,
+                                 detail: String = "BENCH_FULL.json"): String = {
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val nFail = best.count(_._2 < 0)
     val top = best.filter(_._2 >= 0).sortBy(-_._2).take(30)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${best.size},"fail":$nFail,"queries":$top,"detail":"BENCH_FULL.json","sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${best.size},"fail":$nFail,"queries":$top,"detail":"$detail","sf":"$sfDir"}"""
   }
 
   /** Fork a fresh JVM running this main for one query; return its timed

@@ -444,7 +444,12 @@ object Graph {
     * single-element estimate both engines must agree on.
     */
   def hyperBall(edges: DataFrame, idA: String, idB: String, rounds: Int,
-                p: Int, rhoCap: Int, numScaled: Double): DataFrame = {
+                p: Int, rhoCap: Int, numScaled: Double,
+                // probe hook: called with the register frame after each
+                // merge round (GraphDiagScaleProbe measures the sparse
+                // state's row growth); null in catalog use — zero extra
+                // actions on that path
+                onRound: (Int, DataFrame) => Unit = null): DataFrame = {
     val spark = edges.sparkSession
     val ckpt = ckptFor(spark)
     val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
@@ -473,6 +478,7 @@ object Graph {
         .select(col("src").as("_g"), col("bucket"), col("reg"))
       regs = ckpt(regs.unionByName(fromNbr)
         .groupBy(col("_g"), col("bucket")).agg(max(col("reg")).as("reg")))
+      if (onRound != null) onRound(t, regs)
       out = out.unionByName(summary(t, regs))
     }
     out
