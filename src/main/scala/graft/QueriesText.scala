@@ -693,6 +693,72 @@ object QueriesText {
     WHERE t.cos >= $XlangThresh AND da.lang <> db.lang"""
   }
 
+  /** §2.42d Margin-based bitext scoring (r11 — the actual CCMatrix/LASER
+    * selection criterion, Artetxe & Schwenk 2019): a raw cosine threshold
+    * over-harvests from dense regions and starves sparse ones, so
+    * production bitext mining scores each candidate by its cosine
+    * RELATIVE to the two endpoints' neighborhood averages —
+    * margin(x, y) = cos(x, y) / ((avg_{NNk(x)} cos + avg_{NNk(y)} cos)/2)
+    * — and keeps pairs above a margin ratio. Composition: the §2.44n
+    * corpus-wide self-kNN provides both the candidates AND the
+    * neighborhood statistics (one pass, no extra corpus work); margins
+    * are EXACT integers — cmilli = round(cos·1000) (identical doubles →
+    * identical rounding on both engines), margin_bp = cmilli·2·ncx·ncy·
+    * 10000 div (nsx·ncy + nsy·ncx) — so the DuckDB replay is
+    * bit-for-bit. Directed output (x found y in its top-k), lang
+    * inequality filter as §2.42c.
+    */
+  private val MarginBp = 10500L // keep pairs ≥ 1.05x their neighborhood mean
+
+  private def qXlangMargin(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    val knn = Similarity.knnSelfIvf(e, "vec_id", "embedding", KnnK,
+        ivfProbes(cells), KnnRound, cells)
+      .withColumn("cmilli", expr("CAST(round(cos * 1000) AS BIGINT)"))
+      .localCheckpoint() // feeds candidates + both endpoints' stats
+    val stats = knn.groupBy(col("q_id").as("sid"))
+      .agg(sum("cmilli").as("ns"), count(lit(1)).as("nc"))
+    val langs = docs(s, dir).select(col("doc_id"), col("lang"))
+    knn
+      .join(stats.toDF("q_id", "ns_q", "nc_q"), "q_id")
+      .join(stats.toDF("n_id", "ns_n", "nc_n"), "n_id")
+      .join(langs.toDF("q_id", "lang_q"), "q_id")
+      .join(langs.toDF("n_id", "lang_n"), "n_id")
+      .where(col("lang_q") =!= col("lang_n"))
+      .withColumn("margin_bp", expr(
+        "cmilli * 2 * nc_q * nc_n * 10000L div (ns_q * nc_n + ns_n * nc_q)"))
+      .where(col("margin_bp") >= MarginBp)
+      .select(col("q_id"), col("n_id"), col("lang_q"), col("lang_n"),
+        col("cmilli"), col("margin_bp"))
+  }
+
+  private def oXlangMarginGen(s: SparkSession, dir: String): String = {
+    val e = embs(s, dir)
+    val cells = Similarity.autoCells(e.count())
+    s"""
+    WITH knn AS (${ivfFlatOracle(
+        Similarity.ivfTrainDispatch(e, "embedding", cells),
+        ivfProbes(cells), qMax = Int.MaxValue, batchSplit = None)}),
+    nb AS (SELECT q_id, n_id,
+             CAST(round(cos * 1000) AS BIGINT) AS cmilli FROM knn),
+    st AS (SELECT q_id AS sid, CAST(sum(cmilli) AS BIGINT) AS ns,
+             CAST(count(*) AS BIGINT) AS nc
+           FROM nb GROUP BY 1)
+    SELECT nb.q_id, nb.n_id, dq.lang AS lang_q, dn.lang AS lang_n,
+           nb.cmilli,
+           nb.cmilli * 2 * sq.nc * sn.nc * 10000 // (sq.ns * sn.nc + sn.ns * sq.nc)
+             AS margin_bp
+    FROM nb
+    JOIN st sq ON sq.sid = nb.q_id
+    JOIN st sn ON sn.sid = nb.n_id
+    JOIN documents dq ON dq.doc_id = nb.q_id
+    JOIN documents dn ON dn.doc_id = nb.n_id
+    WHERE dq.lang <> dn.lang
+      AND nb.cmilli * 2 * sq.nc * sn.nc * 10000 // (sq.ns * sn.nc + sn.ns * sq.nc)
+            >= $MarginBp"""
+  }
+
   /** §2.52 SemDeDup (semantic dedup, cell-blocked): quantizer cells block
     * the pair work, rounded cosine >= threshold within a cell drops the
     * higher id. Same trained model as the IVF ANN lane (`ivfTrainDispatch`
@@ -2059,15 +2125,17 @@ object QueriesText {
                + (31 - (i % 32)) AS pk_key
       FROM ix),
     pk AS (
-      SELECT side, id, f, CAST(max(pk_key) // 32 AS BIGINT) AS peak
+      SELECT side, id, f, CAST(max(pk_key) AS BIGINT) AS mk
       FROM px GROUP BY side, id, f),
     fp0 AS (
-      SELECT side, id, f, peak,
-             lead(peak) OVER (PARTITION BY side, id ORDER BY f) AS nxt
+      SELECT side, id, f, mk,
+             lead(mk) OVER (PARTITION BY side, id ORDER BY f) AS nmk
       FROM pk),
     fp AS (
-      SELECT side, id, f, peak * 128 + nxt AS fhash
-      FROM fp0 WHERE nxt IS NOT NULL),
+      SELECT side, id, f,
+             ((mk // 32) * 128 + (nmk // 32)) * 1024
+               + (31 - (mk % 32)) * 32 + (31 - (nmk % 32)) AS fhash
+      FROM fp0 WHERE nmk IS NOT NULL),
     hits AS (
       SELECT q.id AS qid, c.id AS doc, c.f - q.f AS delta
       FROM fp q JOIN fp c ON q.fhash = c.fhash
@@ -6609,6 +6677,7 @@ object QueriesText {
     GraftQuery("q_doc_fingerprint", qDocFingerprint, Some(oDocFingerprint)),
     GraftQuery("q_embed_dup", qEmbedDup, Some(oEmbedDup)),
     GraftQuery("q_xlang_pairs", qXlangPairs, None, oracleGen = Some(oXlangPairsGen)),
+    GraftQuery("q_xlang_margin", qXlangMargin, None, oracleGen = Some(oXlangMarginGen)),
     GraftQuery("q_embed_dup_lsh", qEmbedDupLsh, None, oracleGen = Some(oEmbedDupLshGen)),
     GraftQuery("q_knn_brute", qKnnBrute, Some(oKnnBrute), headline = true),
     GraftQuery("q_knn_sq8", qKnnSq8, None, oracleGen = Some(oKnnSq8Gen)),

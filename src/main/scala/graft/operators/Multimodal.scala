@@ -133,8 +133,16 @@ object Multimodal {
     * codepoint per position), frames of 32 samples each contribute their
     * PEAK (argmax, lowest index on ties — via the integer key
     * p·32 + (31−j) so no second pass), and consecutive-frame peak pairs
-    * hash to `peak·128 + next_peak` — the landmark the inverted index is
-    * keyed on. All integer arithmetic; a SQL engine replays every hash.
+    * hash to `((peak·128 + next_peak)·1024 + pos·32 + next_pos)` — the
+    * landmark the inverted index is keyed on. The in-frame peak POSITIONS
+    * ride the hash (r11): value-only pairs span only ~95² distinct
+    * landmarks over printable text, so posting lists grow linearly with
+    * the corpus and the snippet⋈index join quietly goes quadratic
+    * (DocScaleProbe 10x measured 28x wall); positions widen the space
+    * ×32² ≈ 9.4M, which keeps per-landmark postings ~flat as the corpus
+    * grows — exactly the frequency×frequency×Δt landmark sizing the Wang
+    * 2003 design uses. All integer arithmetic; a SQL engine replays every
+    * hash.
     *
     * Relational shape: ONE explode to sample rows (i → frame i div 32,
     * offset i mod 32), a (id, frame)-keyed aggregation for peaks, a lead
@@ -145,6 +153,9 @@ object Multimodal {
     val base = df.select(col(idCol).as("af_id"), textCol.as("af_txt"))
       .where(length(col("af_txt")) >= 64) // need >= 2 full frames for a pair
       .withColumn("af_nf", expr("length(af_txt) div 32"))
+    // pk_key = peak·32 + (31 − offset): max() picks the peak value with the
+    // LOWEST offset on ties in one pass, and both peak and offset unpack
+    // from the winning key
     val peaks = base
       .withColumn("i", explode(sequence(lit(0), col("af_nf") * 32 - 1)))
       .select(col("af_id"),
@@ -152,13 +163,15 @@ object Multimodal {
         (ascii(col("af_txt").substr(col("i") + 1, lit(1))).cast("long") * 32 +
           (lit(31) - col("i") % 32)).as("pk_key"))
       .groupBy("af_id", "f")
-      .agg(expr("CAST(max(pk_key) AS BIGINT) div 32").as("peak"))
+      .agg(expr("CAST(max(pk_key) AS BIGINT)").as("mk"))
     peaks
-      .withColumn("nxt",
-        lead("peak", 1).over(Window.partitionBy("af_id").orderBy("f")))
-      .where(col("nxt").isNotNull)
+      .withColumn("nmk",
+        lead("mk", 1).over(Window.partitionBy("af_id").orderBy("f")))
+      .where(col("nmk").isNotNull)
       .select(col("af_id").as("id"), col("f"),
-        (col("peak") * 128 + col("nxt")).as("fhash"))
+        ((expr("mk div 32") * 128 + expr("nmk div 32")) * 1024 +
+          (lit(31) - expr("mk % 32")) * 32 +
+          (lit(31) - expr("nmk % 32"))).as("fhash"))
   }
 
   /** Frame-sampling plumbing for video-like payloads: emit every k-th chunk
