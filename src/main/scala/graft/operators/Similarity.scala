@@ -178,6 +178,29 @@ object Similarity {
     * mining use case, high-margin pairs (translations / near-dups at
     * cos ≥ 0.7), where a small fixed probe set holds recall.
     */
+  /** CORPUS-SIDE probe rows (q_id, q_vec, cell) — every vector's `nProbe`
+    * nearest cells via the native [[org.apache.spark.sql.graft.IvfTopCellsExpr]]
+    * + one explode: O(n·nProbe) rows, zero joins, zero exchanges. The
+    * relational [[probeCellPlan]] (vector × centers join + rank window) is
+    * the bit-equality twin, kept for broadcast-small ANN query batches and
+    * the spec suite — corpus-side it materializes n·nCells rows through an
+    * exchange, which under `pairCells` sizing (cells ∝ n) is QUADRATIC
+    * (the r11 Explain audit's catch) and n^1.5 for the self-kNN join.
+    * Probe order matches `row_number() OVER (ORDER BY dist, cell)` exactly
+    * (per-step first-strict-minimum), so oracle replays are unaffected.
+    */
+  def probeCellsNative(df: DataFrame, id: String, vec: String,
+                       model: Seq[(Int, Seq[Float])], nProbe: Int): DataFrame = {
+    require(model.zipWithIndex.forall { case ((c, _), i) => c == i },
+      "probeCellsNative: model cell ids must be positional 0..n-1")
+    df.select(col(id).as("q_id"), col(vec).as("q_vec"),
+        explode(org.apache.spark.sql.graft.ColumnShim.column(
+          org.apache.spark.sql.graft.IvfTopCellsExpr(
+            org.apache.spark.sql.graft.ColumnShim.expression(col(vec)),
+            model.flatMap(_._2), model.length, model.head._2.length,
+            nProbe))).as("cell"))
+  }
+
   /** The blocked-mining CANDIDATE pairs — (id_a < id_b) meetings of a
     * probe with a primary-cell posting, deduplicated, NO verification.
     * Exposed separately so the scale probe can measure candidate volume
@@ -189,10 +212,10 @@ object Similarity {
     val postings = ivfAssign(
         df.select(col(id).as("_nid"), col(vec).as("_nv")), "_nv", model)
       .select(col("_nid").as("n_id"), col("cell"))
-    // probe set includes the primary cell (rn = 1 IS the argmin; the
-    // row_number tie order (dist, cell) matches IvfArgminExpr's
-    // first-strict-minimum rule), so same-cell pairs are always candidates
-    val probes = probeCellPlan(df, id, vec, nProbe, model)
+    // probe set includes the primary cell (element 0 IS the argmin), so
+    // same-cell pairs are always candidates; native per-row selection —
+    // no n·nCells relational intermediate (see probeCellsNative)
+    val probes = probeCellsNative(df, id, vec, model, nProbe)
       .select("q_id", "cell")
     probes.join(postings, Seq("cell"))
       .where(col("q_id") =!= col("n_id"))
@@ -950,7 +973,7 @@ object Similarity {
     * asc — matching IvfArgminExpr's first-strict-minimum rule on the
     * corpus side). queries x cells is tiny by contract.
     */
-  private def probeCellPlan(queries: DataFrame, id: String, vec: String,
+  def probeCellPlan(queries: DataFrame, id: String, vec: String,
                             nProbe: Int,
                             model: Seq[(Int, Seq[Float])]): DataFrame = {
     val spark = queries.sparkSession
@@ -1002,7 +1025,11 @@ object Similarity {
                  k: Int, nProbe: Int, roundTo: Int,
                  nCells: Int): DataFrame = {
     val (model, indexed) = ivfIndex(corpus, id, vec, nCells)
-    val q = probeCellPlan(corpus, id, vec, nProbe, model)
+    // corpus-side probe selection is the native per-row top-cells explode
+    // (r11): the relational probe plan materialized n·nCells rows through
+    // an exchange — n^1.5 under autoCells sizing — for what is a per-row
+    // loop; see probeCellsNative
+    val q = probeCellsNative(corpus, id, vec, model, nProbe)
     val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col("n_id").asc)
     q.join(indexed, Seq("cell")).where(col("q_id") =!= col("n_id"))
       .withColumn("_cos", round(cosine(col("q_vec"), col("n_vec")), roundTo))

@@ -390,6 +390,156 @@ object IvfArgminExpr {
     classOf[IvfArgminExpr].getName, "graft_ivf_argmin")
 }
 
+/** The `p` NEAREST quantizer cells of a float-vector, ordered by
+  * (distance asc, cell asc) — the probe-selection generalization of
+  * [[IvfArgminExpr]] (element 0 IS the argmin; same distance arithmetic,
+  * same first-strict-minimum tie rule per selection step, so the array
+  * order matches `row_number() OVER (ORDER BY dist, cell)` exactly and
+  * oracle replays reproduce every probe set).
+  *
+  * Exists because relational probe selection (vector × centers join +
+  * rank window) materializes n·nCells rows through an exchange before
+  * the WindowGroupLimit cuts them: harmless for a broadcast-small ANN
+  * query batch, QUADRATIC for corpus-side probing under `pairCells`
+  * sizing (cells ∝ n — the r11 xlang lane's Explain audit caught
+  * n²/44 intermediate rows) and n^1.5 for the self-kNN join under
+  * `autoCells`. Here the same selection is a per-row loop: nCells·dim
+  * distance work (unavoidable for a flat quantizer) + p·nCells selection,
+  * emitting exactly p ints per row. The relational form stays as the
+  * bit-equality twin (`Similarity.probeCellPlan`), spec-asserted.
+  */
+case class IvfTopCellsExpr(child: Expression, centers: Seq[Float],
+                           nCells: Int, dim: Int, p: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+  require(p >= 1 && p <= nCells, s"p must be in [1, $nCells], got $p")
+  require(centers.length == nCells * dim,
+    s"centers length ${centers.length} != $nCells*$dim")
+
+  override def nullIntolerant: Boolean = true
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.FloatType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_ivf_top_cells"
+
+  @transient private lazy val ctr: Array[Float] = centers.toArray
+  @transient private lazy val cc: Array[Double] = {
+    val out = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val v = ctr(c * dim + i).toDouble
+        s += v * v
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(vec.numElements(), dim)
+    var vv = 0.0
+    var i = 0
+    while (i < n) {
+      val x = vec.getFloat(i).toDouble
+      vv += x * x
+      i += 1
+    }
+    val dist = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      val off = c * dim
+      var s = 0.0
+      i = 0
+      while (i < n) {
+        s += vec.getFloat(i).toDouble * ctr(off + i).toDouble
+        i += 1
+      }
+      dist(c) = vv - 2.0 * s + cc(c)
+      c += 1
+    }
+    val taken = new Array[Boolean](nCells)
+    val out = new Array[Int](p)
+    var k = 0
+    while (k < p) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      c = 0
+      while (c < nCells) {
+        if (!taken(c) && dist(c) < bestD) { bestD = dist(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(k) = best
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val ctrRef = ctx.addReferenceObj("ivfCenters", ctr, "float[]")
+      val ccRef = ctx.addReferenceObj("ivfCc", cc, "double[]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val k = ctx.freshName("k")
+      val x = ctx.freshName("x")
+      val vv = ctx.freshName("vv")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      val dist = ctx.freshName("dist")
+      val taken = ctx.freshName("taken")
+      val out = ctx.freshName("out")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $n = java.lang.Math.min($vec.numElements(), $dim);
+         |double $vv = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $vec.getFloat($i);
+         |  $vv += $x * $x;
+         |}
+         |double[] $dist = new double[$nCells];
+         |for (int $c = 0; $c < $nCells; $c++) {
+         |  int $off = $c * $dim;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ((double) $vec.getFloat($i)) * ((double) $ctrRef[$off + $i]);
+         |  }
+         |  $dist[$c] = $vv - 2.0 * $s + $ccRef[$c];
+         |}
+         |boolean[] $taken = new boolean[$nCells];
+         |int[] $out = new int[$p];
+         |for (int $k = 0; $k < $p; $k++) {
+         |  int $best = -1;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $nCells; $c++) {
+         |    if (!$taken[$c] && $dist[$c] < $bestD) { $bestD = $dist[$c]; $best = $c; }
+         |  }
+         |  $taken[$best] = true;
+         |  $out[$k] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IvfTopCellsExpr =
+    copy(child = newChild)
+}
+
+object IvfTopCellsExpr {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[IvfTopCellsExpr].getName, "graft_ivf_top_cells")
+}
+
 /** TWO-LEVEL nearest-centroid assignment — the quantizer shape past the
   * flat argmin's comfortable cell count: argmin over `nCoarse` coarse
   * centers, then argmin over that winner's `nFine` sub-centers; the

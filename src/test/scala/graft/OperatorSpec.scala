@@ -624,6 +624,31 @@ class SimilarityOpSpec extends AnyFunSuite with SparkFixture {
     assert(native.nonEmpty)
   }
 
+  test("native top-cells probe selection == relational rank twin, argmin at element 0") {
+    // IvfTopCellsExpr must reproduce probeCellPlan's (dist asc, cell asc)
+    // probe sets EXACTLY (same distance arithmetic, per-step
+    // first-strict-minimum = the window's tie order) — the contract that
+    // lets the corpus-side lanes swap the n·nCells relational intermediate
+    // for a per-row loop without touching any oracle
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val model = Similarity.ivfTrainDispatch(e, "embedding",
+      Similarity.autoCells(e.count()))
+    for (p <- Seq(1, 3, 7)) {
+      val native = Similarity.probeCellsNative(e, "vec_id", "embedding", model, p)
+        .select("q_id", "cell").as[(Long, Int)].collect().toSet
+      val relational = Similarity.probeCellPlan(e, "vec_id", "embedding", p, model)
+        .select("q_id", "cell").as[(Long, Int)].collect().toSet
+      assert(native == relational, s"probe sets diverge at p=$p")
+    }
+    // element 0 of the array IS the argmin assignment
+    val firsts = Similarity.probeCellsNative(e, "vec_id", "embedding", model, 1)
+      .select("q_id", "cell").as[(Long, Int)].collect().toMap
+    val argmin = Similarity.ivfAssign(
+        e.select(col("vec_id"), col("embedding")), "embedding", model)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(firsts == argmin)
+  }
+
   test("cell-blocked pair mining: subset of exact, recall >= 0.9 at sf0.1, no cartesian stage") {
     // the r9-verdict done-criteria for the q_xlang_pairs rebuild, asserted
     // at the catalog's own parameterization ON sf0.1 (the sf the verdict
