@@ -1026,9 +1026,27 @@ object Queries {
       .select(col("item_a").as("src"), col("item_b").as("dst"),
         col("n_ab").as("w"))
 
+  // q_lpa_communities and the §2.55h modularity audit train the IDENTICAL
+  // 4-round LPA labels over the identical edge graph — share one frozen
+  // (edges, labels) pair per (session, corpus), the pipelineStages/
+  // MvRegistry precedent (labelPropagation's rounds already end in a lazy
+  // localCheckpoint, so the cached frames are materialization-stable).
+  private val lpaLock = new Object
+  private val lpaCache =
+    scala.collection.mutable.Map[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def lpaShared(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    lpaLock.synchronized {
+      lpaCache.getOrElseUpdate((s, dir), {
+        val e = lpaEdges(s, dir).localCheckpoint(false)
+        val l = graft.operators.Graph.labelPropagation(
+          e, graft.operators.Graph.ckptFor(s), LpaRounds)
+        (e, l)
+      })
+    }
+
   private def qLpaCommunities(s: SparkSession, dir: String): DataFrame = {
-    val labels = graft.operators.Graph.labelPropagation(
-      lpaEdges(s, dir), graft.operators.Graph.ckptFor(s), LpaRounds) // lazy: one job runs all rounds
+    val labels = lpaShared(s, dir)._2
     val sizes = labels.groupBy(col("lab"))
       .agg(count(lit(1)).as("n_members"))
     labels.join(sizes, "lab")
@@ -1048,10 +1066,8 @@ object Queries {
     * rollups after.
     */
   private def qModularity(s: SparkSession, dir: String): DataFrame = {
-    val edges = lpaEdges(s, dir)
-      .localCheckpoint() // feeds labels, intra, degrees + the total
-    val labels = graft.operators.Graph.labelPropagation(
-      edges, graft.operators.Graph.ckptFor(s), LpaRounds)
+    // shared frozen LPA (edges, labels) — see lpaShared
+    val (edges, labels) = lpaShared(s, dir)
     val lb = labels.select(col("id"), col("lab"))
     val wTot = edges.agg(sum("w").as("w_tot"))
     val intra = edges
