@@ -68,7 +68,14 @@ def main():
         d = f"{duck:8.3f}" if duck is not None else f"  >{timeout:.0f}  "
         print(f"{name:28s} spark={spark:8.3f}  duck={d}")
 
-    comparable = [(n, s, d) for n, s, d in rows if d is not None]
+    # BUILD lanes: the Spark side REBUILDS a persisted artifact by design
+    # (cost-visibility contract) while the oracle merely READS the dump the
+    # Spark run produced — the honest DuckDB equivalent (building the same
+    # artifact from raw text) is a timeout (q_doc_ngram_jaccard's quadratic
+    # pair join). Reported in the table, excluded from the aggregates.
+    BUILD_LANES = {"q_pair_index"}
+    comparable = [(n, s, d) for n, s, d in rows
+                  if d is not None and n not in BUILD_LANES]
     spark_wins = [(n, s, d) for n, s, d in comparable if s < d]
     timeouts = [(n, s) for n, s, d in rows if d is None]
     import math
@@ -98,6 +105,11 @@ answer computed by both engines.
   100 TB. Small scans/rollups go to DuckDB on fixed overhead (a Spark
   action costs ~0.1-0.3 s before any work), which is the honest
   small-data trade.
+- BUILD lanes ({', '.join(sorted(BUILD_LANES))}) appear in the table but
+  not the aggregates: their Spark number is a deliberate fresh REBUILD of
+  a persisted artifact (cost-visibility), while the oracle just reads the
+  dump that run produced — DuckDB building the same artifact from raw
+  text is one of the timeouts above.
 
 | query | spark best (s) | duckdb (s) | duck/spark |
 |---|---|---|---|
