@@ -33,6 +33,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.artifactPath(partial = false) == "BENCH_FULL.json")
   }
 
+  test("artifact roots separate corpora whose paths share a 31-bit hashCode") {
+    // the r9 ADVICE failure mode: "Aa" and "BB" have identical
+    // String.hashCode, so the old scheme keyed both corpora to ONE /tmp
+    // dir; the SHA-256 keying must not
+    assert("/tmp/xAa".hashCode == "/tmp/xBB".hashCode) // the trap is real
+    val a = Artifacts.dir("spec", "/tmp/xAa")
+    val b = Artifacts.dir("spec", "/tmp/xBB")
+    assert(a != b)
+    // and the keying is stable across calls (same corpus -> same root)
+    assert(a == Artifacts.dir("spec", "/tmp/xAa"))
+  }
+
   test("failed lanes count but never leak unbounded entries into the line") {
     val best = fakeCatalog(250).zipWithIndex.map {
       case ((k, v), i) => (k, if (i % 3 == 0) -1.0 else v)
