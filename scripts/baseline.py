@@ -4,21 +4,99 @@ sf parquet tables, compare with the Spark best-lane (BENCH_FULL.json), and
 write BASELINE.md.
 
 Usage: python3 scripts/baseline.py <sfdir> <verify_outdir> [timeout_s]
+       python3 scripts/baseline.py --selftest
 
 The oracle SQL is the engine-equivalence contract the driver already
 hash-checks — so timing the SAME SQL in DuckDB is an apples-to-apples
 single-node throughput baseline for every SQL-expressible operator
 (DuckDB 1.0, all cores). Queries whose DuckDB run exceeds the timeout are
 reported as lower bounds.
+
+Three FIRST-CLASS aggregates (r11 verdict item 3 — the headline must not
+need a footnote):
+  1. comparable-pool sum ratio: sum(spark)/sum(duck) over every lane DuckDB
+     finished (excluding BUILD lanes);
+  2. like-for-like sum ratio: the same ratio restricted to lanes that were
+     ALSO comparable in the PREVIOUS round's BASELINE.md — the set is
+     parsed from that file programmatically (parse_baseline_md), never
+     curated by hand, so cross-round claims are pool-composition-proof;
+  3. timeout-inclusive lower bound: counting each DuckDB timeout at exactly
+     the timeout value — the bound that keeps the 8+ heaviest operators
+     (where Spark wins by orders of magnitude) from silently leaving the
+     headline.
 """
 import json
 import multiprocessing as mp
+import os
+import re
 import sys
 import time
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# BUILD lanes: the Spark side REBUILDS a persisted artifact by design
+# (cost-visibility contract) while the oracle merely READS the dump the
+# Spark run produced — the honest DuckDB equivalent (building the same
+# artifact from raw text) is a timeout (q_doc_ngram_jaccard's quadratic
+# pair join). Reported in the table, excluded from the aggregates.
+BUILD_LANES = {"q_pair_index"}
+
+ROW_RE = re.compile(
+    r"^\|\s*(q_\w+)\s*\|\s*([0-9.]+)\s*\|\s*(?:([0-9.]+)|>[0-9.]+ \(timeout\))\s*\|")
+
+
+def parse_baseline_md(path):
+    """Parse a BASELINE.md table into {lane: (spark_s, duck_s_or_None)}.
+    None = that round's DuckDB run timed out. This is the ONLY source of
+    the like-for-like lane set — computed, never hand-curated."""
+    if not os.path.exists(path):
+        return {}
+    out = {}
+    with open(path) as f:
+        for line in f:
+            m = ROW_RE.match(line)
+            if m:
+                out[m.group(1)] = (
+                    float(m.group(2)),
+                    float(m.group(3)) if m.group(3) is not None else None)
+    return out
+
+
+def aggregates(rows, prev, timeout):
+    """rows: [(name, spark, duck_or_None)]; prev: parse_baseline_md output.
+    Returns a dict of the three first-class aggregates + decomposition."""
+    pool = [(n, s, d) for n, s, d in rows if n not in BUILD_LANES]
+    comparable = [(n, s, d) for n, s, d in pool if d is not None]
+    timeouts = [(n, s) for n, s, d in pool if d is None]
+    prev_comp = {n for n, (s, d) in prev.items()
+                 if d is not None and n not in BUILD_LANES}
+    lfl = [(n, s, d) for n, s, d in comparable if n in prev_comp]
+    new = [(n, s, d) for n, s, d in comparable if n not in prev_comp]
+
+    def ratio(rs):
+        ss = sum(s for _, s, _ in rs)
+        ds = sum(d for _, _, d in rs)
+        return (ss / ds) if ds > 0 else float("nan"), ss, ds
+
+    pool_ratio, pool_s, pool_d = ratio(comparable)
+    lfl_ratio, lfl_s, lfl_d = ratio(lfl) if lfl else (float("nan"), 0, 0)
+    # previous round's ratio over the SAME like-for-like set
+    lflp = [(n, prev[n][0], prev[n][1]) for n, _, _ in lfl]
+    lfl_prev_ratio = ratio(lflp)[0] if lflp else float("nan")
+    ti_s = pool_s + sum(s for _, s in timeouts)
+    ti_d = pool_d + timeout * len(timeouts)
+    return {
+        "pool_ratio": pool_ratio, "pool_s": pool_s, "pool_d": pool_d,
+        "n_comparable": len(comparable), "n_timeouts": len(timeouts),
+        "lfl_ratio": lfl_ratio, "lfl_s": lfl_s, "lfl_d": lfl_d,
+        "n_lfl": len(lfl), "lfl_prev_ratio": lfl_prev_ratio,
+        "ti_bound": (ti_s / ti_d) if ti_d > 0 else float("nan"),
+        "n_new": len(new),
+        "new_s": sum(s for _, s, _ in new),
+        "new_d": sum(d for _, _, d in new),
+    }
 
 
 def run_one(sfdir, name, sql, out_q):
@@ -39,12 +117,56 @@ def run_one(sfdir, name, sql, out_q):
         out_q.put(f"error: {e}")
 
 
+def selftest():
+    """Fixture-driven check that the like-for-like set really is computed
+    from a previous BASELINE.md, and that the three aggregates are the
+    arithmetic they claim. Run by BaselineScriptSpec."""
+    import tempfile
+    fixture = """# BASELINE — fixture
+| query | spark best (s) | duckdb (s) | duck/spark |
+|---|---|---|---|
+| q_alpha | 1.000 | 2.000 | 2.00x |
+| q_beta | 0.500 | >60 (timeout) | >120.0x |
+| q_pair_index | 9.000 | 0.100 | 0.01x |
+| q_gamma | 2.000 | 1.000 | 0.50x |
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".md", delete=False) as f:
+        f.write(fixture)
+        path = f.name
+    prev = parse_baseline_md(path)
+    os.unlink(path)
+    assert prev == {"q_alpha": (1.0, 2.0), "q_beta": (0.5, None),
+                    "q_pair_index": (9.0, 0.1), "q_gamma": (2.0, 1.0)}, prev
+    # current round: q_alpha got slower, q_beta now finishes, q_delta is new,
+    # q_gamma timed out this time; BUILD lane must never enter aggregates
+    rows = [("q_alpha", 2.0, 4.0), ("q_beta", 0.5, 30.0),
+            ("q_delta", 1.0, 1.0), ("q_gamma", 2.0, None),
+            ("q_pair_index", 9.0, 0.1)]
+    a = aggregates(rows, prev, timeout=60.0)
+    assert a["n_comparable"] == 3 and a["n_timeouts"] == 1, a
+    # like-for-like = lanes comparable in BOTH rounds = {q_alpha} only
+    # (q_beta timed out last round, q_delta is new, q_gamma timed out now)
+    assert a["n_lfl"] == 1 and abs(a["lfl_ratio"] - 0.5) < 1e-12, a
+    assert abs(a["lfl_prev_ratio"] - 0.5) < 1e-12, a
+    assert abs(a["pool_ratio"] - 3.5 / 35.0) < 1e-12, a
+    # timeout-inclusive: (3.5 + 2.0) / (35.0 + 60.0)
+    assert abs(a["ti_bound"] - 5.5 / 95.0) < 1e-12, a
+    # new-to-pool = q_delta (brand new) AND q_beta (timed out last round,
+    # comparable now) — a lane entering the pool either way is composition
+    assert a["n_new"] == 2 and a["new_s"] == 1.5 and a["new_d"] == 31.0, a
+    print("baseline.py selftest OK")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
+        return
     sfdir, outdir = sys.argv[1], sys.argv[2]
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 60.0
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     bench = json.load(open("BENCH_FULL.json"))
     best = bench["best"]
+    prev = parse_baseline_md("BASELINE.md")
 
     rows = []
     for name in sorted(oracles):
@@ -68,12 +190,7 @@ def main():
         d = f"{duck:8.3f}" if duck is not None else f"  >{timeout:.0f}  "
         print(f"{name:28s} spark={spark:8.3f}  duck={d}")
 
-    # BUILD lanes: the Spark side REBUILDS a persisted artifact by design
-    # (cost-visibility contract) while the oracle merely READS the dump the
-    # Spark run produced — the honest DuckDB equivalent (building the same
-    # artifact from raw text) is a timeout (q_doc_ngram_jaccard's quadratic
-    # pair join). Reported in the table, excluded from the aggregates.
-    BUILD_LANES = {"q_pair_index"}
+    a = aggregates(rows, prev, timeout)
     comparable = [(n, s, d) for n, s, d in rows
                   if d is not None and n not in BUILD_LANES]
     spark_wins = [(n, s, d) for n, s, d in comparable if s < d]
@@ -94,6 +211,22 @@ parquet inputs, same machine, all cores, best of 2 runs per query,
 lane (local[32], steady-state, best of main/isolated). This compares
 whole-operator semantics, not microbenchmarks: each row is the same
 answer computed by both engines.
+
+## Headline aggregates (all exclude BUILD lanes; sums in seconds)
+
+| aggregate | lanes | spark sum | duckdb sum | spark/duck |
+|---|---|---|---|---|
+| comparable pool (DuckDB finished) | {a['n_comparable']} | {a['pool_s']:.1f} | {a['pool_d']:.1f} | **{a['pool_ratio']:.2f}x** |
+| like-for-like (comparable in prev round too) | {a['n_lfl']} | {a['lfl_s']:.1f} | {a['lfl_d']:.1f} | **{a['lfl_ratio']:.2f}x** (prev round same set: {a['lfl_prev_ratio']:.2f}x) |
+| timeout-inclusive lower bound (timeouts at {timeout:.0f}s) | {a['n_comparable'] + a['n_timeouts']} | {a['pool_s'] + sum(s for _, s in timeouts):.1f} | ≥{a['pool_d'] + timeout * a['n_timeouts']:.1f} | **≤{a['ti_bound']:.2f}x** |
+
+Pool decomposition: {a['n_lfl']} like-for-like lanes + {a['n_new']} lanes
+new to the comparable pool this round (new-lane sums: spark
+{a['new_s']:.1f}s, duckdb {a['new_d']:.1f}s) + {a['n_timeouts']} DuckDB
+timeouts + {len(BUILD_LANES)} BUILD lane(s). The like-for-like set is
+parsed programmatically from the previous BASELINE.md
+(scripts/baseline.py parse_baseline_md; selftest under sbt test) — never
+curated by hand.
 
 - queries compared: **{len(comparable)}** (+{len(timeouts)} where DuckDB
   exceeded {timeout:.0f}s — reported as lower bounds)
@@ -122,6 +255,10 @@ answer computed by both engines.
                 f.write(f"| {n} | {s:.3f} | {d:.3f} | {d / s:.2f}x |\n")
     print(f"\n{len(comparable)} compared, {len(timeouts)} DuckDB timeouts, "
           f"spark faster on {len(spark_wins)}, geomean ratio {geo:.2f}x")
+    print(f"aggregates: pool {a['pool_ratio']:.2f}x, like-for-like "
+          f"{a['lfl_ratio']:.2f}x over {a['n_lfl']} lanes (prev "
+          f"{a['lfl_prev_ratio']:.2f}x), timeout-inclusive <= "
+          f"{a['ti_bound']:.2f}x")
 
 
 if __name__ == "__main__":

@@ -768,8 +768,9 @@ object QueriesPipe {
     */
   private def topicAssigned(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
-    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val n = Tables.countOf(s, dir, "embeddings") // memoized table stat
+    val cells = Similarity.autoCells(n)
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells, n)
     Similarity.ivfAssign(
         e.select(col("vec_id"), col("embedding").as("_v")), "_v", model)
       .select(col("vec_id"), col("cell"))
@@ -840,8 +841,9 @@ object QueriesPipe {
     */
   private def qEmbedOutliers(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
-    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val n = Tables.countOf(s, dir, "embeddings") // memoized table stat
+    val cells = Similarity.autoCells(n)
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells, n)
     val assigned = Similarity.ivfAssign(
       e.select(col("vec_id"), col("embedding").as("_v")), "_v", model)
     val ctr = broadcast(s.createDataFrame(model).toDF("cell", "_c"))
@@ -869,8 +871,9 @@ object QueriesPipe {
     */
   private def topicOracleCtes(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
-    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val n = Tables.countOf(s, dir, "embeddings") // memoized table stat
+    val cells = Similarity.autoCells(n)
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells, n)
     val dim = model.head._2.length
     def fdot(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -1403,7 +1406,7 @@ object QueriesPipe {
     }
 
   private def vtsCuts(s: SparkSession, dir: String): (Long, Long) = {
-    val n = Tables.orders(s, dir).count() // parquet metadata count
+    val n = Tables.countOf(s, dir, "orders") // memoized table stat
     (n / 3, 2 * n / 3)
   }
 

@@ -16,6 +16,14 @@ object QueriesText {
   private def docsW(s: SparkSession, dir: String): DataFrame = Tables.documentsSpread(s, dir)
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
+  // Memoized table stats (Tables.countOf scaladoc has the floor-tail
+  // story): one count action per (session, corpus, table) serves every
+  // lane that sizes its index geometry from n.
+  private def embCount(s: SparkSession, dir: String): Long =
+    Tables.countOf(s, dir, "embeddings")
+  private def docCount(s: SparkSession, dir: String): Long =
+    Tables.countOf(s, dir, "documents")
+
   // Shared similarity-query parameters — the Spark queries AND their oracle
   // generators read THESE (never re-pin a literal on one side: an oracle
   // whose table/plane/dim count drifts from the query's fails the gate in a
@@ -549,7 +557,7 @@ object QueriesText {
     */
   private def qEmbedDupLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val n = e.count() // parquet metadata count
+    val n = embCount(s, dir)
     Similarity.cosineDupPairsLsh(e, "vec_id", "embedding", 0.4, KnnRound,
       Similarity.autoPlanes(n, targetBucket = DupLshBucket), DupLshTables,
       EmbDim, corpusN = n)
@@ -565,7 +573,7 @@ object QueriesText {
     * — no pinned corpus size to drift.
     */
   private def oEmbedDupLshGen(s: SparkSession, dir: String): String = {
-    val nPlanes = Similarity.autoPlanes(embs(s, dir).count(), targetBucket = DupLshBucket)
+    val nPlanes = Similarity.autoPlanes(embCount(s, dir), targetBucket = DupLshBucket)
     val nTables = DupLshTables
     val rows = for { t <- 0 until nTables; p <- 0 until nPlanes } yield
       s"($t, ${1L << p}, ${Similarity.lshPlaneConsts(t, p, EmbDim).mkString("[", ", ", "]")})"
@@ -630,9 +638,9 @@ object QueriesText {
 
   private def qXlangPairs(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val n = e.count()
+    val n = embCount(s, dir)
     val cells = xlangCellsOf(n)
-    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir))
     val langs = docs(s, dir).select(col("doc_id").as("vec_id"), col("lang"))
     val p = Similarity.cosineDupPairsIvf(e, "vec_id", "embedding",
       XlangThresh, KnnRound, model, math.min(XlangProbes, cells), corpusN = n)
@@ -651,10 +659,10 @@ object QueriesText {
     */
   private def oXlangPairsGen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
-    val n = e.count()
+    val n = embCount(s, dir)
     val cells = xlangCellsOf(n)
     val nProbe = math.min(XlangProbes, cells)
-    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir))
     val ctrRows = model.map {
       case (i, c) => s"($i, [${c.map(_.toDouble).mkString(", ")}])"
     }
@@ -722,6 +730,12 @@ object QueriesText {
       .join(langs.toDF("q_id", "lang_q"), "q_id")
       .join(langs.toDF("n_id", "lang_n"), "n_id")
       .where(col("lang_q") =!= col("lang_n"))
+      // Denominator guard, applied IDENTICALLY on both engines: at weak
+      // thresholds cmilli can go negative and neighborhood sums cancel to
+      // zero, where Spark's non-ANSI div yields null (silent row drop)
+      // but DuckDB's // RAISES. Require a strictly positive neighborhood
+      // mean before dividing so both engines cut the same set.
+      .where(expr("ns_q * nc_n + ns_n * nc_q > 0"))
       .withColumn("margin_bp", expr(
         "cmilli * 2 * nc_q * nc_n * 10000L div (ns_q * nc_n + ns_n * nc_q)"))
       .where(col("margin_bp") >= MarginBp)
@@ -731,10 +745,10 @@ object QueriesText {
 
   private def oXlangMarginGen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
+    val cells = Similarity.autoCells(embCount(s, dir))
     s"""
     WITH knn AS (${ivfFlatOracle(
-        Similarity.ivfTrainDispatch(e, "embedding", cells),
+        Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir)),
         ivfProbes(cells), qMax = Int.MaxValue, batchSplit = None)}),
     nb AS (SELECT q_id, n_id,
              CAST(round(cos * 1000) AS BIGINT) AS cmilli FROM knn),
@@ -751,6 +765,7 @@ object QueriesText {
     JOIN documents dq ON dq.doc_id = nb.q_id
     JOIN documents dn ON dn.doc_id = nb.n_id
     WHERE dq.lang <> dn.lang
+      AND sq.ns * sn.nc + sn.ns * sq.nc > 0
       AND nb.cmilli * 2 * sq.nc * sn.nc * 10000 // (sq.ns * sn.nc + sn.ns * sq.nc)
             >= $MarginBp"""
   }
@@ -765,15 +780,15 @@ object QueriesText {
 
   private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
+    val cells = Similarity.autoCells(embCount(s, dir))
     Similarity.semDedup(e, "vec_id", "embedding", SemThresh, KnnRound,
-      Similarity.ivfTrainDispatch(e, "embedding", cells))
+      Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir)))
   }
 
   private def oSemDedupGen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
-    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val cells = Similarity.autoCells(embCount(s, dir))
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir))
     val ctrRows = model.map {
       case (i, c) => s"($i, [${c.map(_.toDouble).mkString(", ")}])"
     }
@@ -1128,7 +1143,7 @@ object QueriesText {
     */
   private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val n = e.count() // parquet metadata count
+    val n = embCount(s, dir)
     Similarity.knnLsh(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
       KnnK, Similarity.autoPlanes(n), KnnLshTables, EmbDim, KnnRound, corpusN = n)
   }
@@ -1141,7 +1156,7 @@ object QueriesText {
     * exactly as the Spark side derives it.
     */
   private def oKnnLshGen(s: SparkSession, dir: String): String = {
-    val nPlanes = Similarity.autoPlanes(embs(s, dir).count())
+    val nPlanes = Similarity.autoPlanes(embCount(s, dir))
     val nTables = KnnLshTables
     val rows = for { t <- 0 until nTables; p <- 0 until nPlanes } yield
       s"($t, ${1L << p}, ${Similarity.lshPlaneConsts(t, p, EmbDim).mkString("[", ", ", "]")})"
@@ -1180,7 +1195,7 @@ object QueriesText {
     */
   private def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count()) // parquet metadata count
+    val cells = Similarity.autoCells(embCount(s, dir)) // parquet metadata count
     Similarity.knnIvf(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
       KnnK, cells, ivfProbes(cells), KnnRound)
   }
@@ -1212,7 +1227,7 @@ object QueriesText {
         }
         val e = embs(s, dir)
         Similarity.writeIvfIndex(e, "vec_id", "embedding",
-          Similarity.autoCells(e.count()), root)
+          Similarity.autoCells(embCount(s, dir)), root)
         ivfStoreBuilt += root
       }
       root
@@ -1221,7 +1236,7 @@ object QueriesText {
   private def qKnnIvfStored(s: SparkSession, dir: String): DataFrame = {
     val root = storedIvfDir(s, dir)
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
+    val cells = Similarity.autoCells(embCount(s, dir))
     Similarity.knnIvfSearchStored(s, root, e.where(col("vec_id") < 10),
       "vec_id", "embedding", KnnK, ivfProbes(cells), KnnRound)
   }
@@ -1250,8 +1265,8 @@ object QueriesText {
     */
   private def oKnnIvfGen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
-    ivfFlatOracle(Similarity.ivfTrainDispatch(e, "embedding", cells),
+    val cells = Similarity.autoCells(embCount(s, dir))
+    ivfFlatOracle(Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir)),
       ivfProbes(cells), qMax = 10, batchSplit = None)
   }
 
@@ -1327,10 +1342,10 @@ object QueriesText {
 
   private def oHubnessGen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
+    val cells = Similarity.autoCells(embCount(s, dir))
     s"""
     WITH knn AS (${ivfFlatOracle(
-        Similarity.ivfTrainDispatch(e, "embedding", cells),
+        Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir)),
         ivfProbes(cells), qMax = Int.MaxValue, batchSplit = None)}),
     ind AS (SELECT n_id, CAST(count(*) AS BIGINT) AS indeg
             FROM knn GROUP BY n_id),
@@ -1349,7 +1364,7 @@ object QueriesText {
     */
   private def qKnnIvfDist(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val n = e.count()
+    val n = embCount(s, dir)
     val cells = Similarity.autoCells(n)
     Similarity.knnIvfSearch(e, e.where(col("vec_id") < 10), "vec_id",
       "embedding", KnnK, ivfProbes(cells), KnnRound,
@@ -1358,7 +1373,7 @@ object QueriesText {
 
   private def oKnnIvfDistGen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
-    val n = e.count()
+    val n = embCount(s, dir)
     val cells = Similarity.autoCells(n)
     ivfFlatOracle(
       Similarity.ivfCentroidsDistributed(e, "embedding", cells, corpusN = n),
@@ -1374,7 +1389,7 @@ object QueriesText {
     */
   private def qKnnIvfBatch(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
+    val cells = Similarity.autoCells(embCount(s, dir))
     val (model, indexed) = Similarity.ivfIndex(e, "vec_id", "embedding", cells)
     val idx = indexed.localCheckpoint() // assignment paid once, not per batch
     val nProbe = ivfProbes(cells)
@@ -1396,7 +1411,7 @@ object QueriesText {
     */
   private def qKnnSelf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
+    val cells = Similarity.autoCells(embCount(s, dir))
     Similarity.knnSelfIvf(e, "vec_id", "embedding", KnnK,
       ivfProbes(cells), KnnRound, cells)
   }
@@ -1420,15 +1435,15 @@ object QueriesText {
 
   private def oKnnSelfGen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
-    ivfFlatOracle(Similarity.ivfTrainDispatch(e, "embedding", cells),
+    val cells = Similarity.autoCells(embCount(s, dir))
+    ivfFlatOracle(Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir)),
       ivfProbes(cells), qMax = Int.MaxValue, batchSplit = None)
   }
 
   private def oKnnIvfBatchGen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
-    ivfFlatOracle(Similarity.ivfTrainDispatch(e, "embedding", cells),
+    val cells = Similarity.autoCells(embCount(s, dir))
+    ivfFlatOracle(Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir)),
       ivfProbes(cells), qMax = 20, batchSplit = Some(10))
   }
 
@@ -1449,7 +1464,7 @@ object QueriesText {
     */
   private def qKnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
+    val cells = Similarity.autoCells(embCount(s, dir))
     Similarity.knnIvfPq(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
       KnnK, cells, ivfProbes(cells), PqM, PqKs, KnnRound, PqRerank)
   }
@@ -1465,9 +1480,9 @@ object QueriesText {
     */
   private def oKnnIvfPqGen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
-    val n = e.count()
+    val n = embCount(s, dir)
     val cells = Similarity.autoCells(n)
-    val coarse = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val coarse = Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir))
     val codebooks = Similarity.pqTrain(e, "embedding", coarse, PqM, PqKs,
       corpusN = n)
     ivfPqOracleSql("CAST(embedding AS DOUBLE[])", coarse, codebooks,
@@ -1488,9 +1503,9 @@ object QueriesText {
     */
   private def qKnnIvfAdc(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val n = e.count()
+    val n = embCount(s, dir)
     val cells = Similarity.autoCells(n)
-    val coarse = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val coarse = Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir))
     val codebooks = Similarity.pqTrain(e, "embedding", coarse, PqM, PqKs,
       corpusN = n)
     val encoded = Similarity.pqEncode(
@@ -1506,9 +1521,9 @@ object QueriesText {
 
   private def oKnnIvfAdcGen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
-    val n = e.count()
+    val n = embCount(s, dir)
     val cells = Similarity.autoCells(n)
-    val coarse = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val coarse = Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir))
     val codebooks = Similarity.pqTrain(e, "embedding", coarse, PqM, PqKs,
       corpusN = n)
     ivfPqOracleSql("CAST(embedding AS DOUBLE[])", coarse, codebooks,
@@ -1631,7 +1646,7 @@ object QueriesText {
     */
   private def qKnnIvfOpq(s: SparkSession, dir: String): DataFrame = {
     val e0 = embs(s, dir)
-    val n = e0.count()
+    val n = embCount(s, dir)
     val perm = Similarity.opqPermutation(e0, "embedding", PqM, corpusN = n)
     val e = e0.select(col("vec_id"),
       Similarity.permuteVec(col("embedding"), perm).as("embedding"))
@@ -1642,12 +1657,12 @@ object QueriesText {
 
   private def oKnnIvfOpqGen(s: SparkSession, dir: String): String = {
     val e0 = embs(s, dir)
-    val n = e0.count()
+    val n = embCount(s, dir)
     val perm = Similarity.opqPermutation(e0, "embedding", PqM, corpusN = n)
     val e = e0.select(col("vec_id"),
       Similarity.permuteVec(col("embedding"), perm).as("embedding"))
     val cells = Similarity.autoCells(n)
-    val coarse = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val coarse = Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir))
     val codebooks = Similarity.pqTrain(e, "embedding", coarse, PqM, PqKs,
       corpusN = n)
     val permSql = perm.map(_ + 1).mkString(", ")
@@ -1665,7 +1680,7 @@ object QueriesText {
     */
   private def qKnnIvf2Pq(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val (nCoarse, nFine) = ivf2Geom(e.count())
+    val (nCoarse, nFine) = ivf2Geom(embCount(s, dir))
     Similarity.knnIvf2Pq(e, e.where(col("vec_id") < 10), "vec_id",
       "embedding", KnnK, nCoarse, nFine, ivfProbes(nCoarse * nFine),
       PqM, PqKs, KnnRound, PqRerank)
@@ -1673,7 +1688,7 @@ object QueriesText {
 
   private def oKnnIvf2PqGen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
-    val n = e.count()
+    val n = embCount(s, dir)
     val (nCoarse, nFine) = ivf2Geom(n)
     val nProbe = ivfProbes(nCoarse * nFine)
     val dsub = EmbDim / PqM
@@ -1788,7 +1803,7 @@ object QueriesText {
     */
   private def qKnnIvf2(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val (nCoarse, nFine) = ivf2Geom(e.count())
+    val (nCoarse, nFine) = ivf2Geom(embCount(s, dir))
     Similarity.knnIvfTwoLevel(e, e.where(col("vec_id") < 10), "vec_id",
       "embedding", KnnK, nCoarse, nFine, ivfProbes(nCoarse * nFine), KnnRound)
   }
@@ -1804,7 +1819,7 @@ object QueriesText {
     */
   private def oKnnIvf2Gen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
-    val n = e.count()
+    val n = embCount(s, dir)
     val (nCoarse, nFine) = ivf2Geom(n)
     val (coarse, fine) =
       Similarity.ivfTrainTwoLevel(e, "embedding", nCoarse, nFine, corpusN = n)
@@ -2097,14 +2112,22 @@ object QueriesText {
     * per-query window (bounded by candidate count, never corpus-wide).
     * Scale: the index is (fhash)-keyed, the query side broadcasts.
     */
+  // Per-payload landmark budget (Wang 2003 track-level cap; see
+  // Multimodal.audioFingerprints scaladoc for the skew story + trade):
+  // 64 frames ≫ the sf corpus's ~9 frames/doc, so k = 1 on every real
+  // doc; giant skewed payloads stride down to ≤ 63 landmarks each.
+  private val AudioMaxFrames = 64
+
   private def qAudioMatch(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
-    val corpus = Multimodal.audioFingerprints(docsW(s, dir), "doc_id", col("text"))
+    val corpus = Multimodal.audioFingerprints(docsW(s, dir), "doc_id",
+        col("text"), AudioMaxFrames)
       .toDF("doc", "cf", "fhash")
     val snips = docs(s, dir)
       .where(col("doc_id") % 50 === 3 && length(col("text")) >= 224)
       .select(col("doc_id").as("qid"), substring(col("text"), 65, 160).as("snip"))
-    val qfp = Multimodal.audioFingerprints(snips, "qid", col("snip"))
+    val qfp = Multimodal.audioFingerprints(snips, "qid", col("snip"),
+        AudioMaxFrames)
       .toDF("qid", "qf", "fhash")
     val best = broadcast(qfp).join(corpus, Seq("fhash"))
       .groupBy(col("qid"), col("doc"), (col("cf") - col("qf")).as("delta"))
@@ -2117,23 +2140,27 @@ object QueriesText {
       .select(col("qid"), col("doc").as("match_doc"), col("score"))
   }
 
-  private val oAudioMatch = """
+  private val oAudioMatch = s"""
     WITH src AS (
       SELECT 'c' AS side, doc_id AS id, text FROM documents
       UNION ALL
       SELECT 'q', doc_id, substr(text, 65, 160) FROM documents
       WHERE doc_id % 50 = 3 AND length(text) >= 224),
     base AS (
-      SELECT side, id, text, length(text) // 32 AS nf
+      SELECT side, id, text, length(text) // 32 AS nf,
+             (length(text) // 32 + ${AudioMaxFrames - 1}) // $AudioMaxFrames
+               AS k
       FROM src WHERE length(text) >= 64),
     ix AS (
-      SELECT side, id, text,
-             unnest(generate_series(0, nf * 32 - 1)) AS i
+      SELECT side, id, text, k,
+             unnest(generate_series(0, ((nf + k - 1) // k) * 32 - 1)) AS j
       FROM base),
     px AS (
-      SELECT side, id, i // 32 AS f,
-             CAST(ord(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) * 32
-               + (31 - (i % 32)) AS pk_key
+      SELECT side, id, (j // 32) * k AS f,
+             CAST(ord(substr(text,
+                    CAST((j // 32) * k * 32 + (j % 32) + 1 AS INT), 1))
+                  AS BIGINT) * 32
+               + (31 - (j % 32)) AS pk_key
       FROM ix),
     pk AS (
       SELECT side, id, f, CAST(max(pk_key) AS BIGINT) AS mk
@@ -3104,8 +3131,8 @@ object QueriesText {
 
   private def qSampleDiverse(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
-    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val cells = Similarity.autoCells(embCount(s, dir))
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir))
     val assigned = Similarity.ivfAssign(
       e.select(col("vec_id"), col("embedding").as("_v")), "_v", model)
     Sampling.stratifiedQuota(assigned, col("cell"), col("vec_id"),
@@ -3115,8 +3142,8 @@ object QueriesText {
 
   private def oSampleDiverseGen(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
-    val cells = Similarity.autoCells(e.count())
-    val model = Similarity.ivfTrainDispatch(e, "embedding", cells)
+    val cells = Similarity.autoCells(embCount(s, dir))
+    val model = Similarity.ivfTrainDispatch(e, "embedding", cells, embCount(s, dir))
     val ctrRows = model.map { case (i, c) =>
       s"($i, [${c.map(_.toDouble).mkString(", ")}])" }
     s"""
@@ -4218,78 +4245,127 @@ object QueriesText {
     FROM d"""
 
   /** §2.49d Feature-hashing near-dup (Weinberger et al. 2009 hashing
-    * trick): docs become dim-64 INTEGER hashed-TF vectors; candidate
-    * pairs block on the dominant bucket and pass when
-    * cos²·10⁴ (truncated) ≥ 9000 — cos² is a ratio of
-    * integers (dot², ‖a‖²·‖b‖²), so the WHOLE similarity pipeline is
-    * integer arithmetic: the one pairing lane with literally zero float
-    * surface. Dominant-bucket blocking is the candidate heuristic (the
-    * LSH-family trade, stated honestly: recall bounded by dominant-
-    * feature agreement; the sketch tiers cover the general case).
+    * trick), r12 scale rebuild: docs become SPARSE integer hashed-TF
+    * maps at a CORPUS-SCALED dimension — dim = max(64, n/44), the
+    * `pairCells` discipline applied to feature hashing — candidate pairs
+    * block on the (top, second) bucket pair, and pass when cos²·10⁴
+    * (truncated) ≥ 9000. cos² = dot²/(‖a‖²·‖b‖²) is a ratio of integers,
+    * so the WHOLE similarity pipeline stays integer arithmetic: the one
+    * pairing lane with literally zero float surface.
+    *
+    * Why this shape (the r11 "What's wrong #1" fix):
+    *   - the old dim-64 dominant-bucket blocking partitioned ANY corpus
+    *     into ≤ 64 blocks — Θ(n²/64) candidates by construction (2.64 M
+    *     of 12.5 M possible at sf0.1). Scaling dim with n at fixed
+    *     bucket population plus the two-bucket key bounds block sizes by
+    *     the corpus's dominant-FEATURE-pair multiplicity: measured
+    *     69 k candidates at sf0.1 (38× fewer), max word-level block 38.
+    *   - sparse maps + map-intersection dot keep per-pair cost O(nnz),
+    *     independent of dim — a dense dim-length vector is nonsense at
+    *     dim ≈ n/44.
+    *   - exact-collapse-first (the DupSkewProbe rule): identical texts
+    *     have identical vectors and collide in EVERY blocking scheme, so
+    *     pairs are mined once per distinct text and expanded back —
+    *     intra-group pairs are emitted directly (dot = norm2,
+    *     cos² = 10⁴ exactly).
+    *
+    * Recall, measured at sf0.1 against EXACT word-count-vector truth
+    * (cos² ≥ 0.9, no hashing): 12/13 true pairs (0.92; one pair lost to
+    * second-bucket disagreement) at precision 0.047 — vs the old dim-64
+    * harvest's 13/13 at precision 0.016 (799 pairs of which 786 were
+    * hash-collision artifacts; only 252 of them survive honest
+    * dim-scaled scoring). The trade is the LSH-family one, stated
+    * honestly: recall bounded by top-2-feature agreement; the sketch
+    * tiers cover the general case.
     */
-  private val FhDim = 64
+  private[graft] def fhDimOf(n: Long): Long = math.max(64L, n / 44L)
 
-  private def qFeatureHashDup(s: SparkSession, dir: String): DataFrame = {
-    val v = Text.hashedTf(docsW(s, dir), "doc_id", col("text"), FhDim)
+  private def qFeatureHashDup(s: SparkSession, dir: String): DataFrame =
+    // dim from the PLAIN parquet count (metadata-served) — counting docsW
+    // would shuffle the whole corpus just to size the hash space
+    fhDupPairs(docsW(s, dir), fhDimOf(docCount(s, dir)))
+
+  /** The blocked feature-hash pair miner behind q_feature_hash_dup —
+    * factored so FhScaleProbe can measure candidate volume at chosen
+    * dims over replicated corpora.
+    */
+  private[graft] def fhDupPairs(d: DataFrame, dim: Long): DataFrame = {
+    // exact-collapse-first: one representative per distinct text
+    val grp = d.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_members"))
+      .localCheckpoint(false) // consumed by reps + 2 expansion joins
+    val members = d.select(col("doc_id"), col("text"))
+      .join(grp.select(col("text"), col("rep_id")), "text")
+      .select(col("rep_id"), col("doc_id"))
+      .localCheckpoint(false)
+    val v = Text.hashedTfSparse(
+        grp.select(col("rep_id").as("doc_id"), col("text")),
+        "doc_id", col("text"), dim)
       .localCheckpoint() // shared by both join sides
-    // the integer vectors ride the join as FLOAT arrays so the dot is the
-    // native codegen DotProductFloat: counts are << 2^24, so float holds
-    // them exactly and the double accumulation is exact integer arithmetic
-    // — the interpreted zip_with lambda over every blocked pair cost 20 s
-    // at sf0.1 (hot template vocab piles most docs into one dominant
-    // bucket, so the block is near-quadratic; the lambda paid 64 boxed
-    // evals per pair on top)
-    val a = v.select(col("doc_id").as("doc_a"),
-      col("vec").cast("array<float>").as("_va"),
-      col("norm2").as("_na"), col("top_bucket").as("_t"))
-    val b = v.select(col("doc_id").as("doc_b"),
-      col("vec").cast("array<float>").as("_vb"),
-      col("norm2").as("_nb"), col("top_bucket").as("_t2"))
-    a.join(b, col("_t") === col("_t2") && col("doc_a") < col("doc_b"))
-      .withColumn("dot", Similarity.dot(col("_va"), col("_vb")).cast("long"))
+    val a = v.select(col("doc_id").as("_ra"), col("tf").as("_ma"),
+      col("norm2").as("_na"), col("b1"), col("b2"))
+    val b = v.select(col("doc_id").as("_rb"), col("tf").as("_mb"),
+      col("norm2").as("_nb"), col("b1").as("_b1b"), col("b2").as("_b2b"))
+    val repPairs = a.join(b,
+        col("b1") === col("_b1b") && col("b2") === col("_b2b") &&
+          col("_ra") < col("_rb"))
+      .withColumn("dot", Text.sparseDot(col("_ma"), col("_mb")))
       .withColumn("cos2_x10k", expr("dot * dot * 10000L div (_na * _nb)"))
       .where(col("cos2_x10k") >= 9000L)
-      .select(col("doc_a"), col("doc_b"), col("dot"), col("cos2_x10k"))
+      .select(col("_ra"), col("_rb"), col("dot"), col("cos2_x10k"))
+    // expansion: cross-group pairs inherit the rep pair's exact integers;
+    // intra-group pairs are identical vectors (dot = norm2, cos² = 10⁴)
+    val cross = repPairs
+      .join(members.toDF("_ra", "da"), "_ra")
+      .join(members.toDF("_rb", "db"), "_rb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("dot"), col("cos2_x10k"))
+    val intra = members.toDF("_r", "da")
+      .join(members.toDF("_r", "db"), "_r")
+      .where(col("da") < col("db"))
+      .join(v.select(col("doc_id").as("_r"), col("norm2")), "_r")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("norm2").as("dot"), lit(10000L).as("cos2_x10k"))
+    cross.unionByName(intra)
   }
 
-  private val oFeatureHashDup = s"""
+  private def oFeatureHashDupGen(s: SparkSession, dir: String): String = {
+    val dim = fhDimOf(docCount(s, dir))
+    s"""
     WITH w AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
     bkt AS (
-      SELECT doc_id,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(list_filter(string_split(wd, ''), ch -> ch <> ''),
-                              ch -> CAST(ascii(ch) AS BIGINT))),
-               (acc, ch) -> (acc * 31 + ch) % ${graft.operators.Text.PolyP})
-               % $FhDim AS b
+      SELECT doc_id, ${duckPolyHash("wd")} % $dim AS b
       FROM w WHERE wd <> ''),
-    c AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+    c AS MATERIALIZED (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
           FROM bkt GROUP BY 1, 2),
-    tb AS (
-      SELECT doc_id, b AS top_bucket FROM (
-        SELECT doc_id, b,
-               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS rn
-        FROM c) t WHERE rn = 1),
-    v AS MATERIALIZED (
-      SELECT doc_id,
-             [CAST(coalesce(list_sum([p.c for p in pairs if p.b = i]), 0)
-                   AS BIGINT) for i in range($FhDim)] AS vec,
-             norm2
-      FROM (SELECT doc_id, list(struct_pack(b := b, c := c)) AS pairs,
-                   CAST(sum(c * c) AS BIGINT) AS norm2
-            FROM c GROUP BY doc_id) t),
+    nrm AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS norm2
+            FROM c GROUP BY 1),
+    rk AS (SELECT doc_id, b,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, b) AS rn
+           FROM c),
+    tb AS MATERIALIZED (
+      SELECT r1.doc_id, r1.b AS b1, coalesce(r2.b, -1) AS b2
+      FROM (SELECT doc_id, b FROM rk WHERE rn = 1) r1
+      LEFT JOIN (SELECT doc_id, b FROM rk WHERE rn = 2) r2
+             ON r2.doc_id = r1.doc_id),
     j AS (
-      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-             CAST(list_sum([a.vec[i+1] * b2.vec[i+1]
-                            for i in range($FhDim)]) AS BIGINT) AS dot,
-             a.norm2 AS na, b2.norm2 AS nb
-      FROM v a
-      JOIN tb ta ON ta.doc_id = a.doc_id
-      JOIN v b2 ON a.doc_id < b2.doc_id
-      JOIN tb tbb ON tbb.doc_id = b2.doc_id AND tbb.top_bucket = ta.top_bucket)
-    SELECT doc_a, doc_b, dot,
-           dot * dot * 10000 // (na * nb) AS cos2_x10k
-    FROM j WHERE dot * dot * 10000 // (na * nb) >= 9000"""
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM tb x JOIN tb y ON x.b1 = y.b1 AND x.b2 = y.b2
+                          AND x.doc_id < y.doc_id),
+    d AS (
+      SELECT j.doc_a, j.doc_b, CAST(sum(ca.c * cb.c) AS BIGINT) AS dot
+      FROM j JOIN c ca ON ca.doc_id = j.doc_a
+             JOIN c cb ON cb.doc_id = j.doc_b AND cb.b = ca.b
+      GROUP BY 1, 2)
+    SELECT d.doc_a, d.doc_b, d.dot,
+           d.dot * d.dot * 10000 // (na.norm2 * nb.norm2) AS cos2_x10k
+    FROM d JOIN nrm na ON na.doc_id = d.doc_a
+           JOIN nrm nb ON nb.doc_id = d.doc_b
+    WHERE d.dot * d.dot * 10000 // (na.norm2 * nb.norm2) >= 9000"""
+  }
 
   /** §2.67b Entity clustering + golden-record survivorship (the step
     * after pairwise linkage — Fellegi-Sunter pipelines end with exactly
@@ -4904,6 +4980,17 @@ object QueriesText {
     pipelineCache.getOrElseUpdate((s, dir), pipelineStagesBuild(s, dir))
   }
 
+  // ALWAYS-fresh rebuild + re-pin — the PairIndex build-lane convention
+  // (r11 ADVICE): q_pipeline_e2e rebuilds scrub→gate→dedup every call so
+  // the stage costs stay visible in the bench (its oracle replays the
+  // whole chain in DuckDB); q_pipeline_audit reads the shared pin.
+  private def pipelineStagesRebuild(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = pipelineLock.synchronized {
+    val built = pipelineStagesBuild(s, dir)
+    pipelineCache((s, dir)) = built
+    built
+  }
+
   private def pipelineStagesBuild(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val scrubbed = graft.operators.Pii.redact(piiDocs(s, dir), col("ptext"))
@@ -4931,7 +5018,7 @@ object QueriesText {
   }
 
   private def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
-    val (_, _, ded) = pipelineStages(s, dir)
+    val (_, _, ded) = pipelineStagesRebuild(s, dir)
     Sampling.splitByHash(ded, col("doc_id"), SampleSeed, SplitCuts)
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"),
@@ -6781,7 +6868,8 @@ object QueriesText {
     GraftQuery("q_shard_fill", qShardFill, Some(oShardFill)),
     GraftQuery("q_fuzzy_link", qFuzzyLink, Some(oFuzzyLink)),
     GraftQuery("q_entity_clusters", qEntityClusters, Some(oEntityClusters)),
-    GraftQuery("q_feature_hash_dup", qFeatureHashDup, Some(oFeatureHashDup)),
+    GraftQuery("q_feature_hash_dup", qFeatureHashDup, None,
+      oracleGen = Some(oFeatureHashDupGen)),
     GraftQuery("q_textrank", qTextRank, Some(oTextRank)),
     GraftQuery("q_query_expand", qQueryExpand, Some(oQueryExpand)),
     GraftQuery("q_outliers_mad", qOutliersMad, Some(oOutliersMad)),

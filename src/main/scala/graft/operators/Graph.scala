@@ -238,6 +238,8 @@ object Graph {
                   // knob exists for cluster runs where checkpoint I/O is
                   // real.
                   ckptEvery: Int = 1): DataFrame = {
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1 (got $ckptEvery): " +
+      "0 divides by zero mid-iteration and negatives never checkpoint")
     val nodes = ckpt(edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct())
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("_W"))

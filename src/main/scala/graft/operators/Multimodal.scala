@@ -148,20 +148,47 @@ object Multimodal {
     * offset i mod 32), a (id, frame)-keyed aggregation for peaks, a lead
     * window on the same id partitioning for the pair hash — corpus-sized
     * rows, keys are always (id) or (id, frame), never all-pairs.
+    *
+    * PER-PAYLOAD FRAME CAP (r12, the r11 "What's wrong #2" fix): each
+    * payload contributes at most `maxFrames` frames via a per-payload
+    * stride k = ⌈nf / maxFrames⌉ (frames 0, k, 2k, … — the
+    * [[sampleFrames]] everyK discipline applied before fingerprinting;
+    * real audio systems bound landmarks per track, Wang 2003 §2). k = 1
+    * for every payload under the cap, so output is IDENTICAL there —
+    * sf-corpus docs run ~9 frames. Without the cap, 0.5 % giant docs
+    * (~560 frames of degenerate filler whose every frame peaks on the
+    * same character) collapse the landmark VALUE component and
+    * concentrate postings on the position-only subspace — the
+    * corpus-shape analog of the exact-dup quadratic: DocScaleProbe 10×
+    * SKEW measured 65 s vs 3.6 s plain (r11). The cap bounds any one
+    * payload's postings at maxFrames − 1 landmarks. Trade, stated
+    * honestly: a snippet clipped from a STRIDED (giant) track
+    * fingerprints at stride 1 and no longer shares landmark hashes with
+    * its source — snippet recall on over-cap tracks is surrendered, by
+    * the same subsampling trade production landmark caps make. Frame
+    * indices stay TRUE indices (f = ordinal·k), so offset-coherence
+    * deltas remain meaningful.
     */
-  def audioFingerprints(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
+  def audioFingerprints(df: DataFrame, idCol: String, textCol: Column,
+                        maxFrames: Int = 64): DataFrame = {
+    require(maxFrames >= 2, s"audioFingerprints: need >= 2 frames for a pair")
     val base = df.select(col(idCol).as("af_id"), textCol.as("af_txt"))
       .where(length(col("af_txt")) >= 64) // need >= 2 full frames for a pair
       .withColumn("af_nf", expr("length(af_txt) div 32"))
+      .withColumn("af_k", expr(s"(af_nf + ${maxFrames - 1}) div $maxFrames"))
     // pk_key = peak·32 + (31 − offset): max() picks the peak value with the
     // LOWEST offset on ties in one pass, and both peak and offset unpack
-    // from the winning key
+    // from the winning key. Only KEPT frames' samples explode: j ranges
+    // over ⌈nf/k⌉·32 sample slots, frame = (j div 32)·k, i = frame·32 +
+    // j mod 32 — skipped frames never materialize rows.
     val peaks = base
-      .withColumn("i", explode(sequence(lit(0), col("af_nf") * 32 - 1)))
+      .withColumn("j", explode(sequence(lit(0),
+        expr("((af_nf + af_k - 1) div af_k) * 32 - 1"))))
       .select(col("af_id"),
-        (col("i") / 32).cast("long").as("f"),
-        (ascii(col("af_txt").substr(col("i") + 1, lit(1))).cast("long") * 32 +
-          (lit(31) - col("i") % 32)).as("pk_key"))
+        (expr("j div 32") * col("af_k")).as("f"),
+        (ascii(col("af_txt").substr(
+            expr("(j div 32) * af_k * 32 + j % 32") + 1, lit(1))).cast("long") * 32 +
+          (lit(31) - col("j") % 32)).as("pk_key"))
       .groupBy("af_id", "f")
       .agg(expr("CAST(max(pk_key) AS BIGINT)").as("mk"))
     peaks

@@ -43,11 +43,27 @@ object PairIndex {
 
   /** Read the session-pinned immutable pair table for (corpus, tier),
     * building and committing it first iff this session hasn't yet.
+    *
+    * Pins are process-local but the table root is shared across JVMs of
+    * the same user+corpus, so a CONCURRENT session rebuilding 4+ times
+    * can vacuum the manifest this session is pinned to (r11 ADVICE).
+    * Guard: if the pinned version's manifest is gone, transparently
+    * rebuild + re-pin instead of throwing — contents are deterministic
+    * per (corpus, tier), so the re-pinned read is bit-identical to the
+    * vacuumed one (PairIndexSpec races 5 rebuilds against a v-pinned
+    * reader).
     */
   def pinnedRead(s: SparkSession, dir: String, kind: String)
                 (build: => DataFrame): DataFrame = {
     val (r, v) = lock.synchronized {
-      pinned.getOrElseUpdate((s, dir, kind), commitFresh(dir, kind, build))
+      val rv = pinned.getOrElseUpdate((s, dir, kind),
+        commitFresh(dir, kind, build))
+      if (graft.sources.Versioned.hasVersion(rv._1, rv._2)) rv
+      else {
+        val fresh = commitFresh(dir, kind, build)
+        pinned((s, dir, kind)) = fresh
+        fresh
+      }
     }
     graft.sources.Versioned.read(s, r, v)
   }

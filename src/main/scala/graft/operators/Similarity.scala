@@ -583,10 +583,10 @@ object Similarity {
     * run-to-run, which is what lets generated oracles retrain the SAME
     * model.
     */
-  def ivfTrainDispatch(corpus: DataFrame, vec: String,
-                       nCells: Int): Seq[(Int, Seq[Float])] =
-    if (nCells <= DriverCellCap) ivfTrainDriver(corpus, vec, nCells)
-    else ivfCentroidsDistributed(corpus, vec, nCells)
+  def ivfTrainDispatch(corpus: DataFrame, vec: String, nCells: Int,
+                       corpusN: Long = -1L): Seq[(Int, Seq[Float])] =
+    if (nCells <= DriverCellCap) ivfTrainDriver(corpus, vec, nCells, corpusN)
+    else ivfCentroidsDistributed(corpus, vec, nCells, corpusN = corpusN)
 
   /** Driver-side Lloyd's over a bounded deterministic sample — the coarse
     * quantizer for cell counts a single machine handles (`DriverCellCap`).
@@ -596,8 +596,8 @@ object Similarity {
     * literals (QueriesText.oKnnIvfGen). Returns (cell, center) pairs;
     * centers quantized to float, matching the search side's float vectors.
     */
-  def ivfTrainDriver(corpus: DataFrame, vec: String,
-                     nCells: Int): Seq[(Int, Seq[Float])] = {
+  def ivfTrainDriver(corpus: DataFrame, vec: String, nCells: Int,
+                     knownN: Long = -1L): Seq[(Int, Seq[Float])] = {
     // At corpus scale the quantizer is always trained on a sample (training
     // on 100 TB would dwarf the search); the cap bounds driver memory (~1 MB).
     val sampleN = math.max(nCells * 64, 4096)
@@ -606,7 +606,9 @@ object Similarity {
     // quantizer on one region of the space and collapse recall. The count is
     // metadata-only on parquet; sample(fraction, seed) is deterministic for
     // a fixed input, and the 1.2 slack keeps the expected draw >= sampleN.
-    val corpusN = corpus.count()
+    // Callers that already counted (the memoized table stat) pass knownN —
+    // sample fraction is a function of n alone, so the model is unchanged.
+    val corpusN = if (knownN >= 0) knownN else corpus.count()
     require(corpusN > 0, "knnIvf: empty corpus")
     val frac = math.min(1.0, sampleN * 1.2 / corpusN)
     val pts: Array[Array[Double]] = corpus.select(col(vec))

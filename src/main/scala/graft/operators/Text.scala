@@ -1293,6 +1293,51 @@ object Text {
     * (id, vec, nnz, norm2, top_bucket) — top_bucket (max count, ties →
     * lowest index) doubles as a blocking key for candidate generation.
     */
+  /** SPARSE feature-hashing vectorizer — the scale form of [[hashedTf]]
+    * (r11 verdict item 1): the corpus-scaled bucket count (the
+    * `pairCells` discipline applied to feature hashing — dim ∝ n keeps
+    * blocking-bucket population fixed) makes a DENSE dim-length vector
+    * nonsense at 10⁹ docs, so the vector stays what it physically is — a
+    * ≤ nnz-entry (bucket → count) map — and the exact-integer dot is a
+    * map intersection: O(nnz) per pair, INDEPENDENT of dim. Returns
+    * (id, tf map, nnz, norm2, b1, b2) where (b1, b2) are the top-2
+    * buckets by (count desc, bucket asc) — the two-bucket blocking key
+    * (b2 = -1 for single-bucket docs). No dim cap: dim only appears as a
+    * modulus.
+    */
+  def hashedTfSparse(df: DataFrame, id: String, text: Column,
+                     dim: Long): DataFrame = {
+    require(dim >= 2, s"hashedTfSparse: dim must be >= 2 (got $dim)")
+    df.select(col(id), explode(split(text, " ")).as("_w"))
+      .where(col("_w") =!= "")
+      .withColumn("_bk", pmod(polyHash(col("_w")), lit(dim)))
+      .groupBy(col(id), col("_bk")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(id))
+      .agg(
+        map_from_entries(collect_list(struct(col("_bk"), col("_c")))).as("tf"),
+        count(lit(1)).as("nnz"),
+        sum(col("_c") * col("_c")).as("norm2"),
+        // struct sort is lexicographic by field, so (-count, bucket) asc
+        // = (count desc, bucket asc) — the deterministic top-2 ranking
+        sort_array(collect_list(struct((-col("_c")).as("nc"),
+          col("_bk").as("bk")))).as("_rk"))
+      .select(col(id), col("tf"), col("nnz"), col("norm2"),
+        col("_rk").getItem(0).getField("bk").as("b1"),
+        // get() is null (not an ANSI error) past the end — single-bucket
+        // docs take the -1 sentinel
+        coalesce(expr("get(_rk, 1).bk"), lit(-1L)).as("b2"))
+  }
+
+  /** Exact integer sparse dot over two [[hashedTfSparse]] maps: Σ over
+    * shared buckets of cₐ·c_b. Long sums are order-independent, so the
+    * undefined map_entries order is immaterial — bit-identical to any
+    * relational bucket-join replay.
+    */
+  def sparseDot(a: Column, b: Column): Column =
+    aggregate(map_entries(a), lit(0L),
+      (acc, e) => acc + e.getField("value") *
+        coalesce(element_at(b, e.getField("key")), lit(0L)))
+
   def hashedTf(df: DataFrame, id: String, text: Column, dim: Int): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"hashedTf: unreasonable dim $dim")
     df.select(col(id), explode(split(text, " ")).as("_w"))

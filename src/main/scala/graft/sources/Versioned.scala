@@ -41,6 +41,13 @@ object Versioned {
       .foldLeft(-1)(math.max)
   }
 
+  /** True iff version `v`'s manifest is still on disk (i.e. not vacuumed).
+    * A pinned reader uses this to detect that a CONCURRENT JVM's vacuum
+    * outran its pin before attempting a read that would throw.
+    */
+  def hasVersion(dir: String, v: Int): Boolean =
+    v >= 0 && Files.exists(manifestPath(dir, v))
+
   private def readManifest(dir: String, v: Int): Seq[String] = {
     val p = manifestPath(dir, v)
     require(Files.exists(p), s"Versioned: no version $v at $dir")

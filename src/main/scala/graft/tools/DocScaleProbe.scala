@@ -144,12 +144,61 @@ object DocScaleProbe {
     // That is corpus-vs-blocking-key mismatch, not a plan defect; the
     // production answer is a skew-robust key set (length + first-2, or
     // block-size caps), documented at Link.blockedCandidates.
+    // r12: the rebuilt feature-hash miner — corpus-scaled dim (max(64,
+    // n/44)) + (top, second)-bucket blocking + exact-collapse-first. The
+    // audit is CANDIDATE volume (Σ b·(b−1)/2 over blocking keys at the
+    // scaled dim): it must grow ~linearly under replication — replicas
+    // have disjoint vocab, and the scaled dim keeps per-replica blocks at
+    // their 1x sizes. The old dim-64 top-1 blocking was Θ(n²/64) — its
+    // candidate count under the same replication grew ~quadratically
+    // (every replica's dominant buckets land in the same 64 bins).
+    def fhCand(dir: String): (Long, Long, Long) = {
+      val d = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      val nd = d.count()
+      val dim = graft.QueriesText.fhDimOf(nd)
+      val reps = d.groupBy("text").agg(min("doc_id").as("doc_id"))
+      val v = graft.operators.Text.hashedTfSparse(
+        reps.select(col("doc_id"), col("text")), "doc_id", col("text"), dim)
+      val cand = v.groupBy("b1", "b2").agg(count(lit(1)).as("b"))
+        .agg(sum(expr("b * (b - 1) div 2"))).head.getLong(0)
+      (nd, dim, cand)
+    }
+    val (n1, dim1, c1) = fhCand("/root/testdata/sf0.1")
+    val (nN, dimN, cN) = fhCand(out)
+    println(f"[docscale] fh candidates: 1x n=$n1 dim=$dim1 cand=$c1; " +
+      f"${factor}x n=$nN dim=$dimN cand=$cN — growth ${cN.toDouble / c1}%.2fx " +
+      f"vs linear ${factor}x (quadratic would be ${factor * factor}x)")
+    time("q_feature_hash_dup") { q("q_feature_hash_dup")(spark, out).count() }
     time("q_substr_dedup") { q("q_substr_dedup")(spark, out).count() }
     time("q_hybrid_rrf") { q("q_hybrid_rrf")(spark, out).count() }
     // corpus-wide kNN join: every replicated vector's top-k through the
     // IVF index (cell-keyed shuffle join, no broadcast) — output rows must
     // be exactly k·n and runtime ~ n·nProbe·cell-population
     time("q_knn_self") { q("q_knn_self")(spark, out).count() }
+    // r12 (verdict item 7): the PairIndex build-once artifact at scale —
+    // the production persist-the-pairs shape. Timed SEPARATELY so the
+    // consumer lanes below read the pinned index and their walls are pure
+    // consumption: q_pair_index = fresh PTJ build + Versioned commit +
+    // read-back rollup (the always-rebuild lane); the triangles lane then
+    // measures a pure pinned-manifest read + diagnostic. Pin stability:
+    // a "foreign session" overwrite-commit lands a NEWER version mid-run;
+    // this session's pinned reads must not move (snapshot isolation at
+    // 10x, the PairIndexSpec property on the replicated corpus).
+    time("pair_index BUILD lane") { q("q_pair_index")(spark, out).count() }
+    val pinnedBefore = graft.operators.PairIndex
+      .pinnedVersion(spark, out, "ptj").get
+    time("pair_index consumer") { q("q_triangles")(spark, out).count() }
+    val decoy = spark.range(3).selectExpr("-id AS doc_a", "-id - 1 AS doc_b",
+      "0.0 AS jaccard")
+    graft.sources.Versioned.commit(decoy, pinnedBefore._1, overwrite = true)
+    val pinnedAfter = graft.operators.PairIndex
+      .pinnedVersion(spark, out, "ptj").get
+    val reread = q("q_triangles")(spark, out).count()
+    println(s"[docscale] pair-index pin under foreign commit: " +
+      s"v${pinnedBefore._2} -> v${pinnedAfter._2} (must be equal), " +
+      s"consumer re-read rows stable: ${reread}")
+    require(pinnedBefore == pinnedAfter,
+      "a foreign commit moved this session's pin")
     // r9 lanes. Pair-derived ops must track the LINEAR pair count (replicas
     // share no shingles): evidence positions explode per PAIR doc, the
     // cluster cap ranks inside per-replica components, and the blast radius

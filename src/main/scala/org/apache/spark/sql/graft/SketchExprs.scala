@@ -476,6 +476,10 @@ case class IvfTopCellsExpr(child: Expression, centers: Seq[Float],
         if (!taken(c) && dist(c) < bestD) { bestD = dist(c); best = c }
         c += 1
       }
+      // NaN-poisoned vector: every comparison is false and best stays -1.
+      // Degrade to the lowest un-taken cell (IvfArgminExpr's best-=-0
+      // discipline) instead of throwing on taken(-1).
+      if (best < 0) { best = 0; while (taken(best)) best += 1 }
       taken(best) = true
       out(k) = best
       k += 1
@@ -524,6 +528,7 @@ case class IvfTopCellsExpr(child: Expression, centers: Seq[Float],
          |  for (int $c = 0; $c < $nCells; $c++) {
          |    if (!$taken[$c] && $dist[$c] < $bestD) { $bestD = $dist[$c]; $best = $c; }
          |  }
+         |  if ($best < 0) { $best = 0; while ($taken[$best]) $best++; }
          |  $taken[$best] = true;
          |  $out[$k] = $best;
          |}

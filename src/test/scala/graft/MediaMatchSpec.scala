@@ -68,6 +68,26 @@ class MediaMatchSpec extends AnyFunSuite with SparkFixture {
     sfp.foreach { case (f, h) => assert(full(f + 1) == h, s"frame $f mismatch") }
   }
 
+  test("audio frame cap: giant payloads stride to <= maxFrames, sub-cap payloads unchanged") {
+    // 20 frames at cap 8 -> k = ceil(20/8) = 3 -> kept frames 0,3,...,18
+    // (7 frames, 6 landmark pairs); true frame indices survive (deltas
+    // stay meaningful for offset coherence)
+    val giant = Seq((1L, "ab" * (20 * 16))).toDF("doc_id", "text")
+    val g = Multimodal.audioFingerprints(giant, "doc_id", col("text"), 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(g.length == 6, s"expected ceil(20/3)-1 = 6 pairs, got ${g.length}")
+    assert(g.map(_._2).toSeq == Seq(0L, 3L, 6L, 9L, 12L, 15L),
+      s"true frame indices, stride 3: ${g.map(_._2).toSeq}")
+    // a payload under the cap takes k = 1: bit-identical to the uncapped
+    // fingerprints (the sf-corpus regime — output unchanged by the cap)
+    val small = Seq((2L, base)).toDF("doc_id", "text")
+    val capped = Multimodal.audioFingerprints(small, "doc_id", col("text"), 64)
+      .as[(Long, Long, Long)].collect().toSet
+    val wide = Multimodal.audioFingerprints(small, "doc_id", col("text"), 100000)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == wide && capped.nonEmpty)
+  }
+
   test("canonicalUrl: strips junk, keeps the id param, lowercases host") {
     val urls = Seq(
       (1L, "HTTPS://My.Host.COM:443/a/b/?utm_source=x&id=42#frag"),

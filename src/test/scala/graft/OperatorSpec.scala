@@ -1519,6 +1519,61 @@ class AssemblySpec extends AnyFunSuite with SparkFixture {
     assert(v(0)._2(v(0)._5.toInt) == 2L)
   }
 
+  test("hashedTfSparse: map == dense twin, top-2 key deterministic, b2 = -1 when single-bucket") {
+    val docs = Seq((1L, "alpha beta alpha gamma beta"), (2L, "gamma"),
+      (3L, "delta epsilon delta epsilon zeta")).toDF("doc_id", "text")
+    val dim = 8
+    val sparse = Text.hashedTfSparse(docs, "doc_id", col("text"), dim.toLong)
+      .as[(Long, Map[Long, Long], Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    val dense = Text.hashedTf(docs, "doc_id", col("text"), dim)
+      .as[(Long, Seq[Long], Long, Long, Long)].collect().sortBy(_._1)
+    sparse.zip(dense).foreach { case ((id, m, nnz, n2, b1, _), d) =>
+      assert(id == d._1)
+      // bit-equality twin: the sparse map IS the dense vector
+      assert((0 until dim).map(b => m.getOrElse(b.toLong, 0L)) == d._2,
+        s"doc $id sparse/dense mismatch")
+      assert(nnz == d._3 && n2 == d._4 && b1 == d._5)
+    }
+    // single-word doc: exactly one bucket -> b2 sentinel
+    assert(sparse(1)._6 == -1L, s"single-bucket doc must report b2 = -1")
+    // doc 3: two buckets at count 2 (tie -> lower bucket first), zeta third
+    val m3 = sparse(2)._2
+    val ranked = m3.toSeq.sortBy { case (b, c) => (-c, b) }
+    assert(sparse(2)._5 == ranked(0)._1 && sparse(2)._6 == ranked(1)._1)
+  }
+
+  test("fhDupPairs == direct quadratic harvest (collapse+expansion exact, dups included)") {
+    // exact dups (1,2,3 identical), a near-dup (4 vs the dup group), and
+    // unrelated docs — exercises intra-group emission, cross-group
+    // expansion through BOTH sides, and the cos2 cut
+    val rows = Seq(
+      (1L, "w1 w2 w3 w1 w2 w1"), (2L, "w1 w2 w3 w1 w2 w1"),
+      (3L, "w1 w2 w3 w1 w2 w1"), (4L, "w1 w2 w3 w1 w2 w1 w4"),
+      (5L, "x1 x2 x3 x4"), (6L, "x1 x2 x3 x9"), (7L, "y1"))
+    val dim = 16L
+    val got = QueriesText.fhDupPairs(rows.toDF("doc_id", "text"), dim)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // naive reference: hash words in Scala, block on (b1, b2), all pairs
+    def ph(w: String) = w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % Text.PolyP)
+    val vecs = rows.map { case (id, t) =>
+      val m = t.split(" ").filter(_.nonEmpty).groupBy(w => ph(w) % dim)
+        .map { case (b, ws) => b -> ws.length.toLong }
+      val rk = m.toSeq.sortBy { case (b, c) => (-c, b) }.map(_._1)
+      (id, m, rk.head, if (rk.size > 1) rk(1) else -1L)
+    }
+    val expect = (for {
+      (ia, ma, a1, a2) <- vecs; (ib, mb, b1, b2) <- vecs
+      if ia < ib && a1 == b1 && a2 == b2
+      dot = ma.map { case (b, c) => c * mb.getOrElse(b, 0L) }.sum
+      na = ma.values.map(c => c * c).sum; nb = mb.values.map(c => c * c).sum
+      c2 = dot * dot * 10000L / (na * nb) if c2 >= 9000L
+    } yield (ia, ib, dot, c2)).toSet
+    assert(expect.exists(_._4 == 10000L) && expect.exists(_._4 < 10000L),
+      s"fixture must cover exact AND near pairs: $expect")
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
+
   test("exact-substring dedup: shift-robust coverage, self-repeat collapse, exact-dup emptied") {
     val rnd = new scala.util.Random(47)
     val body = (0 until 80).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString

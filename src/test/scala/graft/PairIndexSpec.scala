@@ -69,6 +69,33 @@ class PairIndexSpec extends AnyFunSuite with SparkFixture {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")))
   }
 
+  test("a reader pinned at v1 survives 5 concurrent rebuilds (vacuum-outruns-pin guard)") {
+    // r11 ADVICE: pins are process-local but the table root is shared
+    // across JVMs for the same user+corpus; a concurrent session
+    // rebuilding 4+ times vacuums the manifest this session pinned.
+    // pinnedRead must detect the vacuumed pin and transparently
+    // rebuild+re-pin (deterministic build => identical contents).
+    def build = Text.jaccardPairs(Tables.documents(spark, dir), "doc_id",
+        Text.shingles(col("text"), 2), 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    val before = pairSet(PairIndex.pinnedRead(spark, dir, "ptj")(build))
+    val (root, v0) = PairIndex.pinnedVersion(spark, dir, "ptj").get
+    // simulate the concurrent JVM: 5 overwrite-commits + vacuums straight
+    // through Versioned (process-local pins never see these)
+    (1 to 5).foreach { i =>
+      graft.sources.Versioned.commit(
+        Seq((-i.toLong, -i.toLong - 1, 0.0)).toDF("doc_a", "doc_b", "jaccard"),
+        root, overwrite = true)
+      graft.sources.Versioned.vacuum(root, keepVersions = 4)
+    }
+    assert(!graft.sources.Versioned.hasVersion(root, v0),
+      "precondition: the pinned manifest must actually be vacuumed")
+    val after = pairSet(PairIndex.pinnedRead(spark, dir, "ptj")(build))
+    assert(after == before, "re-pinned read must be bit-identical")
+    val (_, v1) = PairIndex.pinnedVersion(spark, dir, "ptj").get
+    assert(v1 > v0, "the guard must have re-pinned to a fresh version")
+  }
+
   test("minhash tier: indexed lane equals the standalone signature pipeline") {
     // cross-check through the public catalog surface: q_doc_minhash_lsh
     // (indexed) vs the §2.39 oracle property that found ⊆ PTJ truth at the

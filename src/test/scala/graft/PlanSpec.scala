@@ -90,10 +90,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(firstHash >= 0 && iSub >= 0, s"expected window + substr nodes:\n${p.take(1200)}")
   }
 
-  test("q_feature_hash_dup: the pair dot is the native expression, not an interpreted lambda") {
+  test("q_feature_hash_dup: blocked equi-join on the two-bucket key, no cartesian") {
+    // r12 rebuild: candidates block on (b1, b2) at corpus-scaled dim —
+    // the pair meeting must be a keyed join (hash/sort-merge), never a
+    // cartesian or a non-local-build nested loop. The dot is the sparse
+    // map-intersection HOF by design: candidate volume dropped 38x
+    // (2.64 M -> 69 k at sf0.1), so lambda interpretation no longer
+    // dominates any stage profile (the CLAUDE.md swap rule).
     val p = planOf("q_feature_hash_dup")
-    assert(!p.contains("zip_with") && !p.contains("lambdafunction"),
-      s"pair stage regressed to interpreted HOFs (20.4 s vs 2.9 s at sf0.1):\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"pair stage degenerated to a cartesian:\n${p.take(1500)}")
+    assert(p.contains("b1") && p.contains("b2"),
+      s"expected the (b1, b2) blocking key in the plan:\n${p.take(1500)}")
   }
 
   test("q_proximity_pairs: the pair join is a hash equi-join on (slot, cell), not a cross/NL join") {
