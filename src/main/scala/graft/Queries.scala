@@ -364,6 +364,70 @@ object Queries {
            count(*) AS n_events
     FROM sessions GROUP BY user_id, sid"""
 
+  /** §2.11c (r12): the §2.11b `session_window` sessionization DRIVER-GATED
+    * through the actual micro-batch engine — the first streaming surface
+    * whose FINAL table is row/schema/hash-checked by the oracle gate
+    * rather than spec-adjudicated (r11 verdict item 6). Shape:
+    *
+    *   1. stage the events (plus ONE far-future sentinel user) as a
+    *      single parquet file — one file ⇒ one data micro-batch, so no
+    *      row is ever late against a watermark raised by an earlier batch
+    *      (arrival order inside a batch is watermark-irrelevant: rows are
+    *      filtered against the PREVIOUS batch's watermark);
+    *   2. `readStream` over the staged dir → watermark → `session_window`
+    *      aggregate → APPEND-mode memory sink under `Trigger.AvailableNow`;
+    *   3. after the data batch the engine runs the no-data batch
+    *      (`noDataMicroBatches` default), where the watermark — advanced
+    *      to sentinel−delay, i.e. year 2100 — finalizes and emits EVERY
+    *      real session; the sentinel user is dropped from the result.
+    *
+    * Append-mode-emitted sessions therefore equal the batch operator's
+    * output exactly, and the lane shares §2.11b's relational oracle. The
+    * staging write + stream run repeat per call (build-cost visibility —
+    * the PairIndex convention). Scale: state is user-keyed (the same
+    * exchange key as batch), watermark bounds state lifetime; production
+    * corpora stream MANY files/batches, where lateness is governed by the
+    * watermark delay vs real arrival skew — the single-file staging is
+    * the determinism harness, not the production topology (that trade is
+    * the StreamJoinSpec late-data precedent).
+    */
+  private val sessionStreamSeq = new java.util.concurrent.atomic.AtomicInteger
+  private def qSessionStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    val inDir = s"$base/in"
+    val ckpt = s"$base/ckpt"
+    try {
+      // 2100-01-01 in epoch ns: past any event time, so the watermark
+      // (sentinel − 1 h) closes every real session in the no-data batch
+      val sentinel = s.range(1).select(lit(-1L).as("user_id"),
+        lit(4102444800000000000L).as("ts"), lit(-1L).as("event_id"))
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+        .unionByName(sentinel)
+        .coalesce(1).write.parquet(inDir)
+      val agg = s.readStream
+        .schema("user_id BIGINT, ts BIGINT, event_id BIGINT").parquet(inDir)
+        .withColumn("tst", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("tst", "1 hour")
+        .groupBy(col("user_id"), session_window(col("tst"), "6 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"))
+      val qn = s"session_stream_${sessionStreamSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      // freeze the sink's rows, then drop the per-run view
+      val out = s.table(qn).where(col("user_id") =!= -1L).localCheckpoint()
+      s.catalog.dropTempView(qn)
+      out
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base.toString))
+  }
+
   /** §2.16f Last-touch attribution (the marketing-analytics report on the
     * §2.16 as-of machinery, self-table form): each purchase attributes to
     * the user's latest click/view within a 2-day lookback — one
@@ -1991,6 +2055,7 @@ object Queries {
     GraftQuery("q_skew_report", qSkewReport, Some(oSkewReport)),
     GraftQuery("q_session_gap", qSessionGap, Some(oSessionGap), headline = true),
     GraftQuery("q_session_native", qSessionNative, Some(oSessionNative)),
+    GraftQuery("q_session_stream", qSessionStream, Some(oSessionNative)),
     GraftQuery("q_scd2", qScd2, Some(oScd2)),
     GraftQuery("q_attribution", qAttribution, Some(oAttribution)),
     GraftQuery("q_kinematics", qKinematics, Some(oKinematics)),

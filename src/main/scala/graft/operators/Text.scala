@@ -613,15 +613,24 @@ object Text {
     */
   def winnowFingerprints(df: DataFrame, id: String, text: Column, k: Int,
                          w: Int, crossEngine: Boolean = false): DataFrame = {
+    // r12: the cross-engine path hashes every k-gram in ONE native pass
+    // (KgramPolyHashExpr) — the HOF's substr(_t, i+1, k) walks the byte
+    // stream from 0 to the i-th char boundary, O(len²) per doc once docs
+    // leave the 300-char regime (10x SKEW probe: 73.6 s vs a ~13 s linear
+    // prediction). kgramPolyHashHof stays as the bit-equality twin.
     val hashArr =
-      if (crossEngine)
-        expr(s"transform(sequence(0, greatest(length(_t) - $k, 0)), i -> " +
-          s"aggregate(transform(filter(split(substr(_t, i + 1, $k), ''), " +
-          s"c -> c <> ''), c -> cast(ascii(c) as bigint)), " +
-          s"cast(0 as bigint), (acc, c) -> pmod(acc * 31 + c, ${PolyP}L)))")
+      if (crossEngine) kgramPolyHashNative(col("_t"), k)
       else
         expr(s"transform(sequence(0, greatest(length(_t) - $k, 0)), " +
           s"i -> abs(hash(substr(_t, i + 1, $k))))")
+    winnowFrom(df, id, text, hashArr, w)
+  }
+
+  /** The winnow pipeline downstream of the per-position hash array —
+    * shared by [[winnowFingerprints]] and the HOF-hash spec twin.
+    */
+  private def winnowFrom(df: DataFrame, id: String, text: Column,
+                         hashArr: Column, w: Int): DataFrame = {
     val wMin = Window.partitionBy(col(id)).orderBy(col("_p").asc)
       .rowsBetween(Window.currentRow, w - 1)
     df.select(col(id), text.as("_t"))
@@ -634,6 +643,30 @@ object Text {
       .groupBy(col(id))
       .agg(array_sort(collect_set(col("_min"))).as("fps"))
   }
+
+  /** [[winnowFingerprints]] with the interpreted HOF hash — the
+    * bit-equality spec twin (GramExprSpec).
+    */
+  private[graft] def winnowFingerprintsHofForSpec(df: DataFrame, id: String,
+      text: Column, k: Int, w: Int): DataFrame =
+    winnowFrom(df, id, text, kgramPolyHashHof("_t", k), w)
+
+  /** One-pass native k-gram poly hashes (see KgramPolyHashExpr). */
+  private[graft] def kgramPolyHashNative(t: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.KgramPolyHashExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(t), k, PolyP))
+
+  /** The interpreted per-position HOF chain the native expression
+    * replaced — kept as the bit-equality twin (GramExprSpec): positions
+    * 0..max(len−k, 0), each the poly fold over the gram's `ascii` codes.
+    * `tName` is the column name the expression string references.
+    */
+  private[graft] def kgramPolyHashHof(tName: String, k: Int): Column =
+    expr(s"transform(sequence(0, greatest(length($tName) - $k, 0)), i -> " +
+      s"aggregate(transform(filter(split(substr($tName, i + 1, $k), ''), " +
+      s"c -> c <> ''), c -> cast(ascii(c) as bigint)), " +
+      s"cast(0 as bigint), (acc, c) -> pmod(acc * 31 + c, ${PolyP}L)))")
 
   /** Language ID by marker-token counting — the n-gram/stopword heuristic
     * tier of langid. Markers per language are counted over whitespace
@@ -1106,9 +1139,21 @@ object Text {
   }
 
   /** The document's word n-gram array (occurrences, NOT deduped —
-    * `shingles` dedups; repetition stats need every occurrence).
+    * `shingles` dedups; repetition stats need every occurrence). Native
+    * one-pass form (r12): the HOF twin below embeds the split SUBTREE in
+    * its transform lambda and re-splits the whole text once per gram
+    * position — O(len²) per doc, 13.2 s vs 1.8 s on the 10x SKEW probe's
+    * 0.5 % giant docs (WordGramsExpr scaladoc has the full story).
     */
-  private def gramOccurrences(text: Column, n: Int): Column = {
+  private[graft] def gramOccurrences(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.WordGramsExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(text), n))
+
+  /** Built-ins-only gram occurrences — cross-check twin of
+    * [[gramOccurrences]] (bit-equality spec in GramExprSpec).
+    */
+  private[graft] def gramOccurrencesHof(text: Column, n: Int): Column = {
     val words = split(text, " ")
     when(size(words) >= n,
       transform(sequence(lit(0), size(words) - n),

@@ -1,0 +1,144 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word n-GRAM OCCURRENCES (duplicates kept, document order) in one native
+  * pass — the non-distinct sibling of [[WordShinglesExpr]] and the scale
+  * form of `Text.gramOccurrencesHof`.
+  *
+  * Why a native expression (the r12 giant-doc finding): the HOF form
+  * embeds the `split(text, ' ')` SUBTREE inside its transform lambda
+  * (Column DSL substitutes expression trees, so there is no Project
+  * boundary to share it), and interpreted HOF evaluation re-runs the
+  * split once per gram position — O(len²) per document. Invisible on
+  * 300-char sf docs; the 10x SKEW probe's 0.5 % ~39 KB docs took
+  * q_text_repetition from 1.8 s to 13.2 s. Same family as the r8 CDC
+  * array-boundary lesson and the winnow substr scan (see
+  * [[KgramPolyHashExpr]]). Here: one pass finds word-start byte offsets
+  * (0x20 never occurs inside a UTF-8 multi-byte sequence), each gram is
+  * the byte span from word j's start to word j+n−1's end — identical
+  * bytes to `array_join(slice(split(text, ' '), j+1, n), ' ')` including
+  * the consecutive-space empty-word cases (the WordShinglesExpr span
+  * argument, minus its dedup). Bit-equality spec: GramExprSpec.
+  */
+case class WordGramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, "gram size must be >= 1")
+
+  override def nullIntolerant: Boolean = true
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramExprHelpers.wordGrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.GramExprHelpers.wordGrams($s, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramsExpr =
+    copy(child = newChild)
+}
+
+/** All k-CHARACTER-gram polynomial hashes of a string in one native pass —
+  * the scale form of the winnowing per-position fold
+  * `aggregate(chars(substr(t, i+1, k)), 0, (acc, c) -> pmod(acc*31 + c, p))`.
+  *
+  * Why a native expression: `substr(t, i+1, k)` on a UTF8String walks the
+  * byte stream from 0 to find the i-th character boundary — O(i) per
+  * position, O(len²) per document once docs leave the 300-char regime
+  * (10x SKEW probe: q_doc_fingerprint 7.6 s plain vs 73.6 s skewed; a
+  * linear model predicts ~13 s). One decode to code points + direct
+  * indexing makes every position O(k). Semantics replicated exactly from
+  * the HOF chain, including its edges: positions 0..max(len−k, 0) — a doc
+  * shorter than k hashes its one truncated gram at position 0, the empty
+  * string hashes to 0 — and `ascii(c)` = code point (supplementary chars
+  * are ONE char in both UTF8String.numChars and codePoints()). Values
+  * stay < p ≈ 1e9+7, so acc*31 + cp < 2^35: exact long arithmetic, the
+  * cross-engine polyHash contract untouched. Bit-equality spec:
+  * GramExprSpec.
+  */
+case class KgramPolyHashExpr(child: Expression, k: Int, p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1, "k must be >= 1")
+  require(p >= 2, "modulus must be >= 2")
+
+  override def nullIntolerant: Boolean = true
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_kgram_polyhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramExprHelpers.kgramPolyHash(input.asInstanceOf[UTF8String], k, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.GramExprHelpers.kgramPolyHash($s, $k, ${p}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): KgramPolyHashExpr =
+    copy(child = newChild)
+}
+
+/** Static helpers callable from generated Java. */
+object GramExprHelpers {
+
+  /** Word-gram occurrences via byte spans (see [[WordGramsExpr]]). */
+  def wordGrams(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var numWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) numWords += 1; i += 1 }
+    if (numWords < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](numWords + 1) // starts(numWords) = len + 1 sentinel
+    var w = 1
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(numWords) = len + 1
+    val out = new Array[Any](numWords - n + 1)
+    var j = 0
+    while (j <= numWords - n) {
+      val from = starts(j)
+      val until = starts(j + n) - 1 // end of word j+n-1 (drop the separator)
+      out(j) = UTF8String.fromBytes(bytes, from, until - from)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-position k-gram poly hashes over code points (see
+    * [[KgramPolyHashExpr]]).
+    */
+  def kgramPolyHash(s: UTF8String, k: Int, p: Long): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val len = cps.length
+    val nPos = math.max(len - k, 0) + 1
+    val out = new Array[Any](nPos)
+    var i = 0
+    while (i < nPos) {
+      var acc = 0L
+      var j = i
+      val until = math.min(i + k, len)
+      while (j < until) {
+        acc = (acc * 31L + cps(j)) % p
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
