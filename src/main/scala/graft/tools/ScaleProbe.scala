@@ -48,6 +48,12 @@ object ScaleProbe {
     val q = graft.Queries.queries
     time("q_time_bucket") { q("q_time_bucket")(spark, out).count() }
     time("q_session_gap") { q("q_session_gap")(spark, out).count() }
+    // r12: the driver-gated streaming sessionization lane — staging write
+    // + micro-batch engine + watermarked session_window state at scale.
+    // State is user-keyed and the watermark bounds its lifetime; the wall
+    // here is the honest cost of pushing the full replicated event log
+    // through the streaming engine in one AvailableNow run.
+    time("q_session_stream") { q("q_session_stream")(spark, out).count() }
     time("q_asof_join") { q("q_asof_join")(spark, out).count() }
     time("q_asof_table") { q("q_asof_table")(spark, out).count() }
     time("q_asof_native") { q("q_asof_native")(spark, out).count() }
