@@ -217,10 +217,9 @@ object Sampling {
                          minRatio: Double, shingleN: Int = 3): DataFrame = {
     require(spanWords >= 1, s"decontaminateSpans: spanWords >= 1, got $spanWords")
     val bh = bench.select(explode(benchShingleHashes).as("h")).distinct()
-    val words = split(text, " ")
-    val nSpans = ceil(size(words).cast("double") / spanWords).cast("int")
-    val spans = transform(sequence(lit(0), nSpans - 1),
-      i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " "))
+    // one-pass native span builder (the HOF form re-split the text per
+    // span position — WordSpansExpr scaladoc)
+    val spans = Text.wordSpans(text, spanWords)
     val sp = corpus.select(col(id), posexplode(spans).as(Seq("pos", "span")))
       .withColumn("_sh", array_distinct(
         transform(Text.shingles(col("span"), shingleN), Text.polyHash(_))))

@@ -733,10 +733,7 @@ object Text {
   def dedupSpans(df: DataFrame, id: String, text: Column,
                  spanWords: Int): DataFrame = {
     require(spanWords >= 1, s"dedupSpans: spanWords must be >= 1, got $spanWords")
-    val words = split(text, " ")
-    val nSpans = ceil(size(words).cast("double") / spanWords).cast("int")
-    val spans = transform(sequence(lit(0), nSpans - 1),
-      i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " "))
+    val spans = wordSpans(text, spanWords)
     val w = Window.partitionBy(col("span")).orderBy(col(id).asc, col("pos").asc)
     df.select(col(id), posexplode(spans).as(Seq("pos", "span")))
       .withColumn("_keep", row_number().over(w) === 1)
@@ -982,10 +979,7 @@ object Text {
                          maxStopRatio: Double,
                          maxMeanWordLen: Double): DataFrame = {
     require(spanWords >= 1, s"filterSpansQuality: spanWords >= 1")
-    val words = split(text, " ")
-    val nSpans = ceil(size(words).cast("double") / spanWords).cast("int")
-    val spans = transform(sequence(lit(0), nSpans - 1),
-      i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " "))
+    val spans = wordSpans(text, spanWords)
     val sw = split(col("span"), " ")
     val swr = fracTrunc4(
       size(filter(sw, w => stopwords.map(w === _).reduce(_ || _))), size(sw))
@@ -1149,6 +1143,25 @@ object Text {
     org.apache.spark.sql.graft.ColumnShim.column(
       org.apache.spark.sql.graft.WordGramsExpr(
         org.apache.spark.sql.graft.ColumnShim.expression(text), n))
+
+  /** Non-overlapping word spans of `spanWords` words (last span shorter)
+    * — the one-pass native form shared by [[dedupSpans]],
+    * [[filterSpansQuality]], and `Sampling.decontaminateSpans`
+    * (WordSpansExpr scaladoc has the damped-quadratic HOF story;
+    * [[wordSpansHof]] is the bit-equality twin).
+    */
+  def wordSpans(text: Column, spanWords: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.WordSpansExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(text), spanWords))
+
+  /** Built-ins-only span builder — cross-check twin of [[wordSpans]]. */
+  private[graft] def wordSpansHof(text: Column, spanWords: Int): Column = {
+    val words = split(text, " ")
+    val nSpans = ceil(size(words).cast("double") / spanWords).cast("int")
+    transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " "))
+  }
 
   /** Built-ins-only gram occurrences — cross-check twin of
     * [[gramOccurrences]] (bit-equality spec in GramExprSpec).

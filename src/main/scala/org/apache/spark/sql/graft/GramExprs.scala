@@ -88,8 +88,72 @@ case class KgramPolyHashExpr(child: Expression, k: Int, p: Long)
     copy(child = newChild)
 }
 
+/** Non-overlapping word SPANS of `spanWords` words (last span shorter) in
+  * one native pass — the stride-`spanWords` sibling of [[WordGramsExpr]]
+  * and the scale form of the span builder shared by `Text.dedupSpans`,
+  * `Text.filterSpansQuality`, and `Sampling.decontaminateSpans`, whose
+  * HOF form pastes the split subtree into its lambda (re-split per span
+  * position — the damped O(len²/spanWords) variant of the gram builder's
+  * quadratic; q_dedup_spans measured 2.5x under the 10x skew probe's
+  * giant docs). Same byte-span construction as grams: span j = bytes
+  * from word j·spanWords's start to word min((j+1)·spanWords, nWords)−1's
+  * end — identical to `array_join(slice(split(text,' '), j·sw+1, sw), ' ')`
+  * including clamped tails and consecutive-space empty words.
+  * Bit-equality spec: GramExprSpec.
+  */
+case class WordSpansExpr(child: Expression, spanWords: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(spanWords >= 1, "spanWords must be >= 1")
+
+  override def nullIntolerant: Boolean = true
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_spans"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramExprHelpers.wordSpans(input.asInstanceOf[UTF8String], spanWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.GramExprHelpers.wordSpans($s, $spanWords);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordSpansExpr =
+    copy(child = newChild)
+}
+
 /** Static helpers callable from generated Java. */
 object GramExprHelpers {
+
+  /** Non-overlapping word spans via byte spans (see [[WordSpansExpr]]). */
+  def wordSpans(s: UTF8String, sw: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var numWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) numWords += 1; i += 1 }
+    val starts = new Array[Int](numWords + 1)
+    var w = 1
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(numWords) = len + 1
+    val nSpans = (numWords + sw - 1) / sw
+    val out = new Array[Any](nSpans)
+    var j = 0
+    while (j < nSpans) {
+      val from = starts(j * sw)
+      val endWord = math.min((j + 1) * sw, numWords)
+      val until = starts(endWord) - 1
+      out(j) = UTF8String.fromBytes(bytes, from, until - from)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** Word-gram occurrences via byte spans (see [[WordGramsExpr]]). */
   def wordGrams(s: UTF8String, n: Int): ArrayData = {

@@ -51,6 +51,18 @@ class GramExprSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("WordSpansExpr == the HOF span builder (clamped tails, empties)") {
+    for (sw <- Seq(1, 3, 5, 50)) {
+      val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+      val got = df.select(col("id"), Text.wordSpans(col("t"), sw).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      val want = df.select(col("id"), Text.wordSpansHof(col("t"), sw).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(got == want, s"sw=$sw: native $got\nhof $want")
+    }
+  }
+
   test("winnowFingerprints output unchanged by the native swap (HOF replay)") {
     // replay the full winnow relational pipeline with the HOF hash array
     // and assert identical fingerprints — the oracle-facing contract
