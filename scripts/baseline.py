@@ -43,6 +43,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # pair join). Reported in the table, excluded from the aggregates.
 BUILD_LANES = {"q_pair_index"}
 
+# ENGINE lanes (r12): driver-gated STREAMING surfaces. The Spark number
+# deliberately includes the staging write + the micro-batch engine itself
+# (state store, watermark bookkeeping, no-data-batch finalization — the
+# cost-visibility contract again), while the oracle replays only the
+# final-table SEMANTICS as batch SQL; DuckDB has no streaming engine, so
+# the pairing verifies correctness but measures two different jobs.
+# Reported in the table AND as their own first-class aggregate row,
+# excluded from the plan-lane ratios.
+ENGINE_LANES = {"q_session_stream", "q_ewma_stream", "q_funnel_stream",
+                "q_stream_join", "q_dedup_stream", "q_dedup_stream_lsh",
+                "q_quantile_stream", "q_mv_stream"}
+
 ROW_RE = re.compile(
     r"^\|\s*(q_\w+)\s*\|\s*([0-9.]+)\s*\|\s*(?:([0-9.]+)|>[0-9.]+ \(timeout\))\s*\|")
 
@@ -67,11 +79,14 @@ def parse_baseline_md(path):
 def aggregates(rows, prev, timeout):
     """rows: [(name, spark, duck_or_None)]; prev: parse_baseline_md output.
     Returns a dict of the three first-class aggregates + decomposition."""
-    pool = [(n, s, d) for n, s, d in rows if n not in BUILD_LANES]
+    pool = [(n, s, d) for n, s, d in rows
+            if n not in BUILD_LANES and n not in ENGINE_LANES]
+    engine = [(n, s, d) for n, s, d in rows if n in ENGINE_LANES]
     comparable = [(n, s, d) for n, s, d in pool if d is not None]
     timeouts = [(n, s) for n, s, d in pool if d is None]
     prev_comp = {n for n, (s, d) in prev.items()
-                 if d is not None and n not in BUILD_LANES}
+                 if d is not None and n not in BUILD_LANES
+                 and n not in ENGINE_LANES}
     lfl = [(n, s, d) for n, s, d in comparable if n in prev_comp]
     new = [(n, s, d) for n, s, d in comparable if n not in prev_comp]
 
@@ -96,6 +111,9 @@ def aggregates(rows, prev, timeout):
         "n_new": len(new),
         "new_s": sum(s for _, s, _ in new),
         "new_d": sum(d for _, _, d in new),
+        "n_engine": len(engine),
+        "engine_s": sum(s for _, s, _ in engine),
+        "engine_d": sum(d for _, _, d in engine if d is not None),
     }
 
 
@@ -138,12 +156,15 @@ def selftest():
     assert prev == {"q_alpha": (1.0, 2.0), "q_beta": (0.5, None),
                     "q_pair_index": (9.0, 0.1), "q_gamma": (2.0, 1.0)}, prev
     # current round: q_alpha got slower, q_beta now finishes, q_delta is new,
-    # q_gamma timed out this time; BUILD lane must never enter aggregates
+    # q_gamma timed out this time; BUILD and ENGINE lanes must never enter
+    # the plan-lane aggregates (ENGINE lanes get their own sums)
     rows = [("q_alpha", 2.0, 4.0), ("q_beta", 0.5, 30.0),
             ("q_delta", 1.0, 1.0), ("q_gamma", 2.0, None),
-            ("q_pair_index", 9.0, 0.1)]
+            ("q_pair_index", 9.0, 0.1), ("q_ewma_stream", 3.0, 0.2)]
     a = aggregates(rows, prev, timeout=60.0)
     assert a["n_comparable"] == 3 and a["n_timeouts"] == 1, a
+    assert a["n_engine"] == 1 and a["engine_s"] == 3.0 \
+        and a["engine_d"] == 0.2, a
     # like-for-like = lanes comparable in BOTH rounds = {q_alpha} only
     # (q_beta timed out last round, q_delta is new, q_gamma timed out now)
     assert a["n_lfl"] == 1 and abs(a["lfl_ratio"] - 0.5) < 1e-12, a
@@ -192,9 +213,11 @@ def main():
 
     a = aggregates(rows, prev, timeout)
     comparable = [(n, s, d) for n, s, d in rows
-                  if d is not None and n not in BUILD_LANES]
+                  if d is not None and n not in BUILD_LANES
+                  and n not in ENGINE_LANES]
     spark_wins = [(n, s, d) for n, s, d in comparable if s < d]
-    timeouts = [(n, s) for n, s, d in rows if d is None]
+    timeouts = [(n, s) for n, s, d in rows
+                if d is None and n not in ENGINE_LANES]
     import math
     geo = math.exp(sum(math.log(d / s) for _, s, d in comparable)
                    / len(comparable)) if comparable else float("nan")
@@ -212,18 +235,20 @@ lane (local[32], steady-state, best of main/isolated). This compares
 whole-operator semantics, not microbenchmarks: each row is the same
 answer computed by both engines.
 
-## Headline aggregates (all exclude BUILD lanes; sums in seconds)
+## Headline aggregates (all exclude BUILD + ENGINE lanes; sums in seconds)
 
 | aggregate | lanes | spark sum | duckdb sum | spark/duck |
 |---|---|---|---|---|
 | comparable pool (DuckDB finished) | {a['n_comparable']} | {a['pool_s']:.1f} | {a['pool_d']:.1f} | **{a['pool_ratio']:.2f}x** |
 | like-for-like (comparable in prev round too) | {a['n_lfl']} | {a['lfl_s']:.1f} | {a['lfl_d']:.1f} | **{a['lfl_ratio']:.2f}x** (prev round same set: {a['lfl_prev_ratio']:.2f}x) |
 | timeout-inclusive lower bound (timeouts at {timeout:.0f}s) | {a['n_comparable'] + a['n_timeouts']} | {a['pool_s'] + sum(s for _, s in timeouts):.1f} | ≥{a['pool_d'] + timeout * a['n_timeouts']:.1f} | **≤{a['ti_bound']:.2f}x** |
+| streaming-ENGINE lanes (reported, not compared) | {a['n_engine']} | {a['engine_s']:.1f} | {a['engine_d']:.1f} | see note |
 
 Pool decomposition: {a['n_lfl']} like-for-like lanes + {a['n_new']} lanes
 new to the comparable pool this round (new-lane sums: spark
 {a['new_s']:.1f}s, duckdb {a['new_d']:.1f}s) + {a['n_timeouts']} DuckDB
-timeouts + {len(BUILD_LANES)} BUILD lane(s). The like-for-like set is
+timeouts + {len(BUILD_LANES)} BUILD lane(s) + {a['n_engine']}
+streaming-ENGINE lane(s). The like-for-like set is
 parsed programmatically from the previous BASELINE.md
 (scripts/baseline.py parse_baseline_md; selftest under sbt test) — never
 curated by hand.
@@ -243,6 +268,17 @@ curated by hand.
   a persisted artifact (cost-visibility), while the oracle just reads the
   dump that run produced — DuckDB building the same artifact from raw
   text is one of the timeouts above.
+- ENGINE lanes (driver-gated STREAMING surfaces) appear in the table and
+  their own aggregate row, not the plan-lane ratios: the Spark number
+  deliberately includes the staging write + the micro-batch engine run
+  (state store, watermarks, no-data-batch finalization — cost-visibility
+  again), while the oracle replays only the final-table semantics as
+  batch SQL. DuckDB has no streaming engine, so the pairing verifies
+  CORRECTNESS (every one of these lanes is hash-checked) but would
+  compare two different jobs; each lane's batch twin (q_session_native,
+  q_ewma, q_funnel, q_doc_dedup_exact, q_doc_minhash_lsh,
+  q_quantile_sketch, q_mv_rewrite) already carries the honest plan-lane
+  comparison of the same semantics.
 
 | query | spark best (s) | duckdb (s) | duck/spark |
 |---|---|---|---|

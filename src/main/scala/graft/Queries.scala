@@ -391,23 +391,16 @@ object Queries {
     * the determinism harness, not the production topology (that trade is
     * the StreamJoinSpec late-data precedent).
     */
-  private val sessionStreamSeq = new java.util.concurrent.atomic.AtomicInteger
   private def qSessionStream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val base = java.nio.file.Files.createTempDirectory("graft_sess_stream")
-    val inDir = s"$base/in"
-    val ckpt = s"$base/ckpt"
-    try {
-      // 2100-01-01 in epoch ns: past any event time, so the watermark
-      // (sentinel − 1 h) closes every real session in the no-data batch
-      val sentinel = s.range(1).select(lit(-1L).as("user_id"),
-        lit(4102444800000000000L).as("ts"), lit(-1L).as("event_id"))
-      Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
-        .unionByName(sentinel)
-        .coalesce(1).write.parquet(inDir)
-      val agg = s.readStream
-        .schema("user_id BIGINT, ts BIGINT, event_id BIGINT").parquet(inDir)
-        .withColumn("tst", timestamp_micros(expr("ts div 1000")))
+    // 2100-01-01 in epoch ns: past any event time, so the watermark
+    // (sentinel − 1 h) closes every real session in the no-data batch
+    val sentinel = s.range(1).select(lit(-1L).as("user_id"),
+      lit(4102444800000000000L).as("ts"), lit(-1L).as("event_id"))
+    val staged = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .unionByName(sentinel)
+    graft.streaming.StreamGate.run(s, staged, "append") { src =>
+      src.withColumn("tst", timestamp_micros(expr("ts div 1000")))
         .withWatermark("tst", "1 hour")
         .groupBy(col("user_id"), session_window(col("tst"), "6 hours").as("sw"))
         .agg(count(lit(1)).as("n_events"))
@@ -415,17 +408,7 @@ object Queries {
           unix_micros(col("sw.start")).as("start_us"),
           unix_micros(col("sw.end")).as("end_us"),
           col("n_events"))
-      val qn = s"session_stream_${sessionStreamSeq.incrementAndGet()}"
-      val q = agg.writeStream.format("memory").queryName(qn)
-        .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
-      // freeze the sink's rows, then drop the per-run view
-      val out = s.table(qn).where(col("user_id") =!= -1L).localCheckpoint()
-      s.catalog.dropTempView(qn)
-      out
-    } finally org.apache.commons.io.FileUtils
-      .deleteDirectory(new java.io.File(base.toString))
+    }.where(col("user_id") =!= -1L)
   }
 
   /** §2.16f Last-touch attribution (the marketing-analytics report on the
@@ -929,6 +912,80 @@ object Queries {
     SELECT 2, 'click', count(*) FROM s2
     UNION ALL
     SELECT 3, 'purchase', count(*) FROM s3"""
+
+  /** §2.68c Streaming funnel progression DRIVER-GATED through the
+    * micro-batch engine (the q_session_stream harness, r12): events stage
+    * as one parquet file → `readStream` → the per-user greedy frontier as
+    * `mapGroupsWithState` (graft.streaming.FunnelStream) → update-mode
+    * memory sink under AvailableNow. One batch ⇒ every user's events reach
+    * one sorted group invocation, so the frontier equals the batch greedy
+    * chain exactly (StreamFunnelSpec's parity claim, now hash-checked);
+    * the final per-user steps roll up to the SAME report as §2.68 and the
+    * lane shares q_funnel's oracle. Scale: state is 3 scalars/user; the
+    * rollup is a broadcast join against the 3-row step frame.
+    */
+  private def qFunnelStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = Tables.events(s, dir).select(
+      col("user_id").as("userId"), col("ts").as("tsNs"),
+      col("event_type").as("eventType"))
+    val byUser = graft.streaming.StreamGate.run(s, staged, "update") { src =>
+      graft.streaming.FunnelStream.funnelProgress(
+        src.as[graft.streaming.FunnelStream.Ev],
+        Seq("view", "click", "purchase"), 2 * 24 * HourNs)
+        .toDF("user_id", "step")
+    }
+    val steps = Seq((1L, "view"), (2L, "click"), (3L, "purchase"))
+      .toDF("step_idx", "step_type")
+    // LEFT join from the step frame: a step nobody reached still emits its
+    // zero row, matching the oracle's unconditional per-step scalars
+    steps.join(byUser, col("step") >= col("step_idx"), "left")
+      .groupBy("step_idx", "step_type")
+      .agg(count(col("user_id")).as("n_users"))
+  }
+
+  /** §2.68g Stream-STREAM interval join DRIVER-GATED through the engine
+    * (r12): views and clicks stage as TWO single-file parquet streams;
+    * clicks match the same user's views that precede them by ≤ 30 min — a
+    * true two-stream inner join whose buffered state both watermarks bound
+    * to O(rate × interval) in production. One batch per side ⇒ the inner
+    * join emits the complete matched set in the data batch (inner-join
+    * emission is not watermark-gated; the delay governs only state
+    * eviction and late-data completeness across batches — the
+    * StreamStreamJoinSpec trade, recorded there with measured loss).
+    * All-integer μs arithmetic on both engines (operands truncated to μs
+    * BEFORE subtracting — the epoch_us discipline).
+    */
+  private def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def side(typ: String, p: String): DataFrame = ev
+      .where(col("event_type") === typ)
+      .select(col("user_id").as(s"${p}u"), col("event_id").as(s"${p}id"),
+        expr("ts div 1000").as(s"${p}us"))
+    val staged = Seq(side("view", "v"), side("click", "c"))
+    graft.streaming.StreamGate.runMulti(s, staged, "append") {
+      case Seq(v, c) =>
+        val vS = v.withColumn("vts", timestamp_micros(col("vus")))
+          .withWatermark("vts", "1 hour")
+        val cS = c.withColumn("cts", timestamp_micros(col("cus")))
+          .withWatermark("cts", "1 hour")
+        vS.join(cS,
+          col("vu") === col("cu") && col("cts") >= col("vts") &&
+            col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("vu").as("user_id"), col("vid").as("view_id"),
+            col("cid").as("click_id"),
+            (col("cus") - col("vus")).as("delay_us"))
+    }
+  }
+
+  private val oStreamJoin = """
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+    FROM events v JOIN events c
+      ON c.user_id = v.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(v.ts)
+     AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000"""
 
   /** §2.68a Cohort retention matrix: cohort = day of first signup; a cell
     * (cohort_day, day_offset) counts that cohort's users active (any event)
@@ -2074,6 +2131,8 @@ object Queries {
     GraftQuery("q_salted_auto", qSaltedAuto, None, oracleGen = Some(oSaltedAutoGen)),
     GraftQuery("q_twophase_sum", qTwoPhaseSum, Some(oTwoPhaseSum)),
     GraftQuery("q_funnel", qFunnel, Some(oFunnel)),
+    GraftQuery("q_funnel_stream", qFunnelStream, Some(oFunnel)),
+    GraftQuery("q_stream_join", qStreamJoin, Some(oStreamJoin)),
     GraftQuery("q_retention", qRetention, Some(oRetention)),
     GraftQuery("q_transitions", qTransitions, Some(oTransitions)),
     GraftQuery("q_markov_stationary", qMarkovStationary,

@@ -293,6 +293,30 @@ object QueriesPipe {
                          ELSE (c + 3 * acc) // 4 END) AS ewma_cents
     FROM g"""
 
+  /** §2.82b Streaming EWMA DRIVER-GATED through the micro-batch engine
+    * (the q_session_stream harness, r12): events stage as one parquet
+    * file → `readStream` → the §2.82 integer recurrence in
+    * `mapGroupsWithState` (graft.streaming.EwmaStream) → update-mode
+    * memory sink under AvailableNow. One batch ⇒ each user's events fold
+    * in one sorted group invocation, so stream state equals the batch
+    * sorted fold bit-for-bit (EwmaStreamSpec's claim, now hash-checked) —
+    * the lane shares q_ewma's oracle verbatim. Scale: state is three
+    * scalars per key; the shuffle is the same user-keyed exchange as the
+    * batch groupBy.
+    */
+  private def qEwmaStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = Tables.events(s, dir).select(
+      col("user_id").as("userId"), col("ts").as("tsNs"),
+      col("event_id").as("eventId"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    graft.streaming.StreamGate.run(s, staged, "update") { src =>
+      graft.streaming.EwmaStream.ewma(
+        src.as[graft.streaming.EwmaStream.Ev])
+        .toDF("user_id", "n_events", "ewma_cents")
+    }
+  }
+
   /** §2.92 Holt-Winters double-exponential smoothing (Holt 1957) — the
     * level+trend forecaster one tier up from §2.82's EWMA (which tracks
     * level only and permanently lags a trending series). Per priority, the
@@ -553,6 +577,48 @@ object QueriesPipe {
       .select(col("priority"), col("n_months"), col("target_cents"),
         col("_cu.aup").as("alarm_up"), col("_cu.adn").as("alarm_dn"),
         col("_cu.msp").as("max_sp"), col("_cu.msn").as("max_sn"))
+
+  /** §2.94b Streaming CUSUM DRIVER-GATED through the micro-batch engine
+    * (r12): the per-priority monthly series stages as one parquet file →
+    * `readStream` → the §2.94 recurrence with PER-KEY batch-calibrated
+    * targets (`EwmaStream.cusumKeyed` — the monitoring deployment shape:
+    * targets come from the calibration run, the stream flags drift
+    * continuously) → update-mode memory sink. Priorities key as a dense
+    * index (stream state keys are Long; the 5-row calibration frame maps
+    * back, broadcast); targets are the IDENTICAL integer expression the
+    * batch lane derives (first-year mean, `div least(n, 12)`), so the
+    * stream fold replays the batch recurrence bit-for-bit and the lane
+    * shares q_cusum's oracle verbatim. Scale: seven scalars of state per
+    * key; calibration is a 5-row driver scalar (the precedented
+    * stats-head pattern).
+    */
+  private def qCusumStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = monthlyRevenue(s, dir)
+      .withColumn("x", row_number().over(
+        Window.partitionBy("priority").orderBy("_y", "_m")).cast("long"))
+    val cal = monthly.groupBy(col("priority"))
+      .agg(expr("""CAST(sum(CASE WHEN x <= 12 THEN _c END) AS BIGINT)
+                   div least(count(*), 12L)""").as("target"))
+      .orderBy("priority").collect()
+    val idx = cal.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getString(0), r.getLong(1)) }
+    val targets = idx.map { case (k, _, t) => k -> t }.toMap
+    val labels = idx.toSeq.toDF("key", "priority", "target_cents")
+    val keyExpr = idx.foldLeft(lit(-1L)) { case (acc, (k, p, _)) =>
+      when(col("priority") === p, lit(k)).otherwise(acc) }
+    val staged = monthly.select(keyExpr.as("userId"),
+      (col("_y") * 100 + col("_m")).as("tsNs"), lit(0L).as("eventId"),
+      col("_c").as("cents"))
+    val st = graft.streaming.StreamGate.run(s, staged, "update") { src =>
+      graft.streaming.EwmaStream.cusumKeyed(
+          src.as[graft.streaming.EwmaStream.Ev], targets)
+        .toDF("key", "n_months", "alarm_up", "alarm_dn", "max_sp", "max_sn")
+    }
+    st.join(broadcast(labels), "key")
+      .select(col("priority"), col("n_months"), col("target_cents"),
+        col("alarm_up"), col("alarm_dn"), col("max_sp"), col("max_sn"))
+  }
 
   private val oCusum = """
     WITH RECURSIVE monthly AS MATERIALIZED (
@@ -1274,6 +1340,45 @@ object QueriesPipe {
     FROM lineitem
     GROUP BY 1, 2"""
 
+  /** §2.86b Streaming MV maintenance DRIVER-GATED through the micro-batch
+    * engine (r12): events stage as FOUR parquet files streamed one file
+    * per micro-batch (`StreamGate.runForeach`), and each `foreachBatch`
+    * rolls the summary forward with `MvRegistry.mergeSummaries` — the
+    * fact data is touched once per batch, never re-read (MvStreamSpec's
+    * loop, now hash-checked end-to-end). The lane's output IS the final
+    * maintained summary; the oracle recomputes it directly, so the
+    * hash-match proves per-batch maintenance == one-shot rebuild. Every
+    * summary cell is a semilattice/commutative-monoid element (cnt/sum
+    * add over integer cents, min/max meet), so file-to-batch assignment
+    * order provably cannot change the result — the same property that
+    * makes the 100 TB ingest loop summary-sized per batch. Per-batch
+    * `localCheckpoint` freezes each merged version (a batch frame is only
+    * valid within its micro-batch) and keeps the fold's plan flat.
+    */
+  private def qMvStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.MvRegistry
+    val group = Seq("event_type")
+    val measures = Seq("cents")
+    val staged = Tables.events(s, dir).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    var summary: DataFrame = null
+    graft.streaming.StreamGate.runForeach(s, staged, nFiles = 4) {
+      (batch, _) =>
+        val delta = MvRegistry.buildSummary(batch, group, measures)
+        summary = (if (summary == null) delta
+                   else MvRegistry.mergeSummaries(summary, delta, group,
+                     measures)).localCheckpoint()
+    }
+    summary
+  }
+
+  private val oMvStream = """
+    SELECT event_type, count(*) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+           min(CAST(round(value * 100) AS BIGINT)) AS cents_min,
+           max(CAST(round(value * 100) AS BIGINT)) AS cents_max
+    FROM events GROUP BY 1"""
+
   /** §2.86c Join-MV (star-shape denormalized serving): the aggregate is
     * authored against `lineitem ⋈ supplier` on the supplier key, and the
     * rule serves it from a pre-joined per-(nation, returnflag) summary —
@@ -1641,10 +1746,12 @@ object QueriesPipe {
     GraftQuery("q_k_anon", qKAnon, Some(oKAnon)),
     GraftQuery("q_l_diversity", qLDiversity, Some(oLDiversity)),
     GraftQuery("q_ewma", qEwma, Some(oEwma)),
+    GraftQuery("q_ewma_stream", qEwmaStream, Some(oEwma)),
     GraftQuery("q_holt_winters", qHoltWinters, Some(oHoltWinters)),
     GraftQuery("q_trend_fit", qTrendFit, Some(oTrendFit)),
     GraftQuery("q_theil_sen", qTheilSen, Some(oTheilSen)),
     GraftQuery("q_cusum", qCusum, Some(oCusum)),
+    GraftQuery("q_cusum_stream", qCusumStream, Some(oCusum)),
     GraftQuery("q_gapfill", qGapfill, Some(oGapfill)),
     GraftQuery("q_ccnet_buckets", qCcnetBuckets, Some(oCcnetBuckets)),
     GraftQuery("q_benford", qBenford, Some(oBenford)),
@@ -1653,6 +1760,7 @@ object QueriesPipe {
     GraftQuery("q_trunc_loss", qTruncLoss, Some(oTruncLoss)),
     GraftQuery("q_ref_integrity", qRefIntegrity, Some(oRefIntegrity)),
     GraftQuery("q_mv_rewrite", qMvRewrite, Some(oMvRewrite)),
+    GraftQuery("q_mv_stream", qMvStream, Some(oMvStream)),
     GraftQuery("q_mv_join", qMvJoin, Some(oMvJoin)),
     GraftQuery("q_time_travel", qTimeTravel, None,
       oracleGen = Some(oTimeTravelGen)),

@@ -92,6 +92,109 @@ object QueriesText {
           FROM documents) t
     GROUP BY norm HAVING count(*) > 1"""
 
+  /** §2.38c Streaming dedup at ingest DRIVER-GATED through the micro-batch
+    * engine (the q_session_stream harness, r12): documents stage as one
+    * parquet file → `readStream` → the exact tier's watermark-bounded
+    * first-wins (`dropDuplicatesWithinWatermark` on the §2.38 norm key,
+    * graft.streaming.DedupStream.dedupExact) → append-mode memory sink.
+    * The gate projects the NORM KEY (the deterministic part of the
+    * operator's contract): exactly one survivor per key must be emitted —
+    * a duplicate leaking through would produce a repeated key row and
+    * fail the row/hash compare. WHICH physical row carries a key within
+    * one micro-batch is processing-order-dependent by design
+    * (dropDuplicates keeps the first PROCESSED row; across batches it is
+    * first-arrival — the semantics the spec asserts), so the payload
+    * stays out of the hash. Event time = doc_id seconds — arrival order
+    * is the corpus order, the ingest framing. Scale: state is one key per
+    * entry, bounded by the watermark retention, shuffled on the norm key.
+    */
+  private def qDedupStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // doc_id + 1 seconds: an event time of exactly epoch 0 TIES the
+    // engine's initial watermark and is discarded as late (doc_id 0
+    // vanished at sf0.01) — the synthetic ingest clock starts at 1
+    val staged = docs(s, dir).select(
+      col("doc_id").as("docId"), col("text"),
+      ((col("doc_id") + 1) * lit(1000000000L)).as("tsNs"))
+    graft.streaming.StreamGate.run(s, staged, "append") { src =>
+      graft.streaming.DedupStream.dedupExact(
+          src.as[graft.streaming.DedupStream.Doc], retentionMs = 3600000L)
+        .select(col("norm_key"))
+    }
+  }
+
+  private val oDedupStream = """
+    SELECT DISTINCT array_to_string(string_split(text, ' ')[1:8], ' ')
+             AS norm_key
+    FROM documents"""
+
+  /** §2.38c (near-dup tier) Streaming MinHash+LSH dedup DRIVER-GATED
+    * through the engine — the catalog's only CHAINED-stateful streaming
+    * gate (two flatMapGroupsWithState stages: per-(band, bucket) arrival
+    * state → per-doc verdict AND). Same parameters as the §2.39 batch
+    * lane (2-shingles, 16 perms, 4×4 bands, Jaccard ≥ 0.8); arrival
+    * order is the doc_id ingest clock, and stage 1 registers ARRIVALS
+    * (the batch tier's candidate semantics), so the survivor set is
+    * non-recursive: doc b drops iff an EARLIER doc shares any band
+    * bucket and verifies — which is exactly the oracle's EXISTS over
+    * the same cross-engine poly-hash signature replay the batch oracle
+    * uses. The chained-stateful watermark opt-out is the CALLER's
+    * decision (DedupStream scaladoc carries the soundness argument):
+    * set here for the run and restored after. Scale: stage 1 shuffles
+    * on (band, bucket) — bucket sizes bound the verify work; stage 2 is
+    * one row per (doc, band), stateless in effect.
+    */
+  private def qDedupStreamLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = docs(s, dir).select(
+      col("doc_id").as("docId"), col("text"),
+      ((col("doc_id") + 1) * lit(1000000000L)).as("tsNs"))
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try graft.streaming.StreamGate.run(s, staged, "append") { src =>
+      graft.streaming.DedupStream.dedupMinhashLsh(
+          src.as[graft.streaming.DedupStream.Doc],
+          threshold = 0.8, retentionMs = 3600000L,
+          bands = 4, rowsPerBand = 4)
+        .select(col("docId").as("doc_id"))
+    } finally s.conf.set(key, prev)
+  }
+
+  private val oDedupStreamLsh = {
+    val perms = Text.minhashPermConsts(16).map { case (a, b) =>
+      s"list_min(list_transform(th, h -> (h * $a + $b) % 2147483647))"
+    }.mkString("[\n        ", ",\n        ", "]")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, ${duckBandHash("sig", b, 4)} AS band_hash FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([words[i] || ' ' || words[i+1]
+                            for i in range(1, len(words))]) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+    hs AS (
+      SELECT doc_id, bg, list_transform(bg, s -> ${duckPolyHash("s")}) AS th
+      FROM sh),
+    sig AS (
+      SELECT doc_id, $perms AS sig FROM hs),
+    banded AS (
+      $bandSelects),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    dropped AS (
+      SELECT DISTINCT c.doc_b AS doc_id
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b
+      WHERE len(list_intersect(x.bg, y.bg)) * 1.0 /
+            (len(x.bg) + len(y.bg) - len(list_intersect(x.bg, y.bg))) >= 0.8)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)"""
+  }
+
   /** §2.38d Duplication-inflation report — the per-source mixing input
     * the §2.50c token-budget table needs BEFORE dedup runs: how much of
     * each source's token mass survives exact keep-one collapse. Keeper
@@ -6229,6 +6332,62 @@ object QueriesText {
     SELECT event_type, n_sketch, p50, p90, p99, exact_p50
     FROM sq JOIN ex USING (event_type)"""
 
+  /** §2.65d Streaming bottom-k quantile sketch DRIVER-GATED through the
+    * micro-batch engine (the q_session_stream harness, r12): events stage
+    * as one parquet file → `readStream` → the §2.65b bottom-k state in
+    * `mapGroupsWithState` (graft.streaming.SketchStream.quantileSketch) →
+    * update-mode memory sink. The stream keys on a dense integer index of
+    * event_type (stream state keys are Long; the 5-row label frame maps
+    * back, broadcast); the sketch state is a COMMUTATIVE IDEMPOTENT
+    * monoid (distinct-union → bottom-k), so micro-batch slicing provably
+    * cannot change it — the strongest parity claim in the streaming
+    * suite, now hash-checked against the same rank-selection arithmetic
+    * the batch lane's oracle replays. Scale: ≤ k pairs state per key.
+    */
+  private def qQuantileStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Tables.events(s, dir).select("event_type").distinct()
+      .as[String].collect().sorted
+    val idx = types.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val labels = idx.toSeq.toDF("key", "event_type")
+    val keyExpr = idx.foldLeft(lit(-1L)) { case (acc, (i, t)) =>
+      when(col("event_type") === t, lit(i)).otherwise(acc) }
+    val staged = Tables.events(s, dir).select(
+      keyExpr.as("key"),
+      Sampling.sampleHash(col("event_id").cast("string"), "qsk").as("hash"),
+      col("value"))
+    val sk = graft.streaming.StreamGate.run(s, staged, "update") { src =>
+      graft.streaming.SketchStream.quantileSketch(
+          src.as[graft.streaming.SketchStream.QTok], QskK)
+        .toDF("key", "n_seen", "n_sketch", "p50")
+    }
+    sk.join(broadcast(labels), "key")
+      .select(col("event_type"), col("n_seen"),
+        col("n_sketch").cast("long").as("n_sketch"), col("p50"))
+  }
+
+  private val oQuantileStream = s"""
+    WITH p AS (SELECT event_type,
+                 ${duckPolyHash("CAST(event_id AS VARCHAR) || '#qsk'")} AS h,
+                 value AS v
+               FROM events),
+    d AS (SELECT DISTINCT event_type, h, v FROM p),
+    r AS (SELECT event_type, h, v,
+            row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+          FROM d),
+    s AS (SELECT event_type, v FROM r WHERE rn <= $QskK),
+    q AS (SELECT event_type, v,
+            row_number() OVER (PARTITION BY event_type ORDER BY v) AS vrn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM s),
+    sq AS (SELECT event_type,
+             CAST(any_value(n) AS BIGINT) AS n_sketch,
+             max(CASE WHEN vrn = (n - 1) // 2 + 1 THEN v END) AS p50
+           FROM q GROUP BY event_type),
+    cnt AS (SELECT event_type, count(*) AS n_seen FROM events GROUP BY 1)
+    SELECT event_type, n_seen, n_sketch, p50
+    FROM sq JOIN cnt USING (event_type)"""
+
   /** §2.65c Quantile-sketch mergeability rollup (the 100 TB story, same
     * shape as q_distinct_rollup): week-level quantiles computed by
     * MERGING the persisted day-level bottom-k sketches — explode the day
@@ -6756,6 +6915,8 @@ object QueriesText {
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q_doc_dedup_exact", qDocDedupExact, Some(oDocDedupExact)),
+    GraftQuery("q_dedup_stream", qDedupStream, Some(oDedupStream)),
+    GraftQuery("q_dedup_stream_lsh", qDedupStreamLsh, Some(oDedupStreamLsh)),
     GraftQuery("q_dedup_pipeline", qDedupPipeline, Some(oDedupPipeline), headline = true),
     GraftQuery("q_mm_features", qMmFeatures, Some(oMmFeatures)),
     GraftQuery("q_mm_frames", qMmFrames, Some(oMmFrames)),
@@ -6890,6 +7051,7 @@ object QueriesText {
     GraftQuery("q_pipeline_audit", qPipelineAudit, Some(oPipelineAudit)),
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
+    GraftQuery("q_quantile_stream", qQuantileStream, Some(oQuantileStream)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),
     GraftQuery("q_pack_sequences", qPackSequences, Some(oPackSequences))
   )

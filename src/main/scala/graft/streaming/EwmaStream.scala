@@ -115,4 +115,45 @@ object EwmaStream {
 
     points.groupByKey(_.userId).mapGroupsWithState(update _)
   }
+
+  /** Per-KEY-target CUSUM (r12, the §2.94 batch lane's actual shape —
+    * each priority monitors against its own first-year baseline): same
+    * recurrence as [[cusum]] with target/slack/h resolved per key from
+    * the broadcast-closure map. Keys absent from `targets` are dropped —
+    * a monitored key without a calibrated baseline has no defined
+    * detector (the batch lane can't produce such a row either).
+    */
+  def cusumKeyed(points: Dataset[Ev], targets: Map[Long, Long])
+      : Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    import points.sparkSession.implicits._
+
+    def step(target: Long)(s: Cusum, e: Ev): Cusum = {
+      val slack = target / 100L
+      val h = target / 10L
+      val sp = math.max(0L, s.sp + (e.cents - target - slack))
+      val sn = math.max(0L, s.sn + (target - slack - e.cents))
+      Cusum(sp, sn,
+        if (s.alarmUp > 0L) s.alarmUp else if (sp > h) s.n + 1L else 0L,
+        if (s.alarmDn > 0L) s.alarmDn else if (sn > h) s.n + 1L else 0L,
+        math.max(s.maxSp, sp), math.max(s.maxSn, sn), s.n + 1L)
+    }
+
+    def update(key: Long, rows: Iterator[Ev],
+               state: GroupState[Cusum]): Iterator[(Long, Long, Long, Long, Long, Long)] =
+      targets.get(key) match {
+        case None => Iterator.empty
+        case Some(t) =>
+          val init = state.getOption.getOrElse(Cusum(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          val next = rows.toSeq.sortBy(e => (e.tsNs, e.eventId))
+            .foldLeft(init)(step(t))
+          state.update(next)
+          Iterator.single(
+            (key, next.n, next.alarmUp, next.alarmDn, next.maxSp, next.maxSn))
+      }
+
+    points.groupByKey(_.userId)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(update _)
+  }
 }

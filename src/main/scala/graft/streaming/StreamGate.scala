@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** The driver-gating harness for streaming surfaces (the q_session_stream
+  * shape, r12 — factored out once the pattern generalized): stage a batch
+  * frame as ONE parquet file, re-read it with `readStream`, run the
+  * caller-built streaming transform through the REAL micro-batch engine
+  * into a memory sink under `Trigger.AvailableNow`, and hand back the
+  * sink's final table frozen as a batch frame. The result is
+  * row/schema/hash-checkable by the DuckDB oracle gate exactly like any
+  * relational lane — the streaming engine itself (state store, watermark
+  * bookkeeping, output-mode semantics) is inside the checked path.
+  *
+  * Determinism contract: ONE staged file ⇒ ONE data micro-batch, so
+  *  - no row is ever late (rows are filtered against the PREVIOUS batch's
+  *    watermark, which is the initial watermark for batch 1);
+  *  - every keyed group sees ALL its rows in a single invocation, and the
+  *    graft streaming operators sort each group on (tsNs, eventId) before
+  *    folding, so arbitrary arrival/partition order inside the batch
+  *    cannot reach an order-sensitive recurrence;
+  *  - after the data batch the engine runs the no-data batch
+  *    (`noDataMicroBatches` default), where watermark-gated operators
+  *    (session_window, dropDuplicatesWithinWatermark eviction, event-time
+  *    timeouts) finalize against the advanced watermark.
+  * Production topologies stream MANY batches, where completeness is
+  * governed by the watermark-delay vs arrival-skew trade (the
+  * StreamJoinSpec late-data precedent) — single-file staging is the
+  * determinism harness, not the production topology.
+  *
+  * The staging write + stream run repeat per call: build-cost visibility,
+  * the PairIndex convention — the engine's cost stays in the bench number
+  * instead of hiding in a cache.
+  */
+object StreamGate {
+
+  private val seq = new AtomicInteger
+
+  /** Stage `staged` as one parquet file, then run `build(readStream(...))`
+    * to a memory sink in `mode` ("append" | "update" | "complete") and
+    * return the sink's rows frozen via localCheckpoint.
+    */
+  def run(s: SparkSession, staged: DataFrame, mode: String)
+         (build: DataFrame => DataFrame): DataFrame =
+    runMulti(s, Seq(staged), mode) { case Seq(src) => build(src) }
+
+  /** foreachBatch form (ingest-maintenance loops, §2.86b): stage `staged`
+    * as `nFiles` parquet files and stream them back ONE FILE PER
+    * MICRO-BATCH (`maxFilesPerTrigger=1` under AvailableNow), invoking
+    * `onBatch` per batch — the caller folds its own state (e.g. an MV
+    * summary) across batches. File-to-batch assignment order is not
+    * contractual; callers must fold with order-independent (semilattice /
+    * commutative-monoid) state — which is exactly the property the §2.86b
+    * maintenance loop exists to demonstrate.
+    */
+  def runForeach(s: SparkSession, staged: DataFrame, nFiles: Int)
+                (onBatch: (DataFrame, Long) => Unit): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    try {
+      val inDir = s"$base/in"
+      staged.repartition(nFiles).write.parquet(inDir)
+      val src = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = src.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch(onBatch)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base.toString))
+  }
+
+  /** Multi-source form (stream-stream joins): each input stages to its own
+    * dir and arrives as its own single-batch `readStream` source.
+    */
+  def runMulti(s: SparkSession, staged: Seq[DataFrame], mode: String)
+              (build: Seq[DataFrame] => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    try {
+      val srcs = staged.zipWithIndex.map { case (df, i) =>
+        val inDir = s"$base/in$i"
+        df.coalesce(1).write.parquet(inDir)
+        s.readStream.schema(df.schema).parquet(inDir)
+      }
+      val qn = s"stream_gate_${seq.incrementAndGet()}"
+      val q = build(srcs).writeStream.format("memory").queryName(qn)
+        .outputMode(mode).option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      val out = s.table(qn).localCheckpoint()
+      s.catalog.dropTempView(qn)
+      out
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base.toString))
+  }
+}
