@@ -54,6 +54,14 @@ object ScaleProbe {
     // here is the honest cost of pushing the full replicated event log
     // through the streaming engine in one AvailableNow run.
     time("q_session_stream") { q("q_session_stream")(spark, out).count() }
+    // r12: the other heavy engine lanes. q_stream_join in one AvailableNow
+    // batch buffers BOTH full sides in the join state stores (the watermark
+    // only advances after the data batch) — the deliberate worst case for
+    // state; production topologies stream many batches where the watermark
+    // continuously evicts, keeping state O(rate x interval). q_ewma_stream
+    // is the mapGroupsWithState control: state is 3 scalars/user.
+    time("q_stream_join") { q("q_stream_join")(spark, out).count() }
+    time("q_ewma_stream") { q("q_ewma_stream")(spark, out).count() }
     time("q_asof_join") { q("q_asof_join")(spark, out).count() }
     time("q_asof_table") { q("q_asof_table")(spark, out).count() }
     time("q_asof_native") { q("q_asof_native")(spark, out).count() }
