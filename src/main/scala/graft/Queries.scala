@@ -411,6 +411,57 @@ object Queries {
     }.where(col("user_id") =!= -1L)
   }
 
+  /** §2.37 Streaming ingest + stateful track assembly DRIVER-GATED through
+    * the engine (r12): the reference's consolidator/AddTrackFragment shape
+    * (fgae/addtrackfragment.go — fragments glue into gap-bounded tracks in
+    * per-key state, emitted when the gap closes them) runs as
+    * `SessionStream.sessionize`'s flatMapGroupsWithState through the
+    * q_session_stream staging harness. The far-future sentinel pushes the
+    * watermark past every real track so the EVENT-TIME TIMEOUT flushes
+    * each key's final open session in the no-data batch (the sentinel's
+    * own open session stays in state — end+gap is beyond the watermark —
+    * and is filtered). Track MEMBERSHIP depends only on ts values (ties
+    * extend regardless of order), so the gate is deterministic; the float
+    * value_sum stays OUT of the hash (its sequential fold order differs
+    * from SQL sum association — the cross-engine float rule). Emitted
+    * tracks equal §2.11's strict-gap relational sessionization, so the
+    * oracle is q_session_gap's CTE without the session_id column. Scale:
+    * state is ONE open session per ACTIVE key (timeout evicts quiet
+    * keys), shuffled on the airframe key — the reference's consolidator
+    * contract, now hash-checked end-to-end.
+    */
+  private def qTrackStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sentinel = s.range(1).select(lit(-1L).as("userId"),
+      lit(4102444800000000000L).as("tsNs"), lit(0.0).as("value"))
+    val staged = Tables.events(s, dir)
+      .select(col("user_id").as("userId"), col("ts").as("tsNs"), col("value"))
+      .unionByName(sentinel)
+    graft.streaming.StreamGate.run(s, staged, "append") { src =>
+      graft.streaming.SessionStream.sessionize(
+          src.as[graft.streaming.SessionStream.Point], SessionGapNs)
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"))
+    }.where(col("user_id") =!= -1L)
+  }
+
+  private val oTrackStream = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 21600000000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged)
+    SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id"""
+
   /** §2.16f Last-touch attribution (the marketing-analytics report on the
     * §2.16 as-of machinery, self-table form): each purchase attributes to
     * the user's latest click/view within a 2-day lookback — one
@@ -2113,6 +2164,7 @@ object Queries {
     GraftQuery("q_session_gap", qSessionGap, Some(oSessionGap), headline = true),
     GraftQuery("q_session_native", qSessionNative, Some(oSessionNative)),
     GraftQuery("q_session_stream", qSessionStream, Some(oSessionNative)),
+    GraftQuery("q_track_stream", qTrackStream, Some(oTrackStream)),
     GraftQuery("q_scd2", qScd2, Some(oScd2)),
     GraftQuery("q_attribution", qAttribution, Some(oAttribution)),
     GraftQuery("q_kinematics", qKinematics, Some(oKinematics)),

@@ -64,11 +64,20 @@ object StreamGate {
       staged.repartition(nFiles).write.parquet(inDir)
       val src = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
-      val q = src.writeStream
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch(onBatch)
-        .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      // same data-scaled partition rule as runMulti (the caller's per-batch
+      // aggregates pay one exchange per micro-batch)
+      val stagedRows = s.read.parquet(inDir).count()
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      s.conf.set(partsKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
+        math.min(prevParts.toLong, math.max(8L, stagedRows / 100000L)).toString))
+      try {
+        val q = src.writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch(onBatch)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      } finally s.conf.set(partsKey, prevParts)
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(base.toString))
   }
@@ -86,10 +95,34 @@ object StreamGate {
         s.readStream.schema(df.schema).parquet(inDir)
       }
       val qn = s"stream_gate_${seq.incrementAndGet()}"
-      val q = build(srcs).writeStream.format("memory").queryName(qn)
-        .outputMode(mode).option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      // State-partition sizing: every shuffle partition of every stateful
+      // operator is a state-store INSTANCE paying per-batch setup + commit
+      // + maintenance, and at gate-sized corpora that floor dominates the
+      // run (same-JVM A/B at sf0.1: q_stream_join 7.98 s at 32 partitions
+      // vs 2.96 s at 8; the whole 4-lane engine family 17.6 → 8.9 s). Size
+      // with the data — one state partition per ~100k staged rows, floor 8
+      // — so the 10M-row scale probes keep full parallelism while the
+      // small-corpus gates stop paying 32 stores' fixed cost. The staged
+      // row count is read from the just-written single parquet file
+      // (footer metadata count — no data scan). Never raised above the
+      // session's configured parallelism; SPARK_GRAFT_STREAM_PARTS
+      // overrides for experiments. The micro-batch planner reads the
+      // session conf asynchronously after start(), so the restore waits
+      // for termination, not just for start() to return.
+      val stagedRows = staged.indices.map { i =>
+        s.read.parquet(s"$base/in$i").count()
+      }.sum
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
+        math.min(prevParts.toLong, math.max(8L, stagedRows / 100000L)).toString)
+      s.conf.set(partsKey, parts)
+      try {
+        val q = build(srcs).writeStream.format("memory").queryName(qn)
+          .outputMode(mode).option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      } finally s.conf.set(partsKey, prevParts)
       val out = s.table(qn).localCheckpoint()
       s.catalog.dropTempView(qn)
       out
