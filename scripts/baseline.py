@@ -53,7 +53,8 @@ BUILD_LANES = {"q_pair_index"}
 # excluded from the plan-lane ratios.
 ENGINE_LANES = {"q_session_stream", "q_ewma_stream", "q_funnel_stream",
                 "q_stream_join", "q_dedup_stream", "q_dedup_stream_lsh",
-                "q_quantile_stream", "q_mv_stream"}
+                "q_quantile_stream", "q_mv_stream", "q_cusum_stream",
+                "q_track_stream"}
 
 ROW_RE = re.compile(
     r"^\|\s*(q_\w+)\s*\|\s*([0-9.]+)\s*\|\s*(?:([0-9.]+)|>[0-9.]+ \(timeout\))\s*\|")

@@ -106,6 +106,14 @@ object DocScaleProbe {
         f"— a serialized class would put the stage's whole wall time in one task")
     }
     time("q_doc_minhash_lsh") { q("q_doc_minhash_lsh")(spark, out).count() }
+    // r12: the dedup-at-ingest ENGINE lanes through the streaming state
+    // store at scale — exact tier (dropDuplicatesWithinWatermark keyed
+    // state) and the chained two-stage MinHash-LSH tier (per-bucket
+    // arrival state holds shingle sets for the retention window). Work is
+    // bucket-keyed like the batch tier; the wall includes staging + the
+    // micro-batch engine.
+    time("q_dedup_stream") { q("q_dedup_stream")(spark, out).count() }
+    time("q_dedup_stream_lsh") { q("q_dedup_stream_lsh")(spark, out).count() }
     time("q_doc_simhash_pairs") { q("q_doc_simhash_pairs")(spark, out).count() }
     time("q_doc_fingerprint") { q("q_doc_fingerprint")(spark, out).count() }
     time("q_token_count") { q("q_token_count")(spark, out).count() }
