@@ -39,6 +39,13 @@ object StreamGate {
 
   private val seq = new AtomicInteger
 
+  /** State-partition sizing rule: one state partition per ~100k staged
+    * rows, floor 8, never above the session's configured parallelism.
+    * See the sizing rationale at the runMulti call site.
+    */
+  private[graft] def partitionsFor(stagedRows: Long, sessionParts: Long): Long =
+    math.min(sessionParts, math.max(8L, stagedRows / 100000L))
+
   /** Stage `staged` as one parquet file, then run `build(readStream(...))`
     * to a memory sink in `mode` ("append" | "update" | "complete") and
     * return the sink's rows frozen via localCheckpoint.
@@ -70,7 +77,7 @@ object StreamGate {
       val partsKey = "spark.sql.shuffle.partitions"
       val prevParts = s.conf.get(partsKey)
       s.conf.set(partsKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
-        math.min(prevParts.toLong, math.max(8L, stagedRows / 100000L)).toString))
+        partitionsFor(stagedRows, prevParts.toLong).toString))
       try {
         val q = src.writeStream
           .option("checkpointLocation", s"$base/ckpt")
@@ -115,7 +122,7 @@ object StreamGate {
       val partsKey = "spark.sql.shuffle.partitions"
       val prevParts = s.conf.get(partsKey)
       val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
-        math.min(prevParts.toLong, math.max(8L, stagedRows / 100000L)).toString)
+        partitionsFor(stagedRows, prevParts.toLong).toString)
       s.conf.set(partsKey, parts)
       try {
         val q = build(srcs).writeStream.format("memory").queryName(qn)
