@@ -4351,10 +4351,11 @@ object QueriesText {
     * trick), r12 scale rebuild: docs become SPARSE integer hashed-TF
     * maps at a CORPUS-SCALED dimension — dim = max(64, n/44), the
     * `pairCells` discipline applied to feature hashing — candidate pairs
-    * block on the (top, second) bucket pair, and pass when cos²·10⁴
-    * (truncated) ≥ 9000. cos² = dot²/(‖a‖²·‖b‖²) is a ratio of integers,
-    * so the WHOLE similarity pipeline stays integer arithmetic: the one
-    * pairing lane with literally zero float surface.
+    * block on the (top, second) bucket pair, and pass when the EXACT
+    * word-count-vector cos²·10⁴ (truncated) ≥ 9000. cos² =
+    * dot²/(‖a‖²·‖b‖²) is a ratio of integers, so the WHOLE similarity
+    * pipeline stays integer arithmetic: the one pairing lane with
+    * literally zero float surface.
     *
     * Why this shape (the r11 "What's wrong #1" fix):
     *   - the old dim-64 dominant-bucket blocking partitioned ANY corpus
@@ -4372,14 +4373,24 @@ object QueriesText {
     *     intra-group pairs are emitted directly (dot = norm2,
     *     cos² = 10⁴ exactly).
     *
-    * Recall, measured at sf0.1 against EXACT word-count-vector truth
-    * (cos² ≥ 0.9, no hashing): 12/13 true pairs (0.92; one pair lost to
-    * second-bucket disagreement) at precision 0.047 — vs the old dim-64
-    * harvest's 13/13 at precision 0.016 (799 pairs of which 786 were
-    * hash-collision artifacts; only 252 of them survive honest
-    * dim-scaled scoring). The trade is the LSH-family one, stated
-    * honestly: recall bounded by top-2-feature agreement; the sketch
-    * tiers cover the general case.
+    * r13 (the r12 verdict's "What's wrong #1"): hashing BLOCKS, it never
+    * ACCEPTS. The hashed maps produce only the (b1, b2) candidate key;
+    * every blocked candidate is then verified on the EXACT sparse
+    * WORD-count vectors (`Text.wordTfSparse` — same integer cos² ratio,
+    * un-hashed keys), so a hash collision can never fabricate a pair:
+    * precision is 1.0 BY CONSTRUCTION (the accept criterion is the truth
+    * criterion restricted to blocked candidates). Verify cost is
+    * O(candidates · nnz) — bounded by the blocking, the §2.39
+    * verify-the-candidates discipline (minhash jaccard-verifies its band
+    * candidates the same way; Weinberger et al. use hashing for
+    * features, not for the accept decision).
+    *
+    * Measured at sf0.1 against EXACT word-count-vector truth (cos²·10⁴
+    * ≥ 9000 over ALL pairs, no hashing — FhPrecisionProbe): precision
+    * 1.000, recall 254/258 = 0.984 (4 pairs lost to top-2-bucket
+    * disagreement — the LSH-family trade, stated honestly: the sketch
+    * tiers cover the general case) — vs the r12 hashed-accept harvest's
+    * precision 0.047.
     */
   private[graft] def fhDimOf(n: Long): Long = math.max(64L, n / 44L)
 
@@ -4401,23 +4412,31 @@ object QueriesText {
       .join(grp.select(col("text"), col("rep_id")), "text")
       .select(col("rep_id"), col("doc_id"))
       .localCheckpoint(false)
-    val v = Text.hashedTfSparse(
-        grp.select(col("rep_id").as("doc_id"), col("text")),
-        "doc_id", col("text"), dim)
-      .localCheckpoint() // shared by both join sides
-    val a = v.select(col("doc_id").as("_ra"), col("tf").as("_ma"),
-      col("norm2").as("_na"), col("b1"), col("b2"))
-    val b = v.select(col("doc_id").as("_rb"), col("tf").as("_mb"),
-      col("norm2").as("_nb"), col("b1").as("_b1b"), col("b2").as("_b2b"))
-    val repPairs = a.join(b,
+    val reps = grp.select(col("rep_id").as("doc_id"), col("text"))
+    // blocking tier: hashed top-2 buckets ONLY — the maps never score
+    val v = Text.hashedTfSparse(reps, "doc_id", col("text"), dim)
+      .select(col("doc_id"), col("b1"), col("b2"))
+      .localCheckpoint() // shared by both blocking sides
+    // verify tier: exact word-count vectors (both pair sides + intra norms)
+    val w = Text.wordTfSparse(reps, "doc_id", col("text"))
+      .localCheckpoint()
+    val cand = v.select(col("doc_id").as("_ra"), col("b1"), col("b2"))
+      .join(v.select(col("doc_id").as("_rb"), col("b1").as("_b1b"),
+          col("b2").as("_b2b")),
         col("b1") === col("_b1b") && col("b2") === col("_b2b") &&
           col("_ra") < col("_rb"))
+      .select(col("_ra"), col("_rb"))
+    val repPairs = cand
+      .join(w.select(col("doc_id").as("_ra"), col("wtf").as("_ma"),
+        col("wnorm2").as("_na")), "_ra")
+      .join(w.select(col("doc_id").as("_rb"), col("wtf").as("_mb"),
+        col("wnorm2").as("_nb")), "_rb")
       .withColumn("dot", Text.sparseDot(col("_ma"), col("_mb")))
       .withColumn("cos2_x10k", expr("dot * dot * 10000L div (_na * _nb)"))
       .where(col("cos2_x10k") >= 9000L)
       .select(col("_ra"), col("_rb"), col("dot"), col("cos2_x10k"))
     // expansion: cross-group pairs inherit the rep pair's exact integers;
-    // intra-group pairs are identical vectors (dot = norm2, cos² = 10⁴)
+    // intra-group pairs are identical vectors (dot = wnorm2, cos² = 10⁴)
     val cross = repPairs
       .join(members.toDF("_ra", "da"), "_ra")
       .join(members.toDF("_rb", "db"), "_rb")
@@ -4427,9 +4446,9 @@ object QueriesText {
     val intra = members.toDF("_r", "da")
       .join(members.toDF("_r", "db"), "_r")
       .where(col("da") < col("db"))
-      .join(v.select(col("doc_id").as("_r"), col("norm2")), "_r")
+      .join(w.select(col("doc_id").as("_r"), col("wnorm2")), "_r")
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        col("norm2").as("dot"), lit(10000L).as("cos2_x10k"))
+        col("wnorm2").as("dot"), lit(10000L).as("cos2_x10k"))
     cross.unionByName(intra)
   }
 
@@ -4443,8 +4462,6 @@ object QueriesText {
       FROM w WHERE wd <> ''),
     c AS MATERIALIZED (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
           FROM bkt GROUP BY 1, 2),
-    nrm AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS norm2
-            FROM c GROUP BY 1),
     rk AS (SELECT doc_id, b,
                   row_number() OVER (PARTITION BY doc_id
                                      ORDER BY c DESC, b) AS rn
@@ -4458,15 +4475,20 @@ object QueriesText {
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM tb x JOIN tb y ON x.b1 = y.b1 AND x.b2 = y.b2
                           AND x.doc_id < y.doc_id),
+    wc AS MATERIALIZED (
+      SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS c
+      FROM w WHERE wd <> '' GROUP BY 1, 2),
+    wn AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS norm2
+           FROM wc GROUP BY 1),
     d AS (
       SELECT j.doc_a, j.doc_b, CAST(sum(ca.c * cb.c) AS BIGINT) AS dot
-      FROM j JOIN c ca ON ca.doc_id = j.doc_a
-             JOIN c cb ON cb.doc_id = j.doc_b AND cb.b = ca.b
+      FROM j JOIN wc ca ON ca.doc_id = j.doc_a
+             JOIN wc cb ON cb.doc_id = j.doc_b AND cb.wd = ca.wd
       GROUP BY 1, 2)
     SELECT d.doc_a, d.doc_b, d.dot,
            d.dot * d.dot * 10000 // (na.norm2 * nb.norm2) AS cos2_x10k
-    FROM d JOIN nrm na ON na.doc_id = d.doc_a
-           JOIN nrm nb ON nb.doc_id = d.doc_b
+    FROM d JOIN wn na ON na.doc_id = d.doc_a
+           JOIN wn nb ON nb.doc_id = d.doc_b
     WHERE d.dot * d.dot * 10000 // (na.norm2 * nb.norm2) >= 9000"""
   }
 

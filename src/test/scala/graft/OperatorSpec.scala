@@ -1554,18 +1554,22 @@ class AssemblySpec extends AnyFunSuite with SparkFixture {
     val dim = 16L
     val got = QueriesText.fhDupPairs(rows.toDF("doc_id", "text"), dim)
       .as[(Long, Long, Long, Long)].collect().toSet
-    // naive reference: hash words in Scala, block on (b1, b2), all pairs
+    // naive reference: hash words in Scala, block on (b1, b2) — then
+    // accept on the EXACT word-count vectors (r13: hashing blocks, the
+    // un-hashed maps score)
     def ph(w: String) = w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % Text.PolyP)
     val vecs = rows.map { case (id, t) =>
       val m = t.split(" ").filter(_.nonEmpty).groupBy(w => ph(w) % dim)
         .map { case (b, ws) => b -> ws.length.toLong }
+      val wm = t.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, ws) => w -> ws.length.toLong }
       val rk = m.toSeq.sortBy { case (b, c) => (-c, b) }.map(_._1)
-      (id, m, rk.head, if (rk.size > 1) rk(1) else -1L)
+      (id, wm, rk.head, if (rk.size > 1) rk(1) else -1L)
     }
     val expect = (for {
       (ia, ma, a1, a2) <- vecs; (ib, mb, b1, b2) <- vecs
       if ia < ib && a1 == b1 && a2 == b2
-      dot = ma.map { case (b, c) => c * mb.getOrElse(b, 0L) }.sum
+      dot = ma.map { case (w, c) => c * mb.getOrElse(w, 0L) }.sum
       na = ma.values.map(c => c * c).sum; nb = mb.values.map(c => c * c).sum
       c2 = dot * dot * 10000L / (na * nb) if c2 >= 9000L
     } yield (ia, ib, dot, c2)).toSet
