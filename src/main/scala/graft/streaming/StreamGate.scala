@@ -29,7 +29,12 @@ import org.apache.spark.sql.streaming.Trigger
   * Production topologies stream MANY batches, where completeness is
   * governed by the watermark-delay vs arrival-skew trade (the
   * StreamJoinSpec late-data precedent) — single-file staging is the
-  * determinism harness, not the production topology.
+  * determinism harness, not the production topology. `runOrdered` (r13)
+  * is the multi-batch form: N mtime-ordered files ⇒ N data batches with
+  * state carried and the watermark advancing across them; both forms
+  * ASSERT their data-batch count after the run (ADVICE r12), so a
+  * changed source default degrades to a loud failure instead of a
+  * semantic one.
   *
   * The staging write + stream run repeat per call: build-cost visibility,
   * the PairIndex convention — the engine's cost stays in the bench number
@@ -45,6 +50,33 @@ object StreamGate {
     */
   private[graft] def partitionsFor(stagedRows: Long, sessionParts: Long): Long =
     math.min(sessionParts, math.max(8L, stagedRows / 100000L))
+
+  /** SEQUENTIAL-USE contract (ADVICE r12): every entry point mutates
+    * session-global conf (`spark.sql.shuffle.partitions`) for the run's
+    * duration, so a query executing concurrently on the same session
+    * would silently inherit the reduced partition count. Verify/Bench
+    * run lanes sequentially; the object lock makes the assumption a
+    * guarantee — two gate runs on one JVM serialize instead of
+    * interleaving their conf windows.
+    */
+  private def gateLock[A](body: => A): A = this.synchronized(body)
+
+  /** Count of DATA micro-batches the finished query actually ran —
+    * progress entries with input rows. Gated lanes' determinism
+    * arguments are per-batch-count contracts (runMulti: ONE staged file
+    * ⇒ ONE data batch; runOrdered: one per non-empty file), so the
+    * harness asserts the count instead of letting a future source
+    * default (rate limits, file splitting) break a lane SEMANTICALLY
+    * (the dedup lanes would re-emit duplicates, not error).
+    */
+  private def assertDataBatches(q: org.apache.spark.sql.streaming.StreamingQuery,
+                                expected: Long): Unit = {
+    val got = q.recentProgress.count(_.numInputRows > 0L)
+    require(got == expected,
+      s"StreamGate: expected $expected data micro-batch(es), engine ran " +
+        s"$got — a staged-file/batch contract broke (source split or " +
+        s"merged files); gated-lane determinism arguments no longer hold")
+  }
 
   /** Stage `staged` as one parquet file, then run `build(readStream(...))`
     * to a memory sink in `mode` ("append" | "update" | "complete") and
@@ -64,7 +96,7 @@ object StreamGate {
     * maintenance loop exists to demonstrate.
     */
   def runForeach(s: SparkSession, staged: DataFrame, nFiles: Int)
-                (onBatch: (DataFrame, Long) => Unit): Unit = {
+                (onBatch: (DataFrame, Long) => Unit): Unit = gateLock {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
     try {
       val inDir = s"$base/in"
@@ -93,7 +125,7 @@ object StreamGate {
     * dir and arrives as its own single-batch `readStream` source.
     */
   def runMulti(s: SparkSession, staged: Seq[DataFrame], mode: String)
-              (build: Seq[DataFrame] => DataFrame): DataFrame = {
+              (build: Seq[DataFrame] => DataFrame): DataFrame = gateLock {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
     try {
       val srcs = staged.zipWithIndex.map { case (df, i) =>
@@ -129,6 +161,69 @@ object StreamGate {
           .outputMode(mode).option("checkpointLocation", s"$base/ckpt")
           .trigger(Trigger.AvailableNow()).start()
         try q.awaitTermination() finally q.stop()
+        // every source's single file is available at start, and no rate
+        // limit is set, so the engine must fold them into ONE data batch
+        // — the invariant all single-batch lane contracts cite
+        assertDataBatches(q, 1L)
+      } finally s.conf.set(partsKey, prevParts)
+      val out = s.table(qn).localCheckpoint()
+      s.catalog.dropTempView(qn)
+      out
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base.toString))
+  }
+
+  /** ORDERED multi-batch staging (r13, the verdict's "What's wrong #2"):
+    * each frame in `parts` stages as one parquet file in a single source
+    * dir, file modification times strictly increasing in `parts` order,
+    * and the stream runs with `maxFilesPerTrigger=1` — so the engine
+    * processes ONE FILE PER DATA MICRO-BATCH in `parts` order
+    * (FileStreamSource takes files oldest-modification-first; the staged
+    * mtimes are minute-spaced so filesystem timestamp granularity can't
+    * tie them). Unlike the single-batch harness, state here genuinely
+    * CARRIES ACROSS data batches and the watermark advances between
+    * them — the regime where streaming bugs live. Caller contracts:
+    *  - order-independent state (dedup key set, commutative-monoid
+    *    sketch) gates with ANY row-to-part split;
+    *  - order-sensitive operators must pick a watermark delay ≥ the max
+    *    event-time lateness their split can produce (the StreamJoinSpec
+    *    rule) — rows below the previous batch's watermark drop as late.
+    * The data-batch count is asserted == non-empty parts, so a source
+    * that merges or splits files fails loudly, not semantically.
+    */
+  def runOrdered(s: SparkSession, parts: Seq[DataFrame], mode: String)
+                (build: DataFrame => DataFrame): DataFrame = gateLock {
+    require(parts.nonEmpty, "runOrdered: need at least one staged part")
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    try {
+      val inDir = new java.io.File(s"$base/in")
+      inDir.mkdirs()
+      val t0 = inDir.lastModified()
+      parts.zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$base/tmp$i"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"b$i%05d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + (i + 1) * 60000L)
+      }
+      val perFile = inDir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s.read.parquet(f.toString).count())
+      val src = s.readStream.schema(parts.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      val qn = s"stream_gate_${seq.incrementAndGet()}"
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      s.conf.set(partsKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
+        partitionsFor(perFile.sum, prevParts.toLong).toString))
+      try {
+        val q = build(src).writeStream.format("memory").queryName(qn)
+          .outputMode(mode).option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        assertDataBatches(q, perFile.count(_ > 0L).toLong)
       } finally s.conf.set(partsKey, prevParts)
       val out = s.table(qn).localCheckpoint()
       s.catalog.dropTempView(qn)

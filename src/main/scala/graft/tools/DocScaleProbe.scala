@@ -77,6 +77,53 @@ object DocScaleProbe {
     }
 
     val q = graft.Queries.queries
+
+    // `pairs` mode (r13, verdict item 8): the focused 100x run — ONLY the
+    // pair-index build + its dedup-components/triangles consumer path,
+    // plus the fh candidate-volume audit, with a job-count listener as
+    // the CC round proxy (each min-label round is a fixed job batch).
+    // The full lane sweep above 10x would spend the probe's budget on
+    // lanes whose growth curves are already recorded.
+    if (args.length > 1 && args(1) == "pairs") {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet(): Unit
+        })
+      def timedJobs(name: String)(f: => Long): Unit = {
+        jobs.set(0)
+        val t0 = System.nanoTime()
+        val rows = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[docscale] $name%-22s $sec%8.2f s  jobs=${jobs.get()}%4d  ($rows output rows)")
+      }
+      timedJobs("pair_index BUILD") { q("q_pair_index")(spark, out).count() }
+      timedJobs("dedup_components") { q("q_dedup_components")(spark, out).count() }
+      timedJobs("triangles consumer") { q("q_triangles")(spark, out).count() }
+      def fhCandP(dir: String): (Long, Long, Long) = {
+        val d = graft.Tables.documents(spark, dir).select("doc_id", "text")
+        val nd = d.count()
+        val dim = graft.QueriesText.fhDimOf(nd)
+        val reps = d.groupBy("text").agg(min("doc_id").as("doc_id"))
+        val v = graft.operators.Text.hashedTfSparse(
+          reps.select(col("doc_id"), col("text")), "doc_id", col("text"), dim)
+        val cand = v.groupBy("b1", "b2").agg(count(lit(1)).as("b"))
+          .agg(sum(expr("b * (b - 1) div 2"))).head.getLong(0)
+        (nd, dim, cand)
+      }
+      val (p1, pd1, pc1) = fhCandP("/root/testdata/sf0.1")
+      val (pN, pdN, pcN) = fhCandP(out)
+      println(f"[docscale] fh candidates: 1x n=$p1 dim=$pd1 cand=$pc1; " +
+        f"${factor}x n=$pN dim=$pdN cand=$pcN — growth ${pcN.toDouble / pc1}%.2fx " +
+        f"vs linear ${factor}x")
+      if (!sys.env.contains("GRAFT_KEEP_DIR"))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      spark.stop()
+      return
+    }
+
     time("q_doc_dedup_exact") { q("q_doc_dedup_exact")(spark, out).count() }
     // Per-class parallelism audit (skew mode): the giant length class must
     // NOT serialize the PTJ stage — its segments hash-spread over the same

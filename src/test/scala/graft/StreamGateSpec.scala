@@ -35,13 +35,37 @@ class StreamGateSpec extends AnyFunSuite with SparkFixture {
 
   test("runForeach: one file per micro-batch, no rows lost") {
     val staged = spark.range(120).select(col("id"))
-    var batches = 0
-    var rows = 0L
+    // foreachBatch runs on the stream-execution thread — atomics give the
+    // cross-thread read-back an explicit happens-before (ADVICE r12)
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val rows = new java.util.concurrent.atomic.AtomicLong
     StreamGate.runForeach(spark, staged, nFiles = 3) { (b, _) =>
-      batches += 1
-      rows += b.count()
+      batches.incrementAndGet()
+      rows.addAndGet(b.count())
     }
-    assert(batches == 3, s"expected 3 file-batches, got $batches")
-    assert(rows == 120L)
+    assert(batches.get == 3, s"expected 3 file-batches, got ${batches.get}")
+    assert(rows.get == 120L)
+  }
+
+  test("runOrdered: one file per batch IN PARTS ORDER, state carried across batches") {
+    import spark.implicits._
+    def mk(tag: String, ks: Seq[String], tsH: Long) =
+      ks.map(k => (k, tag, tsH * 3600000000000L)).toDF("k", "tag", "tsNs")
+    // b recurs in part 1 and a in part 2 — cross-batch first-wins proves
+    // both the mtime file order AND that dedup state survived the batch
+    // boundary (the single-batch harness can't exercise either)
+    val parts = Seq(
+      mk("p0", Seq("a", "b"), 10),
+      mk("p1", Seq("b", "c"), 20),
+      mk("p2", Seq("a", "d"), 21))
+    val out = StreamGate.runOrdered(spark, parts, "append") { src =>
+      src.withColumn("event_time", timestamp_micros(expr("tsNs div 1000")))
+        .withWatermark("event_time", "100 hours")
+        .dropDuplicatesWithinWatermark("k")
+        .select(col("k"), col("tag"))
+    }
+    val got = out.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("a" -> "p0", "b" -> "p0", "c" -> "p1", "d" -> "p2"),
+      s"got $got")
   }
 }
