@@ -438,10 +438,18 @@ object Queries {
     import s.implicits._
     val sentinel = s.range(1).select(lit(-1L).as("userId"),
       lit(4102444800000000000L).as("tsNs"), lit(0.0).as("value"))
-    val staged = Tables.events(s, dir)
+    val real = Tables.events(s, dir)
       .select(col("user_id").as("userId"), col("ts").as("tsNs"), col("value"))
-      .unionByName(sentinel)
-    graft.streaming.StreamGate.run(s, staged, "append") { src =>
+    // r13 MULTI-BATCH: four event-time-contiguous slices + the sentinel
+    // LAST — open tracks carry across real batch boundaries in per-key
+    // state; in-time-order arrival is sessionize's cross-batch contract
+    // and a boundary timeout can only fire when the gap is genuinely
+    // exceeded (next slice's rows are ≥ 2 gaps past the flushed session's
+    // end by the watermark arithmetic), so emitted tracks equal the batch
+    // gap-split exactly.
+    val parts = graft.streaming.StreamGate.splitByTime(real, "tsNs", 4) :+
+      sentinel
+    graft.streaming.StreamGate.runOrdered(s, parts, "append") { src =>
       graft.streaming.SessionStream.sessionize(
           src.as[graft.streaming.SessionStream.Point], SessionGapNs)
         .select(col("user_id"), col("start_us"), col("end_us"),
@@ -984,12 +992,18 @@ object Queries {
     val staged = Tables.events(s, dir).select(
       col("user_id").as("userId"), col("ts").as("tsNs"),
       col("event_type").as("eventType"))
-    val byUser = graft.streaming.StreamGate.run(s, staged, "update") { src =>
-      graft.streaming.FunnelStream.funnelProgress(
-        src.as[graft.streaming.FunnelStream.Ev],
-        Seq("view", "click", "purchase"), 2 * 24 * HourNs)
-        .toDF("user_id", "step")
-    }
+    // r13 MULTI-BATCH: four event-time-contiguous slices in time order
+    // (StreamGate.splitByTime) — the greedy frontier crosses real batch
+    // boundaries; per-key step is MONOTONE, so the final state is
+    // max(step) over the update-sink emissions.
+    val parts = graft.streaming.StreamGate.splitByTime(staged, "tsNs", 4)
+    val byUser = graft.streaming.StreamGate.runOrdered(s, parts, "update") {
+      src =>
+        graft.streaming.FunnelStream.funnelProgress(
+          src.as[graft.streaming.FunnelStream.Ev],
+          Seq("view", "click", "purchase"), 2 * 24 * HourNs)
+          .toDF("user_id", "step")
+    }.groupBy(col("user_id")).agg(max(col("step")).as("step"))
     val steps = Seq((1L, "view"), (2L, "click"), (3L, "purchase"))
       .toDF("step_idx", "step_type")
     // LEFT join from the step frame: a step nobody reached still emits its

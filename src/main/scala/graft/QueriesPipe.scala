@@ -310,11 +310,23 @@ object QueriesPipe {
       col("user_id").as("userId"), col("ts").as("tsNs"),
       col("event_id").as("eventId"),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    graft.streaming.StreamGate.run(s, staged, "update") { src =>
+    // r13 MULTI-BATCH: four event-time-contiguous slices, one per
+    // micro-batch in time order (StreamGate.splitByTime) — the keyed
+    // integer fold now carries state across real batches and still
+    // replays the batch recurrence bit-for-bit (in-order arrival is the
+    // operator's cross-batch contract; the slicing provides it). The
+    // update-mode sink keeps every batch's emission; final state per key
+    // = the row with max n_events (strictly increasing per emission).
+    val parts = graft.streaming.StreamGate.splitByTime(staged, "tsNs", 4)
+    val out = graft.streaming.StreamGate.runOrdered(s, parts, "update") { src =>
       graft.streaming.EwmaStream.ewma(
         src.as[graft.streaming.EwmaStream.Ev])
         .toDF("user_id", "n_events", "ewma_cents")
     }
+    val last = Window.partitionBy(col("user_id"))
+      .orderBy(col("n_events").desc)
+    out.withColumn("_rn", row_number().over(last)).where(col("_rn") === 1)
+      .select(col("user_id"), col("n_events"), col("ewma_cents"))
   }
 
   /** §2.92 Holt-Winters double-exponential smoothing (Holt 1957) — the
@@ -614,12 +626,19 @@ object QueriesPipe {
       .select(col("key").as("userId"),
         (col("_y") * 100 + col("_m")).as("tsNs"), lit(0L).as("eventId"),
         col("_c").as("cents"))
-    val st = graft.streaming.StreamGate.run(s, staged, "update") { src =>
+    // r13 MULTI-BATCH: four contiguous slices of the synthetic month
+    // clock, one per micro-batch in order (splitByTime works on any
+    // ordered BIGINT) — the detector state crosses real batch boundaries;
+    // final state per key = max n_months (strictly increasing).
+    val parts = graft.streaming.StreamGate.splitByTime(staged, "tsNs", 4)
+    val st = graft.streaming.StreamGate.runOrdered(s, parts, "update") { src =>
       graft.streaming.EwmaStream.cusumKeyed(
           src.as[graft.streaming.EwmaStream.Ev], targets)
         .toDF("key", "n_months", "alarm_up", "alarm_dn", "max_sp", "max_sn")
     }
-    st.join(broadcast(labels), "key")
+    val last = Window.partitionBy(col("key")).orderBy(col("n_months").desc)
+    st.withColumn("_rn", row_number().over(last)).where(col("_rn") === 1)
+      .join(broadcast(labels), "key")
       .select(col("priority"), col("n_months"), col("target_cents"),
         col("alarm_up"), col("alarm_dn"), col("max_sp"), col("max_sn"))
   }
@@ -1721,6 +1740,333 @@ object QueriesPipe {
   }
 
   // ---------------------------------------------------------------------------
+  // §2.36/36b/36d/74/78/78b — sink + storage-layout surfaces DRIVER-GATED
+  // (r13: the spec-class adjudications that were really "no driver query
+  // existed yet" become oracle-gated lanes; build-once artifacts per
+  // (JVM, sf dir), the versionedOrdersDir convention)
+  // ---------------------------------------------------------------------------
+
+  private def wipeDir(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  private def eventCents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("user_id"), col("ts"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+
+  private val sinkBuilt = scala.collection.mutable.Set[String]()
+
+  /** §2.36 artifact: events exported date-partitioned, then ONE day
+    * incrementally refreshed (cents doubled) through the dynamic-overwrite
+    * path — the daily-correction shape; every other day's files must
+    * survive untouched, which the oracle's per-day read then proves.
+    */
+  private def sinkDayRoot(s: SparkSession, dir: String): String =
+    vtLock.synchronized {
+      val root = graft.Artifacts.dir("sday", dir)
+      if (!sinkBuilt.contains(root)) {
+        wipeDir(root)
+        val ev = eventCents(s, dir)
+        graft.sources.Sinks.writePartitionedByDay(ev, "ts", root)
+        val d0 = ev.agg(min(to_date(timestamp_micros(expr("ts div 1000")))))
+          .head.getDate(0).toString
+        graft.sources.Sinks.refreshDays(
+          ev.where(to_date(timestamp_micros(expr("ts div 1000"))) === lit(d0))
+            .withColumn("cents", col("cents") * 2), "ts", root)
+        sinkBuilt += root
+      }
+      root
+    }
+
+  private def sinkDayCuts(s: SparkSession, dir: String): (String, String) = {
+    val mm = Tables.events(s, dir).agg(
+      min(expr("ts div 86400000000000")),
+      max(expr("ts div 86400000000000"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    def iso(d: Long) = java.time.LocalDate.ofEpochDay(d).toString
+    (iso(lo), iso(lo + math.max(1L, (hi - lo) / 2)))
+  }
+
+  /** §2.36 Date-partitioned parquet sink DRIVER-GATED (r13, 🟡→✅): the
+    * lane reads a DAY RANGE back through partition pruning (the `day`
+    * filter prunes directories before any file lists) and rolls up per
+    * day; the refreshed day's doubled cents are inside the range, so the
+    * hash checks BOTH the partition layout (the generated oracle reads
+    * ONLY the pruned day directories' files — a row in the wrong dir
+    * breaks it) and the dynamic-overwrite refresh semantics (only the
+    * refreshed day moved). Scale: the layout is the point — scans touch
+    * the changed/queried days, never the table.
+    */
+  private def qSinkPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val root = sinkDayRoot(s, dir)
+    val (lo, hi) = sinkDayCuts(s, dir)
+    s.read.parquet(root)
+      .where(col("day") >= lit(lo) && col("day") <= lit(hi))
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private def oSinkPartitionedGen(s: SparkSession, dir: String): String = {
+    val root = sinkDayRoot(s, dir)
+    val (lo, hi) = sinkDayCuts(s, dir)
+    val globs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day="))
+      .filter(d => d >= lo && d <= hi).sorted
+      .map(d => s"'$root/day=$d/*.parquet'")
+    s"""
+    SELECT CAST(day AS VARCHAR) AS day, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM read_parquet([${globs.mkString(", ")}], hive_partitioning = 1)
+    GROUP BY 1"""
+  }
+
+  private val compBuilt = scala.collection.mutable.Map[String, (Long, Long)]()
+
+  /** §2.78 artifact: the day table written from 8 ingest tasks (8 files
+    * per day — the small-file accumulation every ingest cadence produces)
+    * then compacted to one right-sized file per day. The builder REQUIRES
+    * the file count to drop, so a silently no-op OPTIMIZE fails loudly;
+    * content preservation is what the lane's oracle gates.
+    */
+  private def compactRoot(s: SparkSession, dir: String): String =
+    vtLock.synchronized {
+      val root = graft.Artifacts.dir("scomp", dir)
+      if (!compBuilt.contains(root)) {
+        wipeDir(root)
+        graft.sources.Sinks.writePartitionedByDay(
+          eventCents(s, dir).repartition(8), "ts", root)
+        def nFiles: Long = {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+            .iterator().asScala.count(_.toString.endsWith(".parquet")).toLong
+        }
+        val before = nFiles
+        graft.sources.Sinks.compactDays(s, root,
+          targetRecordsPerFile = 4000000L)
+        val after = nFiles
+        require(after < before,
+          s"compaction must reduce file count ($before -> $after)")
+        compBuilt(root) = (before, after)
+      }
+      root
+    }
+
+  /** §2.78 Small-file compaction / OPTIMIZE DRIVER-GATED (r13, 🟡→✅):
+    * the lane reads the COMPACTED table (one file per day, down from 8 —
+    * require()d at build) and rolls up per day; the oracle recomputes the
+    * same rollup from the BASE events table, so the hash proves the
+    * rewrite preserved content exactly — the only property a compaction
+    * job may not break. Scale: per-file overhead (footers, open costs,
+    * task scheduling) dominates small-file scans long before data size
+    * does; compaction is the standing maintenance job.
+    */
+  private def qCompact(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(compactRoot(s, dir))
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+
+  private val oCompact = """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY 1"""
+
+  private val csvBuilt = scala.collection.mutable.Set[String]()
+
+  private def csvRoot(s: SparkSession, dir: String): String =
+    vtLock.synchronized {
+      val root = graft.Artifacts.dir("scsv", dir)
+      if (!csvBuilt.contains(root)) {
+        wipeDir(root)
+        val matches = Tables.events(s, dir)
+          .where(col("value") >= 20.0 && col("value") <= 30.0 &&
+            col("event_type") =!= "error")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        graft.sources.Sinks.writeMatchListCsv(matches, root,
+          Seq("event_id"), singleFile = true)
+        csvBuilt += root
+      }
+      root
+    }
+
+  /** §2.36b Match-list CSV export DRIVER-GATED (r13, 🟡→✅): a
+    * deterministic match list (the §2.21 box-restrictor shape) exports
+    * through the REAL sink (`Sinks.writeMatchListCsv` — header on,
+    * ordered, single file) and the lane reads the FILE back row-level
+    * (explicit schema, no inference); the oracle re-parses the same file
+    * with DuckDB's OWN CSV reader, so the round trip is checked by two
+    * independent CSV engines, row for row. Integer cents keep the CSV
+    * text exact (no float rendering surface).
+    */
+  private def qExportCsv(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT"))
+      .option("header", "true").csv(csvRoot(s, dir))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("cents"))
+
+  private def oExportCsvGen(s: SparkSession, dir: String): String = {
+    val root = csvRoot(s, dir)
+    s"""
+    SELECT event_id, user_id, event_type, cents
+    FROM read_csv('$root/*.csv', header = true,
+      columns = {'event_id': 'BIGINT', 'user_id': 'BIGINT',
+                 'event_type': 'VARCHAR', 'cents': 'BIGINT'})"""
+  }
+
+  private val jsonlBuilt = scala.collection.mutable.Set[String]()
+
+  private def jsonlRoot(s: SparkSession, dir: String): String =
+    vtLock.synchronized {
+      val root = graft.Artifacts.dir("sjsonl", dir)
+      if (!jsonlBuilt.contains(root)) {
+        wipeDir(root)
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          struct(col("lang"), col("n_chars").cast("long").as("nc")).as("meta"))
+        graft.sources.Sinks.writeJsonl(d, root, "doc_id", nShards = 4)
+        jsonlBuilt += root
+      }
+      root
+    }
+
+  /** §2.36d JSONL training-data export DRIVER-GATED (r13, 🟡→✅): the
+    * corpus manifest (flat columns + a NESTED struct — the shape every
+    * LLM loader reads) exports through `Sinks.writeJsonl` (deterministic
+    * hash sharding) and reads back through `Sinks.readJsonl` (explicit
+    * schema, corrupt-quarantine column); the oracle re-parses the same
+    * shard files with DuckDB's OWN newline-delimited JSON reader
+    * including the nested struct fields — two independent JSON engines
+    * agreeing on the interchange artifact.
+    */
+  private def qExportJsonl(s: SparkSession, dir: String): DataFrame = {
+    val root = jsonlRoot(s, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, source STRING, n_tok BIGINT, " +
+        "meta STRUCT<lang: STRING, nc: BIGINT>")
+    graft.sources.Sinks.readJsonl(s, root, schema)
+      .where(col("_corrupt").isNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+        countDistinct(col("meta.lang")).as("n_langs"),
+        sum(col("meta.nc")).as("sum_chars"))
+  }
+
+  private def oExportJsonlGen(s: SparkSession, dir: String): String = {
+    val root = jsonlRoot(s, dir)
+    s"""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(count(DISTINCT meta.lang) AS BIGINT) AS n_langs,
+           CAST(sum(meta.nc) AS BIGINT) AS sum_chars
+    FROM read_json('$root/*.json', format = 'newline_delimited',
+      columns = {'doc_id': 'BIGINT', 'source': 'VARCHAR',
+                 'n_tok': 'BIGINT', 'meta': 'STRUCT(lang VARCHAR, nc BIGINT)'})
+    GROUP BY 1"""
+  }
+
+  private val bktBuilt =
+    scala.collection.mutable.Map[(SparkSession, String), (String, String)]()
+
+  private def bucketTables(s: SparkSession, dir: String): (String, String) =
+    vtLock.synchronized {
+      val root = graft.Artifacts.dir("sbkt", dir)
+      bktBuilt.getOrElseUpdate((s, root), {
+        wipeDir(root)
+        val h = root.takeRight(8)
+        val (tf, td) = (s"graft_bkt_f_$h", s"graft_bkt_d_$h")
+        val fact = eventCents(s, dir).select(col("user_id"), col("cents"))
+        val dim = Tables.events(s, dir).select(col("user_id")).distinct()
+          .select(col("user_id"), concat(lit("S"),
+            pmod(col("user_id"), lit(5L)).cast("string")).as("segment"))
+        graft.sources.Sinks.writeBucketed(fact, "user_id", 8, tf,
+          Some(s"$root/f"))
+        graft.sources.Sinks.writeBucketed(dim, "user_id", 8, td,
+          Some(s"$root/d"))
+        (tf, td)
+      })
+    }
+
+  /** §2.74 Bucketed co-partitioned join DRIVER-GATED (r13, 🟡→✅): fact
+    * and dimension both land `bucketBy(8, user_id)` through the REAL sink
+    * and the lane joins the bucketed TABLES — the write-once/never-shuffle
+    * layout trade; the oracle recomputes the join from the base events
+    * table, so the hash proves the bucketed write→catalog→read round trip
+    * preserved every row. The zero-Exchange plan property itself is
+    * asserted in BucketJoinSpec (plan shape is not SQL-expressible).
+    */
+  private def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val (tf, td) = bucketTables(s, dir)
+    s.table(tf).join(s.table(td), "user_id")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val oBucketJoin = """
+    WITH f AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+    d AS (SELECT DISTINCT user_id,
+                 'S' || CAST(user_id % 5 AS VARCHAR) AS segment
+          FROM events)
+    SELECT segment, count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM f JOIN d USING (user_id) GROUP BY 1"""
+
+  private val evoBuilt = scala.collection.mutable.Set[String]()
+
+  private def evolveRoot(s: SparkSession, dir: String): String =
+    vtLock.synchronized {
+      val root = graft.Artifacts.dir("sevo", dir)
+      if (!evoBuilt.contains(root)) {
+        wipeDir(root)
+        val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderpriority").as("pri"))
+        // v1 writer: two columns; v2 writer adds `pri` — the additive
+        // evolution a long-lived table accrues across producer versions
+        o.where(col("k") % 2 === 0).select("k", "cents")
+          .write.mode("append").parquet(root)
+        o.where(col("k") % 2 =!= 0)
+          .write.mode("append").parquet(root)
+        evoBuilt += root
+      }
+      root
+    }
+
+  /** §2.78b Additive schema evolution DRIVER-GATED (r13, 🟡→✅): the
+    * table holds files written by TWO producer versions (one without the
+    * `pri` column); the lane reads them merged (`mergeSchema`) with
+    * legacy rows null-filling, and the oracle re-merges the SAME files
+    * with DuckDB's own `union_by_name` — two engines agreeing on the
+    * evolved schema's semantics. Scan-level pruning under evolution is
+    * asserted in SchemaEvolutionSpec (plan property).
+    */
+  private def qSchemaEvolve(s: SparkSession, dir: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(evolveRoot(s, dir))
+      .groupBy(coalesce(col("pri"), lit("LEGACY")).as("pri"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+
+  private def oSchemaEvolveGen(s: SparkSession, dir: String): String = {
+    val root = evolveRoot(s, dir)
+    s"""
+    SELECT coalesce(pri, 'LEGACY') AS pri, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM read_parquet('$root/*.parquet', union_by_name = true)
+    GROUP BY 1"""
+  }
+
+  // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
 
@@ -1862,6 +2208,16 @@ object QueriesPipe {
       oracleGen = Some(oReadPrunedGen)),
     GraftQuery("q_refcache_join", qRefcacheJoin, None,
       oracleGen = Some(oRefcacheJoinGen)),
+    GraftQuery("q_sink_partitioned", qSinkPartitioned, None,
+      oracleGen = Some(oSinkPartitionedGen)),
+    GraftQuery("q_compact", qCompact, Some(oCompact)),
+    GraftQuery("q_export_csv", qExportCsv, None,
+      oracleGen = Some(oExportCsvGen)),
+    GraftQuery("q_export_jsonl", qExportJsonl, None,
+      oracleGen = Some(oExportJsonlGen)),
+    GraftQuery("q_bucket_join", qBucketJoin, Some(oBucketJoin)),
+    GraftQuery("q_schema_evolve", qSchemaEvolve, None,
+      oracleGen = Some(oSchemaEvolveGen)),
     GraftQuery("q_topic_map", qTopicMap, None, oracleGen = Some(oTopicMapGen)),
     GraftQuery("q_cluster_purity", qClusterPurity, None,
       oracleGen = Some(oClusterPurityGen)),

@@ -158,13 +158,22 @@ object QueriesText {
     val staged = docs(s, dir).select(
       col("doc_id").as("docId"), col("text"),
       ((col("doc_id") + 1) * lit(1000000000L)).as("tsNs"))
+    // r13 MULTI-BATCH: four contiguous doc_id (= ingest clock) slices in
+    // order — cross-batch arrival stays in event order, so "some PRIOR
+    // ARRIVAL in this bucket verifies against me" keeps meaning "some
+    // EARLIER doc" (a hash split would put later-clock docs in earlier
+    // batches and change the survivor set). Bucket state now genuinely
+    // survives batch boundaries. Retention = staged span + margin so no
+    // bucket evicts mid-run (the oracle's EXISTS has no retention notion).
+    val retentionMs = (docCount(s, dir) + 2L) * 1000L
+    val parts = graft.streaming.StreamGate.splitByTime(staged, "tsNs", 4)
     val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     val prev = s.conf.get(key)
     s.conf.set(key, "false")
-    try graft.streaming.StreamGate.run(s, staged, "append") { src =>
+    try graft.streaming.StreamGate.runOrdered(s, parts, "append") { src =>
       graft.streaming.DedupStream.dedupMinhashLsh(
           src.as[graft.streaming.DedupStream.Doc],
-          threshold = 0.8, retentionMs = 3600000L,
+          threshold = 0.8, retentionMs = retentionMs,
           bands = 4, rowsPerBand = 4)
         .select(col("docId").as("doc_id"))
     } finally s.conf.set(key, prev)

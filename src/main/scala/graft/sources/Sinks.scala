@@ -113,10 +113,13 @@ object Sinks {
     * co-location together.
     */
   def writeBucketed(df: DataFrame, key: String, nBuckets: Int,
-                    table: String): Unit =
-    df.write.mode(SaveMode.Overwrite).format("parquet")
+                    table: String, path: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, key).sortBy(key)
-      .saveAsTable(table)
+    // explicit path = external table (callers own the artifact location);
+    // default stays the session warehouse
+    path.fold(w.saveAsTable(table))(p => w.option("path", p).saveAsTable(table))
+  }
 
   /** Match-list CSV export (report/listmatches.go:27 ListReporter +
     * report/csv.go OutputAsCSV): the "flights that matched the report's

@@ -173,6 +173,30 @@ object StreamGate {
       .deleteDirectory(new java.io.File(base.toString))
   }
 
+  /** Split a staged frame into `nParts` EVENT-TIME-CONTIGUOUS slices for
+    * [[runOrdered]] (r13): slice i holds rows with `tsCol` in the i-th
+    * range of the driver-computed [min, max] span, so file order == event
+    * order and every order-sensitive keyed fold (ewma, funnel frontier,
+    * session gluing, arrival-registering dedup) sees its rows ACROSS
+    * batches in exactly the order the batch twin folds them — the
+    * "caller's watermark discipline" the streaming operators' parity
+    * contracts name, made concrete. Equal timestamps land in one slice
+    * (ranges partition by value), so cross-batch ties cannot reorder.
+    * Empty slices are fine (runOrdered counts non-empty files).
+    */
+  def splitByTime(df: DataFrame, tsCol: String, nParts: Int): Seq[DataFrame] = {
+    require(nParts >= 1)
+    import org.apache.spark.sql.functions.{col, max, min}
+    val mm = df.agg(min(col(tsCol)), max(col(tsCol))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val w = math.max(1L, (hi - lo) / nParts + 1)
+    (0 until nParts).map { i =>
+      val a = lo + i * w
+      if (i == nParts - 1) df.where(col(tsCol) >= a)
+      else df.where(col(tsCol) >= a && col(tsCol) < a + w)
+    }
+  }
+
   /** ORDERED multi-batch staging (r13, the verdict's "What's wrong #2"):
     * each frame in `parts` stages as one parquet file in a single source
     * dir, file modification times strictly increasing in `parts` order,
