@@ -6441,6 +6441,62 @@ object QueriesText {
     SELECT event_type, n_seen, n_sketch, p50
     FROM sq JOIN cnt USING (event_type)"""
 
+  /** §2.63c STREAMING Misra-Gries heavy hitters DRIVER-GATED (r13,
+    * 🟡→✅): the engine maintains one k=5 MG summary over the token
+    * stream (event types + a 5% tail of UNIQUE rare tokens, so the
+    * decrement path genuinely fires) across FOUR event-time-ordered
+    * micro-batches (`StreamGate.runOrdered`). The MG COUNTER VALUES are
+    * arrival-order-defined (the r9 adjudication stands — they
+    * underestimate by up to n/(k+1) depending on slicing), so the gate
+    * checks the operator's actual CONTRACT instead: every token with
+    * true frequency > n/(k+1) MUST be in the final summary (Misra &
+    * Gries 1982) — an order-INDEPENDENT guarantee. Output = final
+    * summary ∩ relational certain-set with EXACT counts; the oracle
+    * computes the certain set directly, so a summary that evicted a
+    * guaranteed heavy hitter loses a row and fails the hash (the same
+    * deterministic-projection discipline as q_dedup_stream's key-set
+    * gate). Scale: ≤ k counters per stream key, shuffled on the key.
+    */
+  private def qMgStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 5
+    val staged = Tables.events(s, dir).select(
+      lit(0L).as("key"), col("ts").as("tsNs"),
+      col("event_id").as("eventId"),
+      when(col("event_id") % 20 === 0,
+        concat(lit("r"), col("event_id").cast("string")))
+        .otherwise(col("event_type")).as("token"))
+    val parts = graft.streaming.StreamGate.splitByTime(staged, "tsNs", 4)
+    val out = graft.streaming.StreamGate.runOrdered(s, parts, "update") {
+      src =>
+        graft.streaming.SketchStream.heavyHitters(
+            src.as[graft.streaming.SketchStream.Tok], k)
+          .toDF("key", "n_seen", "token", "mg_count")
+    }
+    // final summary = the max-n_seen emission per key (update sink keeps
+    // every batch's emission; n_seen is strictly increasing)
+    val fin = out
+      .withColumn("_mx", max(col("n_seen")).over(Window.partitionBy("key")))
+      .where(col("n_seen") === col("_mx"))
+      .select(col("token"), col("n_seen").as("n_stream"))
+    val exact = staged.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_count"))
+    fin.join(exact, "token")
+      .where(col("exact_count") * (k + 1) > col("n_stream"))
+      .select(col("token"), col("n_stream"), col("exact_count"))
+  }
+
+  private val oMgStream = """
+    WITH t AS (
+      SELECT CASE WHEN event_id % 20 = 0 THEN 'r' || CAST(event_id AS VARCHAR)
+                  ELSE event_type END AS token
+      FROM events),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_stream FROM t),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+          FROM t GROUP BY 1)
+    SELECT token, n_stream, exact_count
+    FROM c, n WHERE exact_count * 6 > n_stream"""
+
   /** §2.65c Quantile-sketch mergeability rollup (the 100 TB story, same
     * shape as q_distinct_rollup): week-level quantiles computed by
     * MERGING the persisted day-level bottom-k sketches — explode the day
@@ -7105,6 +7161,7 @@ object QueriesText {
     GraftQuery("q_quantile_sample", qQuantileSample, Some(oQuantileSample)),
     GraftQuery("q_quantile_sketch", qQuantileSketch, Some(oQuantileSketch)),
     GraftQuery("q_quantile_stream", qQuantileStream, Some(oQuantileStream)),
+    GraftQuery("q_mg_stream", qMgStream, Some(oMgStream)),
     GraftQuery("q_quantile_rollup", qQuantileRollup, Some(oQuantileRollup)),
     GraftQuery("q_pack_sequences", qPackSequences, Some(oPackSequences))
   )

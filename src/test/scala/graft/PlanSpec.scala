@@ -104,6 +104,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"expected the (b1, b2) blocking key in the plan:\n${p.take(1500)}")
   }
 
+  test("q_sink_partitioned: the day range prunes PARTITIONS at the scan") {
+    // the lane's whole point is the layout: the day filter must land in
+    // PartitionFilters (directory pruning before any file read), not in
+    // a post-scan Filter
+    val p = planOf("q_sink_partitioned")
+    val i = p.indexOf("PartitionFilters")
+    assert(i >= 0, s"scan has no PartitionFilters section:\n${p.take(1500)}")
+    assert(p.substring(i, math.min(p.length, i + 300)).contains("day"),
+      s"day bounds missing from PartitionFilters:\n${p.substring(i, math.min(p.length, i + 300))}")
+  }
+
   test("q_proximity_pairs: the pair join is a hash equi-join on (slot, cell), not a cross/NL join") {
     val p = planOf("q_proximity_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
