@@ -401,8 +401,8 @@ object Queries {
     // (sentinel − delay) closes every real session once the LAST file runs
     val sentinel = s.range(1).select(lit(-1L).as("user_id"),
       lit(4102444800000000000L).as("ts"), lit(-1L).as("event_id"))
-    val parts = (0 until 4).map(i =>
-      ev.where(pmod(col("event_id"), lit(4L)) === i)) :+ sentinel
+    val parts =
+      graft.streaming.StreamGate.splitByHash(ev, "event_id", 4) :+ sentinel
     graft.streaming.StreamGate.runOrdered(s, parts, "append") { src =>
       src.withColumn("tst", timestamp_micros(expr("ts div 1000")))
         .withWatermark("tst", s"$delayMs milliseconds")
@@ -1031,8 +1031,18 @@ object Queries {
       .where(col("event_type") === typ)
       .select(col("user_id").as(s"${p}u"), col("event_id").as(s"${p}id"),
         expr("ts div 1000").as(s"${p}us"))
-    val staged = Seq(side("view", "v"), side("click", "c"))
-    graft.streaming.StreamGate.runMulti(s, staged, "append") {
+    // r13 MULTI-BATCH (runOrderedMulti): each side splits into four
+    // time-contiguous slices staged as its own ordered file sequence —
+    // batch k carries slice k of BOTH sides, so the join's buffered state
+    // genuinely crosses real batch boundaries and the watermark advances
+    // between them. The 1 h delay exceeds the 30 min join window, so a
+    // cross-boundary match's view is still in state when its click
+    // arrives, and time-ordered arrival makes lateness impossible — the
+    // match set stays COMPLETE (the shuffled-arrival loss trade stays
+    // documented at StreamJoinSpec); oracle unchanged.
+    val parts = Seq(side("view", "v") -> "vus", side("click", "c") -> "cus")
+      .map { case (df, c) => graft.streaming.StreamGate.splitByTime(df, c, 4) }
+    graft.streaming.StreamGate.runOrderedMulti(s, parts, "append") {
       case Seq(v, c) =>
         val vS = v.withColumn("vts", timestamp_micros(col("vus")))
           .withWatermark("vts", "1 hour")

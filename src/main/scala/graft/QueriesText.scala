@@ -123,8 +123,7 @@ object QueriesText {
       col("doc_id").as("docId"), col("text"),
       ((col("doc_id") + 1) * lit(1000000000L)).as("tsNs"))
     val retentionMs = (docCount(s, dir) + 2L) * 1000L
-    val parts = (0 until 4).map(i =>
-      staged.where(pmod(col("docId"), lit(4L)) === i))
+    val parts = graft.streaming.StreamGate.splitByHash(staged, "docId", 4)
     graft.streaming.StreamGate.runOrdered(s, parts, "append") { src =>
       graft.streaming.DedupStream.dedupExact(
           src.as[graft.streaming.DedupStream.Doc], retentionMs = retentionMs)
@@ -6405,8 +6404,7 @@ object QueriesText {
       .select(col("key"),
         Sampling.sampleHash(col("event_id").cast("string"), "qsk").as("hash"),
         col("value"))
-    val parts = (0 until 4).map(i =>
-      staged.where(pmod(col("hash"), lit(4L)) === i))
+    val parts = graft.streaming.StreamGate.splitByHash(staged, "hash", 4)
     val sk = graft.streaming.StreamGate.runOrdered(s, parts, "update") { src =>
       graft.streaming.SketchStream.quantileSketch(
           src.as[graft.streaming.SketchStream.QTok], QskK)

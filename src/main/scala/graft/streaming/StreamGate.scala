@@ -187,14 +187,31 @@ object StreamGate {
   def splitByTime(df: DataFrame, tsCol: String, nParts: Int): Seq[DataFrame] = {
     require(nParts >= 1)
     import org.apache.spark.sql.functions.{col, max, min}
-    val mm = df.agg(min(col(tsCol)), max(col(tsCol))).head()
+    // freeze the staged frame once: the min/max probe materializes the
+    // lazy checkpoint and the nParts slice writes then read the frozen
+    // blocks instead of re-deriving the staging lineage per slice (one
+    // source scan total, not nParts + 1)
+    val frozen = df.localCheckpoint(false)
+    val mm = frozen.agg(min(col(tsCol)), max(col(tsCol))).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val w = math.max(1L, (hi - lo) / nParts + 1)
     (0 until nParts).map { i =>
       val a = lo + i * w
-      if (i == nParts - 1) df.where(col(tsCol) >= a)
-      else df.where(col(tsCol) >= a && col(tsCol) < a + w)
+      if (i == nParts - 1) frozen.where(col(tsCol) >= a)
+      else frozen.where(col(tsCol) >= a && col(tsCol) < a + w)
     }
+  }
+
+  /** Split into `nParts` deterministic HASH slices (order-free state only
+    * — dedup key sets, commutative monoids): same freeze-once staging as
+    * [[splitByTime]], slice membership by `pmod(hashCol, nParts)`.
+    */
+  def splitByHash(df: DataFrame, hashCol: String, nParts: Int): Seq[DataFrame] = {
+    require(nParts >= 1)
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val frozen = df.localCheckpoint(false)
+    (0 until nParts).map(i =>
+      frozen.where(pmod(col(hashCol), lit(nParts.toLong)) === i))
   }
 
   /** ORDERED multi-batch staging (r13, the verdict's "What's wrong #2"):
@@ -248,6 +265,66 @@ object StreamGate {
           .trigger(Trigger.AvailableNow()).start()
         try q.awaitTermination() finally q.stop()
         assertDataBatches(q, perFile.count(_ > 0L).toLong)
+      } finally s.conf.set(partsKey, prevParts)
+      val out = s.table(qn).localCheckpoint()
+      s.catalog.dropTempView(qn)
+      out
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base.toString))
+  }
+
+  /** Two-plus-source ORDERED multi-batch staging (r13): every source gets
+    * its own dir of mtime-ordered single-file parts and its own
+    * `maxFilesPerTrigger=1` reader, so each data micro-batch consumes AT
+    * MOST ONE new file PER SOURCE, in part order — the aligned-slices
+    * regime for stream-stream joins (stage both sides with
+    * [[splitByTime]] and batch k carries time-slice k of each side; join
+    * state then genuinely buffers across batches and the watermark
+    * advances between them). Data-batch count asserted == the max
+    * non-empty part count over sources (a source that drains early just
+    * stops contributing rows).
+    */
+  def runOrderedMulti(s: SparkSession, parts: Seq[Seq[DataFrame]],
+                      mode: String)
+                     (build: Seq[DataFrame] => DataFrame): DataFrame = gateLock {
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      "runOrderedMulti: every source needs at least one staged part")
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    try {
+      var totalRows = 0L
+      var expectBatches = 0L
+      val srcs = parts.zipWithIndex.map { case (ps, si) =>
+        val inDir = new java.io.File(s"$base/in$si")
+        inDir.mkdirs()
+        val t0 = inDir.lastModified()
+        ps.zipWithIndex.foreach { case (df, i) =>
+          val tmp = s"$base/tmp${si}_$i"
+          df.coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(inDir, f"b$i%05d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(t0 + (i + 1) * 60000L)
+        }
+        val perFile = inDir.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s.read.parquet(f.toString).count())
+        totalRows += perFile.sum
+        expectBatches = math.max(expectBatches, perFile.count(_ > 0L).toLong)
+        s.readStream.schema(ps.head.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      }
+      val qn = s"stream_gate_${seq.incrementAndGet()}"
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      s.conf.set(partsKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
+        partitionsFor(totalRows, prevParts.toLong).toString))
+      try {
+        val q = build(srcs).writeStream.format("memory").queryName(qn)
+          .outputMode(mode).option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        assertDataBatches(q, expectBatches)
       } finally s.conf.set(partsKey, prevParts)
       val out = s.table(qn).localCheckpoint()
       s.catalog.dropTempView(qn)
