@@ -1519,6 +1519,25 @@ class AssemblySpec extends AnyFunSuite with SparkFixture {
     assert(v(0)._2(v(0)._5.toInt) == 2L)
   }
 
+  test("wordTfSparse: exact word-count maps + norms (the fh verify tier)") {
+    val docs = Seq((1L, "alpha beta alpha  gamma beta alpha"), (2L, "gamma"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = Text.wordTfSparse(docs, "doc_id", col("text"))
+      .as[(Long, Map[String, Long], Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), "empty doc yields no row")
+    assert(got(0)._2 == Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L),
+      s"double-space must not create an empty word: ${got(0)._2}")
+    assert(got(0)._3 == 9L + 4L + 1L, "norm2 = sum of squared counts")
+    assert(got(1)._2 == Map("gamma" -> 1L) && got(1)._3 == 1L)
+    // sparseDot works unchanged over string keys: doc1 . doc2 = 1*1
+    val d = Text.wordTfSparse(docs, "doc_id", col("text"))
+    val a = d.where(col("doc_id") === 1).select(col("wtf").as("ma"))
+    val b = d.where(col("doc_id") === 2).select(col("wtf").as("mb"))
+    val dot = a.crossJoin(b)
+      .select(Text.sparseDot(col("ma"), col("mb"))).head.getLong(0)
+    assert(dot == 1L)
+  }
+
   test("hashedTfSparse: map == dense twin, top-2 key deterministic, b2 = -1 when single-bucket") {
     val docs = Seq((1L, "alpha beta alpha gamma beta"), (2L, "gamma"),
       (3L, "delta epsilon delta epsilon zeta")).toDF("doc_id", "text")
