@@ -92,6 +92,16 @@ object QueriesText {
           FROM documents) t
     GROUP BY norm HAVING count(*) > 1"""
 
+  /** Constant shift (seconds) applied to doc_id-derived synthetic ingest
+    * clocks so event times sit far past epoch: the streaming watermark is
+    * max-seen − retention, and with retention sized to the STAGED SPAN
+    * (the no-evict harness contract) an unshifted clock pins the
+    * watermark at epoch 0 — arithmetically correct but invisible to the
+    * cross-batch advancement assert. ~11.6 days; any value ≫ the sf0.1
+    * doc count works.
+    */
+  private val IngestClockBaseS = 1000000L
+
   /** §2.38c Streaming dedup at ingest DRIVER-GATED through the micro-batch
     * engine, MULTI-BATCH from r13 (`StreamGate.runOrdered` — the r12
     * verdict's "What's wrong #2"): documents split into FOUR
@@ -116,12 +126,19 @@ object QueriesText {
     */
   private def qDedupStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // doc_id + 1 seconds: an event time of exactly epoch 0 TIES the
-    // engine's initial watermark and is discarded as late (doc_id 0
-    // vanished at sf0.01) — the synthetic ingest clock starts at 1
+    // synthetic ingest clock = (BASE + doc_id + 1) seconds. The +1 keeps
+    // any row off the engine's initial epoch-0 watermark (an exact tie is
+    // discarded as late — doc_id 0 vanished at sf0.01 in r12); the BASE
+    // shift (r14) puts the clock far enough past epoch that the watermark
+    // (= max seen − retention) comes OFF epoch and visibly advances
+    // across batches — the runOrdered advancement assert. Safety is
+    // unchanged by a constant shift: retention = span + 2 s keeps the
+    // watermark ≤ BASE − 2 s < every event time, so nothing evicts
+    // mid-run and no hash-shuffled row is ever late.
     val staged = docs(s, dir).select(
       col("doc_id").as("docId"), col("text"),
-      ((col("doc_id") + 1) * lit(1000000000L)).as("tsNs"))
+      ((col("doc_id") + lit(IngestClockBaseS) + 1) * lit(1000000000L))
+        .as("tsNs"))
     val retentionMs = (docCount(s, dir) + 2L) * 1000L
     val parts = graft.streaming.StreamGate.splitByHash(staged, "docId", 4)
     graft.streaming.StreamGate.runOrdered(s, parts, "append") { src =>
@@ -154,9 +171,13 @@ object QueriesText {
     */
   private def qDedupStreamLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // same BASE-shifted ingest clock as qDedupStream (r14): watermark
+    // advancement becomes visible to the runOrdered assert while
+    // retention = span + 2 s still covers every staged event time
     val staged = docs(s, dir).select(
       col("doc_id").as("docId"), col("text"),
-      ((col("doc_id") + 1) * lit(1000000000L)).as("tsNs"))
+      ((col("doc_id") + lit(IngestClockBaseS) + 1) * lit(1000000000L))
+        .as("tsNs"))
     // r13 MULTI-BATCH: four contiguous doc_id (= ingest clock) slices in
     // order — cross-batch arrival stays in event order, so "some PRIOR
     // ARRIVAL in this bucket verifies against me" keeps meaning "some
@@ -6387,32 +6408,25 @@ object QueriesText {
     * still hash-matches the batch lane's rank-selection oracle. The
     * update-mode sink keeps every batch's emission; the final state per
     * key is the row with max n_seen (strictly increasing per emission).
-    * The stream keys on a dense integer index of event_type (stream
-    * state keys are Long) assigned RELATIONALLY — a broadcast join
-    * against the 5-row label frame, not a collected when-chain (the r12
-    * verdict's "What's wrong #3": a literal fold is a driver-sized plan
-    * bomb if the key domain grows). Scale: ≤ k pairs state per key.
+    * The stream keys on the NATURAL string key — event_type itself (r13
+    * verdict item 5: `mapGroupsWithState` keys need not be Long) — so no
+    * dense index is minted and no key-domain collect round-trips the
+    * driver. Scale: ≤ k pairs state per key, shuffled on the key.
     */
   private def qQuantileStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val types = Tables.events(s, dir).select("event_type").distinct()
-      .as[String].collect().sorted
-    val labels = types.zipWithIndex
-      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("key", "event_type")
     val staged = Tables.events(s, dir)
-      .join(broadcast(labels), "event_type")
-      .select(col("key"),
+      .select(col("event_type").as("key"),
         Sampling.sampleHash(col("event_id").cast("string"), "qsk").as("hash"),
         col("value"))
     val parts = graft.streaming.StreamGate.splitByHash(staged, "hash", 4)
     val sk = graft.streaming.StreamGate.runOrdered(s, parts, "update") { src =>
       graft.streaming.SketchStream.quantileSketch(
           src.as[graft.streaming.SketchStream.QTok], QskK)
-        .toDF("key", "n_seen", "n_sketch", "p50")
+        .toDF("event_type", "n_seen", "n_sketch", "p50")
     }
-    val last = Window.partitionBy(col("key")).orderBy(col("n_seen").desc)
+    val last = Window.partitionBy(col("event_type")).orderBy(col("n_seen").desc)
     sk.withColumn("_rn", row_number().over(last)).where(col("_rn") === 1)
-      .join(broadcast(labels), "key")
       .select(col("event_type"), col("n_seen"),
         col("n_sketch").cast("long").as("n_sketch"), col("p50"))
   }
@@ -6459,7 +6473,7 @@ object QueriesText {
     import s.implicits._
     val k = 5
     val staged = Tables.events(s, dir).select(
-      lit(0L).as("key"), col("ts").as("tsNs"),
+      lit("all").as("key"), col("ts").as("tsNs"),
       col("event_id").as("eventId"),
       when(col("event_id") % 20 === 0,
         concat(lit("r"), col("event_id").cast("string")))

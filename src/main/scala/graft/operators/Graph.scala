@@ -360,6 +360,7 @@ object Graph {
     var prevCount = e.count()
     var round = 0
     var fixed = prevCount == 0L
+    var eCkpted = true // the initial symmetrized frame is ckpt'd above
     while (round < rounds && !fixed) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
         .where(col("_d") >= k).select(col("src").as("_n"))
@@ -368,12 +369,20 @@ object Graph {
         .join(keep.select(col("_n").as("dst")), Seq("dst"), "left_semi")
       // cadence > 1 pays the per-round count() on an un-truncated plan —
       // the honest trade the cadence A/B measures (PLANS.md)
-      e = if (round % ckptEvery == ckptEvery - 1) ckpt(next) else next
+      val onBoundary = round % ckptEvery == ckptEvery - 1
+      e = if (onBoundary) ckpt(next) else next
+      eCkpted = onBoundary
       val m = e.count()
       fixed = m == prevCount
       prevCount = m
       round += 1
     }
+    // the RETURNED frame is always ckpt'd (ADVICE r13): at ckptEvery > 1
+    // the loop can exit — by round cap or early-exit probe — mid-cadence
+    // with an un-truncated multi-round plan, which downstream multi-
+    // consumer lanes would re-derive per consumer (the same `|| last`
+    // guard pageRankInt/labelPropagation apply on their final round)
+    if (!eCkpted) e = ckpt(e)
     e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .where(col("core_deg") >= k)
       .select(col("src").as("id"), col("core_deg"))

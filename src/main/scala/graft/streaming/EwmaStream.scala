@@ -94,11 +94,11 @@ object EwmaStream {
     * recurrence drift between the two forms). slack = target div 100,
     * alarm threshold h = target div 10 — the batch lane's parameters.
     */
-  private def cusumStep(target: Long)(s: Cusum, e: Ev): Cusum = {
+  private def cusumStep(target: Long)(s: Cusum, cents: Long): Cusum = {
     val slack = target / 100L
     val h = target / 10L
-    val sp = math.max(0L, s.sp + (e.cents - target - slack))
-    val sn = math.max(0L, s.sn + (target - slack - e.cents))
+    val sp = math.max(0L, s.sp + (cents - target - slack))
+    val sn = math.max(0L, s.sn + (target - slack - cents))
     Cusum(sp, sn,
       if (s.alarmUp > 0L) s.alarmUp else if (sp > h) s.n + 1L else 0L,
       if (s.alarmDn > 0L) s.alarmDn else if (sn > h) s.n + 1L else 0L,
@@ -114,7 +114,7 @@ object EwmaStream {
                state: GroupState[Cusum]): (Long, Long, Long, Long, Long, Long) = {
       val init = state.getOption.getOrElse(Cusum(0L, 0L, 0L, 0L, 0L, 0L, 0L))
       val next = rows.toSeq.sortBy(e => (e.tsNs, e.eventId))
-        .foldLeft(init)(step)
+        .foldLeft(init)((s, e) => step(s, e.cents))
       state.update(next)
       (key, next.n, next.alarmUp, next.alarmDn, next.maxSp, next.maxSn)
     }
@@ -122,31 +122,42 @@ object EwmaStream {
     points.groupByKey(_.userId).mapGroupsWithState(update _)
   }
 
+  /** A keyed observation whose stream key is the NATURAL STRING key
+    * (priority, event type, …). `mapGroupsWithState` keys need not be
+    * integers (r13 verdict item 5) — keying on the domain value directly
+    * removes the dense-index mint and with it the driver round-trip that
+    * collected the key domain to build a label frame.
+    */
+  case class KEv(key: String, tsNs: Long, eventId: Long, cents: Long)
+
   /** Per-KEY-target CUSUM (r12, the §2.94 batch lane's actual shape —
     * each priority monitors against its own first-year baseline): same
     * recurrence as [[cusum]] with target/slack/h resolved per key from
-    * the broadcast-closure map. Keys absent from `targets` are dropped —
-    * a monitored key without a calibrated baseline has no defined
-    * detector (the batch lane can't produce such a row either).
+    * the broadcast-closure map (the calibration MODEL — a bounded driver
+    * scalar per monitored key, the precedented stats-head pattern). Keys
+    * absent from `targets` are dropped — a monitored key without a
+    * calibrated baseline has no defined detector (the batch lane can't
+    * produce such a row either). Keys are the natural strings; no dense
+    * index exists to collect.
     */
-  def cusumKeyed(points: Dataset[Ev], targets: Map[Long, Long])
-      : Dataset[(Long, Long, Long, Long, Long, Long)] = {
+  def cusumKeyed(points: Dataset[KEv], targets: Map[String, Long])
+      : Dataset[(String, Long, Long, Long, Long, Long)] = {
     import points.sparkSession.implicits._
 
-    def update(key: Long, rows: Iterator[Ev],
-               state: GroupState[Cusum]): Iterator[(Long, Long, Long, Long, Long, Long)] =
+    def update(key: String, rows: Iterator[KEv],
+               state: GroupState[Cusum]): Iterator[(String, Long, Long, Long, Long, Long)] =
       targets.get(key) match {
         case None => Iterator.empty
         case Some(t) =>
           val init = state.getOption.getOrElse(Cusum(0L, 0L, 0L, 0L, 0L, 0L, 0L))
           val next = rows.toSeq.sortBy(e => (e.tsNs, e.eventId))
-            .foldLeft(init)(cusumStep(t))
+            .foldLeft(init)((s, e) => cusumStep(t)(s, e.cents))
           state.update(next)
           Iterator.single(
             (key, next.n, next.alarmUp, next.alarmDn, next.maxSp, next.maxSn))
       }
 
-    points.groupByKey(_.userId)
+    points.groupByKey(_.key)
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Update(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(update _)

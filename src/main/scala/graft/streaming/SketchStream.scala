@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object SketchStream {
 
-  case class Tok(key: Long, tsNs: Long, eventId: Long, token: String)
+  case class Tok(key: String, tsNs: Long, eventId: Long, token: String)
 
   case class MgState(counters: Map[String, Long], n: Long)
 
@@ -32,7 +32,7 @@ object SketchStream {
     * Update-mode semantics; the last emission per key is current.
     */
   def heavyHitters(toks: Dataset[Tok], k: Int)
-      : Dataset[(Long, Long, String, Long)] = {
+      : Dataset[(String, Long, String, Long)] = {
     import toks.sparkSession.implicits._
     require(k >= 1)
 
@@ -45,8 +45,8 @@ object SketchStream {
         MgState(s.counters.map { case (w, c) => (w, c - 1L) }
           .filter(_._2 > 0L), s.n + 1L)
 
-    def update(key: Long, rows: Iterator[Tok], state: GroupState[MgState])
-        : Iterator[(Long, Long, String, Long)] = {
+    def update(key: String, rows: Iterator[Tok], state: GroupState[MgState])
+        : Iterator[(String, Long, String, Long)] = {
       val init = state.getOption.getOrElse(MgState(Map.empty, 0L))
       val next = rows.toSeq.sortBy(r => (r.tsNs, r.eventId))
         .foldLeft(init)((s, r) => step(s, r.token))
@@ -74,7 +74,7 @@ object SketchStream {
           .filter(_._2 > 0L), s.n + 1L)
     }
 
-  case class QTok(key: Long, hash: Long, value: Double)
+  case class QTok(key: String, hash: Long, value: Double)
 
   case class QState(pairs: Vector[(Long, Double)], nSeen: Long)
 
@@ -91,12 +91,12 @@ object SketchStream {
     * saturates at k, so "latest row per key" must key on n_seen).
     */
   def quantileSketch(toks: Dataset[QTok], k: Int)
-      : Dataset[(Long, Long, Int, Double)] = {
+      : Dataset[(String, Long, Int, Double)] = {
     import toks.sparkSession.implicits._
     require(k >= 1)
 
-    def update(key: Long, rows: Iterator[QTok], state: GroupState[QState])
-        : (Long, Long, Int, Double) = {
+    def update(key: String, rows: Iterator[QTok], state: GroupState[QState])
+        : (String, Long, Int, Double) = {
       val init = state.getOption.getOrElse(QState(Vector.empty, 0L))
       val incoming = rows.toSeq
       val merged = (init.pairs ++ incoming.map(r => (r.hash, r.value)))

@@ -78,6 +78,41 @@ object StreamGate {
         s"merged files); gated-lane determinism arguments no longer hold")
   }
 
+  /** Cross-batch WATERMARK-ADVANCEMENT assert (r14, the r13 verdict's
+    * item 3): the multi-batch harness's whole point is that state carries
+    * and the watermark moves BETWEEN data batches — so when the query has
+    * an event-time watermark, assert it (a) never regresses across data
+    * batches and (b) strictly advanced at least once over the run. A
+    * progress entry reports the watermark the batch ran UNDER (i.e. the
+    * one the previous batches produced), so entry 1 is the initial
+    * watermark and advancement shows from entry 2 on. Queries with no
+    * `withWatermark` report no "watermark" key — nothing to assert.
+    * (b) is skipped when every staged event time sits within the delay of
+    * the epoch-0 initial watermark (max-ts - delay <= 0 keeps the
+    * watermark pinned at epoch legitimately) — callers signal that regime
+    * by `expectAdvance = false`; all committed lanes use real spans and
+    * assert it.
+    */
+  private def assertWatermarkAdvance(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      expectAdvance: Boolean): Unit = {
+    val wms = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0L)
+      .flatMap(p => Option(p.eventTime.get("watermark")))
+      .map(java.time.Instant.parse)
+    if (wms.size >= 2) {
+      wms.sliding(2).foreach { case Seq(a, b) =>
+        require(!b.isBefore(a),
+          s"StreamGate: watermark regressed across data batches ($a -> $b)")
+      }
+      if (expectAdvance)
+        require(wms.last.isAfter(wms.head),
+          s"StreamGate: watermark never advanced across ${wms.size} data " +
+            s"batches (stuck at ${wms.head}) — cross-batch watermark " +
+            "movement is part of the multi-batch contract")
+    }
+  }
+
   /** Stage `staged` as one parquet file, then run `build(readStream(...))`
     * to a memory sink in `mode` ("append" | "update" | "complete") and
     * return the sink's rows frozen via localCheckpoint.
@@ -186,6 +221,10 @@ object StreamGate {
     */
   def splitByTime(df: DataFrame, tsCol: String, nParts: Int): Seq[DataFrame] = {
     require(nParts >= 1)
+    require(df.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"splitByTime: $tsCol must be LongType (epoch ns), got " +
+        df.schema(tsCol).dataType.simpleString)
     import org.apache.spark.sql.functions.{col, max, min}
     // freeze the staged frame once: the min/max probe materializes the
     // lazy checkpoint and the nParts slice writes then read the frozen
@@ -193,6 +232,9 @@ object StreamGate {
     // source scan total, not nParts + 1)
     val frozen = df.localCheckpoint(false)
     val mm = frozen.agg(min(col(tsCol)), max(col(tsCol))).head()
+    // empty staged frame: min/max are null — degrade to nParts empty
+    // slices (runOrdered counts non-empty files) instead of an NPE
+    if (mm.isNullAt(0)) return (0 until nParts).map(_ => frozen)
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val w = math.max(1L, (hi - lo) / nParts + 1)
     (0 until nParts).map { i =>
@@ -214,6 +256,44 @@ object StreamGate {
       frozen.where(pmod(col(hashCol), lit(nParts.toLong)) === i))
   }
 
+  /** Stage each frame in `parts` as one single-file parquet named
+    * `b%05d.parquet` under `inDir`, modification times strictly
+    * increasing in `parts` order (minute-spaced so filesystem timestamp
+    * granularity can't tie them). `setLastModified` failure is LOUD
+    * (ADVICE r13): a filesystem that refuses the mtime write would
+    * silently degrade file order to near-identical move times, and the
+    * batch-count assert can't see reordering — an order-sensitive lane
+    * would then fail semantically at the oracle instead of here.
+    * Returns per-file row counts (parquet footer metadata, no data scan).
+    */
+  private def stageOrdered(s: SparkSession, parts: Seq[DataFrame],
+                           base: String, inDir: java.io.File): Seq[Long] = {
+    inDir.mkdirs()
+    val t0 = inDir.lastModified()
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$base/tmp_${inDir.getName}_$i"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, f"b$i%05d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(t0 + (i + 1) * 60000L),
+        s"StreamGate: setLastModified failed for $dst — staged file order " +
+          "would silently degrade; refusing to run an ordered gate")
+    }
+    inDir.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .toSeq.map(f => s.read.parquet(f.toString).count())
+  }
+
+  /** The progress buffer must retain one entry per staged batch or
+    * [[assertDataBatches]] undercounts (Spark caps recentProgress at
+    * spark.sql.streaming.numRecentProgressUpdates, default 100 — ADVICE
+    * r13). Raised inside the gate's conf window, restored after.
+    */
+  private def progressRetentionFor(nBatches: Long): String =
+    math.max(100L, nBatches + 16L).toString
+
   /** ORDERED multi-batch staging (r13, the verdict's "What's wrong #2"):
     * each frame in `parts` stages as one parquet file in a single source
     * dir, file modification times strictly increasing in `parts` order,
@@ -232,40 +312,35 @@ object StreamGate {
     * The data-batch count is asserted == non-empty parts, so a source
     * that merges or splits files fails loudly, not semantically.
     */
-  def runOrdered(s: SparkSession, parts: Seq[DataFrame], mode: String)
+  def runOrdered(s: SparkSession, parts: Seq[DataFrame], mode: String,
+                 expectWatermarkAdvance: Boolean = true)
                 (build: DataFrame => DataFrame): DataFrame = gateLock {
     require(parts.nonEmpty, "runOrdered: need at least one staged part")
     val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
     try {
       val inDir = new java.io.File(s"$base/in")
-      inDir.mkdirs()
-      val t0 = inDir.lastModified()
-      parts.zipWithIndex.foreach { case (df, i) =>
-        val tmp = s"$base/tmp$i"
-        df.coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, f"b$i%05d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(t0 + (i + 1) * 60000L)
-      }
-      val perFile = inDir.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(f => s.read.parquet(f.toString).count())
+      val perFile = stageOrdered(s, parts, base.toString, inDir)
       val src = s.readStream.schema(parts.head.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
       val qn = s"stream_gate_${seq.incrementAndGet()}"
       val partsKey = "spark.sql.shuffle.partitions"
+      val progKey = "spark.sql.streaming.numRecentProgressUpdates"
       val prevParts = s.conf.get(partsKey)
+      val prevProg = s.conf.get(progKey)
       s.conf.set(partsKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
         partitionsFor(perFile.sum, prevParts.toLong).toString))
+      s.conf.set(progKey, progressRetentionFor(parts.size.toLong))
       try {
         val q = build(src).writeStream.format("memory").queryName(qn)
           .outputMode(mode).option("checkpointLocation", s"$base/ckpt")
           .trigger(Trigger.AvailableNow()).start()
         try q.awaitTermination() finally q.stop()
         assertDataBatches(q, perFile.count(_ > 0L).toLong)
-      } finally s.conf.set(partsKey, prevParts)
+        assertWatermarkAdvance(q, expectWatermarkAdvance)
+      } finally {
+        s.conf.set(partsKey, prevParts)
+        s.conf.set(progKey, prevProg)
+      }
       val out = s.table(qn).localCheckpoint()
       s.catalog.dropTempView(qn)
       out
@@ -280,52 +355,52 @@ object StreamGate {
     * regime for stream-stream joins (stage both sides with
     * [[splitByTime]] and batch k carries time-slice k of each side; join
     * state then genuinely buffers across batches and the watermark
-    * advances between them). Data-batch count asserted == the max
-    * non-empty part count over sources (a source that drains early just
-    * stops contributing rows).
+    * advances between them). A data batch runs at file index i whenever
+    * ANY source's i-th file is non-empty (an all-sources-empty index adds
+    * no input rows and no data batch), so the expected count is the size
+    * of the UNION of per-source non-empty index sets — NOT the per-source
+    * max, which over-counts when empty slices misalign across sources
+    * (ADVICE r13: a time gap emptying slice 2 of one side only).
     */
   def runOrderedMulti(s: SparkSession, parts: Seq[Seq[DataFrame]],
-                      mode: String)
+                      mode: String,
+                      expectWatermarkAdvance: Boolean = true)
                      (build: Seq[DataFrame] => DataFrame): DataFrame = gateLock {
     require(parts.nonEmpty && parts.forall(_.nonEmpty),
       "runOrderedMulti: every source needs at least one staged part")
     val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
     try {
       var totalRows = 0L
-      var expectBatches = 0L
+      val nonEmptyIdx = scala.collection.mutable.Set.empty[Int]
       val srcs = parts.zipWithIndex.map { case (ps, si) =>
         val inDir = new java.io.File(s"$base/in$si")
-        inDir.mkdirs()
-        val t0 = inDir.lastModified()
-        ps.zipWithIndex.foreach { case (df, i) =>
-          val tmp = s"$base/tmp${si}_$i"
-          df.coalesce(1).write.parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(inDir, f"b$i%05d.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(t0 + (i + 1) * 60000L)
-        }
-        val perFile = inDir.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(f => s.read.parquet(f.toString).count())
+        val perFile = stageOrdered(s, ps, base.toString, inDir)
         totalRows += perFile.sum
-        expectBatches = math.max(expectBatches, perFile.count(_ > 0L).toLong)
+        perFile.zipWithIndex.foreach { case (n, i) =>
+          if (n > 0L) nonEmptyIdx += i
+        }
         s.readStream.schema(ps.head.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
       }
       val qn = s"stream_gate_${seq.incrementAndGet()}"
       val partsKey = "spark.sql.shuffle.partitions"
+      val progKey = "spark.sql.streaming.numRecentProgressUpdates"
       val prevParts = s.conf.get(partsKey)
+      val prevProg = s.conf.get(progKey)
       s.conf.set(partsKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
         partitionsFor(totalRows, prevParts.toLong).toString))
+      s.conf.set(progKey, progressRetentionFor(parts.map(_.size).max.toLong))
       try {
         val q = build(srcs).writeStream.format("memory").queryName(qn)
           .outputMode(mode).option("checkpointLocation", s"$base/ckpt")
           .trigger(Trigger.AvailableNow()).start()
         try q.awaitTermination() finally q.stop()
-        assertDataBatches(q, expectBatches)
-      } finally s.conf.set(partsKey, prevParts)
+        assertDataBatches(q, nonEmptyIdx.size.toLong)
+        assertWatermarkAdvance(q, expectWatermarkAdvance)
+      } finally {
+        s.conf.set(partsKey, prevParts)
+        s.conf.set(progKey, prevProg)
+      }
       val out = s.table(qn).localCheckpoint()
       s.catalog.dropTempView(qn)
       out

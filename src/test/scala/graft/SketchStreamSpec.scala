@@ -24,10 +24,10 @@ class SketchStreamSpec extends AnyFunSuite with SparkFixture {
     // event_type stream per user-bucket key: skewed enough that some
     // tokens clear the n/(k+1) bar
     val toks = Tables.events(spark, sfDir)
-      .select((col("user_id") % 4).as("key"), col("ts"), col("event_id"),
-        col("event_type"))
+      .select((col("user_id") % 4).cast("string").as("key"), col("ts"),
+        col("event_id"), col("event_type"))
       .collect()
-      .map(r => Tok(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .map(r => Tok(r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(t => (t.tsNs, t.eventId))
     assert(toks.length > 500)
 
@@ -50,7 +50,7 @@ class SketchStreamSpec extends AnyFunSuite with SparkFixture {
           .orderBy(col("n_seen").desc)))
       .where(col("_rn") === 1)
       .select("key", "token", "count")
-      .as[(Long, String, Long)].collect()
+      .as[(String, String, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
 
     for ((key, grp) <- toks.groupBy(_.key)) {
@@ -78,10 +78,10 @@ class SketchStreamSpec extends AnyFunSuite with SparkFixture {
 
     val k = 32
     val base = Tables.events(spark, sfDir)
-      .select((col("user_id") % 4).as("key"),
+      .select((col("user_id") % 4).cast("string").as("key"),
         Sampling.sampleHash(col("event_id").cast("string"), "qsk").as("h"),
         col("value"))
-    val rows = base.as[(Long, Long, Double)].collect()
+    val rows = base.as[(String, Long, Double)].collect()
       .map { case (key, h, v) => QTok(key, h, v) }
     assert(rows.length > 500)
     // fully shuffled arrival: the set-union/bottom-k state is commutative
@@ -107,7 +107,7 @@ class SketchStreamSpec extends AnyFunSuite with SparkFixture {
           .orderBy(col("n_seen").desc)))
       .where(col("_rn") === 1)
       .select("key", "n_sketch", "p50")
-      .as[(Long, Int, Double)].collect()
+      .as[(String, Int, Double)].collect()
       .map(t => t._1 -> ((t._2, t._3))).toMap
 
     // batch truth: the NATIVE aggregate + the batch rank-selection rule
@@ -115,7 +115,7 @@ class SketchStreamSpec extends AnyFunSuite with SparkFixture {
       .agg(Sketch.quantileSketch(col("h"), col("value"), k).as("sk"))
       .select(col("key"), size(col("sk")).as("n_sketch"),
         Sketch.sketchQuantile("sk", 1, 2).as("p50"))
-      .as[(Long, Int, Double)].collect()
+      .as[(String, Int, Double)].collect()
       .map(t => t._1 -> ((t._2, t._3))).toMap
     assert(streamed == batch)
   }
