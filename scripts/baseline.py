@@ -41,7 +41,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # Spark run produced — the honest DuckDB equivalent (building the same
 # artifact from raw text) is a timeout (q_doc_ngram_jaccard's quadratic
 # pair join). Reported in the table, excluded from the aggregates.
-BUILD_LANES = {"q_pair_index"}
+BUILD_LANES = {"q_pair_index",
+               # r14: rebuilds the date-partitioned export per call (the
+               # sink family's one fresh-build-visibility lane); the
+               # oracle reads the day dirs that run wrote
+               "q_sink_partitioned"}
 
 # ENGINE lanes (r12): driver-gated STREAMING surfaces. The Spark number
 # deliberately includes the staging write + the micro-batch engine itself
@@ -54,7 +58,7 @@ BUILD_LANES = {"q_pair_index"}
 ENGINE_LANES = {"q_session_stream", "q_ewma_stream", "q_funnel_stream",
                 "q_stream_join", "q_dedup_stream", "q_dedup_stream_lsh",
                 "q_quantile_stream", "q_mv_stream", "q_cusum_stream",
-                "q_track_stream"}
+                "q_track_stream", "q_mg_stream"}
 
 ROW_RE = re.compile(
     r"^\|\s*(q_\w+)\s*\|\s*([0-9.]+)\s*\|\s*(?:([0-9.]+)|>[0-9.]+ \(timeout\))\s*\|")

@@ -677,24 +677,31 @@ object QueriesGeo {
            count(strptime(pfx, '%Y%m%d%H%M')) AS n_ogimet
     FROM parsed GROUP BY 1"""
 
-  /** §2.37b JSON feed decode DRIVER-GATED (r13, 🟡→✅ per the r12 brief —
+  /** §2.37b JSON feed decode DRIVER-GATED, ALL FOUR envelope families
+    * (r13 three + the SWIM envelope in r14 — the r13 verdict's item 2;
     * the q_metar_parse synthesis precedent): deterministic per-row feed
-    * envelopes are synthesized from events columns for THREE families —
+    * envelopes are synthesized from events columns —
     * the fr24 compact array-of-arrays (TWO aircraft per envelope, so the
     * positional mixed-type explode is exercised), the ADS-B Exchange
-    * acList (float-millis epoch, MLAT flag, KXXX→XXX extraction), and
+    * acList (float-millis epoch, MLAT flag, KXXX→XXX extraction),
     * FlightXML GetHistoricalTrack (×100 ft altitudes, trusted-position
-    * classes) — decoded by the REAL operators
-    * (sources.JsonFeed.parseFr24List/parseAexList/parseFaTrack), with
-    * every 7th envelope replaced by malformed JSON (the poison rule: the
-    * parsers must DROP it, never fail). DuckDB replays the identical
-    * synthesis and re-parses through its own JSON engine
-    * (json_valid + json_extract), so the decode path is hash-checked
-    * end-to-end through two independent JSON parsers. All synthesized
-    * numerics are integers (exact in DOUBLE — the cross-engine float
-    * rule), aggregates are integer casts. The SWIM nested envelope and
-    * FlightInfoEx stay spec-tested (JsonFeedSpec) — DuckDB JSONPath has
-    * no portable quoting for the `ns5:`-prefixed key.
+    * classes), and the SWIM `ns5:MessageCollection` envelope
+    * (swim/swim.go Json2Flights) in BOTH documented shapes — `message`
+    * as an ARRAY (multi-message) and as a BARE OBJECT (single-message),
+    * alternating per row, so the coalesce-of-two-parses path and the
+    * "lat lon" pos-string split are both inside the hash — decoded by
+    * the REAL operators (sources.JsonFeed.parseFr24List/parseAexList/
+    * parseFaTrack/parseFlights), with every 7th envelope replaced by
+    * malformed JSON (the poison rule: the parsers must DROP it, never
+    * fail). DuckDB replays the identical synthesis and re-parses through
+    * its own JSON engine (json_valid + json_extract; the `ns5:`-prefixed
+    * keys address portably via `$."ns5:key"` quoting — probed r14,
+    * retiring the r13 spec-only adjudication). All synthesized numerics
+    * are integers (exact in DOUBLE — the cross-engine float rule),
+    * aggregates are integer casts; the SWIM positionTime decode is
+    * checked as a non-null COUNT (both engines parse the same ISO
+    * string), never a value compare. FlightInfoEx stays spec-tested
+    * (JsonFeedSpec) — metadata-only, no point stream to aggregate.
     */
   private def qFeedParse(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.JsonFeed
@@ -749,6 +756,32 @@ object QueriesGeo {
           flag.as("n_flag"))
         .select(lit(family).as("family"), col("n"), col("sum_lat"),
           col("sum_alt"), col("n_flag"))
+    // SWIM flight fragment: every numeric integer-valued, pos packed as
+    // the reference's "lat lon" single string (swim-types.go location.pos)
+    def swimFlight(uu: Column, ee: Column): Column = concat(
+      lit("{\"source\":\"S1\",\"timestamp\":\"t\"," +
+        "\"flightIdentification\":{\"computerId\":"), i(uu % 512),
+      lit(",\"aircraftIdentification\":\"CS"), i(uu % 50),
+      lit("\"},\"enRoute\":{\"position\":{\"positionTime\":\"2016-01-"),
+      lpad(i(col("sec") % 27 + 1), 2, "0"), lit("T"),
+      lpad(i(expr("(sec div 3600) % 24")), 2, "0"), lit(":"),
+      lpad(i(expr("(sec div 60) % 60")), 2, "0"),
+      lit(":00Z\",\"position\":{\"location\":{\"pos\":\""),
+      i(uu % 90), lit(" "), i(ee % 180),
+      lit("\"}},\"altitude\":{\"content\":"), i((ee % 400) * 100),
+      lit("},\"actualSpeed\":{\"surveillance\":{\"content\":"), i(uu % 600),
+      lit("}}}}}"))
+    val swimRaw = base.select(
+      when(poison, bad).otherwise(concat(
+        lit("{\"ns5:MessageCollection\":{\"message\":"),
+        when(col("u") % 2 === 0, // multi-message: array of two
+          concat(lit("[{\"flight\":"), swimFlight(col("u"), col("e")),
+            lit("},{\"flight\":"),
+            swimFlight(col("u") + 1, col("e") + 11), lit("}]")))
+          .otherwise( // single-message: bare object
+            concat(lit("{\"flight\":"), swimFlight(col("u"), col("e")),
+              lit("}"))),
+        lit("}}"))).as("raw"))
     val fr = shaped("fr24", count(lit(1)), sum(col("lat")).cast("long"),
       sum(col("alt")).cast("long"), countDistinct(col("callsign")),
       JsonFeed.parseFr24List(frRaw, "raw"))
@@ -758,7 +791,10 @@ object QueriesGeo {
     val fa = shaped("fa", count(lit(1)), sum(col("lat")).cast("long"),
       sum(col("alt")), sum(col("trusted").cast("long")),
       JsonFeed.parseFaTrack(faRaw, "raw"))
-    fr.unionByName(ax).unionByName(fa)
+    val sw = shaped("swim", count(lit(1)), sum(col("lat")).cast("long"),
+      sum(col("alt")).cast("long"), count(col("pos_time")),
+      JsonFeed.parseFlights(swimRaw, "raw"))
+    fr.unionByName(ax).unionByName(fa).unionByName(sw)
   }
 
   private val oFeedParse = """
@@ -848,10 +884,82 @@ object QueriesGeo {
              CAST(sum(alt) AS BIGINT) AS sum_alt,
              CAST(sum(CASE WHEN ut IN ('TA', 'A') THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_flag
-      FROM fa_pt WHERE lat IS NOT NULL)
+      FROM fa_pt WHERE lat IS NOT NULL),
+    swim_fl AS (
+      SELECT u, e,
+             '{"source":"S1","timestamp":"t","flightIdentification":{"computerId":'
+          || (u % 512) || ',"aircraftIdentification":"CS' || (u % 50)
+          || '"},"enRoute":{"position":{"positionTime":"2016-01-'
+          || lpad(CAST(sec % 27 + 1 AS VARCHAR), 2, '0') || 'T'
+          || lpad(CAST((sec // 3600) % 24 AS VARCHAR), 2, '0') || ':'
+          || lpad(CAST((sec // 60) % 60 AS VARCHAR), 2, '0')
+          || ':00Z","position":{"location":{"pos":"'
+          || (u % 90) || ' ' || (e % 180)
+          || '"}},"altitude":{"content":' || ((e % 400) * 100)
+          || '},"actualSpeed":{"surveillance":{"content":' || (u % 600)
+          || '}}}}}' AS f1,
+             '{"source":"S1","timestamp":"t","flightIdentification":{"computerId":'
+          || ((u + 1) % 512) || ',"aircraftIdentification":"CS'
+          || ((u + 1) % 50)
+          || '"},"enRoute":{"position":{"positionTime":"2016-01-'
+          || lpad(CAST(sec % 27 + 1 AS VARCHAR), 2, '0') || 'T'
+          || lpad(CAST((sec // 3600) % 24 AS VARCHAR), 2, '0') || ':'
+          || lpad(CAST((sec // 60) % 60 AS VARCHAR), 2, '0')
+          || ':00Z","position":{"location":{"pos":"'
+          || ((u + 1) % 90) || ' ' || ((e + 11) % 180)
+          || '"}},"altitude":{"content":' || (((e + 11) % 400) * 100)
+          || '},"actualSpeed":{"surveillance":{"content":' || ((u + 1) % 600)
+          || '}}}}}' AS f2
+      FROM base),
+    swim_raw AS (
+      SELECT CASE WHEN e % 7 = 0 THEN '{"oops":'
+        WHEN u % 2 = 0 THEN '{"ns5:MessageCollection":{"message":[{"flight":'
+          || f1 || '},{"flight":' || f2 || '}]}}'
+        ELSE '{"ns5:MessageCollection":{"message":{"flight":' || f1 || '}}}'
+        END AS raw,
+        u % 2 = 0 AS multi
+      FROM swim_fl),
+    swim_pt AS (
+      -- ns5:-prefixed keys address portably via $."quoted" segments
+      -- (probed on DuckDB 1.0, r14); multi shape indexes the message
+      -- array, single shape addresses the bare object — the same two
+      -- parses the Spark operator coalesces
+      SELECT string_split(json_extract_string(raw,
+               '$."ns5:MessageCollection".message[' || ix || '].flight'
+               || '.enRoute.position.position.location.pos'), ' ') AS pos,
+             CAST(json_extract(raw,
+               '$."ns5:MessageCollection".message[' || ix || '].flight'
+               || '.enRoute.position.altitude.content') AS DOUBLE) AS alt,
+             json_extract_string(raw,
+               '$."ns5:MessageCollection".message[' || ix || '].flight'
+               || '.enRoute.position.positionTime') AS pt
+      FROM swim_raw CROSS JOIN (VALUES (0), (1)) AS t(ix)
+      WHERE json_valid(raw) AND multi
+      UNION ALL
+      SELECT string_split(json_extract_string(raw,
+               '$."ns5:MessageCollection".message.flight'
+               || '.enRoute.position.position.location.pos'), ' ') AS pos,
+             CAST(json_extract(raw,
+               '$."ns5:MessageCollection".message.flight'
+               || '.enRoute.position.altitude.content') AS DOUBLE) AS alt,
+             json_extract_string(raw,
+               '$."ns5:MessageCollection".message.flight'
+               || '.enRoute.position.positionTime') AS pt
+      FROM swim_raw WHERE json_valid(raw) AND NOT multi),
+    swim_typed AS (
+      SELECT CAST(pos[1] AS DOUBLE) AS lat, CAST(pos[2] AS DOUBLE) AS lon,
+             alt, try_strptime(pt, '%Y-%m-%dT%H:%M:%SZ') AS pos_time
+      FROM swim_pt),
+    swim_agg AS (
+      SELECT 'swim' AS family, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lat) AS BIGINT) AS sum_lat,
+             CAST(sum(alt) AS BIGINT) AS sum_alt,
+             CAST(count(pos_time) AS BIGINT) AS n_flag
+      FROM swim_typed WHERE lat IS NOT NULL AND lon IS NOT NULL)
     SELECT * FROM fr_agg
     UNION ALL SELECT * FROM aex_agg
-    UNION ALL SELECT * FROM fa_agg"""
+    UNION ALL SELECT * FROM fa_agg
+    UNION ALL SELECT * FROM swim_agg"""
 
   /** §2.37c FOIA CSV ingest DRIVER-GATED (r13, 🟡→✅ per the r12 brief —
     * same synthesis precedent): deterministic dump LINES are synthesized

@@ -1765,19 +1765,25 @@ object QueriesPipe {
   private def sinkDayRoot(s: SparkSession, dir: String): String =
     vtLock.synchronized {
       val root = graft.Artifacts.dir("sday", dir)
-      if (!sinkBuilt.contains(root)) {
-        wipeDir(root)
-        val ev = eventCents(s, dir)
-        graft.sources.Sinks.writePartitionedByDay(ev, "ts", root)
-        val d0 = ev.agg(min(to_date(timestamp_micros(expr("ts div 1000")))))
-          .head.getDate(0).toString
-        graft.sources.Sinks.refreshDays(
-          ev.where(to_date(timestamp_micros(expr("ts div 1000"))) === lit(d0))
-            .withColumn("cents", col("cents") * 2), "ts", root)
-        sinkBuilt += root
-      }
+      if (!sinkBuilt.contains(root)) buildSinkDay(s, dir, root)
       root
     }
+
+  /** The actual export: full date-partitioned write + one-day dynamic
+    * overwrite refresh. Idempotent — the layout and content are
+    * deterministic functions of the events table.
+    */
+  private def buildSinkDay(s: SparkSession, dir: String, root: String): Unit = {
+    wipeDir(root)
+    val ev = eventCents(s, dir)
+    graft.sources.Sinks.writePartitionedByDay(ev, "ts", root)
+    val d0 = ev.agg(min(to_date(timestamp_micros(expr("ts div 1000")))))
+      .head.getDate(0).toString
+    graft.sources.Sinks.refreshDays(
+      ev.where(to_date(timestamp_micros(expr("ts div 1000"))) === lit(d0))
+        .withColumn("cents", col("cents") * 2), "ts", root)
+    sinkBuilt += root
+  }
 
   private def sinkDayCuts(s: SparkSession, dir: String): (String, String) = {
     val mm = Tables.events(s, dir).agg(
@@ -1797,9 +1803,23 @@ object QueriesPipe {
     * breaks it) and the dynamic-overwrite refresh semantics (only the
     * refreshed day moved). Scale: the layout is the point — scans touch
     * the changed/queried days, never the table.
+    *
+    * BUILD lane (r14, the q_pair_index convention — the r13 verdict's
+    * item 4): the lane REBUILDS the export fresh on every call (full
+    * partitioned write + one-day dynamic-overwrite refresh) so the sink
+    * family's write cost stays visible in the bench number instead of
+    * hiding in whichever run's warmup built the memoized artifact; the
+    * other sink lanes (q_compact, q_schema_evolve, …) stay memoized
+    * read-vs-read. baseline.py classifies it BUILD — excluded from
+    * plan-lane ratio aggregates, its oracle reads the dump this run
+    * produced.
     */
   private def qSinkPartitioned(s: SparkSession, dir: String): DataFrame = {
-    val root = sinkDayRoot(s, dir)
+    val root = vtLock.synchronized {
+      val r = graft.Artifacts.dir("sday", dir)
+      buildSinkDay(s, dir, r) // always fresh: write cost in the number
+      r
+    }
     val (lo, hi) = sinkDayCuts(s, dir)
     s.read.parquet(root)
       .where(col("day") >= lit(lo) && col("day") <= lit(hi))
