@@ -622,12 +622,25 @@ object Text {
       if (crossEngine) kgramPolyHashNative(col("_t"), k)
       else
         expr(s"transform(sequence(0, greatest(length(_t) - $k, 0)), " +
-          s"i -> abs(hash(substr(_t, i + 1, $k))))")
-    winnowFrom(df, id, text, hashArr, w)
+          s"i -> cast(abs(hash(substr(_t, i + 1, $k))) as bigint))")
+    // r14: the winnow itself is native too (WinnowMinsExpr, monotonic
+    // deque) — the relational winnowFrom explodes one row per k-gram
+    // POSITION (~total corpus chars) through an exchange + per-doc sort,
+    // which went ~2x super-linear at the 100x skew probe (148–182 s vs
+    // 7.6 s at 10x, same session). One Project, zero shuffles; hashArr
+    // is referenced ONCE so the producer cannot re-derive (the
+    // multiply-referenced-array rule). winnowFrom stays as the
+    // bit-equality twin (GramExprSpec).
+    df.select(col(id), text.as("_t"))
+      .select(col(id), org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.graft.WinnowMinsExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(hashArr), w))
+        .as("fps"))
   }
 
   /** The winnow pipeline downstream of the per-position hash array —
-    * shared by [[winnowFingerprints]] and the HOF-hash spec twin.
+    * the RELATIONAL bit-equality twin of the native winnow (posexplode →
+    * per-doc window min → collect_set), used by the spec suite.
     */
   private def winnowFrom(df: DataFrame, id: String, text: Column,
                          hashArr: Column, w: Int): DataFrame = {
@@ -650,6 +663,13 @@ object Text {
   private[graft] def winnowFingerprintsHofForSpec(df: DataFrame, id: String,
       text: Column, k: Int, w: Int): DataFrame =
     winnowFrom(df, id, text, kgramPolyHashHof("_t", k), w)
+
+  /** NATIVE hash + RELATIONAL winnow — isolates WinnowMinsExpr against
+    * the posexplode/window-min twin at arbitrary w (GramExprSpec r14).
+    */
+  private[graft] def winnowRelationalForSpec(df: DataFrame, id: String,
+      text: Column, k: Int, w: Int): DataFrame =
+    winnowFrom(df, id, text, kgramPolyHashNative(col("_t"), k), w)
 
   /** One-pass native k-gram poly hashes (see KgramPolyHashExpr). */
   private[graft] def kgramPolyHashNative(t: Column, k: Int): Column =
@@ -774,6 +794,42 @@ object Text {
                      k: Int, divisor: Int): DataFrame = {
     require(k >= 2, s"dedupChunksCdc: k must be >= 2, got $k")
     require(divisor >= 2, s"dedupChunksCdc: divisor must be >= 2, got $divisor")
+    // r14: chunking is ONE native pass per row (CdcChunksExpr — the
+    // winnow-native sibling; the relational char-explode form below, kept
+    // as dedupChunksCdcRelationalForSpec, moved ~250M (id, pos, code)
+    // rows through a per-doc k-lead window at the 100x skew probe,
+    // ~200 s of wall for what is per-row work). The cross-doc dedup
+    // stays relational — that part genuinely needs the chunk-keyed
+    // exchange, and its row count is corpus_chars/divisor, not
+    // corpus_chars.
+    val base = df.select(col(id), text.as("_t"))
+    val chunks = org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.CdcChunksExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("_t")),
+        k, divisor.toLong, PolyP))
+    val w = Window.partitionBy(col("chunk")).orderBy(col(id).asc, col("pos").asc)
+    base.select(col(id), posexplode(chunks).as(Seq("pos", "chunk")))
+      .withColumn("_keep", row_number().over(w) === 1)
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"),
+                col("_keep").as("keep"), col("chunk")))),
+              s => s("keep")),
+            s => s("chunk")),
+          "").as("clean_text"))
+  }
+
+  /** The RELATIONAL chunker — [[dedupChunksCdc]]'s bit-equality twin
+    * (GramExprSpec r14): chars explode to rows, k lead() terms build the
+    * boundary hash, cuts collect per doc, chunks slice via substr.
+    */
+  private[graft] def dedupChunksCdcRelationalForSpec(df: DataFrame,
+      id: String, text: Column, k: Int, divisor: Int): DataFrame = {
     // The k-gram hashes are computed RELATIONALLY (chars exploded to rows,
     // k leads per row summed with positional powers of 31, one mod at the
     // end — congruent to the stepwise fold, so both engines agree), NOT as

@@ -22,7 +22,15 @@ import org.apache.spark.sql.functions._
 object DocScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
-    val skew = args.length > 1 && args(1) == "skew"
+    // `skewfast` (r14, the r13 verdict's item 7): the giant-doc decoration
+    // at 100x, but ONLY the O(len²)-fix lane class (the r12 native-array
+    // rewrites: winnowing fingerprints, repetition stats, CDC chunking,
+    // token counting as the linear control) — the full sweep's growth
+    // curves are already recorded at 10x; this run answers one question,
+    // "does the one-pass-native fix class stay linear when the corpus is
+    // 10x bigger AND carries the same 0.5% ~39 KB giants".
+    val skewFast = args.length > 1 && args(1) == "skewfast"
+    val skew = skewFast || (args.length > 1 && args(1) == "skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -77,6 +85,17 @@ object DocScaleProbe {
     }
 
     val q = graft.Queries.queries
+
+    if (skewFast) {
+      time("q_doc_fingerprint") { q("q_doc_fingerprint")(spark, out).count() }
+      time("q_text_repetition") { q("q_text_repetition")(spark, out).count() }
+      time("q_dedup_cdc") { q("q_dedup_cdc")(spark, out).count() }
+      time("q_token_count") { q("q_token_count")(spark, out).count() }
+      if (!sys.env.contains("GRAFT_KEEP_DIR"))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      spark.stop()
+      return
+    }
 
     // `pairs` mode (r13, verdict item 8): the focused 100x run — ONLY the
     // pair-index build + its dedup-components/triangles consumer path,

@@ -123,8 +123,164 @@ case class WordSpansExpr(child: Expression, spanWords: Int)
     copy(child = newChild)
 }
 
+/** Winnowing window MINIMA of a hash array in one native pass — the
+  * per-doc form of the winnow pipeline's posexplode → per-doc window-min
+  * → collect_set stage (Text.winnowFrom, kept as the bit-equality twin).
+  *
+  * Why a native expression (the r14 100x skew finding): the relational
+  * winnow explodes one row PER K-GRAM POSITION — ~total corpus chars —
+  * through an exchange and a per-doc sort to feed the window frame, so
+  * the stage moves ~250M narrow rows at the 500k-doc skew probe and the
+  * lane went ~2x super-linear (same-session A/B: 7.6 s at 10x → 148-182 s
+  * at 100x; spill + sort on the position rows). The winnow is a
+  * PER-ROW computation — a monotonic-deque pass over the hash array
+  * gives every window's minimum in O(n) with no explode, no exchange,
+  * no sort. Semantics replicated exactly from winnowFrom: full windows
+  * p = 0..n−w (frame rowsBetween(current, w−1)), a doc with fewer than
+  * w hashes keeps its one truncated window at position 0; output is the
+  * DISTINCT minima sorted ascending (array_sort(collect_set)).
+  * Bit-equality spec: GramExprSpec.
+  */
+case class WinnowMinsExpr(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(w >= 1, "window must be >= 1")
+
+  override def nullIntolerant: Boolean = true
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_mins"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramExprHelpers.winnowMins(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.GramExprHelpers.winnowMins($s, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMinsExpr =
+    copy(child = newChild)
+}
+
+/** Content-defined chunks of a string in one native pass — the per-doc
+  * form of Text.dedupChunksCdc's char-explode → k-lead window-hash →
+  * boundary-filter → cuts-collect → slice pipeline (kept as the
+  * bit-equality twin).
+  *
+  * Why a native expression (the r14 100x skew finding, the winnow's
+  * sibling): the relational chunker explodes one row PER CHARACTER
+  * through a per-doc window with k lead() terms — ~250M rows sorted and
+  * shuffled at the 500k-doc probe, ~200 s of the lane's wall — to
+  * compute what is a per-row O(len·k) scan. Boundary rule replicated
+  * exactly: cut at code-point position i ∈ [1, len−k] when the k-gram
+  * polynomial hash Σ cp[i+j]·31^(k−1−j) mod p ≡ 0 (mod divisor) — the
+  * congruent stepwise fold, positions without a full k-gram never cut
+  * (the relational form's null-lead exclusion). Chunks are the
+  * substrings between consecutive cuts (0 and len as sentinels); the
+  * empty string yields one empty chunk, matching
+  * `transform(sequence(0, size(_cuts)−2), …)` on cuts [0, 0].
+  * Bit-equality spec: GramExprSpec.
+  */
+case class CdcChunksExpr(child: Expression, k: Int, divisor: Long, p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 2, "k must be >= 2")
+  require(divisor >= 2, "divisor must be >= 2")
+  require(p >= 2, "modulus must be >= 2")
+
+  override def nullIntolerant: Boolean = true
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramExprHelpers.cdcChunks(input.asInstanceOf[UTF8String], k, divisor, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.GramExprHelpers.cdcChunks($s, $k, ${divisor}L, ${p}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
+    copy(child = newChild)
+}
+
 /** Static helpers callable from generated Java. */
 object GramExprHelpers {
+
+  /** Content-defined chunk substrings (see [[CdcChunksExpr]]). Cut
+    * positions and substring spans are CODE-POINT indices — `substr`'s
+    * unit and UTF8String.substring's unit agree (supplementary chars are
+    * one char in both).
+    */
+  def cdcChunks(s: UTF8String, k: Int, divisor: Long, p: Long): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val len = cps.length
+    val cuts = new java.util.ArrayList[Integer]()
+    cuts.add(0)
+    var i = 1
+    val lastStart = len - k
+    while (i <= lastStart) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        acc = (acc * 31L + cps(i + j)) % p
+        j += 1
+      }
+      if (acc % divisor == 0L) cuts.add(i)
+      i += 1
+    }
+    cuts.add(len)
+    val nChunks = cuts.size() - 1
+    val out = new Array[Any](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      out(c) = s.substring(cuts.get(c), cuts.get(c + 1))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct sorted winnow window minima (see [[WinnowMinsExpr]]):
+    * sliding-window minimum via the standard monotonic index deque —
+    * amortized O(1) per position — minima deduped through a hash set and
+    * sorted ascending. Empty input yields an empty array (the relational
+    * twin emits NO row for that doc; callers never feed empty arrays —
+    * kgramPolyHash always returns ≥ 1 element).
+    */
+  def winnowMins(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val hs = arr.toLongArray()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    if (n < w) {
+      var m = hs(0)
+      var i = 1
+      while (i < n) { if (hs(i) < m) m = hs(i); i += 1 }
+      seen.add(m)
+    } else {
+      val deque = new Array[Int](n) // indices, front..back increasing hs
+      var head = 0
+      var tail = -1 // inclusive
+      var i = 0
+      while (i < n) {
+        while (tail >= head && hs(deque(tail)) >= hs(i)) tail -= 1
+        tail += 1
+        deque(tail) = i
+        if (deque(head) <= i - w) head += 1
+        if (i >= w - 1) seen.add(hs(deque(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out.map(v => v: Any))
+  }
 
   /** Non-overlapping word spans via byte spans (see [[WordSpansExpr]]). */
   def wordSpans(s: UTF8String, sw: Int): ArrayData = {

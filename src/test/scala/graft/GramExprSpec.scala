@@ -63,6 +63,43 @@ class GramExprSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("WinnowMinsExpr == the relational window-min winnow (short arrays, ties)") {
+    // r14: the winnow stage itself went native (monotonic deque). Edge
+    // classes: n < w (one truncated window), n == w, heavy ties (the
+    // repetition fixture), w = 1 (identity-distinct), and large w.
+    for (w <- Seq(1, 2, 4, 16)) {
+      val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = Text.winnowFingerprints(df, "doc_id", col("text"), 4, w,
+          crossEngine = true)
+        .as[(Long, Seq[Long])].collect().toMap
+      val relational = Text.winnowRelationalForSpec(df, "doc_id",
+          col("text"), 4, w)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native == relational, s"w=$w")
+    }
+  }
+
+  test("CdcChunksExpr == the relational char-explode chunker (cuts, empties, reassembly)") {
+    // r14: the CDC chunker went native. The twin compares the FULL lane
+    // output (chunk counts, kept counts, reassembled text) across the
+    // fixture edges plus a long repetitive doc that actually produces
+    // interior cuts at small divisors.
+    val docs = fixtures :+ ("abcdefgh " * 120).trim
+    for ((k, d) <- Seq((4, 8), (8, 64), (2, 2))) {
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = Text.dedupChunksCdc(df, "doc_id", col("text"), k, d)
+        .as[(Long, Long, Long, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      val rel = Text.dedupChunksCdcRelationalForSpec(df, "doc_id",
+          col("text"), k, d)
+        .as[(Long, Long, Long, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      assert(native == rel, s"k=$k divisor=$d")
+    }
+  }
+
   test("winnowFingerprints output unchanged by the native swap (HOF replay)") {
     // replay the full winnow relational pipeline with the HOF hash array
     // and assert identical fingerprints — the oracle-facing contract
