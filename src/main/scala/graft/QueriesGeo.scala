@@ -1173,6 +1173,221 @@ object QueriesGeo {
     WHERE pc IS NOT NULL"""
 
   // ---------------------------------------------------------------------------
+  // §2.31f Vector-PDF page emission DRIVER-GATED (r14, 🟡→✅)
+  // ---------------------------------------------------------------------------
+
+  /** SQL for the 2-dp TRUNCATION-formatted string of a double expression:
+    * i = floor(e·100) (bit-identical on identical doubles — the Viz.trunc
+    * rule), then the string is built with pure integer ops. This is why
+    * descentPdf formats by truncation instead of `%.2f`: Java rounds
+    * HALF_UP, C/DuckDB printf HALF_EVEN — printf output can never be
+    * byte-gated across engines (they disagree at exactly-representable
+    * ties), integer-built strings always can.
+    */
+  private def pdfF2(e: String): String =
+    s"(CAST(CAST(floor(($e) * 100) AS BIGINT) // 100 AS VARCHAR) || '.' || " +
+      s"lpad(CAST(CAST(floor(($e) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0'))"
+
+  private def pdfF3(e: String): String =
+    s"(CAST(CAST(floor(($e) * 1000) AS BIGINT) // 1000 AS VARCHAR) || '.' || " +
+      s"lpad(CAST(CAST(floor(($e) * 1000) AS BIGINT) % 1000 AS VARCHAR), 3, '0'))"
+
+  private val PdfPageLimit = 400
+
+  /** §2.31f the lane: the same descent-grid segments as q_descent_grid,
+    * in-bounds only, page coordinates TRUNCATED to exact hundredths
+    * (floor(u·100)/100 — a double that both engines format identically,
+    * and whose equality across engines is already implied by
+    * q_descent_grid's 3-dp gate: floor(100x) = floor(floor(1000x)/10)),
+    * deterministically ordered, one bounded page — rendered to COMPLETE
+    * PDF FILE BYTES by the real emitter (`Render.descentPdf`,
+    * fpdf/fpdf.go:403 page composition). Output is one row
+    * (n_bytes, pdf); the oracle REBUILDS THE ENTIRE FILE in SQL — every
+    * vector op, tick, caption escape, color constant, the content
+    * stream's /Length, all five object bodies, and the xref byte
+    * offsets — so the byte-level emission contract is hash-checked, not
+    * spec-trusted. (All bytes are ASCII by construction, so the string
+    * round-trip through parquet is exact.)
+    */
+  private def qRenderPdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def t2(c: Column): Column = floor(c * 100) / 100
+    val segs = graft.operators.Viz.segments(ev(s, dir), "user_id", "ts",
+        "event_id", sqrt(Geo.distSq(xCol, yCol.cast("double"), 50.0, 50.0)),
+        xCol, DescentGrid, bandSize = 20.0)
+      .where(col("oob").cast("int") === 0)
+      .select(t2(col("u1")).as("u1"), t2(col("v1")).as("v1"),
+        t2(col("u2")).as("u2"), t2(col("v2")).as("v2"),
+        col("band").cast("int").as("band"), lit(0).as("oob"))
+      .orderBy("u1", "v1", "u2", "v2", "band")
+      .limit(PdfPageLimit)
+    val bytes = graft.sources.Render.descentPdf(segs, DescentGrid,
+      caption = "descent (demo)", limit = PdfPageLimit)
+    val pdf = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    Seq((pdf.length.toLong, pdf)).toDF("n_bytes", "pdf")
+  }
+
+  /** The §2.31f oracle: DuckDB rebuilds the full PDF byte string. The SQL
+    * is ASSEMBLED by this generator (loops over ticks/palette unroll to
+    * expressions), but every number is COMPUTED BY DUCKDB — the same
+    * double arithmetic as the emitter (mm→pt, the grid projection, the
+    * y flip), truncation-formatted with integer ops; the only embedded
+    * literals are true input constants (grid geometry, tick values,
+    * palette component integers, the caption).
+    */
+  private val oRenderPdf: String = {
+    val mmpt = "(72.0 / 25.4)"
+    def px(mm: String) = s"(($mm) * $mmpt)"
+    def py(mm: String) = s"((279.0 - ($mm)) * $mmpt)"
+    def uG(x: String) = s"(22.0 + (($x - 0.0) / (80.0 - 0.0)) * 170.0)"
+    def vG(y: String) = s"(35.0 + (100.0 - (($y - 0.0) / (100.0 - 0.0)) * 100.0))"
+    val nl = "chr(10)"
+    // n-ary concat() keeps the expression tree SHALLOW — a left-deep ||
+    // chain over the whole page blew DuckDB's 128-deep binder recursion
+    def cat(parts: String*): String = s"concat(${parts.mkString(", ")})"
+    def lineOp(x1: String, y1: String, x2: String, y2: String) =
+      cat(pdfF2(px(x1)), "' '", pdfF2(py(y1)), "' m '",
+        pdfF2(px(x2)), "' '", pdfF2(py(y2)), "' l S'", nl)
+    def textOp(xMm: String, yMm: String, sizeMm: String, escd: String) =
+      cat("'BT /F1 '", pdfF2(s"($sizeMm) * $mmpt"), "' Tf '",
+        pdfF2(px(xMm)), "' '", pdfF2(py(yMm)),
+        "' Td ('", escd, "') Tj ET'", nl)
+    // palette component integers (true constants; the float math runs in
+    // DuckDB)
+    val rgb = graft.sources.Render.BandPalette.map { hex =>
+      val v = Integer.parseInt(hex.stripPrefix("#"), 16)
+      ((v >> 16) & 255, (v >> 8) & 255, v & 255)
+    }
+    def rgbStr(c: (Int, Int, Int)) =
+      cat(pdfF3(s"${c._1}.0 / 255.0"), "' '",
+        pdfF3(s"${c._2}.0 / 255.0"), "' '", pdfF3(s"${c._3}.0 / 255.0"))
+    // header + frame + grid color header
+    val head = cat(
+      pdfF2(s"0.4 * $mmpt"), "' w 0.2 0.2 0.2 RG'", nl,
+      pdfF2(px("22.0")), "' '", pdfF2(py("35.0 + 100.0")), "' '",
+      pdfF2(s"170.0 * $mmpt"), "' '", pdfF2(s"100.0 * $mmpt"),
+      "' re S'", nl,
+      pdfF2(s"0.15 * $mmpt"), "' w 0.8 0.8 0.8 RG 0 0 0 rg'", nl)
+    // tick loops unrolled (x = 0..80 step 10, y = 0..100 step 20); labels
+    // are trunc2 of the integer tick values — input constants
+    val xTicks = cat((0 to 80 by 10).map { x =>
+      val xe = s"$x.0"
+      cat(lineOp(uG(xe), "35.0", uG(xe), "35.0 + 100.0"),
+        textOp(s"${uG(xe)} - 3", "35.0 + 100.0 + 4", "3", s"'$x.00'"))
+    }: _*)
+    val yTicks = cat((0 to 100 by 20).map { y =>
+      val ye = s"$y.0"
+      cat(lineOp("22.0", vG(ye), "22.0 + 170.0", vG(ye)),
+        textOp("22.0 - 12", vG(ye), "3", s"'$y.00'"))
+    }: _*)
+    // per-segment piece: band color RG + the m/l/S op, aggregated in the
+    // page's deterministic order
+    val bandCase = "CASE ((band % 6) + 6) % 6 " +
+      rgb.zipWithIndex.map { case (c, i) => s"WHEN $i THEN ${rgbStr(c)}" }
+        .mkString(" ") + " END"
+    val segPiece = cat(
+      s"($bandCase)", "' RG'", nl,
+      pdfF2(s"u1 * $mmpt"), "' '", pdfF2(s"(279.0 - v1) * $mmpt"),
+      "' m '", pdfF2(s"u2 * $mmpt"), "' '",
+      pdfF2(s"(279.0 - v2) * $mmpt"), "' l S'", nl)
+    // caption (escaped parens — the pdfEsc surface) + color key
+    val caption = textOp("22.0", "35.0 - 6", "4", "'descent \\(demo\\)'")
+    val key = cat(rgb.zipWithIndex.map { case (c, i) =>
+      val kx = s"(22.0 + $i * 14)"
+      cat(rgbStr(c), "' rg '", pdfF2(px(kx)), "' '",
+        pdfF2(py("(35.0 + 100.0 + 10) + 3")), "' '",
+        pdfF2(s"3 * $mmpt"), "' '", pdfF2(s"3 * $mmpt"),
+        "' re f 0 0 0 rg'", nl,
+        textOp(s"$kx + 4", "(35.0 + 100.0 + 10) + 3", "3", s"'b$i'"))
+    }: _*)
+    s"""
+    WITH raw AS (
+      SELECT (22.0 + ((px - 0.0) / 80.0) * 170.0) AS u1r,
+             (35.0 + (100.0 - ((py - 0.0) / 100.0) * 100.0)) AS v1r,
+             (22.0 + ((x - 0.0) / 80.0) * 170.0) AS u2r,
+             (35.0 + (100.0 - ((y - 0.0) / 100.0) * 100.0)) AS v2r,
+             CAST(floor(y / 20.0) AS INT) AS band,
+             ((px - 0.0) / 80.0 < 0.0 OR (px - 0.0) / 80.0 > 1.0
+              OR (py - 0.0) / 100.0 < 0.0 OR (py - 0.0) / 100.0 > 1.0
+              OR (x - 0.0) / 80.0 < 0.0 OR (x - 0.0) / 80.0 > 1.0
+              OR (y - 0.0) / 100.0 < 0.0 OR (y - 0.0) / 100.0 > 1.0) AS oob
+      FROM (
+        SELECT user_id, ts, event_id, x, y,
+               lag(x) OVER w AS px, lag(y) OVER w AS py
+        FROM (
+          SELECT user_id, ts, event_id,
+                 sqrt((value - 50.0) * (value - 50.0)
+                   + (CAST($ySql AS DOUBLE) - 50.0)
+                     * (CAST($ySql AS DOUBLE) - 50.0)) AS x,
+                 value AS y
+          FROM events) t0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+      WHERE px IS NOT NULL),
+    segs AS (
+      -- Viz.segments emits 3-dp-truncated page coords, and the lane
+      -- truncates THOSE to 2 dp — the chain floor(100·(floor(1000·r)/1000))
+      -- is NOT floor(100·r) (the stored double of k/1000 can sit just
+      -- below a hundredth boundary), so the oracle replays the exact
+      -- double-trunc chain
+      SELECT floor((floor(u1r * 1000) / 1000) * 100) / 100 AS u1,
+             floor((floor(v1r * 1000) / 1000) * 100) / 100 AS v1,
+             floor((floor(u2r * 1000) / 1000) * 100) / 100 AS u2,
+             floor((floor(v2r * 1000) / 1000) * 100) / 100 AS v2,
+             band
+      FROM raw WHERE NOT oob
+      ORDER BY 1, 2, 3, 4, 5 LIMIT $PdfPageLimit),
+    segagg AS (
+      SELECT coalesce(string_agg($segPiece, ''
+               ORDER BY u1, v1, u2, v2, band), '') AS sa
+      FROM segs),
+    stream AS (
+      SELECT ($head || $xTicks || $yTicks ||
+              ${pdfF2(s"0.25 * $mmpt")} || ' w' || $nl ||
+              sa || $caption || $key) AS s
+      FROM segagg),
+    o AS (
+      SELECT
+        '1 0 obj' || $nl || '<< /Type /Catalog /Pages 2 0 R >>'
+          || $nl || 'endobj' || $nl AS o1,
+        '2 0 obj' || $nl || '<< /Type /Pages /Kids [3 0 R] /Count 1 >>'
+          || $nl || 'endobj' || $nl AS o2,
+        '3 0 obj' || $nl
+          || '<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] '
+          || '/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>'
+          || $nl || 'endobj' || $nl AS o3,
+        '4 0 obj' || $nl || '<< /Length ' || CAST(strlen(s) AS VARCHAR)
+          || ' >>' || $nl || 'stream' || $nl || s || 'endstream'
+          || $nl || 'endobj' || $nl AS o4,
+        '5 0 obj' || $nl
+          || '<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>'
+          || $nl || 'endobj' || $nl AS o5
+      FROM stream),
+    offs AS (
+      SELECT o1, o2, o3, o4, o5,
+             CAST(9 AS BIGINT) AS f1,
+             9 + strlen(o1) AS f2,
+             9 + strlen(o1) + strlen(o2) AS f3,
+             9 + strlen(o1) + strlen(o2) + strlen(o3) AS f4,
+             9 + strlen(o1) + strlen(o2) + strlen(o3) + strlen(o4) AS f5,
+             9 + strlen(o1) + strlen(o2) + strlen(o3) + strlen(o4)
+               + strlen(o5) AS fx
+      FROM o),
+    fin AS (
+      SELECT '%PDF-1.4' || $nl || o1 || o2 || o3 || o4 || o5
+        || 'xref' || $nl || '0 6' || $nl || '0000000000 65535 f ' || $nl
+        || lpad(CAST(f1 AS VARCHAR), 10, '0') || ' 00000 n ' || $nl
+        || lpad(CAST(f2 AS VARCHAR), 10, '0') || ' 00000 n ' || $nl
+        || lpad(CAST(f3 AS VARCHAR), 10, '0') || ' 00000 n ' || $nl
+        || lpad(CAST(f4 AS VARCHAR), 10, '0') || ' 00000 n ' || $nl
+        || lpad(CAST(f5 AS VARCHAR), 10, '0') || ' 00000 n ' || $nl
+        || 'trailer' || $nl || '<< /Size 6 /Root 1 0 R >>' || $nl
+        || 'startxref' || $nl || CAST(fx AS VARCHAR) || $nl
+        || '%%EOF' || $nl AS pdf
+      FROM offs)
+    SELECT CAST(strlen(pdf) AS BIGINT) AS n_bytes, pdf FROM fin"""
+  }
+
+  // ---------------------------------------------------------------------------
   // §2.69 Z-order layout keys (operators.Layout)
   // ---------------------------------------------------------------------------
 
@@ -1283,6 +1498,7 @@ object QueriesGeo {
     GraftQuery("q_zorder_key", qZorderKey, Some(oZorderKey)),
     GraftQuery("q_zorder_range", qZorderRange, Some(oZorderRange)),
     GraftQuery("q_descent_grid", qDescentGrid, Some(oDescentGrid)),
+    GraftQuery("q_render_pdf", qRenderPdf, Some(oRenderPdf)),
     GraftQuery("q_sideview_path", qSideviewPath, Some(oSideviewPath)),
     GraftQuery("q_geo_box", qGeoBox, Some(oGeoBox)),
     GraftQuery("q_time_of_day", qTimeOfDay, Some(oTimeOfDay)),

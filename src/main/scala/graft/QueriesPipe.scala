@@ -2191,7 +2191,110 @@ object QueriesPipe {
            (r2_a - tot_a * (tot_a + 1)) * 10000 // (2 * tot_a * tot_b) AS u_bp
     FROM r, t"""
 
+  /** §2.36c Report output rendering DRIVER-GATED (r14, 🟡→✅ — the last
+    * text-presentation surface): the REAL renderers (`sources.Render`
+    * textTable / htmlTable / metadataTable — report/report.go:78 AddRow
+    * RowsText+RowsHTML, report.go:217 MetadataTable) run over a
+    * deterministic report frame (per-event-type rollup with a
+    * NULL-bearing, HTML-special-char `tag` column so the null-to-empty
+    * cast and the &/</> escapes are inside the hash), and the rendered
+    * PAGES re-emit as (surface, line_no, line) rows. DuckDB rebuilds the
+    * identical lines from scratch — rpad to page-local column widths
+    * (max over header + cells) + rtrim for the text table, the same
+    * three-step escape chain for HTML, key-sorted `k = v` lines for the
+    * metadata table — so the formatting contract (widths, separator,
+    * trailing-space strip, escape order, row order) is hash-checked, not
+    * spec-trusted. The render itself collects ONE bounded page (the
+    * renderer's documented contract — a report page, not a table scan);
+    * the rollup underneath runs distributed.
+    */
+  private def qReportRender(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rpt = Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+      .withColumn("tag", when(col("n") % 2 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("<"), col("event_type"), lit("&>"))))
+      .orderBy("event_type")
+    val text = graft.sources.Render.textTable(rpt, 100)
+    val html = graft.sources.Render.htmlTable(rpt, 100)
+    val meta = graft.sources.Render.metadataTable(
+      rpt.select(concat(lit("n_"), col("event_type")).as("k"),
+        col("n").cast("string").as("v")))
+    val rows =
+      text.stripSuffix("\n").split("\n", -1).toSeq.zipWithIndex
+        .map { case (l, i) => ("text", i.toLong, l) } ++
+      html.split("\n", -1).toSeq.zipWithIndex
+        .map { case (l, i) => ("html", i.toLong, l) } ++
+      meta.zipWithIndex.map { case ((k, v), i) => ("meta", i.toLong, s"$k = $v") }
+    rows.toDF("surface", "line_no", "line")
+  }
+
+  private val oReportRender = """
+    WITH rpt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events GROUP BY 1),
+    cells AS (
+      SELECT event_type AS c1, CAST(n AS VARCHAR) AS c2,
+             CAST(sum_cents AS VARCHAR) AS c3,
+             CASE WHEN n % 2 = 0 THEN '' ELSE '<' || event_type || '&>' END
+               AS c4,
+             n,
+             row_number() OVER (ORDER BY event_type) AS rn
+      FROM rpt),
+    w AS (
+      SELECT CAST(greatest(length('EVENT_TYPE'), max(length(c1))) AS INTEGER) AS w1,
+             CAST(greatest(length('N'), max(length(c2))) AS INTEGER) AS w2,
+             CAST(greatest(length('SUM_CENTS'), max(length(c3))) AS INTEGER) AS w3,
+             CAST(greatest(length('TAG'), max(length(c4))) AS INTEGER) AS w4
+      FROM cells),
+    text_lines AS (
+      SELECT 'text' AS surface, CAST(0 AS BIGINT) AS line_no,
+             rtrim(rpad('EVENT_TYPE', w1, ' ') || ' ' || rpad('N', w2, ' ')
+               || ' ' || rpad('SUM_CENTS', w3, ' ') || ' '
+               || rpad('TAG', w4, ' ')) AS line
+      FROM w
+      UNION ALL
+      SELECT 'text', rn,
+             rtrim(rpad(c1, w1, ' ') || ' ' || rpad(c2, w2, ' ') || ' '
+               || rpad(c3, w3, ' ') || ' ' || rpad(c4, w4, ' '))
+      FROM cells, w),
+    esc AS (
+      SELECT rn,
+             replace(replace(replace(c1, '&', '&amp;'), '<', '&lt;'),
+                     '>', '&gt;') AS e1,
+             c2 AS e2, c3 AS e3,
+             replace(replace(replace(c4, '&', '&amp;'), '<', '&lt;'),
+                     '>', '&gt;') AS e4
+      FROM cells),
+    nrows AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM cells),
+    html_lines AS (
+      SELECT 'html' AS surface, CAST(0 AS BIGINT) AS line_no,
+             '<table>' AS line
+      UNION ALL
+      SELECT 'html', 1,
+             '<tr><th>EVENT_TYPE</th><th>N</th><th>SUM_CENTS</th>'
+               || '<th>TAG</th></tr>'
+      UNION ALL
+      SELECT 'html', rn + 1,
+             '<tr><td>' || e1 || '</td><td>' || e2 || '</td><td>' || e3
+               || '</td><td>' || e4 || '</td></tr>'
+      FROM esc
+      UNION ALL
+      SELECT 'html', nr + 2, '</table>' FROM nrows),
+    meta_lines AS (
+      SELECT 'meta' AS surface,
+             row_number() OVER (ORDER BY 'n_' || event_type) - 1 AS line_no,
+             'n_' || event_type || ' = ' || CAST(n AS VARCHAR) AS line
+      FROM rpt)
+    SELECT surface, line_no, line FROM text_lines
+    UNION ALL SELECT surface, line_no, line FROM html_lines
+    UNION ALL SELECT surface, line_no, line FROM meta_lines"""
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q_report_render", qReportRender, Some(oReportRender)),
     GraftQuery("q_json_extract", qJsonExtract, Some(oJsonExtract)),
     GraftQuery("q_ks_drift", qKsDrift, Some(oKsDrift)),
     GraftQuery("q_acf", qAcf, Some(oAcf)),

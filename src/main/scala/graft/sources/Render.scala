@@ -181,9 +181,29 @@ object Render {
   private val MmToPt = 72.0 / 25.4
   private def pdfEsc(s: String): String =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  /** PDF numbers format by TRUNCATION to fixed decimals built with pure
+    * integer arithmetic (floor + divmod + zero-pad), never `%.kf` (r14):
+    * Java's formatter rounds HALF_UP, C/DuckDB printf rounds HALF_EVEN,
+    * and they disagree whenever the binary double is exactly
+    * representable at the tie (x.yz5 = m/8-class values) — so a
+    * printf-formatted coordinate stream can never be byte-gated across
+    * engines. floor on identical doubles is bit-identical (the Viz.trunc
+    * rule), and integer-built strings are engine-free. Non-negative
+    * inputs only (page space).
+    */
+  private[graft] def trunc2(d: Double): String = {
+    val i = math.floor(d * 100.0).toLong
+    s"${i / 100}.${"%02d".format(i % 100)}"
+  }
+  private[graft] def trunc3(d: Double): String = {
+    val i = math.floor(d * 1000.0).toLong
+    s"${i / 1000}.${"%03d".format(i % 1000)}"
+  }
   private def hexRgb(hex: String): String = {
     val v = Integer.parseInt(hex.stripPrefix("#"), 16)
-    f"${((v >> 16) & 255) / 255.0}%.3f ${((v >> 8) & 255) / 255.0}%.3f ${(v & 255) / 255.0}%.3f"
+    s"${trunc3(((v >> 16) & 255) / 255.0)} ${trunc3(((v >> 8) & 255) / 255.0)} " +
+      trunc3((v & 255) / 255.0)
   }
 
   /** Render pre-projected grid segments as a one-page vector PDF —
@@ -196,7 +216,7 @@ object Render {
                  yTick: Double = 20.0, limit: Int = 10000): Array[Byte] = {
     def px(mm: Double): Double = mm * MmToPt
     def py(mm: Double): Double = (279.0 - mm) * MmToPt // Letter height in mm
-    def f(d: Double): String = f"$d%.2f"
+    def f(d: Double): String = trunc2(d)
     val uG = uOf(grid) _
     val vG = vOf(grid) _
     val rows = collectSegments(segments, limit)
