@@ -916,18 +916,24 @@ object Text {
   def dedupSubstrings(df: DataFrame, id: String, text: Column,
                       minLen: Int): DataFrame = {
     require(minLen >= 2, s"dedupSubstrings: minLen must be >= 2, got $minLen")
-    val pow = Array.iterate(1L, minLen)(p => (p * 31) % PolyP)
     val base = df.select(col(id), text.as("_t"),
       length(text).cast("long").as("_n"))
-    val chars = base.select(col(id),
-      posexplode(charCodes(col("_t"))).as(Seq("_p", "_ch")))
-    val wDoc = Window.partitionBy(col(id)).orderBy(col("_p").asc)
-    val terms: Column = (0 until minLen)
-      .map(j => lead(col("_ch"), j).over(wDoc) * lit(pow(minLen - 1 - j)))
-      .reduce((a: Column, b: Column) => a + b)
-    val grams = chars
-      .withColumn("_gh", pmod(terms, lit(PolyP)))
-      .where(col("_gh").isNotNull) // positions 0 .. len-minLen
+    // r14: the per-position window hashes come from ONE native pass
+    // (KgramPolyHashExpr — posexplode of its array is a Generate, so the
+    // producer evaluates once per row). The r13 form exploded one row per
+    // CHARACTER and summed k lead() terms in a per-doc window — a
+    // corpus-chars exchange + sort for per-row work, the same shape the
+    // 100x skew probe caught in the winnow/CDC lanes. Same polynomial
+    // mod p, so the candidate hashes are IDENTICAL; docs shorter than
+    // minLen contribute no positions (the native array would emit its
+    // one truncated gram — filtered by the length guard), matching the
+    // lead-form's null exclusion. Position rows still become rows —
+    // the cross-doc hash-keyed count genuinely needs them; only the
+    // per-doc sort stage is gone.
+    val grams = base.where(col("_n") >= minLen)
+      .select(col(id),
+        posexplode(kgramPolyHashNative(col("_t"), minLen))
+          .as(Seq("_p", "_gh")))
       .select(col(id), col("_p").cast("long").as("_p"), col("_gh"))
     // candidate sliver: positions whose window hash occurs more than once
     val wHash = Window.partitionBy(col("_gh"))

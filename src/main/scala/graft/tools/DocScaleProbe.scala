@@ -90,6 +90,7 @@ object DocScaleProbe {
       time("q_doc_fingerprint") { q("q_doc_fingerprint")(spark, out).count() }
       time("q_text_repetition") { q("q_text_repetition")(spark, out).count() }
       time("q_dedup_cdc") { q("q_dedup_cdc")(spark, out).count() }
+      time("q_substr_dedup") { q("q_substr_dedup")(spark, out).count() }
       time("q_token_count") { q("q_token_count")(spark, out).count() }
       if (!sys.env.contains("GRAFT_KEEP_DIR"))
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
