@@ -101,8 +101,9 @@ class StreamGateSpec extends AnyFunSuite with SparkFixture {
     val a = Seq(spark.range(0, 5).toDF("id"), spark.range(5, 10).toDF("id"))
     val b = Seq(spark.range(100, 104).toDF("id"),
       spark.range(104, 108).toDF("id"))
-    // the internal data-batch assert (== max non-empty parts per source,
-    // here 2) fires inside the harness; this test pins completeness
+    // the internal data-batch assert (== the union of per-source
+    // non-empty file indices, here {0,1} = 2) fires inside the harness;
+    // this test pins completeness
     val out = StreamGate.runOrderedMulti(spark, Seq(a, b), "append") {
       case Seq(x, y) => x.unionByName(y)
       case other     => fail(s"expected 2 sources, got ${other.size}")
