@@ -92,6 +92,27 @@ object DocScaleProbe {
       time("q_dedup_cdc") { q("q_dedup_cdc")(spark, out).count() }
       time("q_substr_dedup") { q("q_substr_dedup")(spark, out).count() }
       time("q_token_count") { q("q_token_count")(spark, out).count() }
+      // CDC stage decomposition: where does the remaining lane wall live?
+      // (a) the native per-doc chunker alone (scan + explode, no
+      // shuffle); (b) + the chunk-keyed first-occurrence window (the
+      // genuine cross-doc exchange). The full-lane delta over (b) is the
+      // doc-keyed reassembly rollup.
+      val d = graft.Tables.documents(spark, out)
+        .select(col("doc_id"), col("text").as("_t"))
+      val chunksCol = org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.graft.CdcChunksExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("_t")),
+          8, 32L, graft.operators.Text.PolyP))
+      val exploded = d.select(col("doc_id"),
+        posexplode(chunksCol).as(Seq("pos", "chunk")))
+      time("cdc chunker only") { exploded.count() }
+      time("cdc + dedup window") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("chunk"))
+          .orderBy(col("doc_id").asc, col("pos").asc)
+        exploded.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).count()
+      }
       if (!sys.env.contains("GRAFT_KEEP_DIR"))
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       spark.stop()

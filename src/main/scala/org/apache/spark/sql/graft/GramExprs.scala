@@ -211,13 +211,30 @@ case class CdcChunksExpr(child: Expression, k: Int, divisor: Long, p: Long)
 object GramExprHelpers {
 
   /** Content-defined chunk substrings (see [[CdcChunksExpr]]). Cut
-    * positions and substring spans are CODE-POINT indices — `substr`'s
-    * unit and UTF8String.substring's unit agree (supplementary chars are
-    * one char in both).
+    * positions are CODE-POINT indices (`substr`'s unit); chunks slice by
+    * a byte-offset table built in ONE pass over the UTF-8 bytes — NOT
+    * UTF8String.substring, which walks bytes from 0 to find the start
+    * boundary per call: Σ starts ≈ len²/divisor byte-steps per doc, the
+    * same quadratic the KgramPolyHashExpr scaladoc warns about (the r14
+    * 100x probe's CDC stage decomposition measured the chunker at ~25 s
+    * of which this walk was nearly all; ~1.5 s after).
     */
   def cdcChunks(s: UTF8String, k: Int, divisor: Long, p: Long): ArrayData = {
+    val bytes = s.getBytes
+    val nBytes = bytes.length
     val cps = s.toString.codePoints().toArray
     val len = cps.length
+    // byte offset of each code point (supplementary chars are one code
+    // point AND one UTF8String char, so the units agree)
+    val bOff = new Array[Int](len + 1)
+    var b = 0
+    var ci = 0
+    while (ci < len) {
+      bOff(ci) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      ci += 1
+    }
+    bOff(len) = nBytes
     val cuts = new java.util.ArrayList[Integer]()
     cuts.add(0)
     var i = 1
@@ -237,7 +254,9 @@ object GramExprHelpers {
     val out = new Array[Any](nChunks)
     var c = 0
     while (c < nChunks) {
-      out(c) = s.substring(cuts.get(c), cuts.get(c + 1))
+      val from = bOff(cuts.get(c))
+      val until = bOff(cuts.get(c + 1))
+      out(c) = UTF8String.fromBytes(bytes, from, until - from)
       c += 1
     }
     new GenericArrayData(out)
