@@ -4,7 +4,11 @@
   1. every §2 item id is UNIQUE (ids are the judge-checked contract);
   2. every ✅ item cites at least one `q_*` driver query that is really
      registered in a Queries*.scala catalog (GraftQuery("q_...", ...));
-  3. every 🟡 item does NOT cite an unregistered query as if gated.
+  3. every 🟡 item does NOT cite an unregistered query as if gated;
+  4. no `###` section HEADER carries gating text (`DRIVER-GATED` or a
+     `q_*` citation) — the r14 verdict found §2.31f's gate note glued
+     onto a header line, which a line-parser attributes to the wrong
+     item. Gating notes belong on the item line they gate.
 
 Exit 1 with a report on any violation.
 """
@@ -50,6 +54,12 @@ for iid, glyph, body in grouped:
         fails.append(f"{iid}: cites unregistered queries {sorted(ghosts)}")
     if glyph == "✅" and not (cited & registered):
         fails.append(f"{iid}: marked ✅ but cites no registered driver query")
+
+# headers must stay headers: a gating note on a `###` line is attributed
+# to no item (or the wrong one) by line-parsers — reject it outright
+for ln in survey.splitlines():
+    if ln.startswith("###") and ("DRIVER-GATED" in ln or re.search(r"\bq_[a-z0-9_]+", ln)):
+        fails.append(f"gating text on a section header line: {ln[:90]!r}")
 
 print(f"{len(grouped)} items, {len(registered)} registered queries")
 if fails:
