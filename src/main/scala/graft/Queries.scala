@@ -402,8 +402,8 @@ object Queries {
     val sentinel = s.range(1).select(lit(-1L).as("user_id"),
       lit(4102444800000000000L).as("ts"), lit(-1L).as("event_id"))
     val parts =
-      graft.streaming.StreamGate.splitByHash(ev, "event_id", 4) :+ sentinel
-    graft.streaming.StreamGate.runOrdered(s, parts, "append") { src =>
+      graft.streaming.StreamGate.sliceByHash(ev, "event_id", 4).append(sentinel)
+    graft.streaming.StreamGate.runSliced(s, parts, "append") { src =>
       src.withColumn("tst", timestamp_micros(expr("ts div 1000")))
         .withWatermark("tst", s"$delayMs milliseconds")
         .groupBy(col("user_id"), session_window(col("tst"), "6 hours").as("sw"))
@@ -447,9 +447,9 @@ object Queries {
     // exceeded (next slice's rows are ≥ 2 gaps past the flushed session's
     // end by the watermark arithmetic), so emitted tracks equal the batch
     // gap-split exactly.
-    val parts = graft.streaming.StreamGate.splitByTime(real, "tsNs", 4) :+
-      sentinel
-    graft.streaming.StreamGate.runOrdered(s, parts, "append") { src =>
+    val parts = graft.streaming.StreamGate.sliceByTime(real, "tsNs", 4)
+      .append(sentinel)
+    graft.streaming.StreamGate.runSliced(s, parts, "append") { src =>
       graft.streaming.SessionStream.sessionize(
           src.as[graft.streaming.SessionStream.Point], SessionGapNs)
         .select(col("user_id"), col("start_us"), col("end_us"),
@@ -996,8 +996,8 @@ object Queries {
     // (StreamGate.splitByTime) — the greedy frontier crosses real batch
     // boundaries; per-key step is MONOTONE, so the final state is
     // max(step) over the update-sink emissions.
-    val parts = graft.streaming.StreamGate.splitByTime(staged, "tsNs", 4)
-    val byUser = graft.streaming.StreamGate.runOrdered(s, parts, "update") {
+    val parts = graft.streaming.StreamGate.sliceByTime(staged, "tsNs", 4)
+    val byUser = graft.streaming.StreamGate.runSliced(s, parts, "update") {
       src =>
         graft.streaming.FunnelStream.funnelProgress(
           src.as[graft.streaming.FunnelStream.Ev],
@@ -1041,8 +1041,8 @@ object Queries {
     // match set stays COMPLETE (the shuffled-arrival loss trade stays
     // documented at StreamJoinSpec); oracle unchanged.
     val parts = Seq(side("view", "v") -> "vus", side("click", "c") -> "cus")
-      .map { case (df, c) => graft.streaming.StreamGate.splitByTime(df, c, 4) }
-    graft.streaming.StreamGate.runOrderedMulti(s, parts, "append") {
+      .map { case (df, c) => graft.streaming.StreamGate.sliceByTime(df, c, 4) }
+    graft.streaming.StreamGate.runSlicedMulti(s, parts, "append") {
       case Seq(v, c) =>
         val vS = v.withColumn("vts", timestamp_micros(col("vus")))
           .withWatermark("vts", "1 hour")

@@ -310,15 +310,19 @@ object QueriesPipe {
       col("user_id").as("userId"), col("ts").as("tsNs"),
       col("event_id").as("eventId"),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    // r13 MULTI-BATCH: four event-time-contiguous slices, one per
-    // micro-batch in time order (StreamGate.splitByTime) — the keyed
-    // integer fold now carries state across real batches and still
-    // replays the batch recurrence bit-for-bit (in-order arrival is the
-    // operator's cross-batch contract; the slicing provides it). The
-    // update-mode sink keeps every batch's emission; final state per key
-    // = the row with max n_events (strictly increasing per emission).
-    val parts = graft.streaming.StreamGate.splitByTime(staged, "tsNs", 4)
-    val out = graft.streaming.StreamGate.runOrdered(s, parts, "update") { src =>
+    // r13 MULTI-BATCH: event-time-contiguous slices, one per micro-batch
+    // in time order (StreamGate.sliceByTime) — the keyed integer fold now
+    // carries state across real batches and still replays the batch
+    // recurrence bit-for-bit (in-order arrival is the operator's
+    // cross-batch contract; the slicing provides it). The update-mode
+    // sink keeps every batch's emission; final state per key = the row
+    // with max n_events (strictly increasing per emission). EIGHT slices
+    // from r15 (the r14 verdict's item 8): the designated deeper-than-
+    // the-knee lane — the per-batch state-store floor and the
+    // watermark-advance assert exercise 8 real batch boundaries, twice
+    // the other ordered gates.
+    val parts = graft.streaming.StreamGate.sliceByTime(staged, "tsNs", 8)
+    val out = graft.streaming.StreamGate.runSliced(s, parts, "update") { src =>
       graft.streaming.EwmaStream.ewma(
         src.as[graft.streaming.EwmaStream.Ev])
         .toDF("user_id", "n_events", "ewma_cents")
@@ -625,8 +629,8 @@ object QueriesPipe {
     // clock, one per micro-batch in order (splitByTime works on any
     // ordered BIGINT) — the detector state crosses real batch boundaries;
     // final state per key = max n_months (strictly increasing).
-    val parts = graft.streaming.StreamGate.splitByTime(staged, "tsNs", 4)
-    val st = graft.streaming.StreamGate.runOrdered(s, parts, "update") { src =>
+    val parts = graft.streaming.StreamGate.sliceByTime(staged, "tsNs", 4)
+    val st = graft.streaming.StreamGate.runSliced(s, parts, "update") { src =>
       graft.streaming.EwmaStream.cusumKeyed(
           src.as[graft.streaming.EwmaStream.KEv], targets)
         .toDF("priority", "n_months", "alarm_up", "alarm_dn",
@@ -2216,6 +2220,18 @@ object QueriesPipe {
       .withColumn("tag", when(col("n") % 2 === 0, lit(null).cast("string"))
         .otherwise(concat(lit("<"), col("event_type"), lit("&>"))))
       .orderBy("event_type")
+    // The renderers page at 100 rows but the oracle has NO LIMIT (it
+    // rebuilds the whole table + widths over ALL groups): the lane's
+    // contract is that the report fits one page. Assert it HERE so a
+    // testdata regen with >100 event types fails at the contract
+    // boundary, not as a confusing width/row diff at the oracle (r14
+    // advice).
+    val nGroups = rpt.count()
+    require(nGroups <= 100,
+      s"q_report_render: $nGroups event types exceed the 100-row render " +
+        "page; the DuckDB oracle computes widths over ALL groups, so the " +
+        "page-limit assumption no longer holds — raise the page size or " +
+        "mirror the limit in the oracle")
     val text = graft.sources.Render.textTable(rpt, 100)
     val html = graft.sources.Render.htmlTable(rpt, 100)
     val meta = graft.sources.Render.metadataTable(

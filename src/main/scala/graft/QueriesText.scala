@@ -140,8 +140,8 @@ object QueriesText {
       ((col("doc_id") + lit(IngestClockBaseS) + 1) * lit(1000000000L))
         .as("tsNs"))
     val retentionMs = (docCount(s, dir) + 2L) * 1000L
-    val parts = graft.streaming.StreamGate.splitByHash(staged, "docId", 4)
-    graft.streaming.StreamGate.runOrdered(s, parts, "append") { src =>
+    val parts = graft.streaming.StreamGate.sliceByHash(staged, "docId", 4)
+    graft.streaming.StreamGate.runSliced(s, parts, "append") { src =>
       graft.streaming.DedupStream.dedupExact(
           src.as[graft.streaming.DedupStream.Doc], retentionMs = retentionMs)
         .select(col("norm_key"))
@@ -186,11 +186,11 @@ object QueriesText {
     // survives batch boundaries. Retention = staged span + margin so no
     // bucket evicts mid-run (the oracle's EXISTS has no retention notion).
     val retentionMs = (docCount(s, dir) + 2L) * 1000L
-    val parts = graft.streaming.StreamGate.splitByTime(staged, "tsNs", 4)
+    val parts = graft.streaming.StreamGate.sliceByTime(staged, "tsNs", 4)
     val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     val prev = s.conf.get(key)
     s.conf.set(key, "false")
-    try graft.streaming.StreamGate.runOrdered(s, parts, "append") { src =>
+    try graft.streaming.StreamGate.runSliced(s, parts, "append") { src =>
       graft.streaming.DedupStream.dedupMinhashLsh(
           src.as[graft.streaming.DedupStream.Doc],
           threshold = 0.8, retentionMs = retentionMs,
@@ -6419,8 +6419,8 @@ object QueriesText {
       .select(col("event_type").as("key"),
         Sampling.sampleHash(col("event_id").cast("string"), "qsk").as("hash"),
         col("value"))
-    val parts = graft.streaming.StreamGate.splitByHash(staged, "hash", 4)
-    val sk = graft.streaming.StreamGate.runOrdered(s, parts, "update") { src =>
+    val parts = graft.streaming.StreamGate.sliceByHash(staged, "hash", 4)
+    val sk = graft.streaming.StreamGate.runSliced(s, parts, "update") { src =>
       graft.streaming.SketchStream.quantileSketch(
           src.as[graft.streaming.SketchStream.QTok], QskK)
         .toDF("event_type", "n_seen", "n_sketch", "p50")
@@ -6478,8 +6478,8 @@ object QueriesText {
       when(col("event_id") % 20 === 0,
         concat(lit("r"), col("event_id").cast("string")))
         .otherwise(col("event_type")).as("token"))
-    val parts = graft.streaming.StreamGate.splitByTime(staged, "tsNs", 4)
-    val out = graft.streaming.StreamGate.runOrdered(s, parts, "update") {
+    val parts = graft.streaming.StreamGate.sliceByTime(staged, "tsNs", 4)
+    val out = graft.streaming.StreamGate.runSliced(s, parts, "update") {
       src =>
         graft.streaming.SketchStream.heavyHitters(
             src.as[graft.streaming.SketchStream.Tok], k)

@@ -100,6 +100,11 @@ object Render {
 
   /** One bounded page of in-bounds pre-projected segments
     * (u1, v1, u2, v2, band) — shared by the SVG and PDF backends.
+    * Sorted HERE (full tuple, before the limit) so the deterministic page
+    * order is structural, not inherited from whatever plan shape the
+    * caller's pre-sort survives through the re-filter/re-select (r14
+    * advice): ties at the cut are benign — tied rows are identical in
+    * every rendered column.
     */
   private def collectSegments(segments: DataFrame,
                               limit: Int): Seq[(Double, Double, Double, Double, Int)] =
@@ -108,6 +113,7 @@ object Render {
       .select(col("u1").cast("double"), col("v1").cast("double"),
         col("u2").cast("double"), col("v2").cast("double"),
         col("band").cast("int"))
+      .orderBy(col("u1"), col("v1"), col("u2"), col("v2"), col("band"))
       .limit(limit).collect().toSeq
       .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
         r.getDouble(3), r.getInt(4)))
@@ -193,10 +199,12 @@ object Render {
     * inputs only (page space).
     */
   private[graft] def trunc2(d: Double): String = {
+    require(d >= 0.0, s"trunc2 requires non-negative page-space input, got $d")
     val i = math.floor(d * 100.0).toLong
     s"${i / 100}.${"%02d".format(i % 100)}"
   }
   private[graft] def trunc3(d: Double): String = {
+    require(d >= 0.0, s"trunc3 requires non-negative page-space input, got $d")
     val i = math.floor(d * 1000.0).toLong
     s"${i / 1000}.${"%03d".format(i % 1000)}"
   }

@@ -208,6 +208,25 @@ object StreamGate {
       .deleteDirectory(new java.io.File(base.toString))
   }
 
+  /** Column name carrying the slice id in the one-pass staging form. */
+  private val SliceCol = "__graft_slice"
+
+  /** ONE tagged frame + slice count — the one-pass staging form (r15, the
+    * r14 verdict's item 5): where `Seq[DataFrame]` staging pays one
+    * filtered scan of the frozen frame PER SLICE (N write jobs for N
+    * batches), `Slices` carries the slice id as a COLUMN so
+    * [[stageSlices]] writes every staged file in ONE `partitionBy` job —
+    * one scan of the frozen frame total. Built by [[sliceByTime]] /
+    * [[sliceByHash]]; extra out-of-band slices (the far-future sentinel
+    * convention) append with [[Slices.append]] as the LAST slice.
+    */
+  final case class Slices private[streaming] (tagged: DataFrame, n: Int) {
+    import org.apache.spark.sql.functions.lit
+    /** Add `df` as the next (last) slice — the sentinel-file pattern. */
+    def append(df: DataFrame): Slices =
+      Slices(tagged.unionByName(df.withColumn(SliceCol, lit(n))), n + 1)
+  }
+
   /** Split a staged frame into `nParts` EVENT-TIME-CONTIGUOUS slices for
     * [[runOrdered]] (r13): slice i holds rows with `tsCol` in the i-th
     * range of the driver-computed [min, max] span, so file order == event
@@ -256,6 +275,42 @@ object StreamGate {
       frozen.where(pmod(col(hashCol), lit(nParts.toLong)) === i))
   }
 
+  /** [[splitByTime]]'s ONE-PASS twin: identical slice semantics
+    * (slice id = (ts − lo) div w, last slice open-ended — the same ranges
+    * the filter form cuts), but the id rides the frozen frame as a
+    * COLUMN, so staging writes all files in one job. Integer `div` (not
+    * `/`): double division loses exactness above 2^53 — epoch-ns values
+    * live there.
+    */
+  def sliceByTime(df: DataFrame, tsCol: String, nParts: Int): Slices = {
+    require(nParts >= 1)
+    require(df.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"sliceByTime: $tsCol must be LongType (epoch ns), got " +
+        df.schema(tsCol).dataType.simpleString)
+    import org.apache.spark.sql.functions.{col, expr, lit, max, min}
+    val frozen = df.localCheckpoint(false)
+    val mm = frozen.agg(min(col(tsCol)), max(col(tsCol))).head()
+    // empty staged frame: degrade to nParts empty slices, same as
+    // splitByTime (stageSlices stages an empty file per slice)
+    if (mm.isNullAt(0))
+      return Slices(frozen.withColumn(SliceCol, lit(0)), nParts)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val w = math.max(1L, (hi - lo) / nParts + 1)
+    // (hi-lo) < w*nParts by construction, so the div lands in [0, nParts)
+    Slices(frozen.withColumn(SliceCol,
+      expr(s"CAST((`$tsCol` - ${lo}L) div ${w}L AS INT)")), nParts)
+  }
+
+  /** [[splitByHash]]'s ONE-PASS twin (order-free state only). */
+  def sliceByHash(df: DataFrame, hashCol: String, nParts: Int): Slices = {
+    require(nParts >= 1)
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val frozen = df.localCheckpoint(false)
+    Slices(frozen.withColumn(SliceCol,
+      pmod(col(hashCol), lit(nParts.toLong)).cast("int")), nParts)
+  }
+
   /** Stage each frame in `parts` as one single-file parquet named
     * `b%05d.parquet` under `inDir`, modification times strictly
     * increasing in `parts` order (minute-spaced so filesystem timestamp
@@ -273,9 +328,20 @@ object StreamGate {
     parts.zipWithIndex.foreach { case (df, i) =>
       val tmp = s"$base/tmp_${inDir.getName}_$i"
       df.coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
+      val parts0 = new java.io.File(tmp).listFiles()
         .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).head
+          f.getName.endsWith(".parquet"))
+      // Even a deliberately EMPTY slice (splitByTime gaps, the empty-input
+      // degrade path, misaligned multi-source slices) must yield a part
+      // file — coalesce(1) writes exactly one today. If a Spark default
+      // ever stops emitting that file, fail with the slice named instead
+      // of a bare NoSuchElementException (ADVICE r14).
+      require(parts0.nonEmpty,
+        s"StreamGate: staged slice $i of ${inDir.getName} produced no " +
+          s"part-*.parquet under $tmp — the one-file-per-slice staging " +
+          "assumption (coalesce(1) emits a part file even for empty " +
+          "frames) no longer holds")
+      val part = parts0.head
       val dst = new java.io.File(inDir, f"b$i%05d.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
       require(dst.setLastModified(t0 + (i + 1) * 60000L),
@@ -286,6 +352,59 @@ object StreamGate {
       .toSeq.map(f => s.read.parquet(f.toString).count())
   }
 
+  /** One-pass staging (r15): write EVERY slice of `sl` in a single
+    * `partitionBy(SliceCol)` job — one scan of the frozen tagged frame,
+    * one task (`coalesce(1)`), one part file per non-empty slice — then
+    * move each to its mtime-ordered `b%05d.parquet`. Deliberately EMPTY
+    * slices (splitByTime gaps, the empty-input degrade, misaligned
+    * multi-source slices) still stage as empty files so multi-source file
+    * queues stay INDEX-ALIGNED (batch k must take slice k of every
+    * source); the empty template writes once and copies.
+    * Returns per-file row counts, same contract as [[stageOrdered]].
+    */
+  private def stageSlices(s: SparkSession, sl: Slices, base: String,
+                          inDir: java.io.File): Seq[Long] = {
+    inDir.mkdirs()
+    val t0 = inDir.lastModified()
+    val tmp = s"$base/tmp_${inDir.getName}"
+    sl.tagged.coalesce(1).write.partitionBy(SliceCol).parquet(tmp)
+    var emptyTemplate: java.nio.file.Path = null
+    def emptyFile(): java.nio.file.Path = {
+      if (emptyTemplate == null) {
+        val etmp = s"$base/tmpe_${inDir.getName}"
+        sl.tagged.drop(SliceCol).limit(0).coalesce(1).write.parquet(etmp)
+        val fs = new java.io.File(etmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+        require(fs.nonEmpty,
+          s"StreamGate: empty-slice template write under $etmp produced " +
+            "no part-*.parquet — the empty-write staging assumption broke")
+        emptyTemplate = fs.head.toPath
+      }
+      emptyTemplate
+    }
+    (0 until sl.n).map { i =>
+      val dst = new java.io.File(inDir, f"b$i%05d.parquet")
+      val sliceDir = new java.io.File(tmp, s"$SliceCol=$i")
+      if (sliceDir.isDirectory) {
+        val fs = sliceDir.listFiles().filter(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        require(fs.length == 1,
+          s"StreamGate: one-pass staging expected exactly one part file " +
+            s"for slice $i of ${inDir.getName}, found ${fs.length} — the " +
+            "coalesce(1) single-task dynamic-partition write no longer " +
+            "emits one file per partition")
+        java.nio.file.Files.move(fs.head.toPath, dst.toPath)
+      } else {
+        java.nio.file.Files.copy(emptyFile(), dst.toPath)
+      }
+      require(dst.setLastModified(t0 + (i + 1) * 60000L),
+        s"StreamGate: setLastModified failed for $dst — staged file order " +
+          "would silently degrade; refusing to run an ordered gate")
+      s.read.parquet(dst.toString).count()
+    }
+  }
+
   /** The progress buffer must retain one entry per staged batch or
     * [[assertDataBatches]] undercounts (Spark caps recentProgress at
     * spark.sql.streaming.numRecentProgressUpdates, default 100 — ADVICE
@@ -293,6 +412,39 @@ object StreamGate {
     */
   private def progressRetentionFor(nBatches: Long): String =
     math.max(100L, nBatches + 16L).toString
+
+  /** Shared post-staging engine window: conf set (data-scaled state
+    * partitions + progress retention) → start → awaitTermination →
+    * batch-count + watermark asserts → conf restore → frozen table.
+    * `built` is a thunk so the caller's `build(src)` plan construction
+    * happens inside the conf window, matching the historical behavior.
+    */
+  private def execOrdered(s: SparkSession, built: => DataFrame, ckpt: String,
+                          totalRows: Long, nBatches: Long, nProgress: Long,
+                          mode: String, expectAdv: Boolean): DataFrame = {
+    val qn = s"stream_gate_${seq.incrementAndGet()}"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val progKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val prevParts = s.conf.get(partsKey)
+    val prevProg = s.conf.get(progKey)
+    s.conf.set(partsKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
+      partitionsFor(totalRows, prevParts.toLong).toString))
+    s.conf.set(progKey, progressRetentionFor(nProgress))
+    try {
+      val q = built.writeStream.format("memory").queryName(qn)
+        .outputMode(mode).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      assertDataBatches(q, nBatches)
+      assertWatermarkAdvance(q, expectAdv)
+    } finally {
+      s.conf.set(partsKey, prevParts)
+      s.conf.set(progKey, prevProg)
+    }
+    val out = s.table(qn).localCheckpoint()
+    s.catalog.dropTempView(qn)
+    out
+  }
 
   /** ORDERED multi-batch staging (r13, the verdict's "What's wrong #2"):
     * each frame in `parts` stages as one parquet file in a single source
@@ -322,28 +474,33 @@ object StreamGate {
       val perFile = stageOrdered(s, parts, base.toString, inDir)
       val src = s.readStream.schema(parts.head.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-      val qn = s"stream_gate_${seq.incrementAndGet()}"
-      val partsKey = "spark.sql.shuffle.partitions"
-      val progKey = "spark.sql.streaming.numRecentProgressUpdates"
-      val prevParts = s.conf.get(partsKey)
-      val prevProg = s.conf.get(progKey)
-      s.conf.set(partsKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
-        partitionsFor(perFile.sum, prevParts.toLong).toString))
-      s.conf.set(progKey, progressRetentionFor(parts.size.toLong))
-      try {
-        val q = build(src).writeStream.format("memory").queryName(qn)
-          .outputMode(mode).option("checkpointLocation", s"$base/ckpt")
-          .trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination() finally q.stop()
-        assertDataBatches(q, perFile.count(_ > 0L).toLong)
-        assertWatermarkAdvance(q, expectWatermarkAdvance)
-      } finally {
-        s.conf.set(partsKey, prevParts)
-        s.conf.set(progKey, prevProg)
-      }
-      val out = s.table(qn).localCheckpoint()
-      s.catalog.dropTempView(qn)
-      out
+      execOrdered(s, build(src), s"$base/ckpt", perFile.sum,
+        perFile.count(_ > 0L).toLong, parts.size.toLong, mode,
+        expectWatermarkAdvance)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base.toString))
+  }
+
+  /** [[runOrdered]]'s ONE-PASS twin (r15): same engine semantics — one
+    * file per data micro-batch in slice order, batch-count + watermark
+    * asserts — but the staging writes in a single `partitionBy` job over
+    * the tagged frozen frame ([[stageSlices]]) instead of one filtered
+    * scan per slice. This is pure harness cost: the streamed bytes, batch
+    * boundaries and state behavior are identical to the filter form
+    * (StreamGateSpec asserts result equality).
+    */
+  def runSliced(s: SparkSession, slices: Slices, mode: String,
+                expectWatermarkAdvance: Boolean = true)
+               (build: DataFrame => DataFrame): DataFrame = gateLock {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    try {
+      val inDir = new java.io.File(s"$base/in")
+      val perFile = stageSlices(s, slices, base.toString, inDir)
+      val src = s.readStream.schema(slices.tagged.drop(SliceCol).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      execOrdered(s, build(src), s"$base/ckpt", perFile.sum,
+        perFile.count(_ > 0L).toLong, slices.n.toLong, mode,
+        expectWatermarkAdvance)
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(base.toString))
   }
@@ -382,28 +539,38 @@ object StreamGate {
         s.readStream.schema(ps.head.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
       }
-      val qn = s"stream_gate_${seq.incrementAndGet()}"
-      val partsKey = "spark.sql.shuffle.partitions"
-      val progKey = "spark.sql.streaming.numRecentProgressUpdates"
-      val prevParts = s.conf.get(partsKey)
-      val prevProg = s.conf.get(progKey)
-      s.conf.set(partsKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
-        partitionsFor(totalRows, prevParts.toLong).toString))
-      s.conf.set(progKey, progressRetentionFor(parts.map(_.size).max.toLong))
-      try {
-        val q = build(srcs).writeStream.format("memory").queryName(qn)
-          .outputMode(mode).option("checkpointLocation", s"$base/ckpt")
-          .trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination() finally q.stop()
-        assertDataBatches(q, nonEmptyIdx.size.toLong)
-        assertWatermarkAdvance(q, expectWatermarkAdvance)
-      } finally {
-        s.conf.set(partsKey, prevParts)
-        s.conf.set(progKey, prevProg)
+      execOrdered(s, build(srcs), s"$base/ckpt", totalRows,
+        nonEmptyIdx.size.toLong, parts.map(_.size).max.toLong, mode,
+        expectWatermarkAdvance)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base.toString))
+  }
+
+  /** [[runOrderedMulti]]'s ONE-PASS twin (r15): one `partitionBy` staging
+    * job PER SOURCE (vs one per source-slice), same union-of-non-empty-
+    * indices batch accounting, same asserts.
+    */
+  def runSlicedMulti(s: SparkSession, sources: Seq[Slices], mode: String,
+                     expectWatermarkAdvance: Boolean = true)
+                    (build: Seq[DataFrame] => DataFrame): DataFrame = gateLock {
+    require(sources.nonEmpty, "runSlicedMulti: need at least one source")
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    try {
+      var totalRows = 0L
+      val nonEmptyIdx = scala.collection.mutable.Set.empty[Int]
+      val srcs = sources.zipWithIndex.map { case (sl, si) =>
+        val inDir = new java.io.File(s"$base/in$si")
+        val perFile = stageSlices(s, sl, base.toString, inDir)
+        totalRows += perFile.sum
+        perFile.zipWithIndex.foreach { case (n, i) =>
+          if (n > 0L) nonEmptyIdx += i
+        }
+        s.readStream.schema(sl.tagged.drop(SliceCol).schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
       }
-      val out = s.table(qn).localCheckpoint()
-      s.catalog.dropTempView(qn)
-      out
+      execOrdered(s, build(srcs), s"$base/ckpt", totalRows,
+        nonEmptyIdx.size.toLong, sources.map(_.n).max.toLong, mode,
+        expectWatermarkAdvance)
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(base.toString))
   }

@@ -119,6 +119,49 @@ object DocScaleProbe {
       return
     }
 
+    // `mm` mode (r15, the r14 verdict's item 3): the multimodal family —
+    // the ONE operator family with no 100x evidence on record (10x:
+    // 4.2–6.0 s). Payloads derive deterministically from the rep-suffixed
+    // text, so replica binaries differ and phash band buckets / audio
+    // landmark postings must spread (~linear candidates), like the text
+    // tiers. The question is the per-(snippet, matched-track)
+    // offset-coherence window in q_audio_match: if it goes super-linear,
+    // bound it (top-k tracks per snippet, the reference's match-cap
+    // shape, report/listmatches.go:27).
+    if (args.length > 1 && args(1) == "mm") {
+      time("q_multimodal_meta") { q("q_multimodal_meta")(spark, out).count() }
+      time("q_mm_features") { q("q_mm_features")(spark, out).count() }
+      time("q_mm_frames") { q("q_mm_frames")(spark, out).count() }
+      time("q_phash_pairs") { q("q_phash_pairs")(spark, out).count() }
+      time("q_audio_match") { q("q_audio_match")(spark, out).count() }
+      if (!sys.env.contains("GRAFT_KEEP_DIR"))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      spark.stop()
+      return
+    }
+
+    // `build` mode (r15, the r14 verdict's item 7): the pair-index 1000x
+    // (or max-feasible) spot-probe — ONLY the fresh PTJ build plus the
+    // candidate-volume proxy (Σ df·(df−1)/2 over word shingles, the PTJ
+    // prefilter's upper bound before length-class bounding), so the r13
+    // 100x point (51x wall per 100x docs) gets a second decade.
+    if (args.length > 1 && args(1) == "build") {
+      val d = graft.Tables.documents(spark, out).select("doc_id", "text")
+      val sh = d.select(explode(org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.graft.WordShinglesExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("text")), 2)))
+        .as("s"))
+      val cand = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .agg(sum(expr("df * (df - 1) div 2"))).head.getLong(0)
+      println(s"[docscale] PTJ candidate upper bound (sum df*(df-1)/2 over " +
+        s"2-shingles): $cand")
+      time("pair_index BUILD") { q("q_pair_index")(spark, out).count() }
+      if (!sys.env.contains("GRAFT_KEEP_DIR"))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      spark.stop()
+      return
+    }
+
     // `pairs` mode (r13, verdict item 8): the focused 100x run — ONLY the
     // pair-index build + its dedup-components/triangles consumer path,
     // plus the fh candidate-volume audit, with a job-count listener as
@@ -159,6 +202,9 @@ object DocScaleProbe {
       println(f"[docscale] fh candidates: 1x n=$p1 dim=$pd1 cand=$pc1; " +
         f"${factor}x n=$pN dim=$pdN cand=$pcN — growth ${pcN.toDouble / pc1}%.2fx " +
         f"vs linear ${factor}x")
+      // r15 (verdict item 4): the full lane wall at this factor — hashing
+      // BLOCKS + exact word-vector verify since the r13 rebuild
+      timedJobs("q_feature_hash_dup") { q("q_feature_hash_dup")(spark, out).count() }
       if (!sys.env.contains("GRAFT_KEEP_DIR"))
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       spark.stop()

@@ -142,4 +142,90 @@ class StreamGateSpec extends AnyFunSuite with SparkFixture {
       StreamGate.splitByTime(wrongType, "tsNs", 2))
     assert(ex.getMessage.contains("LongType"))
   }
+
+  test("runSliced == runOrdered: one-pass staging is pure harness (same slices, same result)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // 60 in-order events, 17 keys: no key repeats WITHIN a 15-id time
+    // slice (15 < 17), every key repeats ACROSS slices — so first-wins
+    // dedup is fully deterministic and ORDER-SENSITIVE: equal outputs
+    // prove equal slice membership and equal batch order between the
+    // filter-form and one-pass staging paths.
+    val df = (0 until 60).map { i =>
+      (s"k${i % 17}", s"tag$i", (10000L + i) * 3600000000000L)
+    }.toDF("k", "tag", "tsNs")
+    def op(src: DataFrame): DataFrame =
+      src.withColumn("event_time", timestamp_micros(expr("tsNs div 1000")))
+        .withWatermark("event_time", "200 hours")
+        .dropDuplicatesWithinWatermark("k")
+        .select(col("k"), col("tag"))
+    val viaParts = StreamGate.runOrdered(spark,
+      StreamGate.splitByTime(df, "tsNs", 4), "append")(op)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val viaSlices = StreamGate.runSliced(spark,
+      StreamGate.sliceByTime(df, "tsNs", 4), "append")(op)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val want = (0 until 17).map(k => s"k$k" -> s"tag$k").toMap
+    assert(viaParts == want, s"filter-form staging drifted: $viaParts")
+    assert(viaSlices == want, s"one-pass staging drifted: $viaSlices")
+  }
+
+  test("Slices.append stages as the LAST batch; empty time-gap slices stage as empty files") {
+    import spark.implicits._
+    // span 10 h over 4 slices leaves slices 1 and 2 empty (time gap) —
+    // the empty-template copy path must still stage aligned empty files
+    // and the harness's batch assert must count only the non-empty ones.
+    // The appended frame arrives LAST: its recurring key must LOSE
+    // first-wins, its fresh key must land.
+    val h = 3600000000000L
+    val df = Seq(("a", "base", 10000L * h), ("b", "base", 10001L * h),
+      ("c", "base", 10010L * h)).toDF("k", "tag", "tsNs")
+    val late = Seq(("a", "late", 10020L * h), ("z", "late", 10020L * h))
+      .toDF("k", "tag", "tsNs")
+    val out = StreamGate.runSliced(spark,
+      StreamGate.sliceByTime(df, "tsNs", 4).append(late), "append") { src =>
+        src.withColumn("event_time", timestamp_micros(expr("tsNs div 1000")))
+          .withWatermark("event_time", "200 hours")
+          .dropDuplicatesWithinWatermark("k")
+          .select(col("k"), col("tag"))
+      }.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out == Map("a" -> "base", "b" -> "base", "c" -> "base",
+      "z" -> "late"), s"got $out")
+  }
+
+  test("runSlicedMulti: misaligned empty slices across sources, nothing lost") {
+    import spark.implicits._
+    val h = 3600000000000L
+    // source A: slices {0, 2} non-empty (middle time gap); source B: two
+    // real slices + an appended EMPTY slice 2 — union of non-empty
+    // indices = {0, 1, 2} (asserted inside the harness); file queues
+    // stay index-aligned because empty files still stage
+    val a = (Seq(("a0", 0L * h), ("a1", 20L * h), ("a2", 21L * h)))
+      .toDF("k", "tsNs")
+    val bEmpty = Seq.empty[(String, Long)].toDF("k", "tsNs")
+    val b = Seq(("b0", 100L * h), ("b1", 104L * h)).toDF("k", "tsNs")
+    val out = StreamGate.runSlicedMulti(spark, Seq(
+      StreamGate.sliceByTime(a, "tsNs", 3),
+      StreamGate.sliceByTime(b, "tsNs", 2).append(bEmpty)), "append") {
+        case Seq(x, y) => x.unionByName(y)
+        case other     => fail(s"expected 2 sources, got ${other.size}")
+      }
+    val got = out.collect().map(_.getString(0)).toSet
+    assert(got == Set("a0", "a1", "a2", "b0", "b1"), s"got $got")
+  }
+
+  test("sliceByTime: empty input degrades to empty slices; non-Long ts column is rejected") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("k", "tsNs")
+    val sl = StreamGate.sliceByTime(empty, "tsNs", 4)
+    assert(sl.n == 4 && sl.tagged.count() == 0L)
+    // staging an all-empty Slices still yields 4 aligned empty batch
+    // files and zero data batches — the whole run is the no-data batch
+    val out = StreamGate.runSliced(spark, sl, "append")(src => src)
+    assert(out.count() == 0L)
+    val wrongType = Seq(("a", 1.5)).toDF("k", "tsNs")
+    val ex = intercept[IllegalArgumentException](
+      StreamGate.sliceByTime(wrongType, "tsNs", 2))
+    assert(ex.getMessage.contains("LongType"))
+  }
 }
