@@ -705,8 +705,16 @@ object QueriesGeo {
     */
   private def qFeedParse(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.JsonFeed
+    // spread the NARROW key base (24 B/row) across all cores BEFORE the
+    // JSON build+parse — a small events parquet arrives as ONE split and
+    // serialized the whole from_json stage onto a single task (r15
+    // FeedProbe: 3.3 s single-task SWIM parse at sf0.1, cores idle). The
+    // documentsSpread rule applied to events: shuffle keys, not payloads
+    // (the JSON strings are built AFTER the exchange), so the exchange
+    // stays ~per-row-constant at any scale while the parse parallelizes.
     val base = ev(s, dir).select(col("user_id").as("u"),
       col("event_id").as("e"), expr("ts div 1000000000").as("sec"))
+      .repartition(s.sparkContext.defaultParallelism)
     def i(c: Column): Column = c.cast("string")
     val poison = col("e") % 7 === 0
     val bad = lit("{\"oops\":")
@@ -980,8 +988,11 @@ object QueriesGeo {
     */
   private def qFoiaParse(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Foia
+    // same single-split starvation fix as qFeedParse: spread the narrow
+    // key base before the CSV line build + from_csv stage (r15)
     val base = ev(s, dir).select(col("user_id").as("u"),
       col("event_id").as("e"), expr("ts div 1000000000").as("sec"))
+      .repartition(s.sparkContext.defaultParallelism)
     def i(c: Column): Column = c.cast("string")
     def lineFor(ucls: Boolean): Column = concat(
       lit("CS"), i(col("u") % 50), lit(","), i(col("u") % 10), lit(","),

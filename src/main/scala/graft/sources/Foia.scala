@@ -67,9 +67,21 @@ object Foia {
     def dbl(name: String): Column =
       if (headers.contains(name)) expr(s"try_cast(r.`$name` AS DOUBLE)")
       else lit(null).cast("double")
+    // The poison drop is fused into a Generate (explode of a one-element
+    // array under the keep condition; `when` with no otherwise yields
+    // NULL and explode drops the row) instead of a trailing `.where`:
+    // a Filter predicate referencing the parsed struct gets PUSHED
+    // THROUGH the defining Projects and re-evaluates `from_csv` once per
+    // reference — the r9 FilterExec-no-CSE trap; the r15 plan audit
+    // caught FIVE full parses per row inside the pushed filter, all
+    // running on the scan side of the lane's spread exchange. A
+    // predicate can't push through a Generate, and the struct the
+    // condition references is materialized by its own Project (from_csv
+    // is non-cheap, so CollapseProject keeps the stages separate) — one
+    // parse per row, zero extra materialization.
     raw.select(from_csv(col(lineCol), schema,
         Map("mode" -> "PERMISSIVE")).as("r"))
-      .select(
+      .select(struct(
         field("AIRCRAFT_ID").as("callsign"),
         field("FLIGHT_INDEX").as("flight_index"),
         field("TRACK_INDEX").as("track_index"),
@@ -85,9 +97,12 @@ object Foia {
         try_to_timestamp(
           concat_ws(" ", field("TRACK_POINT_DATE_UTC"),
             field("TRACK_POINT_TIME_UTC")),
-          lit("yyyyMMdd HH:mm:ss")).as("ts"))
-      .where(col("callsign").isNotNull && col("ts").isNotNull &&
-        col("lat").isNotNull && col("lon").isNotNull)
+          lit("yyyyMMdd HH:mm:ss")).as("ts")).as("p"))
+      .select(explode(when(
+        col("p.callsign").isNotNull && col("p.ts").isNotNull &&
+          col("p.lat").isNotNull && col("p.lon").isNotNull,
+        array(col("p")))).as("p"))
+      .select(col("p.*"))
   }
 
   /** Group trackpoints into FOIA flights — makeFlight semantics

@@ -45,11 +45,60 @@ object StreamGate {
   private val seq = new AtomicInteger
 
   /** State-partition sizing rule: one state partition per ~100k staged
-    * rows, floor 8, never above the session's configured parallelism.
-    * See the sizing rationale at the runMulti call site.
+    * rows, floor 4 (r15: the 8-floor was re-A/B'd same-JVM — see
+    * OPTIMIZATION_r15.md; every state partition is a store instance
+    * paying per-batch setup + commit, and at gate-sized corpora 4 keeps
+    * ≥ 25k rows/partition while halving the commit wave), never above
+    * the session's configured parallelism. Scale posture unchanged: the
+    * rows/100k term still grows partitions with data (the 10M-row
+    * probes run at the session cap).
     */
   private[graft] def partitionsFor(stagedRows: Long, sessionParts: Long): Long =
-    math.min(sessionParts, math.max(8L, stagedRows / 100000L))
+    math.min(sessionParts, math.max(4L, stagedRows / 100000L))
+
+  /** State-partition override: system property first (same-JVM A/B
+    * probes flip it between rounds), then the env knob, then the sizing
+    * rule.
+    */
+  private def streamParts(stagedRows: Long, sessionParts: Long): String =
+    sys.props.get("graft.streamParts")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTS"))
+      .getOrElse(partitionsFor(stagedRows, sessionParts).toString)
+
+  /** Scratch base for gate staging + checkpoint dirs —
+    * `graft.gateTmpDir` / SPARK_GRAFT_GATE_TMP override, default
+    * java.io.tmpdir. A tmpfs placement (/dev/shm) was A/B'd same-JVM in
+    * r15 (GateFloorProbe `tmp`) and measured a WASH — the OS page cache
+    * already absorbs the gate's ephemeral staging/checkpoint writes and
+    * the local-fs checkpoint manager doesn't fsync — so the default
+    * stays the standard temp dir; the knob remains for cluster-profile
+    * experiments where local disks are genuinely slow.
+    */
+  private def gateTmpBase: java.nio.file.Path =
+    sys.props.get("graft.gateTmpDir")
+      .orElse(sys.env.get("SPARK_GRAFT_GATE_TMP"))
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+
+  private def newGateDir(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(gateTmpBase, "graft_stream_gate")
+
+  /** Parquet footer row count — the staging row-count probes used to run
+    * one Spark job per staged file (`spark.read.parquet(f).count()`);
+    * the count is in the footer metadata, so read it directly (zero
+    * jobs, zero scheduler round-trips — N of them per gated lane).
+    */
+  private def parquetRowCount(f: java.io.File): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.toString),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  private def parquetDirRowCount(dir: java.io.File): Long =
+    dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(parquetRowCount).sum
 
   /** SEQUENTIAL-USE contract (ADVICE r12): every entry point mutates
     * session-global conf (`spark.sql.shuffle.partitions`) for the run's
@@ -132,7 +181,7 @@ object StreamGate {
     */
   def runForeach(s: SparkSession, staged: DataFrame, nFiles: Int)
                 (onBatch: (DataFrame, Long) => Unit): Unit = gateLock {
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    val base = newGateDir()
     try {
       val inDir = s"$base/in"
       staged.repartition(nFiles).write.parquet(inDir)
@@ -140,11 +189,10 @@ object StreamGate {
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       // same data-scaled partition rule as runMulti (the caller's per-batch
       // aggregates pay one exchange per micro-batch)
-      val stagedRows = s.read.parquet(inDir).count()
+      val stagedRows = parquetDirRowCount(new java.io.File(inDir))
       val partsKey = "spark.sql.shuffle.partitions"
       val prevParts = s.conf.get(partsKey)
-      s.conf.set(partsKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
-        partitionsFor(stagedRows, prevParts.toLong).toString))
+      s.conf.set(partsKey, streamParts(stagedRows, prevParts.toLong))
       try {
         val q = src.writeStream
           .option("checkpointLocation", s"$base/ckpt")
@@ -161,7 +209,7 @@ object StreamGate {
     */
   def runMulti(s: SparkSession, staged: Seq[DataFrame], mode: String)
               (build: Seq[DataFrame] => DataFrame): DataFrame = gateLock {
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    val base = newGateDir()
     try {
       val srcs = staged.zipWithIndex.map { case (df, i) =>
         val inDir = s"$base/in$i"
@@ -184,13 +232,11 @@ object StreamGate {
       // session conf asynchronously after start(), so the restore waits
       // for termination, not just for start() to return.
       val stagedRows = staged.indices.map { i =>
-        s.read.parquet(s"$base/in$i").count()
+        parquetDirRowCount(new java.io.File(s"$base/in$i"))
       }.sum
       val partsKey = "spark.sql.shuffle.partitions"
       val prevParts = s.conf.get(partsKey)
-      val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
-        partitionsFor(stagedRows, prevParts.toLong).toString)
-      s.conf.set(partsKey, parts)
+      s.conf.set(partsKey, streamParts(stagedRows, prevParts.toLong))
       try {
         val q = build(srcs).writeStream.format("memory").queryName(qn)
           .outputMode(mode).option("checkpointLocation", s"$base/ckpt")
@@ -349,7 +395,7 @@ object StreamGate {
           "would silently degrade; refusing to run an ordered gate")
     }
     inDir.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .toSeq.map(f => s.read.parquet(f.toString).count())
+      .toSeq.map(parquetRowCount)
   }
 
   /** One-pass staging (r15): write EVERY slice of `sl` in a single
@@ -401,7 +447,7 @@ object StreamGate {
       require(dst.setLastModified(t0 + (i + 1) * 60000L),
         s"StreamGate: setLastModified failed for $dst — staged file order " +
           "would silently degrade; refusing to run an ordered gate")
-      s.read.parquet(dst.toString).count()
+      parquetRowCount(dst)
     }
   }
 
@@ -427,8 +473,7 @@ object StreamGate {
     val progKey = "spark.sql.streaming.numRecentProgressUpdates"
     val prevParts = s.conf.get(partsKey)
     val prevProg = s.conf.get(progKey)
-    s.conf.set(partsKey, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
-      partitionsFor(totalRows, prevParts.toLong).toString))
+    s.conf.set(partsKey, streamParts(totalRows, prevParts.toLong))
     s.conf.set(progKey, progressRetentionFor(nProgress))
     try {
       val q = built.writeStream.format("memory").queryName(qn)
@@ -468,7 +513,7 @@ object StreamGate {
                  expectWatermarkAdvance: Boolean = true)
                 (build: DataFrame => DataFrame): DataFrame = gateLock {
     require(parts.nonEmpty, "runOrdered: need at least one staged part")
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    val base = newGateDir()
     try {
       val inDir = new java.io.File(s"$base/in")
       val perFile = stageOrdered(s, parts, base.toString, inDir)
@@ -492,7 +537,7 @@ object StreamGate {
   def runSliced(s: SparkSession, slices: Slices, mode: String,
                 expectWatermarkAdvance: Boolean = true)
                (build: DataFrame => DataFrame): DataFrame = gateLock {
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    val base = newGateDir()
     try {
       val inDir = new java.io.File(s"$base/in")
       val perFile = stageSlices(s, slices, base.toString, inDir)
@@ -525,7 +570,7 @@ object StreamGate {
                      (build: Seq[DataFrame] => DataFrame): DataFrame = gateLock {
     require(parts.nonEmpty && parts.forall(_.nonEmpty),
       "runOrderedMulti: every source needs at least one staged part")
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    val base = newGateDir()
     try {
       var totalRows = 0L
       val nonEmptyIdx = scala.collection.mutable.Set.empty[Int]
@@ -554,7 +599,7 @@ object StreamGate {
                      expectWatermarkAdvance: Boolean = true)
                     (build: Seq[DataFrame] => DataFrame): DataFrame = gateLock {
     require(sources.nonEmpty, "runSlicedMulti: need at least one source")
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    val base = newGateDir()
     try {
       var totalRows = 0L
       val nonEmptyIdx = scala.collection.mutable.Set.empty[Int]
