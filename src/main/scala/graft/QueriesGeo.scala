@@ -633,6 +633,10 @@ object QueriesGeo {
         .otherwise(concat(lit(" A"),
           lpad((lit(2880) + col("user_id") % 240).cast("string"), 4, "0"))),
       lit(" RMK AO2"))
+    // NOT spread (r15): the qFeedParse single-split fix was A/B'd here
+    // and measured WORSE (0.8 s -> 1.07 s) — the regexp decode is too
+    // cheap for the added exchange to pay; the spread rule only wins
+    // when the starved stage is parse-heavy (from_json/from_csv class)
     graft.sources.Metar.parseRaw(ev(s, dir).select(raw.as("raw")), col("raw"))
       .groupBy("metar_station")
       .agg(count(lit(1)).as("n"),

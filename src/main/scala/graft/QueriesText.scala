@@ -2364,10 +2364,18 @@ object QueriesText {
         when(col("doc_id") % 11 === 0,
           concat(lit("#sec-"), (col("doc_id") % 4).cast("string")))
           .otherwise(lit(""))))
+    // canon feeds the host rollup AND keepers; keepers feeds its own
+    // rollup AND the quota — freeze both (q_tvd_mix rule, r15). The
+    // freeze also keeps the joins' isnotnull(host) pushdown from
+    // re-evaluating the regexp canonicalization chain inside Filter
+    // nodes (FilterExec does no subexpression elimination — the r15
+    // plan audit measured 5 regexp_extract evaluations per row there).
     val canon = d
       .withColumn("url", Web.canonicalUrl(col("dirty")))
       .withColumn("host", Web.hostOf(col("url")))
+      .localCheckpoint(false)
     val keepers = canon.groupBy("host", "url").agg(min("doc_id").as("keep_id"))
+      .localCheckpoint(false)
     val capped = Sampling.stratifiedQuota(keepers, col("host"), col("keep_id"),
       SampleSeed, 8)
     canon.groupBy("host").agg(count(lit(1)).as("n_docs"))
@@ -2741,6 +2749,10 @@ object QueriesText {
       .localCheckpoint() // shared by both join sides + the df rollup
     val dfCut = reps.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") <= 64).select("h")
+    // kept feeds both pair sides; a freeze here was A/B'd in r15 and
+    // measured a wash-to-worse — reps is already checkpointed, so each
+    // side's re-run of the df rollup + semi-join rides frozen blocks and
+    // the extra materialization job buys nothing. Left unfrozen.
     val kept = reps.join(dfCut, "h")
     val a = kept.select(col("h"), col("id").as("doc_a"), col("n_sh").as("na"))
     val b = kept.select(col("h"), col("id").as("doc_b"), col("n_sh").as("nb"))
@@ -5371,6 +5383,10 @@ object QueriesText {
     val ss = docsW(s, dir)
       .select(col("source"), explode(Text.shingles(col("text"), 3)).as("g"))
       .distinct()
+      // consumed THREE times (sizes + both join sides) — freeze or every
+      // consumer re-runs the shingle explode + distinct exchange (the
+      // q_tvd_mix multi-consumer rule, r15)
+      .localCheckpoint(false)
     val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = ss.select(col("source").as("source_a"), col("g"))
       .join(ss.select(col("source").as("source_b"), col("g")), "g")
