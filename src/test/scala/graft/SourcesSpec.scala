@@ -236,6 +236,25 @@ class FoiaSpec extends AnyFunSuite with SparkFixture {
     assert(got2.head.getAs[Double]("alt_ft") == 500.0)
   }
 
+  test("Foia.parseTrackpoints evaluates from_csv exactly once per row (plan pin)") {
+    // r15: the poison drop is fused into a Generate precisely so the
+    // keep-predicate can NOT be pushed through the parse Project —
+    // a trailing .where re-evaluated from_csv once per predicate
+    // reference inside FilterExec (5x per row, no CSE there). Pin the
+    // plan property: one from_csv evaluation site after optimization.
+    val lines = Seq(
+      "VOI902,2015020103105708,20150201065937NCT1024VOI902,NCT,1024,MMGL,OAK,A320,37.69849,-122.21049,1,20150201,07:24:04"
+    ).toDF("line")
+    val df = graft.sources.Foia.parseTrackpoints(lines, "line",
+      graft.sources.Foia.headersClassic)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val n = "from_csv\\(".r.findAllIn(plan).size
+    assert(n == 1,
+      s"expected exactly one from_csv evaluation site in the optimized " +
+        s"plan, found $n — the keep-predicate leaked past the Generate " +
+        "barrier and is re-running the parser per reference")
+  }
+
   test("Foia.parseTrackpoints degrades when a dump's headers omit position columns") {
     // the r9 ADVICE fix: a header list without LATITUDE/LONGITUDE/
     // ALTITUDEx100ft must flow through the poison-drop rule (rows with no
