@@ -41,8 +41,53 @@ object JsonFeed {
   /** Parse a raw JSON-string column into flat flight-point rows:
     * (callsign, computer_id, source, pos_time, lat, lon, alt, speed).
     * Strings may be multi-message, single-message, or garbage (dropped).
+    *
+    * ONE tokenization per row (r15): the envelope's `message` is an array
+    * in the multi-message form and a bare object in the single-message
+    * form, so the original shape ran TWO full `from_json` parses per row
+    * (different schemas — no CSE possible) and every row paid the failed
+    * shape's tokenization too. Now `try_parse_json` parses once to a
+    * VARIANT, `variant_get` addresses the envelope (the `ns5:` prefixed
+    * key parses in the quoted `$['ns5:MessageCollection']` path segment),
+    * and the two shapes are two cheap `try_variant_get` CASTS over the
+    * already-parsed binary — multi-first coalesce exactly as before. The
+    * null-out contract is unchanged: garbage → try_parse_json null;
+    * missing envelope/path → null; wrong shape → that cast nulls; all
+    * collapse to an all-null exploded row dropped by the lat/lon filter
+    * (JsonFeedSpec's envelope battery pins all four families). The
+    * variant column is projected SEPARATELY and referenced twice, so
+    * CollapseProject cannot inline the parse into the generator
+    * (plan-pinned: one parse_json site). The double-parse form stays as
+    * [[parseFlightsDoubleParse]], the equality twin.
     */
   def parseFlights(raw: DataFrame, jsonCol: String): DataFrame = {
+    val msgDdl = messageStruct.sql // STRUCT<flight: ...> from the schema
+    val msg = variant_get(try_parse_json(col(jsonCol)),
+      "$['ns5:MessageCollection'].message", "variant")
+    val parsed = raw.select(msg.as("msg"))
+    val multi = try_variant_get(col("msg"), "$", s"ARRAY<$msgDdl>")
+    val single = try_variant_get(col("msg"), "$", msgDdl)
+    parsed.select(explode(coalesce(multi, array(single))).as("m"))
+      .select(col("m.flight").as("f"))
+      .where(col("f").isNotNull)
+      .select(
+        col("f.flightIdentification.aircraftIdentification").as("callsign"),
+        col("f.flightIdentification.computerId").cast("int").as("computer_id"),
+        col("f.source").as("source"),
+        to_timestamp(col("f.enRoute.position.positionTime")).as("pos_time"),
+        split(col("f.enRoute.position.position.location.pos"), " ")
+          .getItem(0).cast("double").as("lat"),
+        split(col("f.enRoute.position.position.location.pos"), " ")
+          .getItem(1).cast("double").as("lon"),
+        col("f.enRoute.position.altitude.content").as("alt"),
+        col("f.enRoute.position.actualSpeed.surveillance.content").as("speed"))
+      .where(col("lat").isNotNull && col("lon").isNotNull)
+  }
+
+  /** [[parseFlights]]'s original two-`from_json` form (equality twin +
+    * same-JVM A/B baseline; JsonFeedSpec).
+    */
+  private[graft] def parseFlightsDoubleParse(raw: DataFrame, jsonCol: String): DataFrame = {
     val multi = from_json(col(jsonCol), envelope(ArrayType(messageStruct)))
     val single = from_json(col(jsonCol), envelope(messageStruct))
     // multi-first like the reference: the single parse of a multi string

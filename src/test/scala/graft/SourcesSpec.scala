@@ -359,6 +359,54 @@ class JsonFeedSpec extends AnyFunSuite with SparkFixture {
       ("AAL3", 123, 40.0, -100.0, 11000.0, 440.0)))
   }
 
+  test("parseFlights (variant single-parse) == the two-from_json twin on every envelope shape") {
+    // r15: the variant path must reproduce the PERMISSIVE null-out
+    // semantics of the original double parse on every shape the feed can
+    // carry — including the degenerate envelopes that exercise the
+    // cast-failure edges
+    val multi = s"""{"ns5:MessageCollection":{"message":[
+        {"flight":${flight("SWA1988", 41.5, -122.5)}},
+        {"flight":${flight("UAL12", 37.6, -122.4)}}]}}""".replaceAll("\n\\s*", "")
+    val single =
+      s"""{"ns5:MessageCollection":{"message":{"flight":${flight("AAL3", 40.0, -100.0)}}}}"""
+    val shapes = Seq(
+      multi, single, "not json at all", """{"oops":""",
+      """{"unrelated": 1}""",
+      """{"ns5:MessageCollection": 7}""",
+      """{"ns5:MessageCollection":{}}""",
+      """{"ns5:MessageCollection":{"message":5}}""",
+      """{"ns5:MessageCollection":{"message":[]}}""",
+      """{"ns5:MessageCollection":{"message":[1, 2]}}""",
+      """{"ns5:MessageCollection":{"message":[{"flight":null}]}}""",
+      """{"ns5:MessageCollection":{"message":{"flight":{"source":"X"}}}}""")
+    val raw = shapes.toDF("payload")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val variant = rows(graft.sources.JsonFeed.parseFlights(raw, "payload"))
+    val double = rows(graft.sources.JsonFeed.parseFlightsDoubleParse(raw, "payload"))
+    assert(variant == double)
+    assert(variant.size == 3) // the three well-formed flights survive
+  }
+
+  test("parseFlights tokenizes each payload exactly once (plan pin)") {
+    // r15: the variant column is projected separately and referenced by
+    // TWO casts — CollapseProject must keep the parse Project intact or
+    // every row re-tokenizes per reference (the from_csv FilterExec
+    // precedent). RDD-backed input: a literal LocalRelation would fold
+    // the whole plan and the pin would count 0 sites.
+    val raw = spark.sparkContext.parallelize(Seq(
+      s"""{"ns5:MessageCollection":{"message":{"flight":${flight("AAL3", 40.0, -100.0)}}}}"""
+    )).toDF("payload")
+    val plan = graft.sources.JsonFeed.parseFlights(raw, "payload")
+      .queryExecution.optimizedPlan.toString
+    val n = "parse_json\\(".r.findAllIn(plan).size
+    assert(n == 1,
+      s"expected exactly one parse_json tokenization site in the optimized " +
+        s"plan, found $n — the variant parse inlined into its consumers")
+    assert(!plan.contains("from_json"),
+      "the single-parse path must not fall back to from_json")
+  }
+
   test("fr24 compact-array feed parses mixed records and drops poison") {
     // the three record flavors from the reference's fr24.go:159-171 comment
     val scheduled = """["7624382","AC7BF6",37.7370,-122.4019,195,6775,269,"3253","T-KSFO1","CRJ2","N903SW",1441900518,"SFO","BFL","UA5613",0,2176,"",0]"""
