@@ -31,6 +31,21 @@ object Bench {
       "org.apache.spark.sql.execution.streaming.state",
       org.apache.logging.log4j.Level.OFF)
 
+    // Self-calibration (r16, the r15 verdict item): the per-action
+    // scheduler floor of THIS box at THIS moment — min of 10 warmed
+    // 1-row counts, the FloorProbe methodology. Cross-session bench
+    // totals drifted 152.7 → 218.3 s for identical code in r15 and
+    // nobody could tell box drift from regression; `floor_ms` in the
+    // JSON line lets the driver/judge divide out the box. Measured
+    // BEFORE any query so catalog heap state can't contaminate it.
+    val floorMs = {
+      val one = spark.range(1).toDF("x")
+      one.count() // warm plan + codegen
+      (1 to 10).map { _ =>
+        val t0 = System.nanoTime(); one.count(); (System.nanoTime() - t0) / 1e6
+      }.min
+    }
+
     // optional args restrict to the named queries (local iteration only;
     // the driver invokes with no args → full run)
     val names = (if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains)
@@ -103,14 +118,14 @@ object Bench {
     // `parsed: null`). So the detail goes to a file and the final printed
     // line stays compact: totals + the top slowest queries by `best`.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$isoField,"best":$bestJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","floor_ms":$floorMs,"queries":$qs$isoField,"best":$bestJson,"sf":"$sfDir"}"""
     // Partial (query-arg) runs write a SEPARATE artifact: a fast-iteration
     // run over two queries used to overwrite BENCH_FULL.json and destroy
     // the round's full-catalog record (r9 verdict item 3a).
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(artifactPath(args.nonEmpty)), fullJson + "\n")
     catch { case _: Throwable => () }
-    println(compactLine(best, total, sfDir, artifactPath(args.nonEmpty)))
+    println(compactLine(best, total, sfDir, artifactPath(args.nonEmpty), floorMs))
     if (!isolate) spark.stop()
   }
 
@@ -130,12 +145,17 @@ object Bench {
     */
   private[graft] def compactLine(best: Seq[(String, Double)], total: Double,
                                  sfDir: String,
-                                 detail: String = "BENCH_FULL.json"): String = {
+                                 detail: String = "BENCH_FULL.json",
+                                 floorMs: Double = -1.0): String = {
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val nFail = best.count(_._2 < 0)
     val top = best.filter(_._2 >= 0).sortBy(-_._2).take(30)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${best.size},"fail":$nFail,"queries":$top,"detail":"$detail","sf":"$sfDir"}"""
+    // floor_ms: per-action scheduler floor measured this run (box
+    // self-calibration, r16) — addition-only, readers that don't know it
+    // ignore it; -1 = unmeasured (formatter tests)
+    val floor = f""","floor_ms":${math.max(floorMs, -1.0)}%.1f"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${best.size},"fail":$nFail$floor,"queries":$top,"detail":"$detail","sf":"$sfDir"}"""
   }
 
   /** Fork a fresh JVM running this main for one query; return its timed

@@ -716,9 +716,11 @@ object QueriesGeo {
     // documentsSpread rule applied to events: shuffle keys, not payloads
     // (the JSON strings are built AFTER the exchange), so the exchange
     // stays ~per-row-constant at any scale while the parse parallelizes.
-    val base = ev(s, dir).select(col("user_id").as("u"),
-      col("event_id").as("e"), expr("ts div 1000000000").as("sec"))
-      .repartition(s.sparkContext.defaultParallelism)
+    // r16: gated on the input's split count — a many-split scan is
+    // already wide and must not pay (or be coalesced by) the exchange.
+    val base = Tables.spreadIfNarrow(s,
+      ev(s, dir).select(col("user_id").as("u"),
+        col("event_id").as("e"), expr("ts div 1000000000").as("sec")))
     def i(c: Column): Column = c.cast("string")
     val poison = col("e") % 7 === 0
     val bad = lit("{\"oops\":")
@@ -993,10 +995,11 @@ object QueriesGeo {
   private def qFoiaParse(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Foia
     // same single-split starvation fix as qFeedParse: spread the narrow
-    // key base before the CSV line build + from_csv stage (r15)
-    val base = ev(s, dir).select(col("user_id").as("u"),
-      col("event_id").as("e"), expr("ts div 1000000000").as("sec"))
-      .repartition(s.sparkContext.defaultParallelism)
+    // key base before the CSV line build + from_csv stage (r15); r16:
+    // gated on the input's split count (see spreadIfNarrow)
+    val base = Tables.spreadIfNarrow(s,
+      ev(s, dir).select(col("user_id").as("u"),
+        col("event_id").as("e"), expr("ts div 1000000000").as("sec")))
     def i(c: Column): Column = c.cast("string")
     def lineFor(ucls: Boolean): Column = concat(
       lit("CS"), i(col("u") % 50), lit(","), i(col("u") % 10), lit(","),

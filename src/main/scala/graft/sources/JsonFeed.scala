@@ -42,57 +42,24 @@ object JsonFeed {
     * (callsign, computer_id, source, pos_time, lat, lon, alt, speed).
     * Strings may be multi-message, single-message, or garbage (dropped).
     *
-    * ONE tokenization per row (r15): the envelope's `message` is an array
-    * in the multi-message form and a bare object in the single-message
-    * form, so the original shape ran TWO full `from_json` parses per row
-    * (different schemas — no CSE possible) and every row paid the failed
-    * shape's tokenization too. Now `try_parse_json` parses once to a
-    * VARIANT, `variant_get` addresses the envelope (the `ns5:` prefixed
-    * key parses in the quoted `$['ns5:MessageCollection']` path segment),
-    * and the two shapes are two cheap `try_variant_get` CASTS over the
-    * already-parsed binary — multi-first coalesce exactly as before. The
-    * null-out contract is unchanged: garbage → try_parse_json null;
-    * missing envelope/path → null; wrong shape → that cast nulls; all
-    * collapse to an all-null exploded row dropped by the lat/lon filter
-    * (JsonFeedSpec's envelope battery pins all four families). The
-    * variant column is projected SEPARATELY and referenced twice, so
-    * CollapseProject cannot inline the parse into the generator
-    * (plan-pinned: one parse_json site). The double-parse form stays as
-    * [[parseFlightsDoubleParse]], the equality twin.
+    * The two-`from_json` form IS the live path (restored r16): the
+    * envelope's `message` is an array in the multi-message form and a
+    * bare object in the single-message form, parsed multi-first like the
+    * reference — the single parse of a multi string nulls out (array vs
+    * object) and vice versa, and `coalesce` SHORT-CIRCUITS in codegen,
+    * so only single-form rows (~half the feed) pay the failed multi
+    * tokenization: ~1.5 tokenizations/row amortized, not 2. The r15
+    * variant single-parse rewrite ([[parseFlightsVariant]]) measured
+    * SLOWER once its array semantics were made honest (FeedProbe r16
+    * same-JVM interleaved A/Bs: strict variant 3.91 s vs double 3.35 s,
+    * and 2.86 vs 2.52 on the per-element form) — the variant binary
+    * build plus the strict-array casts cost more than the ~0.5 wasted
+    * tokenizations they replace. Malformed strings yield zero rows
+    * (PERMISSIVE null-out), never fail the batch.
     */
   def parseFlights(raw: DataFrame, jsonCol: String): DataFrame = {
-    val msgDdl = messageStruct.sql // STRUCT<flight: ...> from the schema
-    val msg = variant_get(try_parse_json(col(jsonCol)),
-      "$['ns5:MessageCollection'].message", "variant")
-    val parsed = raw.select(msg.as("msg"))
-    val multi = try_variant_get(col("msg"), "$", s"ARRAY<$msgDdl>")
-    val single = try_variant_get(col("msg"), "$", msgDdl)
-    parsed.select(explode(coalesce(multi, array(single))).as("m"))
-      .select(col("m.flight").as("f"))
-      .where(col("f").isNotNull)
-      .select(
-        col("f.flightIdentification.aircraftIdentification").as("callsign"),
-        col("f.flightIdentification.computerId").cast("int").as("computer_id"),
-        col("f.source").as("source"),
-        to_timestamp(col("f.enRoute.position.positionTime")).as("pos_time"),
-        split(col("f.enRoute.position.position.location.pos"), " ")
-          .getItem(0).cast("double").as("lat"),
-        split(col("f.enRoute.position.position.location.pos"), " ")
-          .getItem(1).cast("double").as("lon"),
-        col("f.enRoute.position.altitude.content").as("alt"),
-        col("f.enRoute.position.actualSpeed.surveillance.content").as("speed"))
-      .where(col("lat").isNotNull && col("lon").isNotNull)
-  }
-
-  /** [[parseFlights]]'s original two-`from_json` form (equality twin +
-    * same-JVM A/B baseline; JsonFeedSpec).
-    */
-  private[graft] def parseFlightsDoubleParse(raw: DataFrame, jsonCol: String): DataFrame = {
     val multi = from_json(col(jsonCol), envelope(ArrayType(messageStruct)))
     val single = from_json(col(jsonCol), envelope(messageStruct))
-    // multi-first like the reference: the single parse of a multi string
-    // nulls out (array vs object), and vice versa — coalesce picks whichever
-    // shape matched
     val msgs = coalesce(
       multi.getField("ns5:MessageCollection").getField("message"),
       array(single.getField("ns5:MessageCollection").getField("message")))
@@ -104,10 +71,68 @@ object JsonFeed {
         col("f.flightIdentification.computerId").cast("int").as("computer_id"),
         col("f.source").as("source"),
         to_timestamp(col("f.enRoute.position.positionTime")).as("pos_time"),
-        split(col("f.enRoute.position.position.location.pos"), " ")
-          .getItem(0).cast("double").as("lat"),
-        split(col("f.enRoute.position.position.location.pos"), " ")
-          .getItem(1).cast("double").as("lon"),
+        // get(), not getItem(): ANSI getItem THROWS on out-of-range, so a
+        // single-token pos string would kill the batch — the poison rule
+        // says drop, never fail (r16 VariantSemanticsProbe crash)
+        get(split(col("f.enRoute.position.position.location.pos"), " "),
+          lit(0)).cast("double").as("lat"),
+        get(split(col("f.enRoute.position.position.location.pos"), " "),
+          lit(1)).cast("double").as("lon"),
+        col("f.enRoute.position.altitude.content").as("alt"),
+        col("f.enRoute.position.actualSpeed.surveillance.content").as("speed"))
+      .where(col("lat").isNotNull && col("lon").isNotNull)
+  }
+
+  /** The r15 variant single-parse EXPERIMENT — kept as [[parseFlights]]'s
+    * semantics twin, NOT the live path (it measured slower, see the
+    * [[parseFlights]] scaladoc). `try_parse_json` tokenizes once to a
+    * VARIANT, `variant_get` addresses the envelope (the `ns5:` prefixed
+    * key parses in the quoted `$['ns5:MessageCollection']` path segment),
+    * and the two shapes are `try_variant_get` casts over the parsed
+    * binary.
+    *
+    * STRICT array semantics (r16, the r15 ADVICE item): a bare
+    * `ARRAY<STRUCT>` variant cast nulls failing ELEMENTS individually,
+    * so a mixed-validity array ([valid, 5]) would leak its valid
+    * element — the from_json twin PERMISSIVE-nulls the whole record and
+    * the reference's Go unmarshal of []Message fails the whole slice.
+    * The whole-array cast stays ONE codegen'd cast; strictness is a
+    * cheap zip against the raw `ARRAY<VARIANT>` slices — an element
+    * whose cast slot is null yet was NOT a JSON null failed the cast and
+    * poisons the WHOLE array. An explicit JSON null element is benign
+    * for both engines. The parse and both cast arrays are projected
+    * separately (multi-referenced, non-cheap — CollapseProject keeps the
+    * barriers) so each evaluates once per row (plan-pinned: one
+    * parseJson site). JsonFeedSpec pins row equality with
+    * [[parseFlights]] on the full envelope battery.
+    */
+  private[graft] def parseFlightsVariant(raw: DataFrame, jsonCol: String): DataFrame = {
+    val msgDdl = messageStruct.sql // STRUCT<flight: ...> from the schema
+    val msg = variant_get(try_parse_json(col(jsonCol)),
+      "$['ns5:MessageCollection'].message", "variant")
+    val anyBad = exists(
+      zip_with(col("arr"), col("rawArr"),
+        (m, r) => m.isNull && !is_variant_null(r)),
+      x => x)
+    val multi = when(!anyBad, col("arr"))
+    val single = try_variant_get(col("msg"), "$", msgDdl)
+    raw.select(msg.as("msg"))
+      .select(col("msg"),
+        try_variant_get(col("msg"), "$", s"ARRAY<$msgDdl>").as("arr"),
+        try_variant_get(col("msg"), "$", "ARRAY<VARIANT>").as("rawArr"))
+      .select(explode(coalesce(multi, array(single))).as("m"))
+      .select(col("m.flight").as("f"))
+      .where(col("f").isNotNull)
+      .select(
+        col("f.flightIdentification.aircraftIdentification").as("callsign"),
+        col("f.flightIdentification.computerId").cast("int").as("computer_id"),
+        col("f.source").as("source"),
+        to_timestamp(col("f.enRoute.position.positionTime")).as("pos_time"),
+        // get(), not getItem(): same ANSI out-of-range rule as parseFlights
+        get(split(col("f.enRoute.position.position.location.pos"), " "),
+          lit(0)).cast("double").as("lat"),
+        get(split(col("f.enRoute.position.position.location.pos"), " "),
+          lit(1)).cast("double").as("lon"),
         col("f.enRoute.position.altitude.content").as("alt"),
         col("f.enRoute.position.actualSpeed.surveillance.content").as("speed"))
       .where(col("lat").isNotNull && col("lon").isNotNull)

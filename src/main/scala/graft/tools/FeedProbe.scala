@@ -67,21 +67,22 @@ object FeedProbe {
     t("swim raw build only")(swimRaw.count())
     t("swim build+parse")(JsonFeed.parseFlights(swimRaw, "raw").count())
 
-    // r15 single-parse swap A/B (interleaved, same JVM): variant path
-    // (try_parse_json once + two casts) vs the original two-from_json form
+    // single-parse swap A/B (interleaved, same JVM): the LIVE
+    // two-from_json path vs the variant experiment (try_parse_json once
+    // + strict casts). r16 verdict: the variant loses — kept measured.
     def once(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    JsonFeed.parseFlightsDoubleParse(swimRaw, "raw").count() // warm the twin
+    JsonFeed.parseFlightsVariant(swimRaw, "raw").count() // warm the twin
     val vs = scala.collection.mutable.ListBuffer.empty[Double]
     val ds = scala.collection.mutable.ListBuffer.empty[Double]
     for (r <- 1 to 3) {
-      vs += once(JsonFeed.parseFlights(swimRaw, "raw").count())
-      ds += once(JsonFeed.parseFlightsDoubleParse(swimRaw, "raw").count())
-      println(f"[feedprobe] r$r swim variant=${vs.last}%7.3f  double=${ds.last}%7.3f")
+      ds += once(JsonFeed.parseFlights(swimRaw, "raw").count())
+      vs += once(JsonFeed.parseFlightsVariant(swimRaw, "raw").count())
+      println(f"[feedprobe] r$r swim live_double=${ds.last}%7.3f  variant=${vs.last}%7.3f")
     }
-    println(f"[feedprobe] swim parse A/B mins: variant=${vs.min}%7.3f  " +
-      f"double(2x from_json)=${ds.min}%7.3f")
+    println(f"[feedprobe] swim parse A/B mins: live_double=${ds.min}%7.3f  " +
+      f"variant(strict)=${vs.min}%7.3f")
     def ac(uu: Column, ee: Column): Column = concat(
       lit("[\"f"), i(ee), lit("\",\"IC"), i(uu % 512), lit("\","),
       i(uu % 90), lit(","), i(ee % 180), lit(",90,"),

@@ -19,11 +19,14 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("compact line stays under 1700 chars at 250 queries") {
     val best = fakeCatalog(250)
-    val line = Bench.compactLine(best, best.map(_._2).sum, "/root/testdata/sf0.1")
+    val line = Bench.compactLine(best, best.map(_._2).sum, "/root/testdata/sf0.1",
+      floorMs = 166.123456)
     assert(line.length < 1700, s"line is ${line.length} chars")
     // and is a single line of valid-enough JSON shape for the collector
     assert(!line.contains("\n"))
     assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
+    // box self-calibration field (r16): present, 1-dp, addition-only
+    assert(line.contains("\"floor_ms\":166.1"))
   }
 
   test("partial runs route to BENCH_PARTIAL.json, never the round record") {

@@ -132,6 +132,19 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(bad.count() == 1)
   }
 
+  test("spreadIfNarrow: single-split input gains the exchange; wide input is returned untouched") {
+    // r16 (r15 verdict item 4): the parse-lane spread must not force an
+    // exchange — or worse, a COALESCE — onto a scan that already arrives
+    // with >= defaultParallelism splits
+    val p = spark.sparkContext.defaultParallelism
+    val narrow = spark.range(100).toDF("x").coalesce(1)
+    assert(Tables.spreadIfNarrow(spark, narrow).rdd.getNumPartitions == p)
+    val wide = spark.range(1000).toDF("x").repartition(p)
+    val out = Tables.spreadIfNarrow(spark, wide)
+    assert(out eq wide,
+      "an already-wide input must come back as the SAME frame — no Exchange added")
+  }
+
   test("match-list CSV sink dumps intersection rows with header, ordered") {
     val out = Files.createTempDirectory("graft_matchcsv").toString + "/matches"
     val matches = Queries.queries("q_geo_intersections")(spark, sfDir)
@@ -242,9 +255,14 @@ class FoiaSpec extends AnyFunSuite with SparkFixture {
     // a trailing .where re-evaluated from_csv once per predicate
     // reference inside FilterExec (5x per row, no CSE there). Pin the
     // plan property: one from_csv evaluation site after optimization.
-    val lines = Seq(
+    // RDD-backed input (r16): a literal Seq.toDF is a LocalRelation and
+    // ConvertToLocalRelation constant-folds the WHOLE parse at
+    // optimization time — the pin then counts 0 sites and proves
+    // nothing (the r15 red-suite bug; same trap the JsonFeed pin below
+    // documents).
+    val lines = spark.sparkContext.parallelize(Seq(
       "VOI902,2015020103105708,20150201065937NCT1024VOI902,NCT,1024,MMGL,OAK,A320,37.69849,-122.21049,1,20150201,07:24:04"
-    ).toDF("line")
+    )).toDF("line")
     val df = graft.sources.Foia.parseTrackpoints(lines, "line",
       graft.sources.Foia.headersClassic)
     val plan = df.queryExecution.optimizedPlan.toString
@@ -359,11 +377,11 @@ class JsonFeedSpec extends AnyFunSuite with SparkFixture {
       ("AAL3", 123, 40.0, -100.0, 11000.0, 440.0)))
   }
 
-  test("parseFlights (variant single-parse) == the two-from_json twin on every envelope shape") {
-    // r15: the variant path must reproduce the PERMISSIVE null-out
-    // semantics of the original double parse on every shape the feed can
-    // carry — including the degenerate envelopes that exercise the
-    // cast-failure edges
+  test("parseFlights (live two-from_json) == the variant single-parse twin on every envelope shape") {
+    // r15/r16: the variant experiment must reproduce the PERMISSIVE
+    // null-out semantics of the live double parse on every shape the
+    // feed can carry — including the degenerate envelopes that exercise
+    // the cast-failure edges
     val multi = s"""{"ns5:MessageCollection":{"message":[
         {"flight":${flight("SWA1988", 41.5, -122.5)}},
         {"flight":${flight("UAL12", 37.6, -122.4)}}]}}""".replaceAll("\n\\s*", "")
@@ -378,30 +396,48 @@ class JsonFeedSpec extends AnyFunSuite with SparkFixture {
       """{"ns5:MessageCollection":{"message":[]}}""",
       """{"ns5:MessageCollection":{"message":[1, 2]}}""",
       """{"ns5:MessageCollection":{"message":[{"flight":null}]}}""",
-      """{"ns5:MessageCollection":{"message":{"flight":{"source":"X"}}}}""")
+      """{"ns5:MessageCollection":{"message":{"flight":{"source":"X"}}}}""",
+      // MIXED-validity arrays (r16, the r15 ADVICE gap): a bare
+      // ARRAY<STRUCT> variant cast nulls bad ELEMENTS individually and
+      // would leak the valid element; the twin PERMISSIVE-nulls the
+      // whole record. The strict per-element path must drop the lot —
+      // while an explicit JSON null element (a VALID slot for the twin
+      // too) must NOT poison its siblings.
+      s"""{"ns5:MessageCollection":{"message":[{"flight":${flight("MIX1", 1.0, 2.0)}}, 5]}}""",
+      s"""{"ns5:MessageCollection":{"message":[{"flight":${flight("MIX2", 3.0, 4.0)}}, "oops"]}}""",
+      s"""{"ns5:MessageCollection":{"message":[{"flight":${flight("KEEP1", 5.0, 6.0)}}, null]}}""",
+      """{"ns5:MessageCollection":{"message":[null]}}""")
     val raw = shapes.toDF("payload")
     def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
       df.collect().map(_.toSeq).toSet
-    val variant = rows(graft.sources.JsonFeed.parseFlights(raw, "payload"))
-    val double = rows(graft.sources.JsonFeed.parseFlightsDoubleParse(raw, "payload"))
-    assert(variant == double)
-    assert(variant.size == 3) // the three well-formed flights survive
+    val live = rows(graft.sources.JsonFeed.parseFlights(raw, "payload"))
+    val variant = rows(graft.sources.JsonFeed.parseFlightsVariant(raw, "payload"))
+    assert(live == variant)
+    // the three well-formed flights + KEEP1 (null sibling is benign);
+    // MIX1/MIX2 die with their poisoned arrays
+    assert(live.size == 4)
+    assert(live.exists(_.contains("KEEP1")))
+    assert(!live.exists(r => r.contains("MIX1") || r.contains("MIX2")))
   }
 
-  test("parseFlights tokenizes each payload exactly once (plan pin)") {
+  test("parseFlightsVariant tokenizes each payload exactly once (plan pin)") {
     // r15: the variant column is projected separately and referenced by
-    // TWO casts — CollapseProject must keep the parse Project intact or
-    // every row re-tokenizes per reference (the from_csv FilterExec
+    // multiple casts — CollapseProject must keep the parse Project intact
+    // or every row re-tokenizes per reference (the from_csv FilterExec
     // precedent). RDD-backed input: a literal LocalRelation would fold
     // the whole plan and the pin would count 0 sites.
     val raw = spark.sparkContext.parallelize(Seq(
       s"""{"ns5:MessageCollection":{"message":{"flight":${flight("AAL3", 40.0, -100.0)}}}}"""
     )).toDF("payload")
-    val plan = graft.sources.JsonFeed.parseFlights(raw, "payload")
+    val plan = graft.sources.JsonFeed.parseFlightsVariant(raw, "payload")
       .queryExecution.optimizedPlan.toString
-    val n = "parse_json\\(".r.findAllIn(plan).size
+    // the optimizer lowers try_parse_json to
+    // static_invoke(VariantExpressionEvalUtils.parseJson(...)) — count
+    // the lowered form, not the sugar (r15 ADVICE: 'parse_json(' counts
+    // 0 sites in the optimized plan and the pin fails spuriously)
+    val n = "parseJson\\(".r.findAllIn(plan).size
     assert(n == 1,
-      s"expected exactly one parse_json tokenization site in the optimized " +
+      s"expected exactly one parseJson tokenization site in the optimized " +
         s"plan, found $n — the variant parse inlined into its consumers")
     assert(!plan.contains("from_json"),
       "the single-parse path must not fall back to from_json")
