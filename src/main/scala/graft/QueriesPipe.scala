@@ -38,7 +38,7 @@ object QueriesPipe {
     val daily = Tables.events(s, dir)
       .groupBy(expr(s"ts div $DayNs").as("day"))
       .agg(count(lit(1)).as("x"))
-      .localCheckpoint() // both self-join sides across 7 lags share it
+      .localCheckpoint(false) // both self-join sides across 7 lags share it
     def isqrt(c: org.apache.spark.sql.Column) = {
       val s0 = floor(sqrt(c.cast("double"))).cast("long")
       when((s0 + 1) * (s0 + 1) <= c, s0 + 1)
@@ -1184,7 +1184,7 @@ object QueriesPipe {
       .select(col("user_id"),
         (col("_dmax") - col("_last")).as("recency_days"),
         col("frequency"), col("monetary_cents"))
-      .localCheckpoint() // three rank passes + the final bucket join read it
+      .localCheckpoint(false) // three rank passes + the final bucket join read it
     val n = rfm.count()
     def cuts(metric: String): DataFrame =
       Text.globalRank(rfm.select(col(metric), col("user_id")),

@@ -381,7 +381,7 @@ object QueriesText {
     // shingling + 16 minhash permutations run once
     val sigs = Text.minhashSignature(withSh, col("sh"), 16, Text.polyHash)
       .select(col("doc_id"), col("sh"), col("sig"))
-      .localCheckpoint() // row-format materialization: cheaper to re-read
+      .localCheckpoint(false) // row-format materialization: cheaper to re-read
       // than the columnar array cache, and per-run deterministic (no
       // cross-run CacheManager dependence)
     val banded = Text.lshBands(sigs, 4, 4).select("doc_id", "band", "band_hash")
@@ -546,7 +546,7 @@ object QueriesText {
     // sign aggregation runs once
     val sh = Text.simhash(docsW(s, dir), split(col("text"), " "), 30, Text.polyHash)
       .select(col("doc_id"), col("simhash"), shiftright(col("simhash"), 20).as("blk"))
-      .localCheckpoint() // see qDocMinhashLsh
+      .localCheckpoint(false) // see qDocMinhashLsh
     sh.toDF("doc_a", "sim_a", "blk")
       .join(sh.toDF("doc_b", "sim_b", "blk"), Seq("blk"))
       .where(col("doc_a") < col("doc_b"))
@@ -966,7 +966,7 @@ object QueriesText {
     // final anti-join (r3 paid separate scan+decode passes per tier); the
     // near-dup tier reads the session's pinned pair index (r11).
     val par = s.sparkContext.defaultParallelism
-    val d = docs(s, dir).repartition(par).localCheckpoint()
+    val d = docs(s, dir).repartition(par).localCheckpoint(false)
     val exactDrop = Text.exactDupGroups(d, "doc_id",
         concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
       .select(explode(col("members")).as("doc_id"), col("keeper"))
@@ -1532,7 +1532,7 @@ object QueriesText {
     val e = embs(s, dir)
     val cells = Similarity.autoCells(embCount(s, dir))
     val (model, indexed) = Similarity.ivfIndex(e, "vec_id", "embedding", cells)
-    val idx = indexed.localCheckpoint() // assignment paid once, not per batch
+    val idx = indexed.localCheckpoint(false) // assignment paid once, not per batch
     val nProbe = ivfProbes(cells)
     def batch(lo: Long, hi: Long, tag: Int) =
       Similarity.knnIvfSearchIndexed(idx,
@@ -2746,7 +2746,7 @@ object QueriesText {
       .where(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).cast("long").as("n_sh"),
         explode(col("sh")).as("h"))
-      .localCheckpoint() // shared by both join sides + the df rollup
+      .localCheckpoint(false) // shared by both join sides + the df rollup
     val dfCut = reps.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") <= 64).select("h")
     // kept feeds both pair sides; a freeze here was A/B'd in r15 and
@@ -3483,7 +3483,7 @@ object QueriesText {
                                     ham: Int): DataFrame = {
     val sh = Text.simhash(docsW(s, dir), split(col("text"), " "), 30, Text.polyHash)
       .select(col("doc_id"), col("simhash"), shiftright(col("simhash"), 20).as("blk"))
-      .localCheckpoint() // both pair sides share the signature table
+      .localCheckpoint(false) // both pair sides share the signature table
     sh.toDF("doc_a", "sim_a", "blk")
       .join(sh.toDF("doc_b", "sim_b", "blk"), Seq("blk"))
       .where(col("doc_a") < col("doc_b"))
@@ -3631,7 +3631,7 @@ object QueriesText {
   private def qBoolBlocks(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("scan", "data", "slow")
     val pl = Text.postingsLists(docsW(s, dir), "doc_id", col("text"), 64L, terms)
-      .localCheckpoint() // three shards of one index build
+      .localCheckpoint(false) // three shards of one index build
     def shard(t: String) = pl.where(col("term") === t)
       .select(col("block"), explode(col("ids")).as("doc_id"))
     shard("scan")
@@ -3697,7 +3697,7 @@ object QueriesText {
     val withSh = docsW(s, dir).withColumn("sh", Text.shingles(col("text"), 2))
     val sigs = Text.minhashSignature(withSh, col("sh"), 16, Text.polyHash)
       .select(col("doc_id"), col("sh"), col("sig"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val banded = Text.lshBands(sigs, 4, 4).select("doc_id", "band", "band_hash")
     val cand = banded.toDF("doc_a", "band", "band_hash")
       .join(banded.toDF("doc_b", "band", "band_hash"), Seq("band", "band_hash"))
@@ -4464,13 +4464,41 @@ object QueriesText {
       .select(col("rep_id"), col("doc_id"))
       .localCheckpoint(false)
     val reps = grp.select(col("rep_id").as("doc_id"), col("text"))
+    // ONE (doc, word, count) aggregate feeds BOTH tiers (r16): the
+    // hashed blocking tier's bucket counts are sums of word counts
+    // (bucket = pmod(polyHash(word), dim) is a function of the word),
+    // so deriving it from the word aggregate saves the second corpus
+    // explode + its first-level exchange, and every checkpoint here is
+    // LAZY (the eager v/w materialization jobs were pure job-floor —
+    // this lane is floor-bound, 8-vs-32-core ratio 0.72). Same-JVM
+    // interleaved A/B (FhAbProbe, sf0.1): live 4.45/5.24 min/med →
+    // sharedwc 3.99/4.14, jobs 21 → 17, identical output checksums.
+    // (The q_collocations "derive the rollup from the big aggregate"
+    // counterexample doesn't bite: the bucket rollup is doc-keyed and
+    // tiny, not corpus-sized.) hashedTfSparse keeps the b1/b2 ranking
+    // contract: bucket counts sort by (count desc, bucket asc).
+    val wc = reps.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("_w"))
+      .where(col("_w") =!= "")
+      .groupBy(col("doc_id"), col("_w")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(false) // shared by the word tier + hashed tier
     // blocking tier: hashed top-2 buckets ONLY — the maps never score
-    val v = Text.hashedTfSparse(reps, "doc_id", col("text"), dim)
-      .select(col("doc_id"), col("b1"), col("b2"))
-      .localCheckpoint() // shared by both blocking sides
+    val v = wc
+      .withColumn("_bk", pmod(Text.polyHash(col("_w")), lit(dim)))
+      .groupBy(col("doc_id"), col("_bk")).agg(sum(col("_c")).as("_c"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct((-col("_c")).as("nc"),
+        col("_bk").as("bk")))).as("_rk"))
+      .select(col("doc_id"),
+        col("_rk").getItem(0).getField("bk").as("b1"),
+        coalesce(expr("get(_rk, 1).bk"), lit(-1L)).as("b2"))
+      .localCheckpoint(false) // shared by both blocking sides
     // verify tier: exact word-count vectors (both pair sides + intra norms)
-    val w = Text.wordTfSparse(reps, "doc_id", col("text"))
-      .localCheckpoint()
+    val w = wc.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("_w"), col("_c"))))
+          .as("wtf"),
+        sum(col("_c") * col("_c")).as("wnorm2"))
+      .localCheckpoint(false)
     val cand = v.select(col("doc_id").as("_ra"), col("b1"), col("b2"))
       .join(v.select(col("doc_id").as("_rb"), col("b1").as("_b1b"),
           col("b2").as("_b2b")),
@@ -4557,13 +4585,13 @@ object QueriesText {
     */
   private def qEntityClusters(s: SparkSession, dir: String): DataFrame = {
     val link = qFuzzyLink(s, dir).select(col("dirty"), col("canon"))
-      .localCheckpoint() // feeds node ids, edges AND the canon flag
+      .localCheckpoint(false) // feeds node ids, edges AND the canon flag
     val nodes = link.select(col("dirty").as("wrd"))
       .union(link.select(col("canon").as("wrd"))).distinct()
     // ids feeds THREE consumers (na-join, nb-join, final membership) —
     // checkpoint once or each re-plans the rank's range exchange + offsets
     val ids = Text.globalRank(nodes, Seq(col("wrd").asc), "nid")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val e = link
       .join(ids.select(col("wrd").as("dirty"), col("nid").as("na")), "dirty")
       .join(ids.select(col("wrd").as("canon"), col("nid").as("nb")), "canon")
@@ -4962,7 +4990,7 @@ object QueriesText {
       .select(col("source"), explode(array_distinct(
         transform(Text.shingles(col("text"), 3), Text.polyHash(_)))).as("h"))
       .distinct()
-      .localCheckpoint() // feeds the sketch agg + both sides of the audit join
+      .localCheckpoint(false) // feeds the sketch agg + both sides of the audit join
     val sk = sh.groupBy("source")
       .agg(Sketch.kmvAgg(col("h"), K).as("sk"), count(lit(1)).as("nd"))
     val a = sk.select(col("source").as("src_a"), col("sk").as("ska"),
@@ -5171,7 +5199,7 @@ object QueriesText {
       : (DataFrame, DataFrame, DataFrame) = {
     val scrubbed = graft.operators.Pii.redact(piiDocs(s, dir), col("ptext"))
       .select(col("doc_id"), col("source"), col("redacted"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Checkpoint the verdict BEFORE the keep-filter: a filter over the flag
     // expressions gets pushed through the projection and FilterExec evaluates
     // the predicate tree as-is — no subexpression elimination, unlike
@@ -5181,7 +5209,7 @@ object QueriesText {
     val verdict = withGateVerdict(scrubbed, col("redacted"))
       .select(col("doc_id"), col("source"), col("redacted"), col("n_words"),
         col("keep"))
-      .localCheckpoint() // reused by both the drop-list and the keep side
+      .localCheckpoint(false) // reused by both the drop-list and the keep side
     val gated = verdict.where(col("keep") === 1)
       .select(col("doc_id"), col("source"), col("redacted"), col("n_words"))
     val normKey = concat_ws(" ", slice(split(col("redacted"), " "), 1, 8))

@@ -109,7 +109,7 @@ object Multimodal {
     */
   def aHashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val reps = hashes.groupBy("h0", "h1").agg(min("id").as("rep"))
-      .localCheckpoint() // both join sides share the scan; see qDocSimhashPairs
+      .localCheckpoint(false) // both join sides share the scan; see qDocSimhashPairs
     val bands = reps
       .withColumn("j", explode(sequence(lit(0), lit(7))))
       .withColumn("band",

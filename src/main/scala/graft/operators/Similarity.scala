@@ -1099,7 +1099,7 @@ object Similarity {
                          k: Int, nProbe: Int, roundTo: Int): DataFrame = {
     val model = readIvfCenters(spark, path)
     val q = probeCellPlan(queries, id, vec, nProbe, model)
-      .localCheckpoint() // probed twice: cell-set collect + the pair join
+      .localCheckpoint(false) // probed twice: cell-set collect + the pair join
     val probed = q.select("cell").distinct().collect().map(_.getInt(0))
     val c = spark.read.parquet(s"$path/postings")
       .where(col("cell").isin(probed.map(Int.box): _*))

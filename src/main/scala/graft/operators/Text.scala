@@ -199,11 +199,14 @@ object Text {
     // the shingle expression is by far the priciest per-row code here and
     // FOUR consumers need sh (lmax, segments, both verify sides), but the
     // columnar SQL cache measured slower to re-read than recomputing, while
-    // checkpointed rows scan at full speed. Eager: one job, run here.
+    // checkpointed rows scan at full speed. LAZY (r16): the stats head()
+    // below materializes it inside its own job — a dedicated eager job
+    // bought nothing (the eager-to-lazy sweep; FhAbProbe's measured
+    // job-floor class).
     val sh = (if (assumeSpread) df else df.repartition(par))
       .select(col(id).as("doc"), explode(array_distinct(shingleCol)).as("sh"))
       .withColumn("_h", hash(col("sh")).cast("long"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     // LENGTH CLASSES, engaged adaptively: p sized from a GLOBAL lmax lets
     // one long doc inflate p for the whole short tail — segments degrade
